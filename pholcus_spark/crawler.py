@@ -1,0 +1,367 @@
+"""The crawl engine — Structured-Streaming-style micro-batch rounds.
+
+Each round is one deterministic DataFrame job chain committed as one
+snapshot (the Iceberg-style store in ``tables.py``):
+
+    select batch (F3/F4/F11) → fetch UDF (D1-D4) → parse (P1-P3)
+    → dedup + enqueue (F2/F6) → DoHistory (F7) → commit (F9/S1)
+    → loop until CanStop (F8, incl. the drain-time failure re-Push)
+
+Reference lifecycle being reproduced: ``crawler.Run`` dispatch loop
+(``app/crawler/crawler.go:63-109``) + ``Process``
+(``crawler.go:112-174``), serialized per the fidelity contract
+(oracle.py). Driver-side state is only the loop counter + small
+manifest metadata (next_seq, admitted, deferred) — everything else
+lives in tables, which is what makes kill-and-resume trivial.
+
+Tables (FIXTURES.md §2-7):
+- ``pending``   (overwrite/round)  the active queue — stays small
+- ``resolved``  (append)           done/failed rows + visit_round
+- ``visits``    (append)           per-round dispatch log (fidelity)
+- ``url_seen``  (append)           every admitted url_key
+- ``failures``  (append)           second-failure store
+- ``items``     (append)           image+caption payload rows
+- ``rounds``    (append)           per-partition lineage metrics
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import frontier as FR
+from . import synthetic
+from .fetch import fetch_batch, links_to_candidates
+from .oracle import CrawlConfig, politeness_map
+from .schemas import (
+    FAILURES_SCHEMA,
+    FRONTIER_SCHEMA,
+    ITEMS_SCHEMA,
+    POLITENESS_SCHEMA,
+    ROUNDS_SCHEMA,
+    URL_SEEN_SCHEMA,
+)
+from .tables import SnapshotStore
+from .urlnorm import canonicalize, host_of
+
+RESOLVED_SCHEMA = T.StructType(
+    FRONTIER_SCHEMA.fields + [T.StructField("visit_round", T.IntegerType(), False)]
+)
+VISITS_SCHEMA = T.StructType(
+    [
+        T.StructField("round", T.IntegerType(), False),
+        T.StructField("url_key", T.LongType(), False),
+        T.StructField("url", T.StringType(), False),
+        T.StructField("priority", T.IntegerType(), False),
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("attempt", T.IntegerType(), False),
+        T.StructField("ok", T.BooleanType(), False),
+    ]
+)
+
+FRONTIER_COLS = [f.name for f in FRONTIER_SCHEMA.fields]
+
+
+class CrawlEngine:
+    def __init__(self, spark: SparkSession, store: SnapshotStore, cfg: CrawlConfig):
+        self.spark = spark
+        self.store = store
+        self.cfg = cfg
+        self._politeness = self._build_politeness()
+
+    def _build_politeness(self) -> DataFrame:
+        rows = [
+            (
+                h,
+                p["crawl_delay_ms"],
+                p["robots_disallow"],
+                p["max_per_round"],
+            )
+            for h, p in politeness_map(self.cfg).items()
+        ]
+        return self.spark.createDataFrame(rows, POLITENESS_SCHEMA)
+
+    # --- state accessors ---
+
+    def _meta(self) -> dict:
+        return self.store.read_manifest().get("meta", {})
+
+    def load(self, table: str, schema) -> DataFrame:
+        return self.store.load(self.spark, table, schema)
+
+    # --- bootstrap (F1: RuleTree.Root seed generation) ---
+
+    def bootstrap(self, seeds: list[str]) -> None:
+        if self.store.current_snapshot_id() is not None:
+            return  # resume path: state already in the store
+        cfg = self.cfg
+        rows = []
+        for i, raw in enumerate(seeds):
+            cu = canonicalize(raw)
+            if not cu:
+                continue
+            rows.append(
+                (
+                    cu,
+                    host_of(cu),
+                    cfg.spider,
+                    "root",
+                    "GET",
+                    cfg.seed_priority,
+                    0,
+                    None,
+                    None,
+                    False,
+                    cfg.try_times,
+                    i,
+                )
+            )
+        cand_schema = T.StructType(
+            [
+                T.StructField("url", T.StringType(), False),
+                T.StructField("host", T.StringType(), False),
+                T.StructField("spider", T.StringType(), False),
+                T.StructField("rule", T.StringType(), False),
+                T.StructField("method", T.StringType(), False),
+                T.StructField("priority", T.IntegerType(), False),
+                T.StructField("depth", T.IntegerType(), False),
+                T.StructField("parent_url", T.StringType(), True),
+                T.StructField("temp", T.MapType(T.StringType(), T.StringType()), True),
+                T.StructField("reloadable", T.BooleanType(), False),
+                T.StructField("try_times", T.IntegerType(), False),
+                T.StructField("cand_order", T.LongType(), False),
+            ]
+        )
+        cands = self.spark.createDataFrame(rows, cand_schema)
+        empty_seen = self.spark.createDataFrame([], URL_SEEN_SCHEMA)
+        new_rows = FR.enqueue(
+            cands, empty_seen, self._politeness, 0, 0, cfg.limit
+        ).cache()
+        n_new = new_rows.count()
+        self.store.commit(
+            0,
+            {
+                "pending": (new_rows, "overwrite"),
+                "url_seen": (new_rows.select("url_key"), "append"),
+            },
+            meta={"next_seq": n_new, "admitted": n_new, "deferred": False,
+                  "round": 0},
+        )
+        self.spark.catalog.clearCache()
+
+    # --- one micro-batch round; returns rows dispatched ---
+
+    def run_round(self) -> int:
+        cfg = self.cfg
+        t0 = time.time()
+        meta = self._meta()
+        round_no = int(meta.get("round", 0)) + 1
+        next_seq = int(meta.get("next_seq", 0))
+        admitted = int(meta.get("admitted", 0))
+
+        pending = self.load("pending", FRONTIER_SCHEMA)
+        batch = FR.select_batch(
+            pending, self._politeness, cfg.batch_size
+        ).cache()
+        n_batch = batch.count()
+        if n_batch == 0:
+            return 0
+
+        results = fetch_batch(
+            batch,
+            cfg.rules,
+            cfg.n_hosts,
+            cfg.try_times,
+            cfg.failure_pct,
+        ).cache()
+        done, requeued, failed = FR.split_results(
+            results, cfg.max_requeue_attempt
+        )
+
+        items = results.filter(F.col("ok")).select(
+            "rule",
+            "url",
+            "parent_url",
+            F.date_format(F.current_timestamp(), "yyyy-MM-dd HH:mm:ss").alias(
+                "download_time"
+            ),
+            "image_id",
+            "bytes",
+            "w",
+            "h",
+            "fmt",
+            "caption",
+            "phash",
+        )
+
+        cands = links_to_candidates(results)
+        url_seen = self.load("url_seen", URL_SEEN_SCHEMA)
+        remaining = None if cfg.limit is None else cfg.limit - admitted
+        new_rows = FR.enqueue(
+            cands, url_seen, self._politeness, next_seq, round_no, remaining
+        ).cache()
+        n_new = new_rows.count()
+
+        still_pending = (
+            pending.join(batch.select("url_key"), "url_key", "left_anti")
+            .unionByName(requeued)
+            .unionByName(new_rows)
+        )
+        resolved_new = (
+            done.unionByName(failed)
+            .withColumn("visit_round", F.lit(round_no).cast("int"))
+        )
+        visits = batch.select(
+            F.lit(round_no).cast("int").alias("round"),
+            "url_key",
+            "url",
+            "priority",
+            "seq",
+            "attempt",
+        ).join(
+            results.select("url_key", "ok"), "url_key", "left"
+        ).select("round", "url_key", "url", "priority", "seq", "attempt", "ok")
+        failures_new = failed.select(
+            *FRONTIER_COLS,
+            F.lit(round_no).cast("int").alias("fail_round"),
+            F.lit("synthetic transient error").alias("error"),
+        )
+
+        # per-partition lineage metrics (S9 / north rule): the lineage
+        # partition key = pmod(url_key, shuffle partitions).
+        n_part = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        wall_ms = int((time.time() - t0) * 1000)
+        part_metrics = (
+            results.groupBy(
+                F.pmod("url_key", F.lit(n_part)).cast("int").alias("partition_id")
+            )
+            .agg(
+                F.count("*").alias("pulled"),
+                F.sum(F.col("ok").cast("long")).alias("fetched"),
+                F.sum((~F.col("ok")).cast("long")).alias("failed"),
+                F.sum(F.col("ok").cast("long")).alias("items"),
+                F.coalesce(
+                    F.sum(F.when(F.col("ok"), F.length("bytes"))), F.lit(0)
+                ).alias("bytes"),
+            )
+            .select(
+                F.lit(round_no).cast("int").alias("round"),
+                "partition_id",
+                "pulled",
+                "fetched",
+                F.lit(0).cast("long").alias("deduped"),
+                "failed",
+                "items",
+                "bytes",
+                F.lit(wall_ms).cast("long").alias("wall_ms"),
+                F.lit(-1).cast("long").alias("snapshot_id"),
+            )
+        )
+
+        self.store.commit(
+            round_no,
+            {
+                "pending": (still_pending, "overwrite"),
+                "resolved": (resolved_new, "append"),
+                "visits": (visits, "append"),
+                "url_seen": (new_rows.select("url_key"), "append"),
+                "failures": (failures_new, "append"),
+                "items": (items, "append"),
+                "rounds": (part_metrics, "append"),
+            },
+            meta={
+                "next_seq": next_seq + n_new,
+                "admitted": admitted + n_new,
+                "round": round_no,
+                "deferred": meta.get("deferred", False),
+            },
+        )
+        self.spark.catalog.clearCache()
+        return n_batch
+
+    # --- CanStop / drain-time failure re-admission (F8) ---
+
+    def _try_defer(self) -> bool:
+        meta = self._meta()
+        if meta.get("deferred", False):
+            return False
+        failures = self.load("failures", FAILURES_SCHEMA)
+        re_rows = failures.select(*FRONTIER_COLS).withColumn(
+            "status", F.lit("pending")
+        ).cache()
+        n = re_rows.count()
+        if n == 0:
+            # mark deferred anyway so CanStop is a pure table predicate
+            self.store.commit(
+                int(meta.get("round", 0)),
+                {},
+                meta={**meta, "deferred": True},
+            )
+            return False
+        round_no = int(meta.get("round", 0))
+        self.store.commit(
+            round_no,
+            {"pending": (re_rows, "overwrite")},
+            meta={**meta, "deferred": True},
+        )
+        self.spark.catalog.clearCache()
+        return True
+
+    def run(self, seeds: list[str] | None = None, max_rounds: int | None = None) -> int:
+        """Run to completion (or max_rounds); resumable — call again
+        after a kill and it continues from the last snapshot."""
+        if seeds is not None:
+            self.bootstrap(seeds)
+        cfg = self.cfg
+        limit = max_rounds if max_rounds is not None else cfg.max_rounds
+        rounds_run = 0
+        while rounds_run < limit:
+            dispatched = self.run_round()
+            if dispatched == 0:
+                if self._try_defer():
+                    continue
+                break
+            rounds_run += 1
+        return rounds_run
+
+    # --- read-side helpers for tests/bench ---
+
+    def visits_log(self) -> list[tuple]:
+        df = self.load("visits", VISITS_SCHEMA).orderBy(
+            "round", F.desc("priority"), "seq", "attempt"
+        )
+        return [
+            (r["round"], r["url_key"], r["url"], r["priority"], r["seq"],
+             r["attempt"], r["ok"])
+            for r in df.collect()
+        ]
+
+    def url_seen_set(self) -> set[int]:
+        return {
+            r["url_key"]
+            for r in self.load("url_seen", URL_SEEN_SCHEMA).collect()
+        }
+
+    def items_df(self) -> DataFrame:
+        return self.load("items", ITEMS_SCHEMA)
+
+    def resolved_df(self) -> DataFrame:
+        """Latest-wins view of the append-only resolved log (the MERGE
+        INTO equivalent): a row re-admitted at drain time appends a
+        second record; its final status is the one from the latest
+        visit_round."""
+        from pyspark.sql import Window
+
+        raw = self.load("resolved", RESOLVED_SCHEMA)
+        w = Window.partitionBy("url_key").orderBy(F.desc("visit_round"))
+        return (
+            raw.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def rounds_df(self) -> DataFrame:
+        return self.load("rounds", ROUNDS_SCHEMA)

@@ -1,0 +1,145 @@
+"""Vectorized fetch + decode + parse — the D1/D3/D4/P1-P3 surface as
+one Arrow-batched ``mapInPandas`` pass over the round's dispatch batch.
+
+Reference path being reproduced: ``crawler.Process`` (download →
+ctx.Parse → item/link emission, ``app/crawler/crawler.go:112-174``)
+with Surf's retry loop (``surfer/surf.go:180-194``: ≤ TryTimes
+attempts). One UDF pass per round — fetch, pixel decode, phash, caption
+and child-link extraction happen on the executor without a second
+shuffle of the payload bytes.
+
+No per-row Python UDFs: the plan-side API is mapInPandas (Arrow
+batches); the per-URL loop inside is the sandbox's stand-in for network
+I/O (a real fetcher would run an async HTTP client over the same batch).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+from . import synthetic
+from .schemas import FETCH_RESULT_SCHEMA
+from .urlnorm import canonicalize
+
+
+def fetch_batch(
+    batch: DataFrame,
+    rules: dict[tuple[str, str], dict],
+    n_hosts: int,
+    try_times_default: int = 3,
+    failure_pct: int = synthetic.FAILURE_PCT,
+) -> DataFrame:
+    """Run the fetch/parse UDF over a dispatch batch.
+
+    ``rules`` maps (spider, rule) -> {child_rule, max_depth, priority}
+    (the declarative RuleTree, reference spider.go:48-59) and is
+    closure-captured → shipped once per task, broadcast-style.
+    """
+    sess = batch.sparkSession
+    bc_rules = sess.sparkContext.broadcast(rules)
+
+    def _fetch(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rules_map = bc_rules.value
+        for pdf in pdf_iter:
+            out_rows = []
+            for row in pdf.itertuples(index=False):
+                tries = int(row.try_times or try_times_default)
+                base_attempt = int(row.attempt) * tries
+                res = None
+                for i in range(tries):
+                    res = synthetic.fetch_one(
+                        row.url, int(row.depth), base_attempt + i, n_hosts,
+                        failure_pct,
+                    )
+                    if res.ok:
+                        break
+                rule_cfg = rules_map.get((row.spider, row.rule), {})
+                child_rule = rule_cfg.get("child_rule")
+                max_depth = rule_cfg.get("max_depth", 0)
+                links = []
+                if res.ok and child_rule is not None and row.depth < max_depth:
+                    child_prio = rule_cfg.get("child_priority", 0)
+                    for link in res.links:
+                        cu = canonicalize(link)
+                        if cu:
+                            links.append(
+                                {"url": cu, "rule": child_rule, "priority": child_prio}
+                            )
+                out_rows.append(
+                    {
+                        "url_key": row.url_key,
+                        "url": row.url,
+                        "host": row.host,
+                        "spider": row.spider,
+                        "rule": row.rule,
+                        "method": row.method,
+                        "priority": row.priority,
+                        "depth": row.depth,
+                        "seq": row.seq,
+                        "round_enqueued": row.round_enqueued,
+                        "parent_url": row.parent_url,
+                        "temp": row.temp,
+                        "reloadable": row.reloadable,
+                        "try_times": row.try_times,
+                        "attempt": row.attempt,
+                        "ok": res.ok,
+                        "error": res.error,
+                        "image_id": res.image_id,
+                        "bytes": res.payload,
+                        "w": res.w,
+                        "h": res.h,
+                        "fmt": res.fmt,
+                        "caption": res.caption,
+                        "phash": res.phash,
+                        "links": links,
+                    }
+                )
+            yield pd.DataFrame(
+                out_rows, columns=[f.name for f in FETCH_RESULT_SCHEMA.fields]
+            )
+
+    # Repartition the (small) batch across executors so fetch
+    # parallelism = cluster width, not the scheduling window's layout.
+    n_part = int(sess.conf.get("spark.sql.shuffle.partitions", "32"))
+    return batch.repartition(n_part, "url_key").mapInPandas(
+        _fetch, FETCH_RESULT_SCHEMA
+    )
+
+
+def links_to_candidates(results: DataFrame) -> DataFrame:
+    """Explode parsed child links into enqueue candidates (P3 →
+    AddQueue, reference context.go:104-125): inherit spider/method,
+    auto-Referer from parent, depth+1, deterministic cand_order =
+    (parent seq, link index) for the FIFO tie-break."""
+    from pyspark.sql import functions as F
+
+    exploded = results.filter(F.col("ok")).select(
+        "spider",
+        "method",
+        "url",
+        "depth",
+        "seq",
+        "temp",
+        "try_times",
+        F.posexplode_outer("links").alias("link_idx", "link"),
+    )
+    # cand_order: lexicographic (parent_seq, link_idx) packed into one
+    # long — parents emit ≤ 2^20 links so (seq << 20) | idx is ordered.
+    return exploded.filter(F.col("link").isNotNull()).select(
+        F.col("link.url").alias("url"),
+        F.regexp_extract("link.url", r"^[a-z]+://([^/:]+)", 1).alias("host"),
+        "spider",
+        F.col("link.rule").alias("rule"),
+        "method",
+        F.col("link.priority").alias("priority"),
+        (F.col("depth") + 1).cast("int").alias("depth"),
+        F.col("url").alias("parent_url"),
+        "temp",
+        F.lit(False).alias("reloadable"),
+        "try_times",
+        (F.shiftleft(F.col("seq"), 20) + F.col("link_idx")).alias("cand_order"),
+    )

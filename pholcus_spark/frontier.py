@@ -1,0 +1,242 @@
+"""Frontier operators — the Matrix semantics as DataFrame programs.
+
+Reference: ``app/scheduler/matrix.go`` (priority FIFOs + dedup caches +
+budget). Each function here is one operator from SURVEY.md §2.1,
+expressed declaratively so Catalyst handles pushdown/pruning and AQE
+handles skew:
+
+- ``enqueue``      = Matrix.Push  (matrix.go:51-98)   — F2
+- ``assign_seq``   = the FIFO enqueue counter          — F2/F3 tie-break
+- ``select_batch`` = Matrix.Pull × ThreadNum           — F3/F4/F11
+- ``apply_results``= DoHistory                         — F7
+
+Scale notes (10^10-URL frontier):
+- enqueue dedup is a left-anti hash join on ``url_key`` (bigint) — the
+  *only* big-big join; a bloom pre-filter (``seen.py``) prunes the
+  probe side before the exact join.
+- ``select_batch`` windows are two-phase salted: rank within
+  ``(host, salt)`` first (bounded partitions even when one host owns
+  most of the frontier), then re-rank the ≤ salt_k × budget survivors
+  per host. Identical output to an unsalted per-host rank.
+- ``assign_seq`` is a distributed zipWithIndex (range-partition +
+  per-partition offsets) — no single-partition window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .hashing import SPARK_HASH_SEED  # noqa: F401  (documents the seed)
+
+SALT_K = 8  # salted sub-queues per host in phase-1 ranking
+
+
+def with_url_key(df: DataFrame) -> DataFrame:
+    """url_key = xxhash64(spider, rule, url, method) — JVM-side, matching
+    the oracle's pure-Python hashing.url_key byte-for-byte.
+
+    Reference analog: MD5(Spider+Rule+URL+Method), request.go:139-145.
+    """
+    return df.withColumn(
+        "url_key", F.xxhash64("spider", "rule", "url", "method")
+    )
+
+
+def dedup_candidates(cands: DataFrame) -> DataFrame:
+    """Within-batch dedup: first pushed wins (sequential Push semantics)
+    — keep the candidate with the smallest ``cand_order`` per url_key."""
+    w = Window.partitionBy("url_key").orderBy("cand_order")
+    return (
+        cands.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def filter_robots(cands: DataFrame, politeness: DataFrame) -> DataFrame:
+    """Drop robots-disallowed URLs (north-rule addition; the reference
+    has no robots support). Politeness config is a small dim table →
+    broadcast join, no shuffle of the candidate side."""
+    # inner join: only hosts with a politeness row are crawlable (the
+    # oracle enforces the same — unknown hosts are not admitted).
+    pol = F.broadcast(politeness.select("host", "robots_disallow"))
+    joined = cands.join(pol, "host", "inner")
+    path = F.regexp_replace("url", r"^[a-z]+://[^/]+", "")
+    disallowed = F.exists(
+        F.coalesce(F.col("robots_disallow"), F.array()),
+        lambda p: path.startswith(p),
+    )
+    return joined.filter(~disallowed).drop("robots_disallow")
+
+
+def anti_join_seen(cands: DataFrame, url_seen: DataFrame) -> DataFrame:
+    """Matrix.Push's history check: drop candidates whose url_key is in
+    the seen set, unless ``reloadable`` (request.go:36 opt-out)."""
+    fresh = cands.filter(~F.col("reloadable")).join(
+        url_seen, "url_key", "left_anti"
+    )
+    reloadable = cands.filter(F.col("reloadable"))
+    return fresh.unionByName(reloadable)
+
+
+def assign_seq(cands: DataFrame, next_seq: int) -> DataFrame:
+    """Distributed zipWithIndex: global FIFO seq numbers consistent with
+    ``cand_order``, without a single-partition window. Range-partition
+    by cand_order, count per partition (tiny driver metadata — one long
+    per partition), then per-partition local ranks + offsets."""
+    import pyspark.sql.types as T
+
+    n_part = int(cands.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = cands.repartitionByRange(n_part, "cand_order").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    # cache: the counts job and the assign job must see identical
+    # partitioning (range boundaries come from sampling).
+    ranged = ranged.cache()
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets = {}
+    acc = next_seq
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    bc = ranged.sparkSession.sparkContext.broadcast(offsets)
+
+    def _assign(pdf_iter):
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values("cand_order").reset_index(drop=True)
+            off = bc.value.get(int(pdf["_pid"].iloc[0]), 0)
+            pdf["seq"] = [off + i for i in range(len(pdf))]
+            yield pdf.drop(columns=["_pid"])
+
+    out_schema = T.StructType(
+        [f for f in ranged.schema.fields if f.name != "_pid"]
+        + [T.StructField("seq", T.LongType(), False)]
+    )
+    out = ranged.mapInPandas(_assign, out_schema)
+    return out
+
+
+def enqueue(
+    cands: DataFrame,
+    url_seen: DataFrame,
+    politeness: DataFrame,
+    next_seq: int,
+    round_no: int,
+    remaining_budget: int | None,
+) -> DataFrame:
+    """Full Matrix.Push pipeline for one round's candidate links.
+
+    cands columns: url (canonical), host, spider, rule, method,
+    priority, depth, parent_url, temp, reloadable, try_times,
+    cand_order (long — parse order, the FIFO tie-break source).
+    Returns new frontier rows (status=pending, seq assigned).
+    """
+    cands = with_url_key(cands)
+    cands = dedup_candidates(cands)
+    cands = filter_robots(cands, politeness)
+    cands = anti_join_seen(cands, url_seen)
+    if remaining_budget is not None:
+        # page budget (F6, matrix.go:59-61): admit in FIFO order until
+        # the budget is spent; orderBy+limit = TakeOrdered (top-k), no
+        # full sort materialization.
+        cands = cands.orderBy("cand_order").limit(max(remaining_budget, 0))
+    cands = assign_seq(cands, next_seq)
+    return cands.select(
+        "url_key",
+        "url",
+        "host",
+        "spider",
+        "rule",
+        "method",
+        "priority",
+        "depth",
+        "seq",
+        F.lit(round_no).cast("int").alias("round_enqueued"),
+        "parent_url",
+        "temp",
+        "reloadable",
+        "try_times",
+        F.lit(0).cast("int").alias("attempt"),
+        F.lit("pending").alias("status"),
+    )
+
+
+def select_batch(
+    pending: DataFrame,
+    politeness: DataFrame,
+    batch_size: int,
+    salt_k: int = SALT_K,
+) -> DataFrame:
+    """Matrix.Pull × batch: the per-round dispatch set.
+
+    Order contract (matrix.go:101-124): highest priority first, FIFO
+    (seq asc) within a priority. Politeness (F11): at most
+    ``max_per_round`` rows per host per round. Hot-host skew is defused
+    by two-phase ranking — phase 1 ranks within (host, salt) so no
+    single task sees a whole hot host; phase 2 re-ranks the pruned
+    survivors exactly. Output is identical to a direct per-host rank.
+    """
+    pol = F.broadcast(politeness.select("host", "max_per_round"))
+    p = pending.join(pol, "host", "left").withColumn(
+        "max_per_round", F.coalesce("max_per_round", F.lit(1))
+    )
+    salt = (F.pmod(F.col("url_key"), F.lit(salt_k))).cast("int")
+    w1 = Window.partitionBy("host", salt).orderBy(
+        F.desc("priority"), F.asc("seq")
+    )
+    p = p.withColumn("_r1", F.row_number().over(w1)).filter(
+        F.col("_r1") <= F.col("max_per_round")
+    )
+    w2 = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("seq"))
+    p = p.withColumn("_r2", F.row_number().over(w2)).filter(
+        F.col("_r2") <= F.col("max_per_round")
+    )
+    return (
+        p.drop("_r1", "_r2", "max_per_round")
+        .orderBy(F.desc("priority"), F.asc("seq"))
+        .limit(batch_size)
+    )
+
+
+def split_results(results: DataFrame, max_requeue_attempt: int = 1):
+    """DoHistory (F7, matrix.go:144-169) on a fetched batch:
+
+    - ok            → resolved 'done'
+    - failed, attempt < max_requeue_attempt → silently re-queued
+      (status pending, attempt+1) — the reference's first-failure
+      re-queue
+    - failed, attempt ≥ max_requeue_attempt → resolved 'failed' +
+      recorded to the failures store (second failure)
+
+    Returns (done, requeued, failed) DataFrames of frontier-row shape.
+    """
+    frontier_cols = [
+        "url_key", "url", "host", "spider", "rule", "method", "priority",
+        "depth", "seq", "round_enqueued", "parent_url", "temp",
+        "reloadable", "try_times", "attempt", "status",
+    ]
+    done = (
+        results.filter(F.col("ok"))
+        .withColumn("status", F.lit("done"))
+        .select(*frontier_cols)
+    )
+    failed_all = results.filter(~F.col("ok"))
+    requeued = (
+        failed_all.filter(F.col("attempt") < max_requeue_attempt)
+        .withColumn("attempt", F.col("attempt") + 1)
+        .withColumn("status", F.lit("pending"))
+        .select(*frontier_cols)
+    )
+    failed = (
+        failed_all.filter(F.col("attempt") >= max_requeue_attempt)
+        .withColumn("attempt", F.col("attempt") + 1)
+        .withColumn("status", F.lit("failed"))
+        .select(*frontier_cols)
+    )
+    return done, requeued, failed

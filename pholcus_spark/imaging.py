@@ -1,0 +1,197 @@
+"""Image payload codecs + perceptual hash — pure numpy/zlib (no PIL in
+this container, so the codecs are self-contained and deterministic).
+
+Covers the D3/D4 decode surface for the image workload (reference
+analog: charset detect + transcode ``app/spider/context.go:678-736``
+and lazy DOM parse ``context.go:612-627`` — for image+caption work
+items, "decode" is pixel decode and "parse" is phash + caption).
+
+Formats:
+- ``png``  — real, spec-conformant PNG (8-bit RGB, filter 0), readable
+  by any external tool; lossless.
+- ``jpeg`` — stand-in lossy codec (real JPEG needs libjpeg, absent
+  here): uniform quantization step q=6 + zlib. Quantization MSE
+  ≈ (q²-1)/12 ≈ 2.9 → PSNR ≈ 43.5 dB, exercising the PSNR≥40dB
+  invariant exactly like a quality-90 JPEG would. A real decoder can
+  be swapped in behind ``decode_image`` (import-try of PIL).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_LOSSY_MAGIC = b"PHLJ"  # pholcus-lossy
+_LOSSY_Q = 6
+
+try:  # pragma: no cover - not present in this container
+    from PIL import Image  # noqa: F401
+
+    _HAVE_PIL = True
+except ImportError:
+    _HAVE_PIL = False
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """8-bit RGB HxWx3 uint8 array -> PNG bytes (filter 0, lossless)."""
+    h, w, c = arr.shape
+    assert c == 3 and arr.dtype == np.uint8
+    raw = np.concatenate(
+        [np.zeros((h, 1), np.uint8), arr.reshape(h, w * 3)], axis=1
+    ).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw, 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, w = 8, 0
+    h = 0
+    idat = b""
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, depth, ctype = struct.unpack(">IIBB", payload[:10])
+            if depth != 8 or ctype != 2:
+                raise ValueError("only 8-bit RGB supported")
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    raw = np.frombuffer(zlib.decompress(idat), np.uint8).reshape(h, w * 3 + 1)
+    filters = raw[:, 0]
+    out = raw[:, 1:].astype(np.int32).reshape(h, w, 3)
+    bpp = 3
+    flat = out.reshape(h, w * 3)
+    for y in range(h):
+        f = filters[y]
+        if f == 0:
+            continue
+        row = flat[y]
+        prev = flat[y - 1] if y > 0 else np.zeros_like(row)
+        if f == 1:  # Sub
+            for x in range(bpp, w * 3):
+                row[x] = (row[x] + row[x - bpp]) & 0xFF
+        elif f == 2:  # Up
+            flat[y] = (row + prev) & 0xFF
+        elif f == 3:  # Average
+            for x in range(w * 3):
+                left = row[x - bpp] if x >= bpp else 0
+                row[x] = (row[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(w * 3):
+                a = row[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[x] = (row[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad filter {f}")
+    return flat.reshape(h, w, 3).astype(np.uint8)
+
+
+def encode_lossy(arr: np.ndarray, q: int = _LOSSY_Q) -> bytes:
+    """Stand-in 'jpeg': uniform-quantized + zlib. Deterministic."""
+    h, w, _ = arr.shape
+    quant = (np.round(arr.astype(np.float64) / q) * q).clip(0, 255).astype(np.uint8)
+    header = _LOSSY_MAGIC + struct.pack(">IIB", w, h, q)
+    return header + zlib.compress(quant.tobytes(), 6)
+
+
+def decode_lossy(data: bytes) -> np.ndarray:
+    if data[:4] != _LOSSY_MAGIC:
+        raise ValueError("not a PHLJ payload")
+    w, h, _q = struct.unpack(">IIB", data[4:13])
+    return np.frombuffer(zlib.decompress(data[13:]), np.uint8).reshape(h, w, 3)
+
+
+def encode_image(arr: np.ndarray, fmt: str) -> bytes:
+    if fmt == "png":
+        return encode_png(arr)
+    if fmt == "jpeg":
+        return encode_lossy(arr)
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def decode_image(data: bytes, fmt: str) -> np.ndarray:
+    """Decode payload bytes -> HxWx3 uint8. Real-JPEG path would go via
+    PIL here; absent in this container, ``jpeg`` is the PHLJ stand-in."""
+    if fmt == "png":
+        return decode_png(data)
+    if fmt == "jpeg":
+        if data[:4] == _LOSSY_MAGIC:
+            return decode_lossy(data)
+        if _HAVE_PIL:  # pragma: no cover
+            import io
+
+            return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+        raise NotImplementedError("real JPEG decode requires PIL (not installed)")
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(255.0**2 / mse)
+
+
+_DCT32 = None
+
+
+def _dct_matrix(n: int = 32) -> np.ndarray:
+    global _DCT32
+    if _DCT32 is None:
+        k = np.arange(n)[:, None]
+        i = np.arange(n)[None, :]
+        m = np.sqrt(2.0 / n) * np.cos((2 * i + 1) * k * np.pi / (2 * n))
+        m[0] /= np.sqrt(2.0)
+        _DCT32 = m
+    return _DCT32
+
+
+def phash64(arr: np.ndarray) -> int:
+    """DCT perceptual hash: gray -> 32x32 -> DCT-II -> top-left 8x8
+    (minus DC) thresholded at the median -> signed 64-bit int."""
+    gray = arr.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    h, w = gray.shape
+    yi = (np.arange(32) * h // 32).clip(0, h - 1)
+    xi = (np.arange(32) * w // 32).clip(0, w - 1)
+    small = gray[np.ix_(yi, xi)]
+    d = _dct_matrix(32)
+    freq = d @ small @ d.T
+    low = freq[:8, :8].flatten()
+    med = np.median(low[1:])
+    bits = (low > med).astype(np.uint64)
+    val = np.uint64(0)
+    for b in bits:
+        val = (val << np.uint64(1)) | b
+    iv = int(val)
+    return iv - (1 << 64) if iv >= (1 << 63) else iv
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")

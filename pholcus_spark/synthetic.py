@@ -1,0 +1,191 @@
+"""Deterministic synthetic web — the in-sandbox fetch boundary.
+
+No network exists in the sandbox (FIXTURES.md §8), so the "internet" is
+a pure function of ``(seed, canonical_url)``: page content (an image +
+caption), child links (0-4, Zipf-skewed hosts, ~20% duplicates), robots
+policies, and a 5% transient fetch-failure rate. The fetch UDF
+(``fetch.py``) and the pure-Python oracle (``oracle.py``) both call
+these functions, so engine/oracle parity is byte-exact.
+
+This module is the drop-in boundary for a real fetcher: ``fetch_one``
+has the signature an aiohttp-based implementation would have
+(reference fetch surface: ``app/downloader/surfer/surf.go:52-197``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .hashing import xxh64, MASK64
+from .imaging import encode_image, phash64
+
+GLOBAL_SEED = 42
+FAILURE_PCT = 5  # transient failure rate (FIXTURES.md §8)
+DUP_PCT = 20  # duplicate-link rate
+MAX_CHILDREN = 4
+
+_WORDS = (
+    "amber basalt cedar dune ember fjord glacier harbor iris juniper "
+    "kelp lagoon meadow nectar obsidian prairie quartz reef sierra "
+    "tundra umbra vale willow xenon yarrow zephyr"
+).split()
+
+
+def _h(*parts: object) -> int:
+    """Deterministic 64-bit mix of arbitrary parts (xxh64 chain)."""
+    acc = GLOBAL_SEED
+    for p in parts:
+        acc = xxh64(str(p).encode("utf-8"), acc)
+    return acc & MASK64
+
+
+def make_hosts(n_hosts: int) -> list[str]:
+    return [f"h{i:03d}.example.com" for i in range(n_hosts)]
+
+
+def zipf_host(rand: int, n_hosts: int, s: float = 1.2) -> str:
+    """Pick a host with Zipf(s) skew from a uniform 64-bit random value
+    (host 0 is hot — exercises per-host skew/salting)."""
+    weights = 1.0 / np.power(np.arange(1, n_hosts + 1), s)
+    cdf = np.cumsum(weights) / weights.sum()
+    u = (rand % (1 << 53)) / float(1 << 53)
+    idx = int(np.searchsorted(cdf, u))
+    return make_hosts(n_hosts)[min(idx, n_hosts - 1)]
+
+
+def seed_urls(n_seeds: int, n_hosts: int) -> list[str]:
+    """Deterministic seed list across the host set."""
+    out = []
+    for i in range(n_seeds):
+        host = zipf_host(_h("seed-host", i), n_hosts)
+        out.append(f"http://{host}/page/{_h('seed-path', i) % 100000:05d}")
+    return out
+
+
+# --- robots / politeness (north-rule addition over the reference) ---
+
+
+def robots_for(host: str, pausetime_ms: int = 300) -> dict:
+    """Synthetic robots.txt policy: crawl-delay + disallow prefixes.
+
+    Reference analog: a single global randomized pause
+    (app/crawler/crawler.go:53-59, default 300ms config/config.go:157);
+    we derive a per-host delay around that default.
+    """
+    r = _h("robots", host)
+    crawl_delay_ms = int(pausetime_ms // 2 + (r % 4) * (pausetime_ms // 2))
+    disallow = ["/private"] if (r >> 8) % 5 == 0 else []
+    return {"host": host, "crawl_delay_ms": crawl_delay_ms, "robots_disallow": disallow}
+
+
+def robots_allows(url_path: str, disallow: list[str]) -> bool:
+    return not any(url_path.startswith(p) for p in disallow)
+
+
+def host_budget(crawl_delay_ms: int, round_duration_ms: int = 1000) -> int:
+    """URLs admissible per host per micro-batch round given crawl-delay."""
+    return max(1, round_duration_ms // max(1, crawl_delay_ms))
+
+
+# --- page content ---
+
+
+def fetch_fails(url: str, attempt: int, failure_pct: int = FAILURE_PCT) -> bool:
+    """Transient failure, a pure function of (url, attempt): retries can
+    succeed (reference retry loop surf.go:180-194)."""
+    return _h("fail", url, attempt) % 100 < failure_pct
+
+
+def image_id_for(url: str) -> str:
+    return f"img-{_h('imgid', url):016x}"
+
+
+def caption_for(url: str) -> str:
+    r = _h("caption", url)
+    words = [_WORDS[(r >> (6 * i)) % len(_WORDS)] for i in range(5)]
+    return f"{image_id_for(url)}: " + " ".join(words)
+
+
+def image_for(url: str) -> tuple[np.ndarray, str]:
+    """Deterministic pixels + format for a URL. Small images (24-56 px)
+    keep the sandbox fast; the codec path is size-agnostic."""
+    r = _h("image", url)
+    w = 24 + (r % 33)
+    h = 24 + ((r >> 8) % 33)
+    rng = np.random.Generator(np.random.PCG64(r & MASK64))
+    # low-frequency structure (gradients) + noise → non-trivial phash
+    gx = np.linspace(0, 255, w)[None, :]
+    gy = np.linspace(0, 255, h)[:, None]
+    base = np.stack(
+        [
+            (gx + gy) / 2,
+            np.abs(gx - gy),
+            (gx * gy) / 255.0,
+        ],
+        axis=-1,
+    )
+    noise = rng.integers(0, 64, size=(h, w, 3))
+    arr = np.clip(base + noise, 0, 255).astype(np.uint8)
+    fmt = "png" if (r >> 16) % 2 == 0 else "jpeg"
+    return arr, fmt
+
+
+def child_links(url: str, depth: int, n_hosts: int) -> list[str]:
+    """0-4 deterministic child URLs; ~20% draw from a small per-host
+    'popular pool' so duplicate links occur naturally across pages."""
+    r = _h("children", url)
+    n = r % (MAX_CHILDREN + 1)
+    out = []
+    for i in range(n):
+        cr = _h("child", url, i)
+        host = zipf_host(cr, n_hosts)
+        if cr % 100 < DUP_PCT:
+            path = f"/pop/{_h('popular', host, cr % 8) % 1000:04d}"
+        else:
+            path = f"/page/{cr % (10**9):09d}"
+        out.append(f"http://{host}{path}")
+    return out
+
+
+@dataclass
+class FetchResult:
+    url: str
+    ok: bool
+    error: str | None = None
+    image_id: str | None = None
+    payload: bytes | None = None
+    w: int = 0
+    h: int = 0
+    fmt: str | None = None
+    caption: str | None = None
+    phash: int = 0
+    links: list[str] = field(default_factory=list)
+
+
+def fetch_one(
+    url: str,
+    depth: int,
+    attempt: int,
+    n_hosts: int,
+    failure_pct: int = FAILURE_PCT,
+) -> FetchResult:
+    """The fetch+decode boundary: returns the full page payload or a
+    transient error. Pure function of its arguments."""
+    if fetch_fails(url, attempt, failure_pct):
+        return FetchResult(url=url, ok=False, error="synthetic transient error")
+    arr, fmt = image_for(url)
+    payload = encode_image(arr, fmt)
+    return FetchResult(
+        url=url,
+        ok=True,
+        image_id=image_id_for(url),
+        payload=payload,
+        w=arr.shape[1],
+        h=arr.shape[0],
+        fmt=fmt,
+        caption=caption_for(url),
+        phash=phash64(arr),
+        links=child_links(url, depth, n_hosts),
+    )

@@ -1,0 +1,123 @@
+"""Snapshot table store — Iceberg-style semantics on parquet + JSON
+manifests (the Iceberg runtime jar is not in the sandbox; SURVEY.md §7
+step 8 keeps the table layer behind this one interface so a real
+Iceberg catalog can be swapped in unchanged).
+
+Semantics provided:
+- multi-table atomic commit: one snapshot covers the whole round's
+  state (frontier, url_seen, failures, items, rounds metrics) —
+  ``os.replace`` of the ``current`` pointer is the atomic step;
+- time-travel/resume: any snapshot can be re-opened; a killed crawl
+  resumes from the last committed snapshot (north-rule checkpoint);
+- append vs overwrite per table per commit (url_seen/items/rounds are
+  append-only; frontier/failures are rewritten per round like the
+  reference's failure store rewrite ``failure.go:51-107``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+class SnapshotStore:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+
+    # --- snapshot bookkeeping ---
+
+    def _current_path(self) -> str:
+        return os.path.join(self.root, "current")
+
+    def current_snapshot_id(self) -> int | None:
+        try:
+            with open(self._current_path()) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def _manifest_path(self, snapshot_id: int) -> str:
+        return os.path.join(self.root, "snapshots", f"snap-{snapshot_id:08d}.json")
+
+    def read_manifest(self, snapshot_id: int | None = None) -> dict:
+        if snapshot_id is None:
+            snapshot_id = self.current_snapshot_id()
+        if snapshot_id is None:
+            return {"snapshot_id": -1, "round": -1, "tables": {}, "meta": {}}
+        with open(self._manifest_path(snapshot_id)) as f:
+            return json.load(f)
+
+    # --- read ---
+
+    def load(
+        self,
+        spark: SparkSession,
+        table: str,
+        schema: T.StructType,
+        snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """DataFrame over all files of ``table`` at a snapshot; empty DF
+        with the right schema when the table has no data yet."""
+        manifest = self.read_manifest(snapshot_id)
+        files = manifest["tables"].get(table, [])
+        if not files:
+            return spark.createDataFrame([], schema)
+        paths = [os.path.join(self.root, "data", f) for f in files]
+        return spark.read.schema(schema).parquet(*paths)
+
+    # --- write ---
+
+    def commit(
+        self,
+        round_no: int,
+        writes: dict[str, tuple[DataFrame, str]],
+        meta: dict | None = None,
+    ) -> int:
+        """Commit one snapshot. ``writes[table] = (df, mode)`` where mode
+        is 'append' (new files added to the table's file list) or
+        'overwrite' (file list replaced). Tables not mentioned carry
+        their previous file lists forward unchanged."""
+        prev = self.read_manifest()
+        snapshot_id = prev["snapshot_id"] + 1
+        tables: dict[str, list[str]] = {k: list(v) for k, v in prev["tables"].items()}
+        for table, (df, mode) in writes.items():
+            rel = f"{table}/snap-{snapshot_id:08d}"
+            out_dir = os.path.join(self.root, "data", rel)
+            df.write.mode("overwrite").parquet(out_dir)
+            new_files = [
+                f"{rel}/{f}"
+                for f in os.listdir(out_dir)
+                if f.endswith(".parquet")
+            ]
+            if mode == "append":
+                tables.setdefault(table, []).extend(new_files)
+            elif mode == "overwrite":
+                tables[table] = new_files
+            else:
+                raise ValueError(f"bad mode {mode!r}")
+        manifest = {
+            "snapshot_id": snapshot_id,
+            "round": round_no,
+            "committed_at_ms": int(time.time() * 1000),
+            "tables": tables,
+            "meta": {**prev.get("meta", {}), **(meta or {})},
+        }
+        tmp = self._manifest_path(snapshot_id) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path(snapshot_id))
+        ptr_tmp = self._current_path() + ".tmp"
+        with open(ptr_tmp, "w") as f:
+            f.write(str(snapshot_id))
+        os.replace(ptr_tmp, self._current_path())
+        return snapshot_id
+
+    def destroy(self) -> None:
+        shutil.rmtree(self.root, ignore_errors=True)

@@ -1,0 +1,182 @@
+"""Frontier-contract tests — the DataFrame port of the reference's
+scheduler contract (``app/scheduler/scheduler_test.go``):
+
+- priority-descending pull, FIFO within priority   (:262-278)
+- duplicate push skipped                           (:251-260)
+- push ignored once the page budget is exhausted   (:103-111)
+- reloadable bypasses dedup                        (README.md:432-436)
+- robots disallow filtering (north-rule addition)
+- hot-host politeness cap + salted ranking equivalence
+"""
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pholcus_spark import frontier as FR
+from pholcus_spark.schemas import POLITENESS_SCHEMA, URL_SEEN_SCHEMA
+
+CAND_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("host", T.StringType(), False),
+        T.StructField("spider", T.StringType(), False),
+        T.StructField("rule", T.StringType(), False),
+        T.StructField("method", T.StringType(), False),
+        T.StructField("priority", T.IntegerType(), False),
+        T.StructField("depth", T.IntegerType(), False),
+        T.StructField("parent_url", T.StringType(), True),
+        T.StructField("temp", T.MapType(T.StringType(), T.StringType()), True),
+        T.StructField("reloadable", T.BooleanType(), False),
+        T.StructField("try_times", T.IntegerType(), False),
+        T.StructField("cand_order", T.LongType(), False),
+    ]
+)
+
+
+def _cand(url, host, order, priority=0, reloadable=False):
+    return ("http://" + host + url, host, "sp", "r", "GET", priority, 0,
+            None, None, reloadable, 3, order)
+
+
+def _politeness(spark, hosts, max_per_round=100, disallow=None):
+    rows = [(h, 300, disallow or [], max_per_round) for h in hosts]
+    return spark.createDataFrame(rows, POLITENESS_SCHEMA)
+
+
+def _seen(spark, keys=()):
+    return spark.createDataFrame([(k,) for k in keys], URL_SEEN_SCHEMA)
+
+
+def test_enqueue_dedups_within_batch_first_wins(spark):
+    cands = spark.createDataFrame(
+        [_cand("/a", "h1", 0, priority=5), _cand("/a", "h1", 1, priority=9),
+         _cand("/b", "h1", 2)],
+        CAND_SCHEMA,
+    )
+    out = FR.enqueue(cands, _seen(spark), _politeness(spark, ["h1"]), 0, 0, None)
+    rows = {r["url"]: r for r in out.collect()}
+    assert len(rows) == 2
+    # first push wins: the priority-5 copy was kept (matrix.go:51-98)
+    assert rows["http://h1/a"]["priority"] == 5
+    # FIFO seq follows cand_order
+    assert rows["http://h1/a"]["seq"] < rows["http://h1/b"]["seq"]
+
+
+def test_enqueue_skips_seen_unless_reloadable(spark):
+    cands = spark.createDataFrame(
+        [_cand("/a", "h1", 0), _cand("/b", "h1", 1, reloadable=True)],
+        CAND_SCHEMA,
+    )
+    keyed = FR.with_url_key(cands).collect()
+    seen = _seen(spark, [r["url_key"] for r in keyed])
+    out = FR.enqueue(cands, seen, _politeness(spark, ["h1"]), 0, 0, None)
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["url"] == "http://h1/b"
+
+
+def test_enqueue_budget_exhausted(spark):
+    cands = spark.createDataFrame(
+        [_cand(f"/{i}", "h1", i) for i in range(10)], CAND_SCHEMA
+    )
+    out = FR.enqueue(cands, _seen(spark), _politeness(spark, ["h1"]), 0, 0, 3)
+    rows = sorted(out.collect(), key=lambda r: r["seq"])
+    # budget admits in FIFO order (matrix.go:59-61)
+    assert [r["url"] for r in rows] == [f"http://h1/{i}" for i in range(3)]
+    zero = FR.enqueue(cands, _seen(spark), _politeness(spark, ["h1"]), 0, 0, 0)
+    assert zero.count() == 0
+
+
+def test_enqueue_robots_disallow(spark):
+    cands = spark.createDataFrame(
+        [_cand("/private/x", "h1", 0), _cand("/public/y", "h1", 1)],
+        CAND_SCHEMA,
+    )
+    pol = _politeness(spark, ["h1"], disallow=["/private"])
+    out = FR.enqueue(cands, _seen(spark), pol, 0, 0, None)
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["url"].endswith("/public/y")
+
+
+def test_select_batch_priority_then_fifo(spark):
+    cands = spark.createDataFrame(
+        [
+            _cand("/low1", "h1", 0, priority=0),
+            _cand("/hi1", "h1", 1, priority=9),
+            _cand("/low2", "h1", 2, priority=0),
+            _cand("/hi2", "h1", 3, priority=9),
+        ],
+        CAND_SCHEMA,
+    )
+    pending = FR.enqueue(cands, _seen(spark), _politeness(spark, ["h1"]), 0, 0, None)
+    batch = FR.select_batch(pending, _politeness(spark, ["h1"]), 3).collect()
+    urls = [r["url"] for r in sorted(batch, key=lambda r: (-r["priority"], r["seq"]))]
+    # highest priority first (matrix.go:107-110), FIFO within priority
+    assert urls == ["http://h1/hi1", "http://h1/hi2", "http://h1/low1"]
+
+
+def test_select_batch_per_host_cap(spark):
+    cands = spark.createDataFrame(
+        [_cand(f"/{i}", "hot", i) for i in range(20)]
+        + [_cand(f"/{i}", "cold", 100 + i) for i in range(2)],
+        CAND_SCHEMA,
+    )
+    pol = spark.createDataFrame(
+        [("hot", 300, [], 3), ("cold", 300, [], 3)], POLITENESS_SCHEMA
+    )
+    pending = FR.enqueue(cands, _seen(spark), pol, 0, 0, None)
+    batch = FR.select_batch(pending, pol, 50).collect()
+    by_host = {}
+    for r in batch:
+        by_host[r["host"]] = by_host.get(r["host"], 0) + 1
+    # politeness budget: ≤ max_per_round per host per round (F11)
+    assert by_host == {"hot": 3, "cold": 2}
+    # the hot host's 3 slots go to its FIFO head
+    hot = sorted([r["seq"] for r in batch if r["host"] == "hot"])
+    all_hot = sorted(
+        r["seq"] for r in pending.filter("host='hot'").collect()
+    )
+    assert hot == all_hot[:3]
+
+
+def test_salted_ranking_equals_unsalted(spark):
+    """Two-phase salted rank must pick exactly the per-host top-k."""
+    cands = spark.createDataFrame(
+        [_cand(f"/{i}", "h1", i, priority=i % 4) for i in range(50)],
+        CAND_SCHEMA,
+    )
+    pol = spark.createDataFrame([("h1", 300, [], 7)], POLITENESS_SCHEMA)
+    pending = FR.enqueue(cands, _seen(spark), pol, 0, 0, None)
+    got = {
+        r["url_key"]
+        for r in FR.select_batch(pending, pol, 7, salt_k=4).collect()
+    }
+    expected = {
+        r["url_key"]
+        for r in pending.orderBy(F.desc("priority"), "seq").limit(7).collect()
+    }
+    assert got == expected
+
+
+def test_split_results_dohistory(spark):
+    """DoHistory transitions (scheduler_test.go:140-185): success → done;
+    first failure → silent re-queue; second failure → failed."""
+    rows = [
+        # url_key,url,host,spider,rule,method,prio,depth,seq,renq,parent,
+        # temp,reload,try,attempt,ok...
+        (1, "u1", "h", "s", "r", "GET", 0, 0, 0, 0, None, None, False, 3, 0,
+         True, None, None, None, None, None, None, None, None, []),
+        (2, "u2", "h", "s", "r", "GET", 0, 0, 1, 0, None, None, False, 3, 0,
+         False, "err", None, None, None, None, None, None, None, []),
+        (3, "u3", "h", "s", "r", "GET", 0, 0, 2, 0, None, None, False, 3, 1,
+         False, "err", None, None, None, None, None, None, None, []),
+    ]
+    from pholcus_spark.schemas import FETCH_RESULT_SCHEMA
+
+    results = spark.createDataFrame(rows, FETCH_RESULT_SCHEMA)
+    done, requeued, failed = FR.split_results(results, max_requeue_attempt=1)
+    assert [r["url_key"] for r in done.collect()] == [1]
+    rq = requeued.collect()
+    assert [r["url_key"] for r in rq] == [2] and rq[0]["attempt"] == 1
+    assert rq[0]["status"] == "pending"
+    fl = failed.collect()
+    assert [r["url_key"] for r in fl] == [3] and fl[0]["status"] == "failed"

@@ -1,0 +1,61 @@
+"""Codec + phash invariants (BASELINE.json input_hint: decoded-pixel
+allclose, PSNR >= 40 dB for lossy formats)."""
+
+import numpy as np
+import pytest
+
+from pholcus_spark.imaging import (
+    decode_image,
+    decode_png,
+    encode_image,
+    encode_lossy,
+    encode_png,
+    hamming64,
+    phash64,
+    psnr,
+)
+from pholcus_spark.synthetic import image_for
+
+
+def _rand_img(seed, h=40, w=56):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+
+
+def test_png_roundtrip_lossless():
+    for seed in range(5):
+        arr = _rand_img(seed, 24 + seed, 31 + seed)
+        assert (decode_png(encode_png(arr)) == arr).all()
+
+
+def test_lossy_psnr_above_40db():
+    for seed in range(5):
+        arr = _rand_img(seed)
+        back = decode_image(encode_lossy(arr), "jpeg")
+        assert psnr(arr, back) >= 40.0
+        assert np.allclose(arr, back, atol=4)
+
+
+def test_phash_stable_under_lossy():
+    for seed in range(5):
+        arr, _ = image_for(f"http://h000.example.com/p/{seed}")
+        back = decode_image(encode_lossy(arr), "jpeg")
+        assert hamming64(phash64(arr), phash64(back)) <= 8
+
+
+def test_phash_differs_across_images():
+    a, _ = image_for("http://h000.example.com/p/1")
+    b, _ = image_for("http://h001.example.com/q/2")
+    assert hamming64(phash64(a), phash64(b)) >= 12
+
+
+def test_encode_image_dispatch():
+    arr = _rand_img(7)
+    assert decode_image(encode_image(arr, "png"), "png").shape == arr.shape
+    with pytest.raises(ValueError):
+        encode_image(arr, "gif")
+
+
+def test_psnr_identity_inf():
+    arr = _rand_img(3)
+    assert psnr(arr, arr) == float("inf")

@@ -1,0 +1,47 @@
+"""URL canonicalization (P6 surface; reference request.go:65-69
+normalization + href absolutization helpers)."""
+
+import pandas as pd
+
+from pholcus_spark.urlnorm import canonicalize, canonicalize_series, host_of
+
+
+def test_canonical_basics():
+    assert canonicalize("HTTP://Example.COM/A/b") == "http://example.com/A/b"
+    assert canonicalize("http://example.com") == "http://example.com/"
+    assert canonicalize("http://example.com:80/x") == "http://example.com/x"
+    assert canonicalize("https://example.com:443/x") == "https://example.com/x"
+    assert canonicalize("http://example.com:8080/x") == "http://example.com:8080/x"
+
+
+def test_fragment_dropped_query_sorted():
+    assert (
+        canonicalize("http://e.com/p?b=2&a=1#frag") == "http://e.com/p?a=1&b=2"
+    )
+
+
+def test_dot_segments():
+    assert canonicalize("http://e.com/a/b/../c/./d") == "http://e.com/a/c/d"
+    assert canonicalize("http://e.com/../../x") == "http://e.com/x"
+
+
+def test_idempotent():
+    urls = [
+        "HTTP://E.com:80/a/../b?z=1&a=2#f",
+        "http://h000.example.com/page/00001",
+    ]
+    for u in urls:
+        c = canonicalize(u)
+        assert canonicalize(c) == c
+
+
+def test_invalid_urls():
+    assert canonicalize("") == ""
+    assert canonicalize("not a url") == ""
+    assert host_of("http://X.com/p") == "x.com"
+
+
+def test_series_vectorized():
+    s = pd.Series(["http://A.com/x", "bad"])
+    out = canonicalize_series(s)
+    assert list(out) == ["http://a.com/x", ""]
