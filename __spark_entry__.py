@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship image-corpus pipeline (synthesize payloads
+from the sf0.001 documents table → Arrow-batched decode → perceptual
+hash → near-dup banding → per-format rollup). ``queries`` /
+``oracle_sql`` re-export the registry in ``pholcus_spark.queries`` —
+one entry per operator family from SURVEY.md §2 plus the
+training-data-pipeline ops (dedup / similarity / text / multimodal).
 """
 
 from __future__ import annotations
@@ -12,27 +13,53 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pholcus_spark import multimodal
+from pholcus_spark.queries import ORACLE_SQL, QUERIES, _synthetic_images
+
+SF0001 = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: image decode + phash near-dup over sf0.001.
+
+    Exercises the engine's payload path end-to-end: deterministic
+    payload synthesis (the sandbox fetch boundary), vectorized decode
+    (mapInPandas / Arrow), perceptual hashing, hamming-LSH banding, and
+    a JVM-side rollup — the same stages a crawl round runs per batch.
+    """
+    imgs = _synthetic_images(spark, SF0001)
+    meta = multimodal.decode_image_meta(imgs).cache()
+    pairs = multimodal.phash_neardup(meta.filter(F.col("decode_ok")))
+    dup_ids = (
+        pairs.select(F.col("image_a").alias("image_id"))
+        .unionByName(pairs.select(F.col("image_b").alias("image_id")))
+        .distinct()
+        .withColumn("is_neardup", F.lit(True))
+    )
+    return (
+        meta.join(dup_ids, "image_id", "left")
+        .withColumn("is_neardup", F.coalesce("is_neardup", F.lit(False)))
+        .groupBy("fmt")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.sum(F.col("decode_ok").cast("long")).alias("n_decoded"),
+            F.sum(F.col("is_neardup").cast("long")).alias("n_neardup"),
+            F.sum(F.col("n_bytes").cast("long")).alias("total_bytes"),
+            F.round(F.avg("mean_lum"), 2).alias("avg_lum"),
+            F.min("psnr_db").alias("min_psnr_db"),
+        )
+        .orderBy("fmt")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator family from SURVEY.md §2."""
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB twins for every SQL-expressible query; multimodal binary
+    pipelines are intentionally absent (rows-only check)."""
+    return dict(ORACLE_SQL)

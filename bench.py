@@ -1,0 +1,124 @@
+"""Benchmark entry point (driver contract).
+
+Runs the crawl engine on a fixed synthetic workload plus the headline
+registry queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``, and prints ONE
+JSON line:
+
+    {"metric": "crawl_urls_per_sec", "value": <throughput>,
+     "unit": "urls/sec", "queries": {<name>: sec, ...}, "sf": ...,
+     "crawl": {...}, "cores": N}
+
+Scaling-efficiency evidence (N vs 4N cores) is produced by
+``tools/scaling_bench.py`` which shells out to this file at two
+parallelism levels.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# headline queries: one per heavy family; full parity sweep is
+# tools/check_oracle.py (the driver runs its own at sf0.01)
+BENCH_QUERIES = [
+    "frontier_status_rollup",
+    "frontier_priority_batch",
+    "rule_broadcast_join",
+    "frontier_anti_join_seen",
+    "events_tumbling_window",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_quality",
+    "doc_fingerprint",
+    "embed_cosine_topk",
+    "embed_lsh_ann",
+    "images_decode_meta",
+]
+
+CRAWL_LIMIT = 800
+CRAWL_BATCH = 256
+CRAWL_HOSTS = 100
+CRAWL_SEEDS = 60
+
+
+def bench_crawl(spark) -> dict:
+    from pholcus_spark import synthetic
+    from pholcus_spark.crawler import VISITS_SCHEMA, CrawlEngine
+    from pholcus_spark.oracle import CrawlConfig
+    from pholcus_spark.tables import SnapshotStore
+
+    # round_duration_ms sized to the real micro-batch wall (~4 s at
+    # this scale): per-host politeness budgets = crawl_delay quota per
+    # *actual* round, same contract as the oracle's
+    cfg = CrawlConfig(
+        n_hosts=CRAWL_HOSTS,
+        batch_size=CRAWL_BATCH,
+        limit=CRAWL_LIMIT,
+        round_duration_ms=4000,
+    )
+    seeds = synthetic.seed_urls(CRAWL_SEEDS, cfg.n_hosts)
+    store_dir = tempfile.mkdtemp(prefix="pholcus_bench_")
+    try:
+        eng = CrawlEngine(spark, SnapshotStore(store_dir), cfg)
+        t0 = time.time()
+        rounds = eng.run(seeds)
+        wall = time.time() - t0
+        visits = eng.load("visits", VISITS_SCHEMA).count()
+        items = eng.items_df().count()
+        return {
+            "rounds": rounds,
+            "visits": visits,
+            "items": items,
+            "wall_s": round(wall, 2),
+            "urls_per_sec": round(visits / wall, 2),
+        }
+    finally:
+        shutil.rmtree(store_dir, ignore_errors=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from pholcus_spark.queries import QUERIES
+    from pholcus_spark.session import get_spark
+
+    spark = get_spark("pholcus_bench", cores=cores)
+
+    timings: dict[str, float] = {}
+    t_all = time.time()
+    crawl = bench_crawl(spark)
+    timings["crawl"] = crawl["wall_s"]
+
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        _ = n
+
+    total = round(time.time() - t_all, 2)
+    out = {
+        "metric": "crawl_urls_per_sec",
+        "value": crawl["urls_per_sec"],
+        "unit": "urls/sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "cores": cores,
+        "crawl": crawl,
+        "total_s": total,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -26,6 +26,8 @@ Tables (FIXTURES.md §2-7):
 
 from __future__ import annotations
 
+import os
+import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -38,6 +40,7 @@ from .fetch import fetch_batch, links_to_candidates
 from .oracle import CrawlConfig, politeness_map
 from .schemas import (
     FAILURES_SCHEMA,
+    FETCH_RESULT_SCHEMA,
     FRONTIER_SCHEMA,
     ITEMS_SCHEMA,
     POLITENESS_SCHEMA,
@@ -98,49 +101,45 @@ class CrawlEngine:
         if self.store.current_snapshot_id() is not None:
             return  # resume path: state already in the store
         cfg = self.cfg
-        rows = []
-        for i, raw in enumerate(seeds):
-            cu = canonicalize(raw)
-            if not cu:
-                continue
-            rows.append(
-                (
-                    cu,
-                    host_of(cu),
-                    cfg.spider,
-                    "root",
-                    "GET",
-                    cfg.seed_priority,
-                    0,
-                    None,
-                    None,
-                    False,
-                    cfg.try_times,
-                    i,
-                )
-            )
-        cand_schema = T.StructType(
-            [
-                T.StructField("url", T.StringType(), False),
-                T.StructField("host", T.StringType(), False),
-                T.StructField("spider", T.StringType(), False),
-                T.StructField("rule", T.StringType(), False),
-                T.StructField("method", T.StringType(), False),
-                T.StructField("priority", T.IntegerType(), False),
-                T.StructField("depth", T.IntegerType(), False),
-                T.StructField("parent_url", T.StringType(), True),
-                T.StructField("temp", T.MapType(T.StringType(), T.StringType()), True),
-                T.StructField("reloadable", T.BooleanType(), False),
-                T.StructField("try_times", T.IntegerType(), False),
-                T.StructField("cand_order", T.LongType(), False),
-            ]
+        import pandas as pd
+
+        rows = [
+            (cu, h, i)
+            for i, raw in enumerate(seeds)
+            for cu in (canonicalize(raw),)
+            for h in (host_of(cu),)
+            if cu
+        ]
+        # Arrow path: ship only the data columns (url/host/order) as a
+        # pandas frame — the constant request fields are derived
+        # JVM-side, so a multi-million-seed bootstrap isn't bottlenecked
+        # on row-at-a-time Python pickling.
+        pdf = pd.DataFrame(rows, columns=["url", "host", "cand_order"])
+        base = self.spark.createDataFrame(
+            pdf,
+            schema="url string, host string, cand_order long",
         )
-        cands = self.spark.createDataFrame(rows, cand_schema)
+        cands = base.select(
+            "url",
+            "host",
+            F.lit(cfg.spider).alias("spider"),
+            F.lit("root").alias("rule"),
+            F.lit("GET").alias("method"),
+            F.lit(cfg.seed_priority).cast("int").alias("priority"),
+            F.lit(0).cast("int").alias("depth"),
+            F.lit(None).cast("string").alias("parent_url"),
+            F.lit(None)
+            .cast(T.MapType(T.StringType(), T.StringType()))
+            .alias("temp"),
+            F.lit(False).alias("reloadable"),
+            F.lit(cfg.try_times).cast("int").alias("try_times"),
+            "cand_order",
+        )
         empty_seen = self.spark.createDataFrame([], URL_SEEN_SCHEMA)
-        new_rows = FR.enqueue(
+        new_rows, n_new = FR.enqueue(
             cands, empty_seen, self._politeness, 0, 0, cfg.limit
-        ).cache()
-        n_new = new_rows.count()
+        )
+        new_rows = new_rows.cache()
         self.store.commit(
             0,
             {
@@ -157,6 +156,12 @@ class CrawlEngine:
     def run_round(self) -> int:
         cfg = self.cfg
         t0 = time.time()
+        _timing = os.environ.get("PHOLCUS_TIMING") == "1"
+        _marks: list[tuple[str, float]] = []
+
+        def _mark(label: str) -> None:
+            if _timing:
+                _marks.append((label, time.time()))
         meta = self._meta()
         round_no = int(meta.get("round", 0)) + 1
         next_seq = int(meta.get("next_seq", 0))
@@ -166,17 +171,27 @@ class CrawlEngine:
         batch = FR.select_batch(
             pending, self._politeness, cfg.batch_size
         ).cache()
-        n_batch = batch.count()
-        if n_batch == 0:
-            return 0
 
-        results = fetch_batch(
+        # Stage the fetch output as a per-round scratch parquet table:
+        # the fetch UDF runs exactly once, and every consumer (items,
+        # visits, resolved, child links, metrics) re-reads it with
+        # column pruning — Spark's in-memory cache handles the
+        # binary+array-of-struct row shape badly (full-row scans per
+        # consumer), while pruned parquet reads stay columnar.
+        scratch = os.path.join(self.store.root, "scratch", f"round-{round_no}")
+        fetch_batch(
             batch,
             cfg.rules,
             cfg.n_hosts,
             cfg.try_times,
             cfg.failure_pct,
-        ).cache()
+        ).write.mode("overwrite").parquet(scratch)
+        _mark("fetch_scratch")
+        results = self.spark.read.schema(FETCH_RESULT_SCHEMA).parquet(scratch)
+        # row count comes from parquet footer metadata — no data scan
+        n_batch = results.count()
+        if n_batch == 0:
+            return 0
         done, requeued, failed = FR.split_results(
             results, cfg.max_requeue_attempt
         )
@@ -200,10 +215,11 @@ class CrawlEngine:
         cands = links_to_candidates(results)
         url_seen = self.load("url_seen", URL_SEEN_SCHEMA)
         remaining = None if cfg.limit is None else cfg.limit - admitted
-        new_rows = FR.enqueue(
+        new_rows, n_new = FR.enqueue(
             cands, url_seen, self._politeness, next_seq, round_no, remaining
-        ).cache()
-        n_new = new_rows.count()
+        )
+        new_rows = new_rows.cache()
+        _mark("enqueue")
 
         still_pending = (
             pending.join(batch.select("url_key"), "url_key", "left_anti")
@@ -214,16 +230,16 @@ class CrawlEngine:
             done.unionByName(failed)
             .withColumn("visit_round", F.lit(round_no).cast("int"))
         )
-        visits = batch.select(
+        # results carries every batch column — no join needed
+        visits = results.select(
             F.lit(round_no).cast("int").alias("round"),
             "url_key",
             "url",
             "priority",
             "seq",
             "attempt",
-        ).join(
-            results.select("url_key", "ok"), "url_key", "left"
-        ).select("round", "url_key", "url", "priority", "seq", "attempt", "ok")
+            "ok",
+        )
         failures_new = failed.select(
             *FRONTIER_COLS,
             F.lit(round_no).cast("int").alias("fail_round"),
@@ -279,8 +295,33 @@ class CrawlEngine:
                 "deferred": meta.get("deferred", False),
             },
         )
+        _mark("commit")
         self.spark.catalog.clearCache()
+        shutil.rmtree(scratch, ignore_errors=True)
+        self._maybe_compact("url_seen", URL_SEEN_SCHEMA, round_no)
+        _mark("compact")
+        if _timing:
+            prev = t0
+            spans = []
+            for label, ts in _marks:
+                spans.append(f"{label}={ts - prev:.1f}s")
+                prev = ts
+            print(f"[round {round_no}] " + " ".join(spans), flush=True)
         return n_batch
+
+    def _maybe_compact(self, table: str, schema, round_no: int) -> None:
+        """Rewrite an append-only table when its file count has grown
+        past 2× the shuffle width — url_seen is re-read (anti-join
+        build side) every round, so unbounded file counts would make
+        round cost creep up with crawl age. The rewrite is just another
+        snapshot commit (time travel keeps working)."""
+        n_part = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        files = self.store.read_manifest()["tables"].get(table, [])
+        if len(files) <= 2 * n_part:
+            return
+        compacted = self.load(table, schema).repartition(n_part, "url_key")
+        meta = self._meta()
+        self.store.commit(round_no, {table: (compacted, "overwrite")}, meta=meta)
 
     # --- CanStop / drain-time failure re-admission (F8) ---
 

@@ -80,14 +80,21 @@ def anti_join_seen(cands: DataFrame, url_seen: DataFrame) -> DataFrame:
     return fresh.unionByName(reloadable)
 
 
-def assign_seq(cands: DataFrame, next_seq: int) -> DataFrame:
+def assign_seq(cands: DataFrame, next_seq: int) -> tuple[DataFrame, int]:
     """Distributed zipWithIndex: global FIFO seq numbers consistent with
     ``cand_order``, without a single-partition window. Range-partition
     by cand_order, count per partition (tiny driver metadata — one long
-    per partition), then per-partition local ranks + offsets."""
-    import pyspark.sql.types as T
+    per partition), then per-partition local ranks + offsets.
 
-    n_part = int(cands.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    Returns (df, n_rows) — the total comes free from the offsets pass,
+    saving the caller a count() job per round.
+
+    Entirely JVM-side: range shuffle → per-partition counts (tiny
+    driver metadata) → row_number within partition + broadcast-joined
+    offsets. No Python round-trip of the candidate rows.
+    """
+    spark = cands.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     ranged = cands.repartitionByRange(n_part, "cand_order").withColumn(
         "_pid", F.spark_partition_id()
     )
@@ -103,23 +110,26 @@ def assign_seq(cands: DataFrame, next_seq: int) -> DataFrame:
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
-    bc = ranged.sparkSession.sparkContext.broadcast(offsets)
-
-    def _assign(pdf_iter):
-        for pdf in pdf_iter:
-            if len(pdf) == 0:
-                continue
-            pdf = pdf.sort_values("cand_order").reset_index(drop=True)
-            off = bc.value.get(int(pdf["_pid"].iloc[0]), 0)
-            pdf["seq"] = [off + i for i in range(len(pdf))]
-            yield pdf.drop(columns=["_pid"])
-
-    out_schema = T.StructType(
-        [f for f in ranged.schema.fields if f.name != "_pid"]
-        + [T.StructField("seq", T.LongType(), False)]
+    n_rows = acc - next_seq
+    if not counts:
+        out = ranged.drop("_pid").withColumn("seq", F.lit(0).cast("long"))
+        return out, 0
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(p), int(o)) for p, o in offsets.items()],
+            "_pid int, _offset long",
+        )
     )
-    out = ranged.mapInPandas(_assign, out_schema)
-    return out
+    w = Window.partitionBy("_pid").orderBy("cand_order")
+    out = (
+        ranged.join(off_df, "_pid")
+        .withColumn(
+            "seq",
+            (F.row_number().over(w) - 1 + F.col("_offset")).cast("long"),
+        )
+        .drop("_pid", "_offset")
+    )
+    return out, n_rows
 
 
 def enqueue(
@@ -129,13 +139,13 @@ def enqueue(
     next_seq: int,
     round_no: int,
     remaining_budget: int | None,
-) -> DataFrame:
+) -> tuple[DataFrame, int]:
     """Full Matrix.Push pipeline for one round's candidate links.
 
     cands columns: url (canonical), host, spider, rule, method,
     priority, depth, parent_url, temp, reloadable, try_times,
     cand_order (long — parse order, the FIFO tie-break source).
-    Returns new frontier rows (status=pending, seq assigned).
+    Returns (new frontier rows (status=pending, seq assigned), count).
     """
     cands = with_url_key(cands)
     cands = dedup_candidates(cands)
@@ -143,11 +153,16 @@ def enqueue(
     cands = anti_join_seen(cands, url_seen)
     if remaining_budget is not None:
         # page budget (F6, matrix.go:59-61): admit in FIFO order until
-        # the budget is spent; orderBy+limit = TakeOrdered (top-k), no
-        # full sort materialization.
-        cands = cands.orderBy("cand_order").limit(max(remaining_budget, 0))
-    cands = assign_seq(cands, next_seq)
-    return cands.select(
+        # the budget is spent. orderBy+limit compiles to TakeOrdered,
+        # which funnels everything into ONE partition — only take that
+        # path when the budget actually binds; otherwise admit all
+        # (identical rows) and stay fully partitioned.
+        cands = cands.cache()
+        n_cand = cands.count()
+        if n_cand > max(remaining_budget, 0):
+            cands = cands.orderBy("cand_order").limit(max(remaining_budget, 0))
+    cands, n_new = assign_seq(cands, next_seq)
+    out = cands.select(
         "url_key",
         "url",
         "host",
@@ -165,6 +180,7 @@ def enqueue(
         F.lit(0).cast("int").alias("attempt"),
         F.lit("pending").alias("status"),
     )
+    return out, n_new
 
 
 def select_batch(
@@ -197,11 +213,15 @@ def select_batch(
     p = p.withColumn("_r2", F.row_number().over(w2)).filter(
         F.col("_r2") <= F.col("max_per_round")
     )
-    return (
-        p.drop("_r1", "_r2", "max_per_round")
-        .orderBy(F.desc("priority"), F.asc("seq"))
-        .limit(batch_size)
-    )
+    p = p.drop("_r1", "_r2", "max_per_round").cache()
+    # Global batch cap (Pull × ThreadNum). orderBy+limit is TakeOrdered
+    # — a single-partition funnel. When the politeness-capped set
+    # already fits the batch (the common case for a well-sized round),
+    # skip it and keep the batch partitioned end-to-end; the count is a
+    # cheap JVM-only agg on the cached capped set.
+    if p.count() <= batch_size:
+        return p
+    return p.orderBy(F.desc("priority"), F.asc("seq")).limit(batch_size)
 
 
 def split_results(results: DataFrame, max_requeue_attempt: int = 1):

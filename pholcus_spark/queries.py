@@ -1,0 +1,904 @@
+"""Query registry — the driver-contract surface.
+
+Every operator family from SURVEY.md §2 (and the training-data ops the
+engine adds on top) gets one named query here: a Spark DataFrame
+program over the driver testdata tables plus a DuckDB oracle SQL string
+computing the identical result. ``__spark_entry__.py`` re-exports this
+registry.
+
+Parity rules (engine ↔ oracle must value-hash identically):
+- money/double sums go through the cents trick (per-row
+  ``round(x*100)`` → bigint sum — exact, order-independent);
+- all counts/sizes are cast to bigint on the Spark side (DuckDB
+  len()/count() are BIGINT);
+- portable hashing is the 60-bit md5 prefix (``textops.md5_long``),
+  never xxhash64 (no DuckDB twin);
+- every computed column is aliased identically in both programs.
+
+Queries whose pipeline is inherently non-SQL (binary image decode,
+video/audio stubs) carry no oracle → the driver records a rows-only
+check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import ann, dedup, multimodal, textops
+
+# ---------------------------------------------------------------------------
+# helpers
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _cents(col) -> F.Column:
+    """Exact, order-independent money sum: per-row cents as bigint."""
+    return F.round(col * 100).cast("long")
+
+
+def _h60_sql(expr: str) -> str:
+    """DuckDB twin of textops.md5_long."""
+    return f"CAST(CAST(concat('0x', substr(md5({expr}), 1, 15)) AS UBIGINT) AS BIGINT)"
+
+
+# shared DuckDB CTE: 3-word shingles per document
+_SHINGLES_CTE = """
+  w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+  s AS (SELECT doc_id, lang,
+               list_transform(range(0, greatest(len(ws) - 2, 0)),
+                              i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]) AS sh
+        FROM w)
+"""
+
+_STOP_SQL = "('" + "', '".join(textops.STOPWORDS) + "')"
+
+
+# ---------------------------------------------------------------------------
+# §2.1 frontier / scheduling semantics (events/orders as the work-item table)
+
+def q_frontier_enqueue_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 within-batch dedup: first pushed wins (matrix.go:51-98)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return (
+        ev.select("user_id", "event_id", "event_type")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_id").alias("first_event_id"), "event_type")
+    )
+
+
+SQL_FRONTIER_ENQUEUE_DEDUP = """
+SELECT user_id, event_id AS first_event_id, event_type
+FROM (SELECT user_id, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      FROM events) t
+WHERE rn = 1
+"""
+
+
+def q_frontier_anti_join_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 seen-set check: left-anti hash join (success.go:40-45)."""
+    orders = _t(spark, sf_dir, "orders")
+    seen = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") < 5)
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    return (
+        orders.join(seen, "o_custkey", "left_anti")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_orderkey").alias("min_orderkey"),
+        )
+    )
+
+
+SQL_FRONTIER_ANTI_JOIN_SEEN = """
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       min(o_orderkey) AS min_orderkey
+FROM orders
+WHERE NOT EXISTS (SELECT 1 FROM customer
+                  WHERE c_custkey = o_custkey AND c_nationkey < 5)
+GROUP BY o_orderstatus
+"""
+
+
+def q_frontier_priority_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3/F4/F11: per-host politeness cap (rank ≤ 3 within event_type)
+    then global priority-ordered top-100 batch (matrix.go:101-124)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .orderBy(F.desc("value"), F.asc("event_id"))
+        .limit(100)
+        .select("event_id", "event_type", "value")
+    )
+
+
+SQL_FRONTIER_PRIORITY_BATCH = """
+SELECT event_id, event_type, value
+FROM (SELECT event_id, event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id) AS rk
+      FROM events) t
+WHERE rk <= 3
+ORDER BY value DESC, event_id
+LIMIT 100
+"""
+
+
+def q_frontier_page_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 page budget: FIFO/top-k admission (matrix.go:59-61)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+SQL_FRONTIER_PAGE_BUDGET = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+def q_frontier_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7/S9 counters: hash-agg rollup of the resolved log."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.sum(_cents(F.col("l_extendedprice"))).alias("sum_price_cents"),
+        F.round(
+            F.sum(F.col("l_quantity").cast("long"))
+            / F.count("*"),
+            4,
+        ).alias("avg_qty"),
+    )
+
+
+SQL_FRONTIER_STATUS_ROLLUP = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_items,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_price_cents,
+       round(CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*), 4)
+         AS avg_qty
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_frontier_host_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 host-skew profile: per-host frontier mass (drives salting)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(_cents(F.col("value"))).alias("sum_value_cents"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+SQL_FRONTIER_HOST_SKEW = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY event_type
+"""
+
+
+def q_rule_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 rule dispatch / F12 per-host config: broadcast dim joins."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        orders.join(
+            F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+        )
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_cents(F.col("o_totalprice"))).alias("sum_price_cents"),
+        )
+    )
+
+
+SQL_RULE_BROADCAST_JOIN = """
+SELECT n_name,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_price_cents
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6/P7 URL canonicalization + portable key (request.go:139-145
+    analog): lowercase scheme+host, strip default port and fragment."""
+    docs = _t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("HTTP://Host"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit(".Example.COM:80/"),
+        F.col("source"),
+        F.lit("/item/"),
+        F.col("doc_id").cast("string"),
+        F.lit("#frag"),
+    )
+    d = docs.select("doc_id", raw.alias("raw_url"))
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract("raw_url", r"^[^:]+://([^/]+)", 1)), ":80$", ""
+    )
+    scheme = F.lower(F.regexp_extract("raw_url", r"^([^:]+)://", 1))
+    path = F.regexp_replace(
+        F.regexp_extract("raw_url", r"^[^:]+://[^/]+(/[^#]*)", 1), "#.*$", ""
+    )
+    canonical = F.concat(scheme, F.lit("://"), host, path)
+    return d.select(
+        "doc_id",
+        "raw_url",
+        canonical.alias("canonical_url"),
+        F.md5(canonical).alias("url_md5"),
+    )
+
+
+SQL_URL_CANONICALIZE = """
+WITH d AS (
+  SELECT doc_id,
+         concat('HTTP://Host', CAST(doc_id % 50 AS VARCHAR), '.Example.COM:80/',
+                source, '/item/', CAST(doc_id AS VARCHAR), '#frag') AS raw_url
+  FROM documents)
+SELECT doc_id, raw_url,
+       concat(lower(regexp_extract(raw_url, '^([^:]+)://', 1)), '://',
+              regexp_replace(lower(regexp_extract(raw_url, '^[^:]+://([^/]+)', 1)),
+                             ':80$', ''),
+              regexp_replace(regexp_extract(raw_url, '^[^:]+://[^/]+(/[^#]*)', 1),
+                             '#.*$', '', 'g')) AS canonical_url,
+       md5(concat(lower(regexp_extract(raw_url, '^([^:]+)://', 1)), '://',
+              regexp_replace(lower(regexp_extract(raw_url, '^[^:]+://([^/]+)', 1)),
+                             ':80$', ''),
+              regexp_replace(regexp_extract(raw_url, '^[^:]+://[^/]+(/[^#]*)', 1),
+                             '#.*$', '', 'g'))) AS url_md5
+FROM d
+"""
+
+
+def q_retry_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 DoHistory split: done / first-failure-requeued / failed
+    (matrix.go:144-169)."""
+    ev = _t(spark, sf_dir, "events")
+    ok = (F.col("event_id") % 20) != 0
+    attempt = F.col("event_id") % 2
+    status = (
+        F.when(ok, "done").when(attempt < 1, "requeued").otherwise("failed")
+    )
+    return (
+        ev.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_RETRY_SPLIT = """
+SELECT CASE WHEN event_id % 20 <> 0 THEN 'done'
+            WHEN event_id % 2 < 1 THEN 'requeued'
+            ELSE 'failed' END AS status,
+       count(*) AS n
+FROM events
+GROUP BY 1
+"""
+
+
+def q_resolved_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins view of an append-only resolved log (crawler.py
+    resolved_df semantics — MERGE INTO equivalent)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_id").alias("last_event_id"), "event_type")
+    )
+
+
+SQL_RESOLVED_LATEST_WINS = """
+SELECT user_id, event_id AS last_event_id, event_type
+FROM (SELECT user_id, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) t
+WHERE rn = 1
+"""
+
+
+def q_temp_json_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 temp-state JSON round-trip (temp.go:14-44): parse the props
+    JSON, aggregate the carried value."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.count(k).alias("n_with_k"),
+    )
+
+
+SQL_TEMP_JSON_PASSTHROUGH = """
+SELECT event_type,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       count(json_extract_string(props, '$.k')) AS n_with_k
+FROM events
+GROUP BY event_type
+"""
+
+
+def q_download_time_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar date formatting (context.go:239 DownloadTime analog)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            "o_totalprice",
+        )
+        .groupBy("month")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_cents(F.col("o_totalprice"))).alias("sum_price_cents"),
+        )
+    )
+
+
+SQL_DOWNLOAD_TIME_FORMAT = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_price_cents
+FROM orders
+GROUP BY 1
+"""
+
+
+KEYINS = ("alpha", "beta", "gamma")
+
+
+def q_keyin_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13 keyin fan-out: parameter table × dim cross join with the
+    sub-namespace hash (util.go:252-257 MakeHash analog)."""
+    region = _t(spark, sf_dir, "region").select("r_name")
+    keyins = spark.createDataFrame([(k,) for k in KEYINS], "keyin string")
+    sub = F.substring(F.md5(F.concat_ws("-", "keyin", "r_name")), 1, 8)
+    return keyins.crossJoin(region).select(
+        "keyin", "r_name", sub.alias("subname")
+    )
+
+
+SQL_KEYIN_FANOUT = f"""
+SELECT keyin, r_name, substr(md5(concat_ws('-', keyin, r_name)), 1, 8) AS subname
+FROM (VALUES {", ".join("('" + k + "')" for k in KEYINS)}) AS t(keyin)
+CROSS JOIN region
+"""
+
+
+def q_failure_union_requeue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 drain-time re-admission: failed set minus done set (set ops),
+    rolled up per customer nation."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    done = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    failed = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    readmit = failed.join(done, "o_custkey", "left_anti")
+    return (
+        readmit.join(cust, readmit["o_custkey"] == cust["c_custkey"])
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_readmit"))
+    )
+
+
+SQL_FAILURE_UNION_REQUEUE = """
+SELECT c_nationkey AS nationkey, count(*) AS n_readmit
+FROM (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      EXCEPT
+      SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O') f
+JOIN customer ON c_custkey = o_custkey
+GROUP BY 1
+"""
+
+
+def q_events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Micro-batch round rollup: tumbling 1-hour windows over the event
+    stream (the engine's round ≈ a processing-time window)."""
+    ev = _t(spark, sf_dir, "events")
+    hour = F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm")
+    return (
+        ev.select(hour.alias("window_start"), "event_type", "value")
+        .groupBy("window_start", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_cents(F.col("value"))).alias("sum_value_cents"),
+        )
+    )
+
+
+SQL_EVENTS_TUMBLING_WINDOW = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS window_start,
+       event_type,
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_sink_kafka_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 kafka sink shape: topic = namespace__rule, value = JSON row
+    (output_kafka.go:38-83)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(F.col("event_id") < 1000).select(
+        F.concat(F.lit("pholcus__"), F.col("event_type")).alias("topic"),
+        F.col("event_id").cast("string").alias("key"),
+        F.to_json(F.struct("event_id", "user_id", "event_type")).alias("value"),
+    )
+
+
+SQL_SINK_KAFKA_SHAPE = """
+SELECT concat('pholcus__', event_type) AS topic,
+       CAST(event_id AS VARCHAR) AS key,
+       to_json(struct_pack(event_id := event_id, user_id := user_id,
+                           event_type := event_type)) AS value
+FROM events
+WHERE event_id < 1000
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline ops: dedup / text / fingerprints
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dupes(_t(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(regexp_replace(lower(text), ' +', ' ', 'g')) AS fp,
+       min(doc_id) AS keeper_doc_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        textops.n_tokens_ws(F.col("text")).cast("long").alias("n_tokens_ws"),
+        textops.n_tokens_re(F.col("text")).cast("long").alias("n_tokens_re"),
+    )
+
+
+SQL_TEXT_TOKENS = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens_ws,
+       len(regexp_extract_all(text, '[a-z]+')) AS n_tokens_re
+FROM documents
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    q = textops.quality_columns(F.col("text"))
+    return docs.select(
+        "doc_id",
+        q["n_chars_m"].cast("long").alias("n_chars_m"),
+        q["n_words"].cast("long").alias("n_words"),
+        q["n_uniq"].cast("long").alias("n_uniq"),
+        q["n_stop"].cast("long").alias("n_stop"),
+        q["stop_ratio"].alias("stop_ratio"),
+        q["uniq_ratio"].alias("uniq_ratio"),
+        q["avg_word_len"].alias("avg_word_len"),
+    )
+
+
+SQL_TEXT_QUALITY = f"""
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+   m AS (SELECT doc_id,
+                length(text) AS n_chars_m,
+                len(ws) AS n_words,
+                len(list_distinct(ws)) AS n_uniq,
+                len(list_filter(ws, w -> w IN {_STOP_SQL})) AS n_stop
+         FROM t)
+SELECT doc_id, n_chars_m, n_words, n_uniq, n_stop,
+       round(CAST(n_stop AS DOUBLE) / n_words, 4) AS stop_ratio,
+       round(CAST(n_uniq AS DOUBLE) / n_words, 4) AS uniq_ratio,
+       round(CAST(n_chars_m - (n_words - 1) AS DOUBLE) / n_words, 4)
+         AS avg_word_len
+FROM m
+"""
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        textops.lang_pred(F.col("text")).alias("lang_pred"),
+    )
+
+
+SQL_TEXT_LANG_ID = f"""
+SELECT doc_id, lang,
+       CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                                      w -> w IN {_STOP_SQL})) AS DOUBLE)
+                 / len(string_split(text, ' ')) >= 0.02
+            THEN 'en' ELSE 'unk' END AS lang_pred
+FROM documents
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        textops.fingerprint_md5(F.col("text")).alias("fp_md5"),
+        textops.fingerprint_minshingle(F.col("text")).alias("fp_minshingle"),
+    )
+
+
+SQL_DOC_FINGERPRINT = f"""
+WITH {_SHINGLES_CTE}
+SELECT doc_id,
+       md5(regexp_replace(lower(text), ' +', ' ', 'g')) AS fp_md5,
+       coalesce(list_min(list_transform(s.sh, x -> {_h60_sql('x')})),
+                -1) AS fp_minshingle
+FROM s JOIN documents USING (doc_id)
+"""
+
+
+MINHASH_K = 8
+MINHASH_BAND_ROWS = 2
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_candidate_pairs(
+        _t(spark, sf_dir, "documents"), MINHASH_K, MINHASH_BAND_ROWS
+    )
+
+
+def _minhash_sql() -> str:
+    mh_cols = ",\n         ".join(
+        "coalesce(list_min(list_transform(sh, x -> "
+        + _h60_sql("concat('%d|', x)" % i)
+        + ")), -1) AS mh%d" % i
+        for i in range(MINHASH_K)
+    )
+    n_bands = MINHASH_K // MINHASH_BAND_ROWS
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        f"md5(concat_ws('-', mh{b * MINHASH_BAND_ROWS}, "
+        f"mh{b * MINHASH_BAND_ROWS + 1})) AS band_key FROM sig"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH {_SHINGLES_CTE},
+  sig AS (SELECT doc_id,
+         {mh_cols}
+          FROM s),
+  bands AS ({band_selects})
+SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+FROM bands l JOIN bands r USING (band_idx, band_key)
+WHERE l.doc_id < r.doc_id
+"""
+
+
+SQL_DEDUP_MINHASH_LSH = _minhash_sql()
+
+JACCARD_THRESHOLD = 0.05
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=JACCARD_THRESHOLD
+    )
+
+
+SQL_DEDUP_NGRAM_JACCARD = f"""
+WITH {_SHINGLES_CTE},
+  d AS (SELECT doc_id, lang AS block, list_distinct(sh) AS sh FROM s)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+         round(CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(l.sh, r.sh))), 4) AS jaccard
+  FROM d l JOIN d r ON l.block = r.block AND l.doc_id < r.doc_id) t
+WHERE jaccard >= {JACCARD_THRESHOLD}
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_bits(_t(spark, sf_dir, "documents"))
+
+
+def _simhash_sql() -> str:
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(dedup.SIMHASH_BITS)
+    )
+    bits = ",\n       ".join(
+        f"CASE WHEN v{b} > 0 THEN '1' ELSE '0' END"
+        for b in range(dedup.SIMHASH_BITS)
+    )
+    return f"""
+WITH w AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
+           FROM documents),
+  h AS (SELECT doc_id, {_h60_sql('word')} AS h FROM w),
+  v AS (SELECT doc_id,
+         {votes}
+        FROM h GROUP BY doc_id)
+SELECT doc_id, concat({bits}) AS simhash
+FROM v
+"""
+
+
+SQL_DEDUP_SIMHASH = _simhash_sql()
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+
+def q_embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = ann.brute_force_topk(_t(spark, sf_dir, "embeddings"), n_queries=10, k=5)
+    return df.withColumn("rank", F.col("rank").cast("long"))
+
+
+SQL_EMBED_COSINE_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+           FROM embeddings WHERE vec_id < 10),
+  pairs AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           round(
+             list_sum(list_transform(range(0, len(q.qvec)),
+               i -> CAST(q.qvec[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(q.qvec,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(e.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos_sim
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> q.query_id)
+SELECT query_id, neighbor_id, rank, cos_sim
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM pairs) t
+WHERE rank <= 5
+"""
+
+
+def _bucket_sql(vec: str) -> str:
+    terms = []
+    for b in range(ann.N_PLANES):
+        sign = (
+            "CASE WHEN "
+            + _h60_sql("concat('%d', ',', j)" % b)
+            + " % 2 = 0 THEN 1.0 ELSE -1.0 END"
+        )
+        proj = (
+            f"list_sum(list_transform(range(0, len({vec})), "
+            f"j -> CAST({vec}[j+1] AS DOUBLE) * {sign}))"
+        )
+        terms.append(f"CASE WHEN {proj} > 0 THEN {1 << b} ELSE 0 END")
+    return "CAST(" + " + ".join(terms) + " AS INT)"
+
+
+def q_embed_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = ann.lsh_bucketed_topk(_t(spark, sf_dir, "embeddings"), n_queries=10, k=3)
+    return df.withColumn("rank", F.col("rank").cast("long"))
+
+
+SQL_EMBED_LSH_ANN = f"""
+WITH e AS (SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+           FROM embeddings),
+  q AS (SELECT vec_id AS query_id, embedding AS qvec, bucket
+        FROM e WHERE vec_id < 10),
+  pairs AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           round(
+             list_sum(list_transform(range(0, len(q.qvec)),
+               i -> CAST(q.qvec[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(q.qvec,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(e.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos_sim
+    FROM e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.query_id)
+SELECT query_id, neighbor_id, rank, cos_sim
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM pairs) t
+WHERE rank <= 3
+"""
+
+
+def q_embed_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann.cosine_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.9
+    )
+
+
+SQL_EMBED_COSINE_NEARDUP = f"""
+WITH e AS (SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+           FROM embeddings)
+SELECT vec_a, vec_b, cos_sim FROM (
+  SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
+         round(
+           list_sum(list_transform(range(0, len(l.embedding)),
+             i -> CAST(l.embedding[i+1] AS DOUBLE) * CAST(r.embedding[i+1] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(l.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(r.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos_sim
+  FROM e l JOIN e r ON l.bucket = r.bucket AND l.vec_id < r.vec_id) t
+WHERE cos_sim >= 0.9
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal (rows-only: binary pipelines have no SQL twin)
+
+def _synthetic_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic image payloads keyed by doc_id — the documents
+    table standing in for a crawled image corpus."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from . import synthetic
+
+    def _gen(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .imaging import encode_image
+
+        for pdf in pdf_iter:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                url = f"http://img.example.com/doc/{int(doc_id)}"
+                arr, fmt = synthetic.image_for(url)
+                rows.append(
+                    {
+                        "image_id": f"doc-{int(doc_id)}",
+                        "bytes": encode_image(arr, fmt),
+                        "fmt": fmt,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["image_id", "bytes", "fmt"])
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        _gen, "image_id string, bytes binary, fmt string"
+    )
+
+
+def q_images_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.decode_image_meta(_synthetic_images(spark, sf_dir))
+
+
+def q_images_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    imgs = _synthetic_images(spark, sf_dir)
+    resized = multimodal.resize_images(imgs, 16, 16)
+    return resized.select("image_id", "w", "h", "fmt", F.length("bytes").alias("n_bytes"))
+
+
+def q_images_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    meta = multimodal.decode_image_meta(_synthetic_images(spark, sf_dir))
+    return multimodal.phash_neardup(meta.filter(F.col("decode_ok")))
+
+
+def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    videos = docs.select(
+        F.concat(F.lit("vid-"), F.col("doc_id").cast("string")).alias("video_id"),
+        F.encode(F.col("text"), "utf-8").alias("bytes"),
+        ((F.col("doc_id") % 5 + 1) * 2000).cast("long").alias("duration_ms"),
+    )
+    frames = multimodal.sample_video_frames(videos, every_ms=1000)
+    return frames.select(
+        "video_id", "frame_idx", "ts_ms", F.length("bytes").alias("n_bytes")
+    )
+
+
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    audio = docs.select(
+        F.concat(F.lit("aud-"), F.col("doc_id").cast("string")).alias("audio_id"),
+        F.encode(F.repeat(F.col("text"), 4), "utf-8").alias("bytes"),
+    )
+    return multimodal.audio_features(audio)
+
+
+# ---------------------------------------------------------------------------
+# registry
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # frontier / scheduling semantics
+    "frontier_enqueue_dedup": q_frontier_enqueue_dedup,
+    "frontier_anti_join_seen": q_frontier_anti_join_seen,
+    "frontier_priority_batch": q_frontier_priority_batch,
+    "frontier_page_budget": q_frontier_page_budget,
+    "frontier_status_rollup": q_frontier_status_rollup,
+    "frontier_host_skew": q_frontier_host_skew,
+    "rule_broadcast_join": q_rule_broadcast_join,
+    "url_canonicalize": q_url_canonicalize,
+    "retry_split": q_retry_split,
+    "resolved_latest_wins": q_resolved_latest_wins,
+    "temp_json_passthrough": q_temp_json_passthrough,
+    "download_time_format": q_download_time_format,
+    "keyin_fanout": q_keyin_fanout,
+    "failure_union_requeue": q_failure_union_requeue,
+    "events_tumbling_window": q_events_tumbling_window,
+    "sink_kafka_shape": q_sink_kafka_shape,
+    # training-data pipeline: dedup + text analysis
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_simhash": q_dedup_simhash,
+    "text_tokens": q_text_tokens,
+    "text_quality": q_text_quality,
+    "text_lang_id": q_text_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    # similarity search
+    "embed_cosine_topk": q_embed_cosine_topk,
+    "embed_lsh_ann": q_embed_lsh_ann,
+    "embed_cosine_neardup": q_embed_cosine_neardup,
+    # multimodal (rows-only)
+    "images_decode_meta": q_images_decode_meta,
+    "images_resize": q_images_resize,
+    "images_phash_neardup": q_images_phash_neardup,
+    "video_frame_sample": q_video_frame_sample,
+    "audio_features": q_audio_features,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "frontier_enqueue_dedup": SQL_FRONTIER_ENQUEUE_DEDUP,
+    "frontier_anti_join_seen": SQL_FRONTIER_ANTI_JOIN_SEEN,
+    "frontier_priority_batch": SQL_FRONTIER_PRIORITY_BATCH,
+    "frontier_page_budget": SQL_FRONTIER_PAGE_BUDGET,
+    "frontier_status_rollup": SQL_FRONTIER_STATUS_ROLLUP,
+    "frontier_host_skew": SQL_FRONTIER_HOST_SKEW,
+    "rule_broadcast_join": SQL_RULE_BROADCAST_JOIN,
+    "url_canonicalize": SQL_URL_CANONICALIZE,
+    "retry_split": SQL_RETRY_SPLIT,
+    "resolved_latest_wins": SQL_RESOLVED_LATEST_WINS,
+    "temp_json_passthrough": SQL_TEMP_JSON_PASSTHROUGH,
+    "download_time_format": SQL_DOWNLOAD_TIME_FORMAT,
+    "keyin_fanout": SQL_KEYIN_FANOUT,
+    "failure_union_requeue": SQL_FAILURE_UNION_REQUEUE,
+    "events_tumbling_window": SQL_EVENTS_TUMBLING_WINDOW,
+    "sink_kafka_shape": SQL_SINK_KAFKA_SHAPE,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
+    "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+    "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "text_tokens": SQL_TEXT_TOKENS,
+    "text_quality": SQL_TEXT_QUALITY,
+    "text_lang_id": SQL_TEXT_LANG_ID,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "embed_cosine_topk": SQL_EMBED_COSINE_TOPK,
+    "embed_lsh_ann": SQL_EMBED_LSH_ANN,
+    "embed_cosine_neardup": SQL_EMBED_COSINE_NEARDUP,
+    # multimodal queries intentionally absent → rows-only checks
+}

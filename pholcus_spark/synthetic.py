@@ -15,6 +15,7 @@ has the signature an aiohttp-based implementation would have
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from functools import lru_cache
 
 import numpy as np
 
@@ -41,15 +42,22 @@ def _h(*parts: object) -> int:
     return acc & MASK64
 
 
+@lru_cache(maxsize=8)
 def make_hosts(n_hosts: int) -> list[str]:
     return [f"h{i:03d}.example.com" for i in range(n_hosts)]
 
 
+@lru_cache(maxsize=8)
+def _zipf_cdf(n_hosts: int, s: float) -> np.ndarray:
+    weights = 1.0 / np.power(np.arange(1, n_hosts + 1), s)
+    return np.cumsum(weights) / weights.sum()
+
+
 def zipf_host(rand: int, n_hosts: int, s: float = 1.2) -> str:
     """Pick a host with Zipf(s) skew from a uniform 64-bit random value
-    (host 0 is hot — exercises per-host skew/salting)."""
-    weights = 1.0 / np.power(np.arange(1, n_hosts + 1), s)
-    cdf = np.cumsum(weights) / weights.sum()
+    (host 0 is hot — exercises per-host skew/salting). The CDF is
+    cached — this sits in the fetch UDF's per-link hot path."""
+    cdf = _zipf_cdf(n_hosts, s)
     u = (rand % (1 << 53)) / float(1 << 53)
     idx = int(np.searchsorted(cdf, u))
     return make_hosts(n_hosts)[min(idx, n_hosts - 1)]

@@ -84,18 +84,33 @@ class SnapshotStore:
         is 'append' (new files added to the table's file list) or
         'overwrite' (file list replaced). Tables not mentioned carry
         their previous file lists forward unchanged."""
+        for table, (_df, mode) in writes.items():
+            if mode not in ("append", "overwrite"):
+                raise ValueError(f"bad mode {mode!r} for table {table!r}")
         prev = self.read_manifest()
         snapshot_id = prev["snapshot_id"] + 1
         tables: dict[str, list[str]] = {k: list(v) for k, v in prev["tables"].items()}
-        for table, (df, mode) in writes.items():
+
+        def _write(item):
+            table, (df, mode) = item
             rel = f"{table}/snap-{snapshot_id:08d}"
             out_dir = os.path.join(self.root, "data", rel)
             df.write.mode("overwrite").parquet(out_dir)
-            new_files = [
-                f"{rel}/{f}"
-                for f in os.listdir(out_dir)
-                if f.endswith(".parquet")
+            return table, mode, [
+                f"{rel}/{f}" for f in os.listdir(out_dir) if f.endswith(".parquet")
             ]
+
+        # independent tables → submit the write jobs concurrently; the
+        # Spark scheduler interleaves them across cores, cutting the
+        # per-round commit wall to ~the largest single write
+        if len(writes) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=len(writes)) as pool:
+                results = list(pool.map(_write, writes.items()))
+        else:
+            results = [_write(item) for item in writes.items()]
+        for table, mode, new_files in results:
             if mode == "append":
                 tables.setdefault(table, []).extend(new_files)
             elif mode == "overwrite":

@@ -53,7 +53,7 @@ def test_enqueue_dedups_within_batch_first_wins(spark):
          _cand("/b", "h1", 2)],
         CAND_SCHEMA,
     )
-    out = FR.enqueue(cands, _seen(spark), _politeness(spark, ["h1"]), 0, 0, None)
+    out, _n = FR.enqueue(cands, _seen(spark), _politeness(spark, ["h1"]), 0, 0, None)
     rows = {r["url"]: r for r in out.collect()}
     assert len(rows) == 2
     # first push wins: the priority-5 copy was kept (matrix.go:51-98)
@@ -69,7 +69,7 @@ def test_enqueue_skips_seen_unless_reloadable(spark):
     )
     keyed = FR.with_url_key(cands).collect()
     seen = _seen(spark, [r["url_key"] for r in keyed])
-    out = FR.enqueue(cands, seen, _politeness(spark, ["h1"]), 0, 0, None)
+    out, _n = FR.enqueue(cands, seen, _politeness(spark, ["h1"]), 0, 0, None)
     rows = out.collect()
     assert len(rows) == 1 and rows[0]["url"] == "http://h1/b"
 
@@ -78,11 +78,11 @@ def test_enqueue_budget_exhausted(spark):
     cands = spark.createDataFrame(
         [_cand(f"/{i}", "h1", i) for i in range(10)], CAND_SCHEMA
     )
-    out = FR.enqueue(cands, _seen(spark), _politeness(spark, ["h1"]), 0, 0, 3)
+    out, _n = FR.enqueue(cands, _seen(spark), _politeness(spark, ["h1"]), 0, 0, 3)
     rows = sorted(out.collect(), key=lambda r: r["seq"])
     # budget admits in FIFO order (matrix.go:59-61)
     assert [r["url"] for r in rows] == [f"http://h1/{i}" for i in range(3)]
-    zero = FR.enqueue(cands, _seen(spark), _politeness(spark, ["h1"]), 0, 0, 0)
+    zero, _zn = FR.enqueue(cands, _seen(spark), _politeness(spark, ["h1"]), 0, 0, 0)
     assert zero.count() == 0
 
 
@@ -92,7 +92,7 @@ def test_enqueue_robots_disallow(spark):
         CAND_SCHEMA,
     )
     pol = _politeness(spark, ["h1"], disallow=["/private"])
-    out = FR.enqueue(cands, _seen(spark), pol, 0, 0, None)
+    out, _n = FR.enqueue(cands, _seen(spark), pol, 0, 0, None)
     rows = out.collect()
     assert len(rows) == 1 and rows[0]["url"].endswith("/public/y")
 
@@ -107,7 +107,7 @@ def test_select_batch_priority_then_fifo(spark):
         ],
         CAND_SCHEMA,
     )
-    pending = FR.enqueue(cands, _seen(spark), _politeness(spark, ["h1"]), 0, 0, None)
+    pending, _pn = FR.enqueue(cands, _seen(spark), _politeness(spark, ["h1"]), 0, 0, None)
     batch = FR.select_batch(pending, _politeness(spark, ["h1"]), 3).collect()
     urls = [r["url"] for r in sorted(batch, key=lambda r: (-r["priority"], r["seq"]))]
     # highest priority first (matrix.go:107-110), FIFO within priority
@@ -123,7 +123,7 @@ def test_select_batch_per_host_cap(spark):
     pol = spark.createDataFrame(
         [("hot", 300, [], 3), ("cold", 300, [], 3)], POLITENESS_SCHEMA
     )
-    pending = FR.enqueue(cands, _seen(spark), pol, 0, 0, None)
+    pending, _pn = FR.enqueue(cands, _seen(spark), pol, 0, 0, None)
     batch = FR.select_batch(pending, pol, 50).collect()
     by_host = {}
     for r in batch:
@@ -145,7 +145,7 @@ def test_salted_ranking_equals_unsalted(spark):
         CAND_SCHEMA,
     )
     pol = spark.createDataFrame([("h1", 300, [], 7)], POLITENESS_SCHEMA)
-    pending = FR.enqueue(cands, _seen(spark), pol, 0, 0, None)
+    pending, _pn = FR.enqueue(cands, _seen(spark), pol, 0, 0, None)
     got = {
         r["url_key"]
         for r in FR.select_batch(pending, pol, 7, salt_k=4).collect()

@@ -1,0 +1,109 @@
+"""Driver-contract guard: every queries() entry runs, and a sampled
+subset (one per operator family) value-matches its DuckDB oracle at
+sf0.001. The full sweep lives in tools/check_oracle.py; this test keeps
+the pytest loop fast while still catching parity regressions."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+# one representative per family; the rest are covered by the driver +
+# tools/check_oracle.py full sweep
+SAMPLED = [
+    "frontier_enqueue_dedup",
+    "frontier_priority_batch",
+    "frontier_status_rollup",
+    "rule_broadcast_join",
+    "url_canonicalize",
+    "failure_union_requeue",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_quality",
+    "doc_fingerprint",
+    "embed_cosine_topk",
+]
+
+ROWS_ONLY = ["images_decode_meta", "video_frame_sample", "audio_features"]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _normalize(df):
+    cols = sorted(df.columns)
+    rows = []
+    for tup in df[cols].itertuples(index=False):
+        row = []
+        for v in tup:
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                row.append(None)
+            elif hasattr(v, "item"):
+                x = v.item()
+                row.append(round(x, 9) if isinstance(x, float) else x)
+            elif isinstance(v, float):
+                row.append(round(v, 9))
+            else:
+                row.append(v)
+        rows.append(tuple(row))
+    rows.sort(key=lambda r: tuple((x is None, str(x)) for x in r))
+    return cols, rows
+
+
+def test_registry_complete():
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert len(qs) >= 30
+    # every oracle key has a query
+    assert set(oracles) <= set(qs)
+    # multimodal binary pipelines are rows-only by design
+    for name in ROWS_ONLY:
+        assert name in qs and name not in oracles
+
+
+@pytest.mark.parametrize("name", SAMPLED)
+def test_query_matches_oracle(spark, duck, name):
+    qs = entrymod.queries()
+    sdf = qs[name](spark, SF_DIR).toPandas()
+    odf = duck.execute(entrymod.oracle_sql()[name]).df()
+    scols, srows = _normalize(sdf)
+    ocols, orows = _normalize(odf)
+    assert scols == ocols
+    assert len(srows) == len(orows)
+    assert srows == orows
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(spark, name):
+    df = entrymod.queries()[name](spark, SF_DIR)
+    assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 1
+    cols = set(df.columns)
+    assert {"fmt", "n_images", "n_decoded", "n_neardup"} <= cols
+    for r in rows:
+        assert r["n_decoded"] == r["n_images"]  # all payloads decode
+        if r["fmt"] == "png":
+            # one lossy generation stays above the 40 dB invariant
+            assert r["min_psnr_db"] is not None and r["min_psnr_db"] >= 40.0

@@ -1,0 +1,108 @@
+"""Local twin of the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry against its
+``oracle_sql()`` DuckDB twin on the same sf dir, comparing row count,
+column-name set, and order-insensitive values. Usage:
+
+    python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def normalize(df):  # pandas DataFrame -> sorted canonical rows
+    cols = sorted(df.columns)
+    df = df[cols]
+    rows = []
+    for tup in df.itertuples(index=False):
+        row = []
+        for v in tup:
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                row.append(None)
+            elif isinstance(v, float):
+                row.append(round(v, 9))
+            elif hasattr(v, "item"):
+                x = v.item()
+                row.append(round(x, 9) if isinstance(x, float) else x)
+            else:
+                row.append(v)
+        rows.append(tuple(row))
+    rows.sort(key=lambda r: tuple((x is None, str(x)) for x in r))
+    return cols, rows
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from pholcus_spark.session import get_spark
+
+    spark = get_spark("oracle-check", cores=8, shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {e}")
+            continue
+        spark_s = time.time() - t0
+        if name not in oracles:
+            print(f"ok   {name}: rows-only ({len(sdf)} rows, {spark_s:.1f}s)")
+            continue
+        try:
+            odf = con.execute(oracles[name]).df()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error: {e}")
+            continue
+        scols, srows = normalize(sdf)
+        ocols, orows = normalize(odf)
+        if scols != ocols:
+            failures.append(name)
+            print(f"FAIL {name}: columns {scols} vs {ocols}")
+            continue
+        if len(srows) != len(orows):
+            failures.append(name)
+            print(f"FAIL {name}: rowcount {len(srows)} vs {len(orows)}")
+            continue
+        bad = [
+            (i, a, b) for i, (a, b) in enumerate(zip(srows, orows)) if a != b
+        ]
+        if bad:
+            failures.append(name)
+            print(f"FAIL {name}: {len(bad)} mismatched rows; first: {bad[0]}")
+            continue
+        print(f"ok   {name}: {len(srows)} rows match ({spark_s:.1f}s)")
+
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
