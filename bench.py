@@ -51,7 +51,7 @@ CRAWL_SEEDS = 60
 
 def bench_crawl(spark) -> dict:
     from pholcus_spark import synthetic
-    from pholcus_spark.crawler import VISITS_SCHEMA, CrawlEngine
+    from pholcus_spark.crawler import CrawlEngine
     from pholcus_spark.oracle import CrawlConfig
     from pholcus_spark.tables import SnapshotStore
 
@@ -71,7 +71,7 @@ def bench_crawl(spark) -> dict:
         t0 = time.time()
         rounds = eng.run(seeds)
         wall = time.time() - t0
-        visits = eng.load("visits", VISITS_SCHEMA).count()
+        visits = eng.fetched_df().count()
         items = eng.items_df().count()
         return {
             "rounds": rounds,

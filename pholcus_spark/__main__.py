@@ -1,0 +1,103 @@
+"""spark-submit entry point.
+
+Run the crawl engine as a Spark application:
+
+    spark-submit --py-files pholcus_spark.zip -m pholcus_spark \
+        --store /data/crawl1 --seeds seeds.txt --limit 100000
+
+or locally:
+
+    python -m pholcus_spark --store /tmp/crawl1 --synthetic-seeds 100
+
+On a cluster, omit --cores and let the session builder inherit the
+submitted master/executor configuration (get_spark only forces
+``local[N]`` when --cores is given or no master is configured).
+Re-running with the same --store resumes from the last committed
+snapshot (checkpoint semantics).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="pholcus_spark")
+    ap.add_argument("--store", required=True, help="snapshot store directory")
+    ap.add_argument("--seeds", help="file of seed URLs, one per line")
+    ap.add_argument(
+        "--synthetic-seeds", type=int, default=0,
+        help="generate N deterministic synthetic seeds instead of --seeds",
+    )
+    ap.add_argument("--n-hosts", type=int, default=100)
+    ap.add_argument("--batch-size", type=int, default=256)
+    ap.add_argument("--limit", type=int, default=None, help="page budget")
+    ap.add_argument("--max-rounds", type=int, default=10_000)
+    ap.add_argument("--round-duration-ms", type=int, default=1000)
+    ap.add_argument("--use-bloom", action="store_true",
+                    help="bloom-prefilter the URL-seen check")
+    ap.add_argument("--cores", type=int, default=None,
+                    help="force local[N] (default: inherit spark-submit conf)")
+    ap.add_argument("--export-csv", help="export items as CSV to this dir")
+    ap.add_argument("--export-files", help="export payload files to this dir")
+    args = ap.parse_args(argv)
+
+    from pholcus_spark import synthetic
+    from pholcus_spark.crawler import CrawlEngine
+    from pholcus_spark.oracle import CrawlConfig
+    from pholcus_spark.session import get_spark
+    from pholcus_spark.tables import SnapshotStore
+
+    spark = get_spark("pholcus_spark", cores=args.cores)
+    cfg = CrawlConfig(
+        n_hosts=args.n_hosts,
+        batch_size=args.batch_size,
+        limit=args.limit,
+        max_rounds=args.max_rounds,
+        round_duration_ms=args.round_duration_ms,
+        use_bloom=args.use_bloom,
+    )
+    if args.synthetic_seeds:
+        seeds = synthetic.seed_urls(args.synthetic_seeds, cfg.n_hosts)
+    elif args.seeds:
+        with open(args.seeds) as f:
+            seeds = [ln.strip() for ln in f if ln.strip()]
+    else:
+        seeds = None  # pure resume
+
+    eng = CrawlEngine(spark, SnapshotStore(args.store), cfg)
+    t0 = time.time()
+    rounds = eng.run(seeds)
+    wall = time.time() - t0
+    visits = eng.fetched_df().count()
+    items = eng.items_df().count()
+
+    if args.export_csv:
+        from pholcus_spark import sinks
+
+        sinks.write_csv(eng.items_df().drop("bytes"), args.export_csv)
+    if args.export_files:
+        from pholcus_spark import sinks
+
+        sinks.export_files(eng.items_df(), args.export_files)
+
+    print(
+        json.dumps(
+            {
+                "rounds": rounds,
+                "visits": visits,
+                "items": items,
+                "wall_s": round(wall, 2),
+                "urls_per_sec": round(visits / wall, 2) if wall else None,
+                "snapshot_id": eng.store.current_snapshot_id(),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from . import frontier as FR
+from . import seen as SEEN
 from . import synthetic
 from .fetch import fetch_batch, links_to_candidates
 from .oracle import CrawlConfig, politeness_map
@@ -45,6 +46,7 @@ from .schemas import (
     ITEMS_SCHEMA,
     POLITENESS_SCHEMA,
     ROUNDS_SCHEMA,
+    SEEN_SKETCH_SCHEMA,
     URL_SEEN_SCHEMA,
 )
 from .tables import SnapshotStore
@@ -62,6 +64,19 @@ VISITS_SCHEMA = T.StructType(
         T.StructField("seq", T.LongType(), False),
         T.StructField("attempt", T.IntegerType(), False),
         T.StructField("ok", T.BooleanType(), False),
+    ]
+)
+
+# the fetched log — one row per dispatched URL per round, adopted
+# zero-copy from the round's staged fetch output. items / visits /
+# resolved / failures are VIEWS over this log (single write of the
+# payload bytes per round; the Iceberg add-files pattern).
+FETCHED_SCHEMA = T.StructType(
+    FETCH_RESULT_SCHEMA.fields
+    + [
+        T.StructField("visit_round", T.IntegerType(), False),
+        T.StructField("n_bytes", T.IntegerType(), False),
+        T.StructField("download_time", T.StringType(), False),
     ]
 )
 
@@ -97,28 +112,35 @@ class CrawlEngine:
 
     # --- bootstrap (F1: RuleTree.Root seed generation) ---
 
-    def bootstrap(self, seeds: list[str]) -> None:
+    def bootstrap(self, seeds: list[str] | DataFrame) -> None:
+        """Seed the frontier (F1). ``seeds`` is a list of raw URLs or a
+        DataFrame with columns (url string, cand_order long) — the
+        DataFrame path keeps a multi-million-seed bootstrap fully
+        executor-side (canonicalization runs in an Arrow-batched UDF,
+        nothing funnels through the driver)."""
         if self.store.current_snapshot_id() is not None:
             return  # resume path: state already in the store
         cfg = self.cfg
-        import pandas as pd
+        if isinstance(seeds, DataFrame):
+            base = self._canonicalize_seed_df(seeds)
+        else:
+            import pandas as pd
 
-        rows = [
-            (cu, h, i)
-            for i, raw in enumerate(seeds)
-            for cu in (canonicalize(raw),)
-            for h in (host_of(cu),)
-            if cu
-        ]
-        # Arrow path: ship only the data columns (url/host/order) as a
-        # pandas frame — the constant request fields are derived
-        # JVM-side, so a multi-million-seed bootstrap isn't bottlenecked
-        # on row-at-a-time Python pickling.
-        pdf = pd.DataFrame(rows, columns=["url", "host", "cand_order"])
-        base = self.spark.createDataFrame(
-            pdf,
-            schema="url string, host string, cand_order long",
-        )
+            rows = [
+                (cu, h, i)
+                for i, raw in enumerate(seeds)
+                for cu in (canonicalize(raw),)
+                for h in (host_of(cu),)
+                if cu
+            ]
+            # Arrow path: ship only the data columns (url/host/order) as
+            # a pandas frame — the constant request fields are derived
+            # JVM-side, no row-at-a-time Python pickling.
+            pdf = pd.DataFrame(rows, columns=["url", "host", "cand_order"])
+            base = self.spark.createDataFrame(
+                pdf,
+                schema="url string, host string, cand_order long",
+            )
         cands = base.select(
             "url",
             "host",
@@ -140,16 +162,46 @@ class CrawlEngine:
             cands, empty_seen, self._politeness, 0, 0, cfg.limit
         )
         new_rows = new_rows.cache()
+        writes = {
+            "pending": (new_rows, "overwrite"),
+            "url_seen": (new_rows.select("url_key"), "append"),
+        }
+        if cfg.use_bloom:
+            empty_sketch = self.spark.createDataFrame([], SEEN_SKETCH_SCHEMA)
+            writes["seen_sketch"] = (
+                SEEN.update_sketch(empty_sketch, new_rows.select("url_key")),
+                "overwrite",
+            )
         self.store.commit(
             0,
-            {
-                "pending": (new_rows, "overwrite"),
-                "url_seen": (new_rows.select("url_key"), "append"),
-            },
+            writes,
             meta={"next_seq": n_new, "admitted": n_new, "deferred": False,
                   "round": 0},
         )
         self.spark.catalog.clearCache()
+
+    def _canonicalize_seed_df(self, seeds: DataFrame) -> DataFrame:
+        """(url, cand_order) → canonical (url, host, cand_order) via a
+        vectorized pandas UDF; invalid URLs dropped."""
+        import pandas as pd
+
+        from .urlnorm import canonicalize_series, host_series
+
+        def _canon(pdf_iter):
+            for pdf in pdf_iter:
+                cu = canonicalize_series(pdf["url"])
+                out = pd.DataFrame(
+                    {
+                        "url": cu,
+                        "host": host_series(cu),
+                        "cand_order": pdf["cand_order"],
+                    }
+                )
+                yield out[out["url"] != ""]
+
+        return seeds.select("url", "cand_order").mapInPandas(
+            _canon, "url string, host string, cand_order long"
+        )
 
     # --- one micro-batch round; returns rows dispatched ---
 
@@ -185,38 +237,38 @@ class CrawlEngine:
             cfg.n_hosts,
             cfg.try_times,
             cfg.failure_pct,
-        ).write.mode("overwrite").parquet(scratch)
-        _mark("fetch_scratch")
-        results = self.spark.read.schema(FETCH_RESULT_SCHEMA).parquet(scratch)
-        # row count comes from parquet footer metadata — no data scan
-        n_batch = results.count()
-        if n_batch == 0:
-            return 0
-        done, requeued, failed = FR.split_results(
-            results, cfg.max_requeue_attempt
-        )
-
-        items = results.filter(F.col("ok")).select(
-            "rule",
-            "url",
-            "parent_url",
+            cfg.img_px_scale,
+        ).select(
+            "*",
+            F.lit(round_no).cast("int").alias("visit_round"),
+            F.coalesce(F.length("bytes"), F.lit(0)).cast("int").alias("n_bytes"),
             F.date_format(F.current_timestamp(), "yyyy-MM-dd HH:mm:ss").alias(
                 "download_time"
             ),
-            "image_id",
-            "bytes",
-            "w",
-            "h",
-            "fmt",
-            "caption",
-            "phash",
+        ).write.mode("overwrite").parquet(scratch)
+        _mark("fetch_scratch")
+        results = self.spark.read.schema(FETCHED_SCHEMA).parquet(scratch)
+        # row count comes from parquet footer metadata — no data scan
+        n_batch = results.count()
+        if n_batch == 0:
+            shutil.rmtree(scratch, ignore_errors=True)
+            return 0
+        _, requeued, _failed = FR.split_results(
+            results.select(*FETCH_RESULT_SCHEMA.fieldNames()),
+            cfg.max_requeue_attempt,
         )
 
         cands = links_to_candidates(results)
         url_seen = self.load("url_seen", URL_SEEN_SCHEMA)
+        sketch = (
+            self.load("seen_sketch", SEEN_SKETCH_SCHEMA)
+            if cfg.use_bloom
+            else None
+        )
         remaining = None if cfg.limit is None else cfg.limit - admitted
         new_rows, n_new = FR.enqueue(
-            cands, url_seen, self._politeness, next_seq, round_no, remaining
+            cands, url_seen, self._politeness, next_seq, round_no, remaining,
+            sketch=sketch,
         )
         new_rows = new_rows.cache()
         _mark("enqueue")
@@ -226,28 +278,10 @@ class CrawlEngine:
             .unionByName(requeued)
             .unionByName(new_rows)
         )
-        resolved_new = (
-            done.unionByName(failed)
-            .withColumn("visit_round", F.lit(round_no).cast("int"))
-        )
-        # results carries every batch column — no join needed
-        visits = results.select(
-            F.lit(round_no).cast("int").alias("round"),
-            "url_key",
-            "url",
-            "priority",
-            "seq",
-            "attempt",
-            "ok",
-        )
-        failures_new = failed.select(
-            *FRONTIER_COLS,
-            F.lit(round_no).cast("int").alias("fail_round"),
-            F.lit("synthetic transient error").alias("error"),
-        )
 
         # per-partition lineage metrics (S9 / north rule): the lineage
-        # partition key = pmod(url_key, shuffle partitions).
+        # partition key = pmod(url_key, shuffle partitions). Reads only
+        # small columns (n_bytes, not bytes) from the staged log.
         n_part = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
         wall_ms = int((time.time() - t0) * 1000)
         part_metrics = (
@@ -259,9 +293,8 @@ class CrawlEngine:
                 F.sum(F.col("ok").cast("long")).alias("fetched"),
                 F.sum((~F.col("ok")).cast("long")).alias("failed"),
                 F.sum(F.col("ok").cast("long")).alias("items"),
-                F.coalesce(
-                    F.sum(F.when(F.col("ok"), F.length("bytes"))), F.lit(0)
-                ).alias("bytes"),
+                F.sum(F.when(F.col("ok"), F.col("n_bytes").cast("long"))
+                      .otherwise(F.lit(0))).alias("bytes"),
             )
             .select(
                 F.lit(round_no).cast("int").alias("round"),
@@ -277,27 +310,32 @@ class CrawlEngine:
             )
         )
 
+        writes = {
+            "pending": (still_pending, "overwrite"),
+            "url_seen": (new_rows.select("url_key"), "append"),
+            "rounds": (part_metrics, "append"),
+        }
+        if cfg.use_bloom:
+            writes["seen_sketch"] = (
+                SEEN.update_sketch(sketch, new_rows.select("url_key")),
+                "overwrite",
+            )
         self.store.commit(
             round_no,
-            {
-                "pending": (still_pending, "overwrite"),
-                "resolved": (resolved_new, "append"),
-                "visits": (visits, "append"),
-                "url_seen": (new_rows.select("url_key"), "append"),
-                "failures": (failures_new, "append"),
-                "items": (items, "append"),
-                "rounds": (part_metrics, "append"),
-            },
+            writes,
             meta={
                 "next_seq": next_seq + n_new,
                 "admitted": admitted + n_new,
                 "round": round_no,
                 "deferred": meta.get("deferred", False),
             },
+            # zero-copy: the staged fetch output becomes this round's
+            # slice of the fetched log (renamed after writes finish, so
+            # the writers above could still read it)
+            adopts={"fetched": (scratch, "append")},
         )
         _mark("commit")
         self.spark.catalog.clearCache()
-        shutil.rmtree(scratch, ignore_errors=True)
         self._maybe_compact("url_seen", URL_SEEN_SCHEMA, round_no)
         _mark("compact")
         if _timing:
@@ -329,7 +367,7 @@ class CrawlEngine:
         meta = self._meta()
         if meta.get("deferred", False):
             return False
-        failures = self.load("failures", FAILURES_SCHEMA)
+        failures = self.failures_df()
         re_rows = failures.select(*FRONTIER_COLS).withColumn(
             "status", F.lit("pending")
         ).cache()
@@ -368,12 +406,18 @@ class CrawlEngine:
             rounds_run += 1
         return rounds_run
 
-    # --- read-side helpers for tests/bench ---
+    # --- read-side views over the fetched log (+ small tables) ---
+
+    def fetched_df(self) -> DataFrame:
+        """The append-only fetch log: one row per dispatched URL per
+        round (payload + outcome). Source of the views below."""
+        return self.load("fetched", FETCHED_SCHEMA)
 
     def visits_log(self) -> list[tuple]:
-        df = self.load("visits", VISITS_SCHEMA).orderBy(
-            "round", F.desc("priority"), "seq", "attempt"
-        )
+        df = self.fetched_df().select(
+            F.col("visit_round").alias("round"),
+            "url_key", "url", "priority", "seq", "attempt", "ok",
+        ).orderBy("round", F.desc("priority"), "seq", "attempt")
         return [
             (r["round"], r["url_key"], r["url"], r["priority"], r["seq"],
              r["attempt"], r["ok"])
@@ -387,22 +431,44 @@ class CrawlEngine:
         }
 
     def items_df(self) -> DataFrame:
-        return self.load("items", ITEMS_SCHEMA)
+        """DataCell view (ITEMS_SCHEMA): successful fetches' payloads."""
+        return self.fetched_df().filter(F.col("ok")).select(
+            *[f.name for f in ITEMS_SCHEMA.fields]
+        )
 
     def resolved_df(self) -> DataFrame:
-        """Latest-wins view of the append-only resolved log (the MERGE
-        INTO equivalent): a row re-admitted at drain time appends a
-        second record; its final status is the one from the latest
-        visit_round."""
+        """Latest-wins resolution view of the fetched log (the MERGE
+        INTO equivalent): done on success, failed once requeue attempts
+        are exhausted (DoHistory increments the attempt when recording
+        a failure, matrix.go:144-169); a drain-time re-admission
+        appends a later visit_round whose status wins."""
         from pyspark.sql import Window
 
-        raw = self.load("resolved", RESOLVED_SCHEMA)
+        f = self.fetched_df().filter(
+            F.col("ok")
+            | (F.col("attempt") >= self.cfg.max_requeue_attempt)
+        )
+        resolved = f.select(
+            *[c for c in FRONTIER_COLS if c not in ("attempt", "status")],
+            F.when(F.col("ok"), F.col("attempt"))
+            .otherwise(F.col("attempt") + 1)
+            .cast("int")
+            .alias("attempt"),
+            F.when(F.col("ok"), F.lit("done")).otherwise(F.lit("failed"))
+            .alias("status"),
+            "visit_round",
+        ).select(*FRONTIER_COLS, "visit_round")
         w = Window.partitionBy("url_key").orderBy(F.desc("visit_round"))
         return (
-            raw.withColumn("_rn", F.row_number().over(w))
+            resolved.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
+
+    def failures_df(self) -> DataFrame:
+        """Final-status failures (the Failure store view,
+        failure.go:18-24)."""
+        return self.resolved_df().filter(F.col("status") == "failed")
 
     def rounds_df(self) -> DataFrame:
         return self.load("rounds", ROUNDS_SCHEMA)

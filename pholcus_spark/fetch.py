@@ -32,6 +32,7 @@ def fetch_batch(
     n_hosts: int,
     try_times_default: int = 3,
     failure_pct: int = synthetic.FAILURE_PCT,
+    px_scale: int = 1,
 ) -> DataFrame:
     """Run the fetch/parse UDF over a dispatch batch.
 
@@ -42,8 +43,16 @@ def fetch_batch(
     sess = batch.sparkSession
     bc_rules = sess.sparkContext.broadcast(rules)
 
+    # Emit output frames in bounded chunks: payload rows can be tens of
+    # KB each, and a full input batch's worth of images in one pandas
+    # frame (hundreds of MB × one per worker) stalls the Arrow pipe and
+    # the JVM heap. ~64 images per frame keeps in-flight memory flat.
+    out_chunk = 64
+
     def _fetch(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rules_map = bc_rules.value
+        cols = [f.name for f in FETCH_RESULT_SCHEMA.fields]
+
         for pdf in pdf_iter:
             out_rows = []
             for row in pdf.itertuples(index=False):
@@ -53,7 +62,7 @@ def fetch_batch(
                 for i in range(tries):
                     res = synthetic.fetch_one(
                         row.url, int(row.depth), base_attempt + i, n_hosts,
-                        failure_pct,
+                        failure_pct, px_scale,
                     )
                     if res.ok:
                         break
@@ -98,13 +107,18 @@ def fetch_batch(
                         "links": links,
                     }
                 )
-            yield pd.DataFrame(
-                out_rows, columns=[f.name for f in FETCH_RESULT_SCHEMA.fields]
-            )
+                if len(out_rows) >= out_chunk:
+                    yield pd.DataFrame(out_rows, columns=cols)
+                    out_rows = []
+            if out_rows:
+                yield pd.DataFrame(out_rows, columns=cols)
 
-    # Repartition the (small) batch across executors so fetch
-    # parallelism = cluster width, not the scheduling window's layout.
-    n_part = int(sess.conf.get("spark.sql.shuffle.partitions", "32"))
+    # Repartition the batch across executors so fetch parallelism =
+    # cluster width. 4x the shuffle width: per-URL fetch+decode cost
+    # varies (payload sizes differ), so several short waves of tasks
+    # smooth stragglers that a single wave of cluster-width tasks
+    # cannot (~20% wall on skewed batches).
+    n_part = 4 * int(sess.conf.get("spark.sql.shuffle.partitions", "32"))
     return batch.repartition(n_part, "url_key").mapInPandas(
         _fetch, FETCH_RESULT_SCHEMA
     )

@@ -139,6 +139,7 @@ def enqueue(
     next_seq: int,
     round_no: int,
     remaining_budget: int | None,
+    sketch: DataFrame | None = None,
 ) -> tuple[DataFrame, int]:
     """Full Matrix.Push pipeline for one round's candidate links.
 
@@ -146,18 +147,32 @@ def enqueue(
     priority, depth, parent_url, temp, reloadable, try_times,
     cand_order (long — parse order, the FIFO tie-break source).
     Returns (new frontier rows (status=pending, seq assigned), count).
+
+    With ``sketch`` (the seen_sketch bloom table), the seen check runs
+    bloom-prefiltered: only 'maybe seen' rows reach the exact anti-join
+    — same result, O(FPR·|cands| + dups) exact-join probe side.
     """
     cands = with_url_key(cands)
     cands = dedup_candidates(cands)
     cands = filter_robots(cands, politeness)
-    cands = anti_join_seen(cands, url_seen)
+    if sketch is not None:
+        from .seen import anti_join_seen_bloom
+
+        cands = anti_join_seen_bloom(cands, url_seen, sketch)
+    else:
+        cands = anti_join_seen(cands, url_seen)
+    # Cache the admitted set: downstream needs several passes (the
+    # range-partitioner's sampling scan, the offsets count, the final
+    # write) and the upstream chain includes shuffles + Python UDF
+    # stages that must not be re-evaluated per pass. Cleared with the
+    # round's clearCache().
+    cands = cands.cache()
     if remaining_budget is not None:
         # page budget (F6, matrix.go:59-61): admit in FIFO order until
         # the budget is spent. orderBy+limit compiles to TakeOrdered,
         # which funnels everything into ONE partition — only take that
         # path when the budget actually binds; otherwise admit all
         # (identical rows) and stay fully partitioned.
-        cands = cands.cache()
         n_cand = cands.count()
         if n_cand > max(remaining_budget, 0):
             cands = cands.orderBy("cand_order").limit(max(remaining_budget, 0))

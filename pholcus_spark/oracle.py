@@ -46,6 +46,12 @@ class CrawlConfig:
     round_duration_ms: int = 1000
     seed_priority: int = 1
     max_rounds: int = 10_000
+    # engine-only knob (no semantic effect): bloom-prefilter the seen
+    # check via the seen_sketch table — identical results, smaller
+    # exact-join probe side (north-rule 10^10-frontier path)
+    use_bloom: bool = False
+    # payload-size multiplier for benchmarks (1 = 24-56 px test images)
+    img_px_scale: int = 1
 
 
 @dataclass
@@ -187,7 +193,8 @@ def run_oracle(seeds: list[str], cfg: CrawlConfig) -> OracleResult:
             res = None
             for i in range(cfg.try_times):
                 res = synthetic.fetch_one(
-                    row.url, row.depth, base + i, cfg.n_hosts, cfg.failure_pct
+                    row.url, row.depth, base + i, cfg.n_hosts, cfg.failure_pct,
+                    cfg.img_px_scale,
                 )
                 if res.ok:
                     break

@@ -19,13 +19,19 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
-    if cores is None:
-        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # Explicit cores (or the env knob) force local[N]; with neither,
+    # leave the master to the deploy environment so the same code runs
+    # under `spark-submit --master yarn/k8s` unchanged.
+    env_cores = os.environ.get("SPARK_GRAFT_CPUS")
+    if cores is None and env_cores is not None:
+        cores = int(env_cores)
     if shuffle_partitions is None:
-        shuffle_partitions = max(cores, 8)
+        shuffle_partitions = max(cores or 32, 8)
+    builder = SparkSession.builder
+    if cores is not None:
+        builder = builder.master(f"local[{cores}]")
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
-        .appName(app_name)
+        builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -1,0 +1,131 @@
+"""Output sinks — the S1-S9 pipeline surface as DataFrame writers.
+
+Reference: ``app/pipeline/collector`` — batch-buffered outputs
+(collector.go:34-140) fanned out per (namespace, rule) where
+namespace = spider[+keyin-hash] and rule names the sheet/table/topic
+(output_util.go:8-39). Our micro-batch round IS the batch; each writer
+below is one flush.
+
+Implemented Spark-first:
+- CSV (S2, output_csv.go:17-70): header, per-(namespace,rule) dirs,
+  non-string cells JSON-encoded like the reference.
+- Kafka-shaped JSON (S6, output_kafka.go:38-83): topic column
+  ``namespace__rule`` + ``to_json(struct(*))`` value. Without a broker
+  in the sandbox the frame is written as JSON lines; on a cluster the
+  same frame goes to ``.format("kafka")`` unchanged.
+- JDBC-shaped (S4, output_mysql.go:37-87): the writer builds the
+  DataFrameWriter with url/table/mode; actual .save() needs a driver
+  jar, so it is returned un-invoked for the caller (gated by jdbc_url).
+- File/binary export (S8, output_file.go:20-71): one file per row via
+  ``foreachPartition`` — executor-side, no driver collect.
+- Report (S9, collector.go:180-188): per-(namespace,rule) data/file
+  counts + byte totals.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def namespaced(df: DataFrame, spider: str, keyin: str | None = None) -> DataFrame:
+    """Attach the reference's namespace column: spider[+keyin-hash]
+    (output_util.go:8-39; keyin subname hash util.go:252-257)."""
+    ns = spider if not keyin else None
+    if ns is None:
+        sub = F.substring(F.md5(F.lit(keyin)), 1, 8)
+        col = F.concat(F.lit(spider + "__"), sub)
+    else:
+        col = F.lit(ns)
+    return df.withColumn("namespace", col)
+
+
+def write_csv(items: DataFrame, out_dir: str, rule_col: str = "rule") -> None:
+    """S2: one directory per rule value, header row, non-string cells
+    JSON-encoded (the reference JSON-encodes non-string fields,
+    output_csv.go:52-59). Binary columns are hex-encoded first."""
+    cols = []
+    for f in items.schema.fields:
+        t = f.dataType.simpleString()
+        if t == "binary":
+            cols.append(F.hex(F.col(f.name)).alias(f.name))
+        elif t == "string":
+            cols.append(F.col(f.name))
+        elif t.startswith(("array", "map", "struct")):
+            cols.append(F.to_json(F.col(f.name)).alias(f.name))
+        else:
+            cols.append(F.col(f.name).cast("string").alias(f.name))
+    (
+        items.select(*cols)
+        .write.mode("overwrite")
+        .option("header", True)
+        .option("escape", '"')  # RFC-4180 doubled quotes, not backslash
+        .partitionBy(rule_col)
+        .csv(out_dir)
+    )
+
+
+def kafka_frame(items: DataFrame, namespace: str, rule_col: str = "rule") -> DataFrame:
+    """S6: (topic, key, value) frame — topic = namespace__rule, value =
+    JSON of the full row. Feed to .format('kafka') on a cluster."""
+    payload_cols = [c for c in items.columns if c != rule_col]
+    return items.select(
+        F.concat(F.lit(namespace + "__"), F.col(rule_col)).alias("topic"),
+        F.coalesce(F.col(payload_cols[0]).cast("string"), F.lit("")).alias("key"),
+        F.to_json(F.struct(*payload_cols)).alias("value"),
+    )
+
+
+def write_kafka_shaped(items: DataFrame, out_dir: str, namespace: str) -> None:
+    """Sandbox flush of the kafka frame as JSON lines (same frame, file
+    sink); swap the writer for format('kafka') + bootstrap.servers."""
+    kafka_frame(items, namespace).write.mode("overwrite").json(out_dir)
+
+
+def jdbc_writer(items: DataFrame, jdbc_url: str, table: str):
+    """S4: configured DataFrameWriter (driver jar not in sandbox, so
+    the caller invokes .save() where a driver exists)."""
+    return (
+        items.write.mode("append")
+        .format("jdbc")
+        .option("url", jdbc_url)
+        .option("dbtable", table)
+    )
+
+
+def export_files(files: DataFrame, out_dir: str,
+                 name_col: str = "image_id", bytes_col: str = "bytes") -> None:
+    """S8: one binary file per row, written executor-side via
+    foreachPartition (no driver collect; reference writes concurrently
+    per file, output_file.go:20-71)."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _write(rows) -> None:
+        for r in rows:
+            name = str(r[name_col]).replace(os.sep, "_")
+            payload = r[bytes_col]
+            if payload is None:
+                continue
+            with open(os.path.join(out_dir, name), "wb") as f:
+                f.write(bytes(payload))
+
+    files.select(name_col, bytes_col).foreachPartition(_write)
+
+
+def report(items: DataFrame, namespace: str, rule_col: str = "rule",
+           bytes_col: str | None = "bytes") -> DataFrame:
+    """S9: per-(namespace, rule) flush report — row/byte counts, the
+    ReportChan analog (collector.go:180-188)."""
+    aggs = [F.count("*").alias("n_rows")]
+    if bytes_col and bytes_col in items.columns:
+        aggs.append(
+            F.coalesce(F.sum(F.length(F.col(bytes_col))), F.lit(0)).alias("n_bytes")
+        )
+    return (
+        items.groupBy(F.col(rule_col).alias("rule"))
+        .agg(*aggs)
+        .select(F.lit(namespace).alias("namespace"), "*")
+    )

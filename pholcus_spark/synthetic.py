@@ -116,12 +116,14 @@ def caption_for(url: str) -> str:
     return f"{image_id_for(url)}: " + " ".join(words)
 
 
-def image_for(url: str) -> tuple[np.ndarray, str]:
-    """Deterministic pixels + format for a URL. Small images (24-56 px)
-    keep the sandbox fast; the codec path is size-agnostic."""
+def image_for(url: str, px_scale: int = 1) -> tuple[np.ndarray, str]:
+    """Deterministic pixels + format for a URL. Default images are
+    small (24-56 px) to keep tests fast; ``px_scale`` multiplies the
+    dimensions so benchmarks can model realistic payloads (the codec
+    path is size-agnostic)."""
     r = _h("image", url)
-    w = 24 + (r % 33)
-    h = 24 + ((r >> 8) % 33)
+    w = (24 + (r % 33)) * px_scale
+    h = (24 + ((r >> 8) % 33)) * px_scale
     rng = np.random.Generator(np.random.PCG64(r & MASK64))
     # low-frequency structure (gradients) + noise → non-trivial phash
     gx = np.linspace(0, 255, w)[None, :]
@@ -178,12 +180,13 @@ def fetch_one(
     attempt: int,
     n_hosts: int,
     failure_pct: int = FAILURE_PCT,
+    px_scale: int = 1,
 ) -> FetchResult:
     """The fetch+decode boundary: returns the full page payload or a
     transient error. Pure function of its arguments."""
     if fetch_fails(url, attempt, failure_pct):
         return FetchResult(url=url, ok=False, error="synthetic transient error")
-    arr, fmt = image_for(url)
+    arr, fmt = image_for(url, px_scale)
     payload = encode_image(arr, fmt)
     return FetchResult(
         url=url,

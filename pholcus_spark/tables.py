@@ -79,23 +79,39 @@ class SnapshotStore:
         round_no: int,
         writes: dict[str, tuple[DataFrame, str]],
         meta: dict | None = None,
+        adopts: dict[str, tuple[str, str]] | None = None,
     ) -> int:
         """Commit one snapshot. ``writes[table] = (df, mode)`` where mode
         is 'append' (new files added to the table's file list) or
         'overwrite' (file list replaced). Tables not mentioned carry
-        their previous file lists forward unchanged."""
+        their previous file lists forward unchanged.
+
+        ``adopts[table] = (src_dir, mode)`` registers parquet files
+        already on disk (e.g. a round's staged fetch output) by RENAMING
+        the directory into the table — a zero-copy commit, the Iceberg
+        add-files analog. Adoption happens after all ``writes`` finish,
+        so writers may still read from ``src_dir`` while committing."""
         for table, (_df, mode) in writes.items():
             if mode not in ("append", "overwrite"):
                 raise ValueError(f"bad mode {mode!r} for table {table!r}")
+        for table, (_src, mode) in (adopts or {}).items():
+            if mode not in ("append", "overwrite"):
+                raise ValueError(f"bad adopt mode {mode!r} for table {table!r}")
         prev = self.read_manifest()
         snapshot_id = prev["snapshot_id"] + 1
         tables: dict[str, list[str]] = {k: list(v) for k, v in prev["tables"].items()}
+
+        _timing = os.environ.get("PHOLCUS_TIMING") == "1"
 
         def _write(item):
             table, (df, mode) = item
             rel = f"{table}/snap-{snapshot_id:08d}"
             out_dir = os.path.join(self.root, "data", rel)
+            t0 = time.time()
             df.write.mode("overwrite").parquet(out_dir)
+            if _timing:
+                print(f"  [commit {snapshot_id}] {table}: {time.time() - t0:.1f}s",
+                      flush=True)
             return table, mode, [
                 f"{rel}/{f}" for f in os.listdir(out_dir) if f.endswith(".parquet")
             ]
@@ -110,6 +126,22 @@ class SnapshotStore:
                 results = list(pool.map(_write, writes.items()))
         else:
             results = [_write(item) for item in writes.items()]
+        for table, (src_dir, mode) in (adopts or {}).items():
+            rel = f"{table}/snap-{snapshot_id:08d}"
+            out_dir = os.path.join(self.root, "data", rel)
+            os.makedirs(os.path.dirname(out_dir), exist_ok=True)
+            os.replace(src_dir, out_dir)
+            results.append(
+                (
+                    table,
+                    mode,
+                    [
+                        f"{rel}/{f}"
+                        for f in os.listdir(out_dir)
+                        if f.endswith(".parquet")
+                    ],
+                )
+            )
         for table, mode, new_files in results:
             if mode == "append":
                 tables.setdefault(table, []).extend(new_files)

@@ -1,0 +1,82 @@
+"""Sink surface (S2/S6/S8/S9): golden-shape checks mirroring the
+reference's collector tests (collector_test.go:133-360)."""
+
+from __future__ import annotations
+
+import csv
+import glob
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from pholcus_spark import sinks
+
+
+def _items(spark):
+    rows = [
+        ("page", "http://h1/a", b"\x01\x02", {"k": "v"}, 7),
+        ("page", "http://h1/b", b"\x03", None, 8),
+        ("root", "http://h2/c", None, {"x": "y"}, 9),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "rule string, url string, bytes binary, temp map<string,string>, n int",
+    )
+
+
+def test_write_csv_shape(spark, tmp_store_dir):
+    out = os.path.join(tmp_store_dir, "csv")
+    sinks.write_csv(_items(spark), out)
+    # one dir per rule value (namespace fan-out, output_util.go:8-39)
+    assert sorted(
+        os.path.basename(p) for p in glob.glob(out + "/rule=*")
+    ) == ["rule=page", "rule=root"]
+    files = glob.glob(out + "/rule=page/*.csv")
+    rows = []
+    for p in files:
+        with open(p) as f:
+            r = csv.DictReader(f)
+            rows.extend(r)
+    rows.sort(key=lambda x: x["url"])
+    assert rows[0]["bytes"] == "0102"  # binary hex-encoded
+    assert json.loads(rows[0]["temp"]) == {"k": "v"}  # complex JSON-encoded
+    assert rows[0]["n"] == "7"
+
+
+def test_kafka_frame_shape(spark):
+    kf = sinks.kafka_frame(_items(spark), "pholcus")
+    rows = kf.collect()
+    assert set(kf.columns) == {"topic", "key", "value"}
+    topics = {r["topic"] for r in rows}
+    assert topics == {"pholcus__page", "pholcus__root"}
+    payload = json.loads(
+        [r for r in rows if r["topic"] == "pholcus__root"][0]["value"]
+    )
+    assert payload["url"] == "http://h2/c" and payload["n"] == 9
+
+
+def test_export_files(spark, tmp_store_dir):
+    out = os.path.join(tmp_store_dir, "files")
+    df = spark.createDataFrame(
+        [("a.bin", b"hello"), ("b.bin", b"world")], "image_id string, bytes binary"
+    )
+    sinks.export_files(df, out)
+    assert open(os.path.join(out, "a.bin"), "rb").read() == b"hello"
+    assert open(os.path.join(out, "b.bin"), "rb").read() == b"world"
+
+
+def test_report(spark):
+    rep = {
+        r["rule"]: r
+        for r in sinks.report(_items(spark), "pholcus").collect()
+    }
+    assert rep["page"]["n_rows"] == 2 and rep["page"]["n_bytes"] == 3
+    assert rep["root"]["n_rows"] == 1 and rep["root"]["n_bytes"] == 0
+    assert rep["page"]["namespace"] == "pholcus"
+
+
+def test_namespaced_keyin_hash(spark):
+    df = sinks.namespaced(_items(spark), "spider", keyin="golang")
+    ns = df.select("namespace").first()["namespace"]
+    assert ns.startswith("spider__") and len(ns) == len("spider__") + 8

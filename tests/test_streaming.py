@@ -1,0 +1,72 @@
+"""Structured Streaming surface: exactly-once seed-file admission via
+foreachBatch + checkpoint, and watermarked windowed metrics."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from pholcus_spark import streaming
+
+
+def _write_seed_file(spark, seed_dir, urls, start_order):
+    rows = [(u, start_order + i) for i, u in enumerate(urls)]
+    spark.createDataFrame(rows, streaming.SEED_STREAM_SCHEMA).coalesce(
+        1
+    ).write.mode("append").parquet(seed_dir)
+
+
+def test_seed_stream_exactly_once(spark, tmp_store_dir):
+    seed_dir = os.path.join(tmp_store_dir, "seeds")
+    ckpt = os.path.join(tmp_store_dir, "ckpt")
+    out: list[tuple[int, list[str]]] = []
+
+    _write_seed_file(spark, seed_dir, ["http://H1.example.com/a#frag"], 0)
+    _write_seed_file(spark, seed_dir, ["http://h2.example.com/b"], 10)
+
+    def process(df, batch_id):
+        urls = sorted(r["url"] for r in df.collect())
+        out.append((batch_id, urls))
+
+    q = streaming.run_seed_stream(spark, seed_dir, ckpt, process)
+    q.awaitTermination(120)
+    seen_first = sorted(u for _b, us in out for u in us)
+    assert seen_first == [
+        "http://H1.example.com/a#frag",
+        "http://h2.example.com/b",
+    ]
+
+    # restart with one NEW file: only the new file is processed
+    out.clear()
+    _write_seed_file(spark, seed_dir, ["http://h3.example.com/c"], 20)
+    q2 = streaming.run_seed_stream(spark, seed_dir, ckpt, process)
+    q2.awaitTermination(120)
+    assert sorted(u for _b, us in out for u in us) == ["http://h3.example.com/c"]
+
+
+def test_windowed_metrics_matches_batch(spark, tmp_store_dir):
+    """Stream rollup over the driver events table == batch rollup."""
+    events_src = "/root/testdata/sf0.001/events.parquet"
+    events_dir = os.path.join(tmp_store_dir, "events_stream")
+    spark.read.parquet(events_src).coalesce(2).write.mode("overwrite").parquet(
+        events_dir
+    )
+    ckpt = os.path.join(tmp_store_dir, "ckpt_metrics")
+    q = streaming.run_windowed_metrics_stream(
+        spark, events_dir, ckpt, query_name="fm_test"
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value_cents"])
+        for r in spark.sql("SELECT * FROM fm_test").collect()
+    }
+    batch = streaming.windowed_fetch_metrics(
+        spark.read.parquet(events_src)
+    )
+    # batch path: same expression tree without the stream source
+    expected = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value_cents"])
+        for r in batch.collect()
+    }
+    assert got == expected and len(got) > 10
