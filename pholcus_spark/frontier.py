@@ -45,12 +45,17 @@ def with_url_key(df: DataFrame) -> DataFrame:
 
 def dedup_candidates(cands: DataFrame) -> DataFrame:
     """Within-batch dedup: first pushed wins (sequential Push semantics)
-    — keep the candidate with the smallest ``cand_order`` per url_key."""
-    w = Window.partitionBy("url_key").orderBy("cand_order")
+    — keep the candidate with the smallest ``cand_order`` per url_key.
+
+    Hash aggregate (min_by) rather than a ranking window: partial
+    aggregation combines duplicates map-side before the shuffle, and no
+    sort is needed — the cheaper plan at any scale (cand_order is
+    unique, so min_by is deterministic)."""
+    rest = [c for c in cands.columns if c != "url_key"]
     return (
-        cands.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        cands.groupBy("url_key")
+        .agg(F.min_by(F.struct(*rest), F.col("cand_order")).alias("_r"))
+        .select("url_key", "_r.*")
     )
 
 

@@ -450,6 +450,60 @@ GROUP BY 1, 2
 """
 
 
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: split each user's event stream on >30-minute
+    gaps (lag window → cumulative session index), roll up per session.
+    The crawl analog: grouping a host's fetch timeline into bursts
+    bounded by politeness idle gaps."""
+    ev = _t(spark, sf_dir, "events")
+    # microsecond-exact integer epochs (the timestamps carry sub-second
+    # precision; float epochs would split sessions differently per
+    # engine). TIMESTAMP_NTZ → TIMESTAMP first (session tz is UTC).
+    epoch = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = epoch - F.lag(epoch).over(w)
+    with_flag = ev.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > 1800 * 1_000_000), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    )
+    with_id = with_flag.withColumn(
+        "session_no",
+        F.sum("new_sess").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return with_id.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("first_event_id"),
+        (F.max(epoch) - F.min(epoch)).alias("duration_us"),
+    )
+
+
+SQL_EVENTS_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+  s AS (
+  SELECT user_id, event_id, ts,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+  FROM g)
+SELECT user_id, session_no,
+       count(*) AS n_events,
+       min(event_id) AS first_event_id,
+       CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS BIGINT) AS duration_us
+FROM s
+GROUP BY user_id, session_no
+"""
+
+
 def q_sink_kafka_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6 kafka sink shape: topic = namespace__rule, value = JSON row
     (output_kafka.go:38-83)."""
@@ -850,6 +904,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "keyin_fanout": q_keyin_fanout,
     "failure_union_requeue": q_failure_union_requeue,
     "events_tumbling_window": q_events_tumbling_window,
+    "events_sessionize": q_events_sessionize,
     "sink_kafka_shape": q_sink_kafka_shape,
     # training-data pipeline: dedup + text analysis
     "dedup_exact": q_dedup_exact,
@@ -888,6 +943,7 @@ ORACLE_SQL: dict[str, str] = {
     "keyin_fanout": SQL_KEYIN_FANOUT,
     "failure_union_requeue": SQL_FAILURE_UNION_REQUEUE,
     "events_tumbling_window": SQL_EVENTS_TUMBLING_WINDOW,
+    "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "sink_kafka_shape": SQL_SINK_KAFKA_SHAPE,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,

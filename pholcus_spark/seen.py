@@ -19,9 +19,10 @@ updates touch only the buckets a round's new keys fall in. Sizing: at
 to broadcast, exactly right as a bucket-partitioned table (~1.2 MB per
 bucket at 2^13 buckets).
 
-A cuckoo-filter variant (deletions — e.g. evicting re-admitted
-failures) can slot into the same table shape; bloom needs no deletions
-because ``url_seen`` is append-only in Matrix semantics.
+``CuckooFilter`` is the deletion-capable variant (north-rule fallback):
+same per-bucket table shape, used when seen entries must be evicted
+(e.g. un-marking a URL so a re-crawl re-admits it). Matrix semantics
+keep ``url_seen`` append-only, so the engine defaults to bloom.
 
 All membership math is vectorized numpy inside Arrow-batched
 ``applyInPandas`` — no per-row Python.
@@ -186,3 +187,86 @@ def anti_join_seen_bloom(
     )
     reloadable = cands.filter(F.col("reloadable"))
     return fresh.unionByName(maybes).unionByName(reloadable)
+
+
+class CuckooFilter:
+    """Deletion-capable seen-set sketch (the cuckoo-filter fallback).
+
+    Standard 2-choice cuckoo hashing with 4-slot buckets and 16-bit
+    fingerprints (~3 per-mille FPR): insert kicks resident fingerprints
+    between their two candidate buckets; delete removes a matching
+    fingerprint from either bucket, which bloom filters cannot do.
+    Serializes to bytes for the ``seen_sketch`` table shape
+    ``(bucket, sketch)``.
+    """
+
+    SLOTS = 4
+    MAX_KICKS = 500
+
+    def __init__(self, n_buckets: int = 1 << 12, table: np.ndarray | None = None):
+        assert n_buckets & (n_buckets - 1) == 0, "n_buckets must be 2^k"
+        self.n_buckets = n_buckets
+        self.table = (
+            table
+            if table is not None
+            else np.zeros((n_buckets, self.SLOTS), dtype=np.uint16)
+        )
+
+    def _fingerprint(self, key: int) -> int:
+        fp = int(_mix(np.array([key], dtype=np.int64), np.uint64(0xDEADBEEF))[0]) & 0xFFFF
+        return fp or 1  # 0 means empty slot
+
+    def _index(self, key: int) -> int:
+        return int(_mix(np.array([key], dtype=np.int64), np.uint64(0x1234ABCD))[0]) % self.n_buckets
+
+    def _alt_index(self, i: int, fp: int) -> int:
+        h = int(_mix(np.array([fp], dtype=np.int64), np.uint64(0x5BD1E995))[0])
+        return (i ^ h) % self.n_buckets
+
+    def insert(self, key: int) -> bool:
+        fp = self._fingerprint(key)
+        i1 = self._index(key)
+        i2 = self._alt_index(i1, fp)
+        for i in (i1, i2):
+            empty = np.flatnonzero(self.table[i] == 0)
+            if len(empty):
+                self.table[i][empty[0]] = fp
+                return True
+        # kick a random-ish resident (deterministic: slot by fp)
+        i = i1
+        for kick in range(self.MAX_KICKS):
+            slot = (fp + kick) % self.SLOTS
+            fp, self.table[i][slot] = int(self.table[i][slot]), fp
+            i = self._alt_index(i, fp)
+            empty = np.flatnonzero(self.table[i] == 0)
+            if len(empty):
+                self.table[i][empty[0]] = fp
+                return True
+        return False  # table full — caller should resize
+
+    def contains(self, key: int) -> bool:
+        fp = self._fingerprint(key)
+        i1 = self._index(key)
+        i2 = self._alt_index(i1, fp)
+        return bool((self.table[i1] == fp).any() or (self.table[i2] == fp).any())
+
+    def delete(self, key: int) -> bool:
+        fp = self._fingerprint(key)
+        i1 = self._index(key)
+        i2 = self._alt_index(i1, fp)
+        for i in (i1, i2):
+            hit = np.flatnonzero(self.table[i] == fp)
+            if len(hit):
+                self.table[i][hit[0]] = 0
+                return True
+        return False
+
+    def to_bytes(self) -> bytes:
+        return self.table.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes, n_buckets: int = 1 << 12) -> "CuckooFilter":
+        table = np.frombuffer(data, dtype=np.uint16).reshape(
+            n_buckets, cls.SLOTS
+        ).copy()
+        return cls(n_buckets, table)

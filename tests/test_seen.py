@@ -93,3 +93,27 @@ def test_engine_bloom_path_matches_exact(spark, tmp_store_dir):
         assert eng_exact.visits_log() == eng_bloom.visits_log()
     finally:
         eng_bloom.store.destroy()
+
+
+def test_cuckoo_filter_insert_contains_delete():
+    cf = S.CuckooFilter(n_buckets=1 << 10)
+    rng = np.random.default_rng(11)
+    keys = [int(k) for k in rng.integers(-(2**62), 2**62, 2000, dtype=np.int64)]
+    for k in keys:
+        assert cf.insert(k)
+    assert all(cf.contains(k) for k in keys)
+    # deletions actually remove (the capability bloom lacks)
+    for k in keys[:500]:
+        assert cf.delete(k)
+    fpr = sum(cf.contains(k) for k in keys[:500]) / 500
+    assert fpr < 0.05
+    assert all(cf.contains(k) for k in keys[500:])
+
+
+def test_cuckoo_filter_bytes_roundtrip():
+    cf = S.CuckooFilter(n_buckets=1 << 8)
+    for k in range(300):
+        cf.insert(k * 7919)
+    clone = S.CuckooFilter.from_bytes(cf.to_bytes(), n_buckets=1 << 8)
+    assert all(clone.contains(k * 7919) for k in range(300))
+    assert clone.delete(0)
