@@ -1,0 +1,140 @@
+"""robots.txt parsing → per-host politeness config (north-rule
+addition; the reference has neither robots support nor per-host delay —
+its only politeness is a global randomized pause,
+``app/crawler/crawler.go:53-59``).
+
+``parse_robots`` implements the de-facto robots.txt subset that
+matters for crawl scheduling: User-agent groups, Disallow/Allow
+prefixes, Crawl-delay — comments/BOM/case handled. Matching picks the
+most specific applicable group (exact agent token, else ``*``).
+
+``politeness_from_robots`` vectorizes it over a DataFrame of fetched
+robots bodies ``(host, robots_txt)`` via Arrow-batched mapInPandas and
+emits the engine's POLITENESS_SCHEMA rows (crawl_delay_ms, disallow
+prefixes, per-round budget).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+from .schemas import POLITENESS_SCHEMA
+
+DEFAULT_DELAY_MS = 300  # reference Pausetime default, config/config.go:157
+MAX_DELAY_MS = 60_000
+
+
+@dataclass
+class RobotsPolicy:
+    crawl_delay_ms: int = DEFAULT_DELAY_MS
+    disallow: list[str] = field(default_factory=list)
+    allow: list[str] = field(default_factory=list)
+
+    def allows(self, path: str) -> bool:
+        """Longest-match wins between Allow and Disallow (Google
+        semantics); empty Disallow matches nothing."""
+        best_dis = max((len(p) for p in self.disallow if p and path.startswith(p)),
+                       default=-1)
+        best_allow = max((len(p) for p in self.allow if p and path.startswith(p)),
+                         default=-1)
+        return best_allow >= best_dis
+
+
+def parse_robots(text: str, agent: str = "pholcus") -> RobotsPolicy:
+    """Parse one robots.txt body for ``agent``. Returns permissive
+    defaults on empty/garbage input (crawl-on-missing-robots, the
+    common convention)."""
+    if not text:
+        return RobotsPolicy()
+    agent = agent.lower()
+    groups: dict[str, RobotsPolicy] = {}
+    current_agents: list[str] = []
+    last_was_agent = False
+    for raw in text.splitlines():
+        line = raw.lstrip("﻿").split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            token = val.lower()
+            if last_was_agent:
+                current_agents.append(token)
+            else:
+                current_agents = [token]
+            groups.setdefault(token, RobotsPolicy())
+            last_was_agent = True
+            continue
+        last_was_agent = False
+        if not current_agents:
+            continue
+        for token in current_agents:
+            pol = groups[token]
+            if key == "disallow":
+                if val:
+                    pol.disallow.append(val)
+            elif key == "allow":
+                if val:
+                    pol.allow.append(val)
+            elif key == "crawl-delay":
+                try:
+                    ms = int(float(val) * 1000)
+                    pol.crawl_delay_ms = max(0, min(ms, MAX_DELAY_MS))
+                except ValueError:
+                    pass
+    # most specific applicable group: exact token, else longest token
+    # that is a substring of the agent, else '*'
+    if agent in groups:
+        return groups[agent]
+    sub = [t for t in groups if t != "*" and t in agent]
+    if sub:
+        return groups[max(sub, key=len)]
+    return groups.get("*", RobotsPolicy())
+
+
+def host_budget(crawl_delay_ms: int, round_duration_ms: int) -> int:
+    return max(1, round_duration_ms // max(1, crawl_delay_ms))
+
+
+def politeness_from_robots(
+    robots_bodies: DataFrame,
+    agent: str = "pholcus",
+    round_duration_ms: int = 1000,
+) -> DataFrame:
+    """(host, robots_txt) → POLITENESS_SCHEMA rows, vectorized.
+
+    At scale this runs once per politeness refresh over the robots
+    corpus (one row per host — small relative to the frontier) and the
+    result broadcasts into the scheduling joins.
+    """
+
+    def _parse(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdf_iter:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                pol = parse_robots(r.robots_txt or "", agent)
+                rows.append(
+                    {
+                        "host": r.host,
+                        "crawl_delay_ms": pol.crawl_delay_ms,
+                        "robots_disallow": pol.disallow,
+                        "max_per_round": host_budget(
+                            pol.crawl_delay_ms, round_duration_ms
+                        ),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["host", "crawl_delay_ms", "robots_disallow",
+                         "max_per_round"],
+            )
+
+    return robots_bodies.select("host", "robots_txt").mapInPandas(
+        _parse, POLITENESS_SCHEMA
+    )

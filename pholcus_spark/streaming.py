@@ -112,3 +112,84 @@ def run_windowed_metrics_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --- custom stateful operator: cross-batch streaming URL dedup ---
+
+DEDUP_STATE_SCHEMA = "seen binary"
+DEDUP_OUT_SCHEMA = "url_key long, url string, cand_order long"
+
+
+def _dedup_fn(key, pdf_iter, state):
+    """applyInPandasWithState body: per-bucket running seen-set (a
+    numpy int64 array in state), emit only first-seen rows. Vectorized
+    membership via np.isin per Arrow batch."""
+    import numpy as np
+    import pandas as pd
+
+    if state.exists:
+        (blob,) = state.get
+        seen = np.frombuffer(blob, dtype=np.int64)
+    else:
+        seen = np.empty(0, dtype=np.int64)
+    out = []
+    for pdf in pdf_iter:
+        keys = pdf["url_key"].to_numpy(np.int64)
+        # within-batch first-wins + cross-batch state check
+        pdf = pdf.sort_values("cand_order")
+        first_in_batch = ~pdf["url_key"].duplicated()
+        fresh_mask = ~np.isin(pdf["url_key"].to_numpy(np.int64), seen)
+        fresh = pdf[first_in_batch & fresh_mask]
+        out.append(fresh[["url_key", "url", "cand_order"]])
+        seen = np.union1d(seen, keys)
+    state.update((seen.tobytes(),))
+    if out:
+        yield pd.concat(out)
+
+
+def stateful_url_dedup(candidates: DataFrame, n_buckets: int = 32) -> DataFrame:
+    """Streaming frontier dedup as a custom stateful operator
+    (applyInPandasWithState): candidates stream in, only first-ever
+    occurrences stream out; the seen-set lives in Spark's state store,
+    bucketed by ``pmod(url_key, n_buckets)`` so state shards across
+    executors. The batch engine's equivalent is the url_seen anti-join;
+    this is the continuous form (north rule: custom stateful operators
+    via applyInPandasWithState)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    keyed = candidates.withColumn(
+        "bucket", F.pmod(F.col("url_key"), F.lit(n_buckets)).cast("int")
+    )
+    return keyed.groupBy("bucket").applyInPandasWithState(
+        _dedup_fn,
+        outputStructType=DEDUP_OUT_SCHEMA,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stateful_dedup_stream(
+    spark: SparkSession,
+    cand_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+):
+    """Drive the stateful dedup over a file-source candidate stream
+    into a parquet sink (the memory sink cannot recover from a
+    checkpoint); the checkpoint persists the seen state across restarts
+    (one file per trigger → cross-batch dedup is exercised)."""
+    src = (
+        spark.readStream.schema("url_key long, url string, cand_order long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(cand_dir)
+    )
+    return (
+        stateful_url_dedup(src)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
