@@ -472,3 +472,21 @@ class CrawlEngine:
 
     def rounds_df(self) -> DataFrame:
         return self.load("rounds", ROUNDS_SCHEMA)
+
+    def register_views(self, prefix: str = "crawl") -> list[str]:
+        """Expose crawl state to spark.sql as temp views
+        (``<prefix>_pending``, ``_fetched``, ``_items``, ``_resolved``,
+        ``_failures``, ``_url_seen``, ``_rounds``) — the engine's
+        tables are then queryable like any warehouse table."""
+        views = {
+            f"{prefix}_pending": self.load("pending", FRONTIER_SCHEMA),
+            f"{prefix}_fetched": self.fetched_df(),
+            f"{prefix}_items": self.items_df(),
+            f"{prefix}_resolved": self.resolved_df(),
+            f"{prefix}_failures": self.failures_df(),
+            f"{prefix}_url_seen": self.load("url_seen", URL_SEEN_SCHEMA),
+            f"{prefix}_rounds": self.rounds_df(),
+        }
+        for name, df in views.items():
+            df.createOrReplaceTempView(name)
+        return sorted(views)

@@ -180,3 +180,62 @@ def test_split_results_dohistory(spark):
     assert rq[0]["status"] == "pending"
     fl = failed.collect()
     assert [r["url_key"] for r in fl] == [3] and fl[0]["status"] == "failed"
+
+
+def test_zipf_hot_host_skew_bounded(spark):
+    """Hot-host skew (SURVEY §7 step 6): one host owning ~60% of the
+    frontier must not defeat the per-host cap, and the salted two-phase
+    ranking must pick exactly the same rows as the semantic contract
+    (top max_per_round per host by priority desc, seq asc)."""
+    rows = []
+    order = 0
+    for host, n in (("hot", 600), ("warm", 250), ("c1", 80), ("c2", 70)):
+        for i in range(n):
+            rows.append(_cand(f"/{i}", host, order, priority=i % 3))
+            order += 1
+    cands = spark.createDataFrame(rows, CAND_SCHEMA)
+    pol = spark.createDataFrame(
+        [("hot", 300, [], 5), ("warm", 300, [], 5), ("c1", 300, [], 5),
+         ("c2", 300, [], 5)],
+        POLITENESS_SCHEMA,
+    )
+    pending, _n = FR.enqueue(cands, _seen(spark), pol, 0, 0, None)
+    pending = pending.cache()
+    batch = FR.select_batch(pending, pol, 1000).collect()
+    by_host = {}
+    for r in batch:
+        by_host.setdefault(r["host"], []).append(r)
+    # cap holds even for the hot host
+    assert {h: len(v) for h, v in by_host.items()} == {
+        "hot": 5, "warm": 5, "c1": 5, "c2": 5
+    }
+    # and the picked rows are exactly the per-host top-(priority,seq)
+    all_rows = pending.collect()
+    for host, picked in by_host.items():
+        expect = sorted(
+            [r for r in all_rows if r["host"] == host],
+            key=lambda r: (-r["priority"], r["seq"]),
+        )[:5]
+        assert sorted(r["url_key"] for r in picked) == sorted(
+            r["url_key"] for r in expect
+        )
+
+
+def test_register_views(spark, tmp_store_dir):
+    from pholcus_spark import synthetic
+    from pholcus_spark.crawler import CrawlEngine
+    from pholcus_spark.oracle import CrawlConfig
+    from pholcus_spark.tables import SnapshotStore
+
+    cfg = CrawlConfig(n_hosts=8, batch_size=10, limit=30)
+    eng = CrawlEngine(spark, SnapshotStore(tmp_store_dir), cfg)
+    eng.run(synthetic.seed_urls(6, cfg.n_hosts))
+    views = eng.register_views()
+    assert "crawl_items" in views
+    n_items = spark.sql("SELECT count(*) AS n FROM crawl_items").first()["n"]
+    assert n_items == eng.items_df().count() > 0
+    joined = spark.sql(
+        """SELECT f.url, r.status FROM crawl_fetched f
+           JOIN crawl_resolved r USING (url_key) LIMIT 5"""
+    ).collect()
+    assert len(joined) > 0
