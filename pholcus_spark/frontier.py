@@ -208,6 +208,7 @@ def select_batch(
     politeness: DataFrame,
     batch_size: int,
     salt_k: int = SALT_K,
+    fair_share_spiders: bool = False,
 ) -> DataFrame:
     """Matrix.Pull × batch: the per-round dispatch set.
 
@@ -241,6 +242,30 @@ def select_batch(
     # cheap JVM-only agg on the cached capped set.
     if p.count() <= batch_size:
         return p
+    if fair_share_spiders:
+        # F4 fair share (scheduler avgRes, matrix.go:73-79): when the
+        # cap binds, each spider is guaranteed batch//n_spiders slots
+        # (its own priority/FIFO order); leftover slots fill globally.
+        n_spiders = p.select("spider").distinct().count()
+        quota = max(1, batch_size // max(n_spiders, 1))
+        ws = Window.partitionBy("spider").orderBy(
+            F.desc("priority"), F.asc("seq")
+        )
+        ranked = p.withColumn("_rs", F.row_number().over(ws)).cache()
+        guaranteed = ranked.filter(F.col("_rs") <= quota)
+        leftover_slots = batch_size - min(quota * n_spiders, batch_size)
+        if leftover_slots > 0:
+            extra = (
+                ranked.filter(F.col("_rs") > quota)
+                .orderBy(F.desc("priority"), F.asc("seq"))
+                .limit(leftover_slots)
+            )
+            out = guaranteed.unionByName(extra)
+        else:
+            out = guaranteed.orderBy(
+                F.desc("priority"), F.asc("seq")
+            ).limit(batch_size)
+        return out.drop("_rs")
     return p.orderBy(F.desc("priority"), F.asc("seq")).limit(batch_size)
 
 

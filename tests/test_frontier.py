@@ -239,3 +239,31 @@ def test_register_views(spark, tmp_store_dir):
            JOIN crawl_resolved r USING (url_key) LIMIT 5"""
     ).collect()
     assert len(joined) > 0
+
+
+def test_fair_share_across_spiders(spark):
+    """F4 avgRes (scheduler.go:93-99): with the batch cap binding, each
+    spider is guaranteed batch//n_spiders slots; a spider flooding the
+    frontier cannot starve the other."""
+    rows = []
+    order = 0
+    for spider, n, prio in (("spA", 200, 5), ("spB", 30, 0)):
+        for i in range(n):
+            r = _cand(f"/{spider}/{i}", "h1", order, priority=prio)
+            rows.append(tuple([r[0], r[1], spider] + list(r[3:])))
+            order += 1
+    cands = spark.createDataFrame(rows, CAND_SCHEMA)
+    pol = spark.createDataFrame([("h1", 300, [], 1000)], POLITENESS_SCHEMA)
+    pending, _n = FR.enqueue(cands, _seen(spark), pol, 0, 0, None)
+    pending = pending.cache()
+
+    # without fair share: spA's priority 5 floods the whole batch
+    batch = FR.select_batch(pending, pol, 20).collect()
+    assert all(r["spider"] == "spA" for r in batch)
+
+    # with fair share: each spider gets its quota
+    fair = FR.select_batch(pending, pol, 20, fair_share_spiders=True).collect()
+    counts = {}
+    for r in fair:
+        counts[r["spider"]] = counts.get(r["spider"], 0) + 1
+    assert counts == {"spA": 10, "spB": 10}
