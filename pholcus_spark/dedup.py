@@ -143,6 +143,41 @@ def ngram_jaccard_pairs(docs: DataFrame, shingle_k: int = 3,
     )
 
 
+def minhash_verified_pairs(
+    docs: DataFrame,
+    k: int = 8,
+    band_rows: int = 2,
+    shingle_k: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """The scale-path dedup pipeline: LSH banding proposes candidate
+    pairs (bounded buckets, no all-pairs), exact shingle-Jaccard
+    verifies only those candidates. This is the composition a 100 TB
+    corpus runs — the exact join's pair count is O(|candidates|), not
+    O(n²)."""
+    cand = minhash_candidate_pairs(docs, k, band_rows, shingle_k)
+    sh = docs.select(
+        "doc_id",
+        F.array_distinct(word_shingles(words(F.col("text")), shingle_k)).alias(
+            "sh"
+        ),
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter / union, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def simhash_bits(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """SimHash per doc as a 60-char bitstring (bit 0 first).
 

@@ -687,6 +687,40 @@ WHERE jaccard >= {JACCARD_THRESHOLD}
 """
 
 
+MINHASH_VERIFY_THRESHOLD = 0.2
+
+
+def q_dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_verified_pairs(
+        _t(spark, sf_dir, "documents"),
+        MINHASH_K,
+        MINHASH_BAND_ROWS,
+        threshold=MINHASH_VERIFY_THRESHOLD,
+    )
+
+
+def _minhash_verified_sql() -> str:
+    base = _minhash_sql().rstrip()
+    return f"""
+WITH cand AS ({base}),
+  d AS (SELECT doc_id, list_distinct(sh) AS sh FROM (
+          SELECT doc_id,
+                 list_transform(range(0, greatest(len(ws) - 2, 0)),
+                                i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]) AS sh
+          FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) w) s)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT doc_a, doc_b,
+         round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+  FROM cand JOIN d a ON a.doc_id = cand.doc_a
+            JOIN d b ON b.doc_id = cand.doc_b) t
+WHERE jaccard >= {MINHASH_VERIFY_THRESHOLD}
+"""
+
+
+SQL_DEDUP_MINHASH_VERIFIED = _minhash_verified_sql()
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_bits(_t(spark, sf_dir, "documents"))
 
@@ -909,6 +943,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # training-data pipeline: dedup + text analysis
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_minhash_verified": q_dedup_minhash_verified,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_simhash": q_dedup_simhash,
     "text_tokens": q_text_tokens,
@@ -947,6 +982,7 @@ ORACLE_SQL: dict[str, str] = {
     "sink_kafka_shape": SQL_SINK_KAFKA_SHAPE,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
+    "dedup_minhash_verified": SQL_DEDUP_MINHASH_VERIFIED,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "text_tokens": SQL_TEXT_TOKENS,
