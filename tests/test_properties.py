@@ -1,0 +1,87 @@
+"""Property-based tests (hypothesis) for the invariant-heavy
+primitives: URL canonicalization, the Spark-parity xxhash64, the PNG
+codec round-trip, and bloom soundness. No Spark session needed —
+these pin the pure kernels the distributed operators are built on."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pholcus_spark import seen
+from pholcus_spark.hashing import url_key, xxh64
+from pholcus_spark.imaging import decode_png, encode_png, phash64
+from pholcus_spark.urlnorm import canonicalize, host_of
+
+url_chars = st.text(
+    alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+    min_size=0,
+    max_size=30,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    scheme=st.sampled_from(["http", "HTTP", "https"]),
+    host=st.from_regex(r"[A-Za-z0-9]([A-Za-z0-9.-]{0,20}[A-Za-z0-9])?", fullmatch=True),
+    path=url_chars,
+    frag=url_chars,
+)
+def test_canonicalize_idempotent(scheme, host, path, frag):
+    u = f"{scheme}://{host}/{path}#{frag}"
+    c = canonicalize(u)
+    if c:
+        assert canonicalize(c) == c  # idempotence
+        assert "#" not in c  # fragment stripped
+        h = host_of(c)
+        assert h == h.lower()
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=0, max_size=200), st.integers(0, 2**63 - 1))
+def test_xxh64_deterministic_and_seeded(data, seed):
+    a = xxh64(data, seed)
+    assert a == xxh64(data, seed)
+    assert 0 <= a < 2**64
+    # seed sensitivity (differing seeds should virtually never collide)
+    if data:
+        assert xxh64(data, seed) != xxh64(data, (seed + 1) & (2**63 - 1)) or not data
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.text(min_size=0, max_size=20),
+    st.text(min_size=0, max_size=20),
+)
+def test_url_key_stability(spider, rule):
+    """Same tuple → same key (the dedup contract, request.go:139-145);
+    signed-64 range."""
+    k1 = url_key(spider, rule, "http://h/x", "GET")
+    assert k1 == url_key(spider, rule, "http://h/x", "GET")
+    assert -(2**63) <= k1 < 2**63
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_png_roundtrip_exact(w, h, seed):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert (decode_png(encode_png(arr)) == arr).all()
+    # phash is a pure function of pixels
+    assert phash64(arr) == phash64(arr.copy())
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(-(2**62), 2**62), min_size=0, max_size=500, unique=True))
+def test_bloom_soundness(keys):
+    params = seen.BloomParams(n_buckets=4, bits_per_bucket=1 << 12, n_hashes=5)
+    bitset = np.zeros(params.bits_per_bucket // 8, dtype=np.uint8)
+    arr = np.array(keys, dtype=np.int64)
+    seen.bitset_or_keys(bitset, arr, params)
+    if len(arr):
+        assert seen.contains_keys(bitset, arr, params).all()  # never FN
