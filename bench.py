@@ -87,7 +87,7 @@ def bench_crawl(spark) -> dict:
     from pholcus_spark import synthetic
     from pholcus_spark.oracle import CrawlConfig
 
-    cap_n = 20000
+    cap_n = 40000
     cap_cfg = CrawlConfig(
         n_hosts=1000,
         batch_size=10 * cap_n,
