@@ -131,3 +131,32 @@ def test_resume_from_snapshot(spark, tmp_path):
         resumed.items_df().select("image_id").orderBy("image_id").collect()
         == full.items_df().select("image_id").orderBy("image_id").collect()
     )
+
+
+def test_resume_ignores_orphan_files(spark, tmp_path):
+    """A kill DURING a commit leaves data files without a manifest
+    entry (the manifest pointer flip is the atomic step). Resume must
+    read only manifest-listed files — orphans are invisible garbage."""
+    import os
+
+    cfg = CrawlConfig(n_hosts=8, batch_size=10, limit=40)
+    seeds = synthetic.seed_urls(6, cfg.n_hosts)
+
+    full = CrawlEngine(spark, SnapshotStore(str(tmp_path / "full")), cfg)
+    full.run(seeds)
+
+    part_store = SnapshotStore(str(tmp_path / "partial"))
+    partial = CrawlEngine(spark, part_store, cfg)
+    partial.run(seeds, max_rounds=2)
+    # simulate the torn commit: stray data files in several tables
+    for table in ("fetched", "url_seen", "pending"):
+        orphan = os.path.join(part_store.root, "data", table, "snap-99999999")
+        os.makedirs(orphan, exist_ok=True)
+        spark.range(5).selectExpr("id AS url_key").write.mode(
+            "overwrite"
+        ).parquet(orphan)
+
+    resumed = CrawlEngine(spark, SnapshotStore(str(tmp_path / "partial")), cfg)
+    resumed.run(seeds)
+    assert resumed.visits_log() == full.visits_log()
+    assert resumed.url_seen_set() == full.url_seen_set()
