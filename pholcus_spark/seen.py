@@ -173,20 +173,32 @@ def anti_join_seen_bloom(
     url_seen: DataFrame,
     sketch: DataFrame,
     params: BloomParams = BloomParams(),
+    broadcast_confirm: bool = False,
 ) -> DataFrame:
     """Drop-in replacement for frontier.anti_join_seen: bloom-prefilter
     then exact confirmation only for the 'maybe' remainder. Result is
     identical to the exact anti-join (bloom has no false negatives);
-    the exact join's probe side shrinks from |cands| to |maybes|."""
+    the exact join's probe side shrinks from |cands| to |maybes|.
+
+    With ``broadcast_confirm``, the confirmation inverts so the big
+    ``url_seen`` table never shuffles: broadcast the maybe-keys into a
+    semi-join SCAN of url_seen (hash probe per row), then anti-join
+    the maybes against the (small) hit set. Use when the maybe set is
+    known-small (low FPR and few duplicate links); with heavy
+    duplication the default shuffle join is the safe plan.
+    """
     tagged = prefilter(cands.filter(~F.col("reloadable")), sketch, params)
     fresh = tagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
-    maybes = (
-        tagged.filter(F.col("maybe_seen"))
-        .drop("maybe_seen")
-        .join(url_seen, "url_key", "left_anti")
-    )
+    maybes = tagged.filter(F.col("maybe_seen")).drop("maybe_seen")
+    if broadcast_confirm:
+        hits = url_seen.join(
+            F.broadcast(maybes.select("url_key")), "url_key", "left_semi"
+        )
+        confirmed_new = maybes.join(F.broadcast(hits), "url_key", "left_anti")
+    else:
+        confirmed_new = maybes.join(url_seen, "url_key", "left_anti")
     reloadable = cands.filter(F.col("reloadable"))
-    return fresh.unionByName(maybes).unionByName(reloadable)
+    return fresh.unionByName(confirmed_new).unionByName(reloadable)
 
 
 class CuckooFilter:

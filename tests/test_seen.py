@@ -117,3 +117,25 @@ def test_cuckoo_filter_bytes_roundtrip():
     clone = S.CuckooFilter.from_bytes(cf.to_bytes(), n_buckets=1 << 8)
     assert all(clone.contains(k * 7919) for k in range(300))
     assert clone.delete(0)
+
+
+def test_anti_join_bloom_broadcast_confirm_equals_exact(spark):
+    """broadcast_confirm inverts the confirm join (url_seen scanned,
+    never shuffled) — results must still equal the exact anti-join."""
+    from pholcus_spark import frontier as FR
+    from tests.test_frontier import CAND_SCHEMA, _cand
+
+    cands = spark.createDataFrame(
+        [_cand(f"/{i}", "h1", i) for i in range(80)], CAND_SCHEMA
+    )
+    keyed = FR.with_url_key(cands)
+    seen_keys = keyed.limit(30).select("url_key")
+    sketch = S.build_sketch(seen_keys, PARAMS)
+    exact = {r["url_key"] for r in FR.anti_join_seen(keyed, seen_keys).collect()}
+    bc = {
+        r["url_key"]
+        for r in S.anti_join_seen_bloom(
+            keyed, seen_keys, sketch, PARAMS, broadcast_confirm=True
+        ).collect()
+    }
+    assert bc == exact
