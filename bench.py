@@ -35,13 +35,28 @@ BENCH_QUERIES = [
     "events_tumbling_window",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_minhash_verified",
+    "dedup_ngram_jaccard",
     "dedup_simhash",
     "text_quality",
     "doc_fingerprint",
     "embed_cosine_topk",
     "embed_lsh_ann",
     "images_decode_meta",
+    "method_dispatch",
+    "html_helpers",
+    "charset_detect",
 ]
+
+
+def _loadavg() -> list[float]:
+    """1/5/15-min load — recorded so round-over-round numbers carry
+    their measurement conditions (the box is shared)."""
+    try:
+        with open("/proc/loadavg") as f:
+            return [float(x) for x in f.read().split()[:3]]
+    except OSError:
+        return []
 
 CRAWL_LIMIT = 800
 CRAWL_BATCH = 256
@@ -57,7 +72,11 @@ def _run_crawl(spark, cfg, seeds) -> dict:
     try:
         eng = CrawlEngine(spark, SnapshotStore(store_dir), cfg)
         t0 = time.time()
-        rounds = eng.run(seeds)
+        eng.bootstrap(seeds)
+        t_boot = time.time() - t0
+        t1 = time.time()
+        rounds = eng.run()
+        t_rounds = time.time() - t1
         wall = time.time() - t0
         visits = eng.fetched_df().count()
         items = eng.items_df().count()
@@ -66,7 +85,10 @@ def _run_crawl(spark, cfg, seeds) -> dict:
             "visits": visits,
             "items": items,
             "wall_s": round(wall, 2),
+            "bootstrap_s": round(t_boot, 2),
+            "rounds_wall_s": round(t_rounds, 2),
             "urls_per_sec": round(visits / wall, 2),
+            "urls_per_sec_rounds": round(visits / max(t_rounds, 1e-9), 2),
         }
     finally:
         shutil.rmtree(store_dir, ignore_errors=True)
@@ -115,6 +137,63 @@ def bench_crawl(spark) -> dict:
     return {"capacity": capacity, "polite": polite}
 
 
+def bench_seen_confirm(spark, n_seen: int = 10_000_000,
+                       n_cands: int = 100_000, rounds: int = 3) -> dict:
+    """The VERDICT-r1 #1 scale item, measured: confirm anti-join of a
+    candidate batch against a PRE-SEEDED 10M-key bucketed url_seen
+    table. The table never shuffles (bucketed scan side of the SMJ);
+    per-round cost must stay flat while the table keeps growing.
+    Broadcast is disabled so the plan is the same one a 10^10-key table
+    would get."""
+    from pyspark.sql import functions as F
+
+    from pholcus_spark.seen_catalog import BucketedSeen
+
+    store_dir = tempfile.mkdtemp(prefix="pholcus_seen_")
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    out: dict = {}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        cat = BucketedSeen(spark, store_dir, n_buckets=32)
+        os.makedirs(os.path.join(store_dir, "data"), exist_ok=True)
+        cat.open(0, [])
+        t0 = time.time()
+        files = cat.append(
+            spark.range(n_seen).select(F.xxhash64("id").alias("url_key")), 0
+        )
+        out["build_s"] = round(time.time() - t0, 2)
+        out["n_seen"] = n_seen
+        per_round = []
+        next_id = n_seen
+        for r in range(rounds):
+            t0 = time.time()
+            # half the candidates hit the seen set, half are new
+            hits = spark.range(r * n_cands // 2, (r + 1) * n_cands // 2)
+            news = spark.range(next_id, next_id + n_cands // 2)
+            cands = hits.union(news).select(
+                F.xxhash64("id").alias("url_key")
+            )
+            fresh = cands.join(cat.df(), "url_key", "left_anti")
+            n_new = fresh.count()
+            cat.append(fresh, 0)  # table grows every round, like a crawl
+            next_id += n_cands // 2
+            per_round.append(round(time.time() - t0, 2))
+            assert n_new == n_cands // 2, n_new
+        out["round_s"] = per_round
+        # plan audit: exactly one Exchange (the candidate side)
+        probe = spark.range(1000).select(F.xxhash64("id").alias("url_key"))
+        plan = (
+            probe.join(cat.df(), "url_key", "left_anti")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        out["seen_side_bucketed"] = "Bucketed: true" in plan
+        out["n_exchanges"] = plan.count("Exchange")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        shutil.rmtree(store_dir, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -124,11 +203,15 @@ def main() -> None:
 
     spark = get_spark("pholcus_bench", cores=cores)
 
+    load_start = _loadavg()
     timings: dict[str, float] = {}
     t_all = time.time()
     crawl = bench_crawl(spark)
     timings["crawl_capacity"] = crawl["capacity"]["wall_s"]
     timings["crawl_polite"] = crawl["polite"]["wall_s"]
+
+    seen_confirm = bench_seen_confirm(spark)
+    timings["seen_confirm_10m"] = sum(seen_confirm["round_s"])
 
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
@@ -147,6 +230,9 @@ def main() -> None:
         "sf": sf_dir,
         "cores": cores,
         "crawl": crawl,
+        "seen_confirm": seen_confirm,
+        "load_start": load_start,
+        "load_end": _loadavg(),
         "total_s": total,
     }
     print(json.dumps(out))

@@ -89,6 +89,44 @@ class CrawlEngine:
         self.store = store
         self.cfg = cfg
         self._politeness = self._build_politeness()
+        self._seen_cat = None
+        if getattr(cfg, "seen_buckets", 0):
+            from .seen_catalog import BucketedSeen
+
+            self._seen_cat = BucketedSeen(spark, store.root, cfg.seen_buckets)
+            self._open_seen_catalog()
+
+    def _open_seen_catalog(self) -> None:
+        """Register the bucketed url_seen table over the committed
+        snapshot (reconciling torn-commit orphans); a store written in
+        plain (non-bucketed) mode is migrated in place."""
+        manifest = self.store.read_manifest()
+        meta = manifest.get("meta", {})
+        files = manifest["tables"].get("url_seen", [])
+        gen = int(meta.get("seen_gen", 0))
+        from .seen_catalog import GEN_PREFIX
+
+        if files and not all(f.startswith(GEN_PREFIX) for f in files):
+            # migration: load the plain table, rewrite bucketed, commit
+            self._seen_cat.open(gen, [])
+            plain = self.store.load(self.spark, "url_seen", URL_SEEN_SCHEMA)
+            new_files = self._seen_cat.append(plain, gen)
+            self.store.commit(
+                int(meta.get("round", 0)),
+                {},
+                meta={**meta, "seen_gen": gen},
+                registered={"url_seen": (new_files, "overwrite")},
+            )
+        else:
+            self._seen_cat.open(gen, files)
+
+    def _url_seen_df(self) -> DataFrame:
+        """The seen set for the confirm anti-join: the bucketed catalog
+        table when enabled (no Exchange on this side in the join plan),
+        else the manifest-listed parquet files."""
+        if self._seen_cat is not None:
+            return self._seen_cat.df()
+        return self.load("url_seen", URL_SEEN_SCHEMA)
 
     def _build_politeness(self) -> DataFrame:
         rows = [
@@ -112,47 +150,80 @@ class CrawlEngine:
 
     # --- bootstrap (F1: RuleTree.Root seed generation) ---
 
-    def bootstrap(self, seeds: list[str] | DataFrame) -> None:
-        """Seed the frontier (F1). ``seeds`` is a list of raw URLs or a
-        DataFrame with columns (url string, cand_order long) — the
-        DataFrame path keeps a multi-million-seed bootstrap fully
-        executor-side (canonicalization runs in an Arrow-batched UDF,
-        nothing funnels through the driver)."""
+    def bootstrap(self, seeds: list | DataFrame) -> None:
+        """Seed the frontier (F1). ``seeds`` is a list of raw URLs (or
+        request dicts with optional ``method``/``post_data``/
+        ``headers`` — the reference's full Request surface,
+        request.go:20-43) or a DataFrame with columns (url string,
+        cand_order long) — the DataFrame path keeps a multi-million-seed
+        bootstrap fully executor-side (canonicalization runs in an
+        Arrow-batched UDF, nothing funnels through the driver)."""
         if self.store.current_snapshot_id() is not None:
             return  # resume path: state already in the store
         cfg = self.cfg
         if isinstance(seeds, DataFrame):
             base = self._canonicalize_seed_df(seeds)
+            base = base.select(
+                "url",
+                "host",
+                "cand_order",
+                F.lit("GET").alias("method"),
+                F.lit(None).cast("string").alias("post_data"),
+                F.lit(None).cast("string").alias("headers_json"),
+            )
         else:
+            import json
+
             import pandas as pd
 
-            rows = [
-                (cu, h, i)
-                for i, raw in enumerate(seeds)
-                for cu in (canonicalize(raw),)
-                for h in (host_of(cu),)
-                if cu
-            ]
-            # Arrow path: ship only the data columns (url/host/order) as
-            # a pandas frame — the constant request fields are derived
-            # JVM-side, no row-at-a-time Python pickling.
-            pdf = pd.DataFrame(rows, columns=["url", "host", "cand_order"])
+            rows = []
+            for i, raw in enumerate(seeds):
+                req = raw if isinstance(raw, dict) else {"url": raw}
+                cu = canonicalize(req["url"])
+                if not cu:
+                    continue
+                rows.append(
+                    (
+                        cu,
+                        host_of(cu),
+                        i,
+                        req.get("method", "GET"),
+                        req.get("post_data"),
+                        json.dumps(req["headers"])
+                        if req.get("headers")
+                        else None,
+                    )
+                )
+            # Arrow path: ship only the data columns as a pandas frame —
+            # the constant request fields are derived JVM-side, no
+            # row-at-a-time Python pickling. Headers travel as JSON and
+            # become a map column via from_json (Arrow-safe).
+            pdf = pd.DataFrame(
+                rows,
+                columns=[
+                    "url", "host", "cand_order", "method", "post_data",
+                    "headers_json",
+                ],
+            )
             base = self.spark.createDataFrame(
                 pdf,
-                schema="url string, host string, cand_order long",
+                schema="url string, host string, cand_order long, "
+                "method string, post_data string, headers_json string",
             )
         cands = base.select(
             "url",
             "host",
             F.lit(cfg.spider).alias("spider"),
             F.lit("root").alias("rule"),
-            F.lit("GET").alias("method"),
+            "method",
             F.lit(cfg.seed_priority).cast("int").alias("priority"),
             F.lit(0).cast("int").alias("depth"),
             F.lit(None).cast("string").alias("parent_url"),
             F.lit(None)
             .cast(T.MapType(T.StringType(), T.StringType()))
             .alias("temp"),
+            F.from_json("headers_json", "map<string,string>").alias("headers"),
+            "post_data",
             F.lit(False).alias("reloadable"),
             F.lit(cfg.try_times).cast("int").alias("try_times"),
             "cand_order",
@@ -162,10 +233,13 @@ class CrawlEngine:
             cands, empty_seen, self._politeness, 0, 0, cfg.limit
         )
         new_rows = new_rows.cache()
-        writes = {
-            "pending": (new_rows, "overwrite"),
-            "url_seen": (new_rows.select("url_key"), "append"),
-        }
+        writes = {"pending": (new_rows, "overwrite")}
+        registered = None
+        if self._seen_cat is not None:
+            seen_files = self._seen_cat.append(new_rows.select("url_key"), 0)
+            registered = {"url_seen": (seen_files, "append")}
+        else:
+            writes["url_seen"] = (new_rows.select("url_key"), "append")
         if cfg.use_bloom:
             empty_sketch = self.spark.createDataFrame([], SEEN_SKETCH_SCHEMA)
             writes["seen_sketch"] = (
@@ -176,7 +250,8 @@ class CrawlEngine:
             0,
             writes,
             meta={"next_seq": n_new, "admitted": n_new, "deferred": False,
-                  "round": 0},
+                  "round": 0, "seen_gen": 0},
+            registered=registered,
         )
         self.spark.catalog.clearCache()
 
@@ -202,6 +277,17 @@ class CrawlEngine:
         return seeds.select("url", "cand_order").mapInPandas(
             _canon, "url string, host string, cand_order long"
         )
+
+    def _load_sketch(self, url_seen: DataFrame) -> DataFrame:
+        """The seen_sketch bloom table — rebuilt from the exact url_seen
+        table when use_bloom was enabled on a store bootstrapped without
+        it (an empty sketch over a non-empty seen set would mark every
+        historical key 'definitely new' and bypass the exact anti-join).
+        Emptiness comes from manifest file lists — no Spark job."""
+        tables = self.store.read_manifest()["tables"]
+        if not tables.get("seen_sketch") and tables.get("url_seen"):
+            return SEEN.build_sketch(url_seen)
+        return self.load("seen_sketch", SEEN_SKETCH_SCHEMA)
 
     # --- one micro-batch round; returns rows dispatched ---
 
@@ -259,18 +345,20 @@ class CrawlEngine:
         )
 
         cands = links_to_candidates(results)
-        url_seen = self.load("url_seen", URL_SEEN_SCHEMA)
-        sketch = (
-            self.load("seen_sketch", SEEN_SKETCH_SCHEMA)
-            if cfg.use_bloom
-            else None
-        )
+        url_seen = self._url_seen_df()
+        sketch = self._load_sketch(url_seen) if cfg.use_bloom else None
         remaining = None if cfg.limit is None else cfg.limit - admitted
         new_rows, n_new = FR.enqueue(
             cands, url_seen, self._politeness, next_seq, round_no, remaining,
             sketch=sketch,
         )
-        new_rows = new_rows.cache()
+        # Eager checkpoint, not cache: new_rows' lineage includes the
+        # anti-join against the url_seen catalog table, and the bucketed
+        # append below refreshes that table — a cached plan would be
+        # invalidated and RE-EVALUATED against the post-append seen set,
+        # silently dropping every row this round admitted. The
+        # checkpoint pins the pre-append result.
+        new_rows = new_rows.localCheckpoint(eager=True)
         _mark("enqueue")
 
         still_pending = (
@@ -312,9 +400,17 @@ class CrawlEngine:
 
         writes = {
             "pending": (still_pending, "overwrite"),
-            "url_seen": (new_rows.select("url_key"), "append"),
             "rounds": (part_metrics, "append"),
         }
+        registered = None
+        seen_gen = int(meta.get("seen_gen", 0))
+        if self._seen_cat is not None:
+            seen_files = self._seen_cat.append(
+                new_rows.select("url_key"), seen_gen
+            )
+            registered = {"url_seen": (seen_files, "append")}
+        else:
+            writes["url_seen"] = (new_rows.select("url_key"), "append")
         if cfg.use_bloom:
             writes["seen_sketch"] = (
                 SEEN.update_sketch(sketch, new_rows.select("url_key")),
@@ -328,11 +424,13 @@ class CrawlEngine:
                 "admitted": admitted + n_new,
                 "round": round_no,
                 "deferred": meta.get("deferred", False),
+                "seen_gen": seen_gen,
             },
             # zero-copy: the staged fetch output becomes this round's
             # slice of the fetched log (renamed after writes finish, so
             # the writers above could still read it)
             adopts={"fetched": (scratch, "append")},
+            registered=registered,
         )
         _mark("commit")
         self.spark.catalog.clearCache()
@@ -352,9 +450,29 @@ class CrawlEngine:
         past 2× the shuffle width — url_seen is re-read (anti-join
         build side) every round, so unbounded file counts would make
         round cost creep up with crawl age. The rewrite is just another
-        snapshot commit (time travel keeps working)."""
+        snapshot commit (time travel keeps working).
+
+        In bucketed-seen mode url_seen compaction rewrites into a fresh
+        generation directory and flips the manifest before the old one
+        is deleted (crash-safe at every step; seen_catalog.compact)."""
         n_part = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
         files = self.store.read_manifest()["tables"].get(table, [])
+        if table == "url_seen" and self._seen_cat is not None:
+            if len(files) <= 4 * self._seen_cat.n_buckets:
+                return
+            meta = self._meta()
+            gen = int(meta.get("seen_gen", 0))
+            new_gen, new_files = self._seen_cat.compact(gen)
+            self.store.commit(
+                round_no,
+                {},
+                meta={**meta, "seen_gen": new_gen},
+                registered={"url_seen": (new_files, "overwrite")},
+            )
+            import shutil as _sh
+
+            _sh.rmtree(self._seen_cat._gen_dir(gen), ignore_errors=True)
+            return
         if len(files) <= 2 * n_part:
             return
         compacted = self.load(table, schema).repartition(n_part, "url_key")
@@ -367,7 +485,12 @@ class CrawlEngine:
         meta = self._meta()
         if meta.get("deferred", False):
             return False
-        failures = self.failures_df()
+        # only THIS run's failures are drain-re-admitted; earlier runs'
+        # failures come back solely via start_new_run(failure_inherit)
+        run_start = int(meta.get("run_start_round", 0))
+        failures = self.failures_df().filter(
+            F.col("visit_round") >= run_start
+        )
         re_rows = failures.select(*FRONTIER_COLS).withColumn(
             "status", F.lit("pending")
         ).cache()
@@ -406,6 +529,189 @@ class CrawlEngine:
             rounds_run += 1
         return rounds_run
 
+    # --- run boundaries: history inherit + failure export (F5/F7) ---
+
+    def import_seen(self, keys: DataFrame) -> int:
+        """Append foreign url_keys to the seen history (the
+        SuccessInherit source side, history.go:83-104): URLs whose keys
+        are imported will never be admitted by this store. Also the
+        bench's pre-seeding hook. Returns the committed snapshot id."""
+        meta = self._meta()
+        round_no = int(meta.get("round", 0))
+        keys = keys.select(F.col("url_key").cast("long"))
+        if self._seen_cat is not None:
+            gen = int(meta.get("seen_gen", 0))
+            files = self._seen_cat.append(keys, gen)
+            return self.store.commit(
+                round_no, {}, meta=meta,
+                registered={"url_seen": (files, "append")},
+            )
+        return self.store.commit(
+            round_no, {"url_seen": (keys, "append")}, meta=meta
+        )
+
+    def start_new_run(
+        self,
+        seeds: list | DataFrame | None = None,
+        success_inherit: bool = True,
+        failure_inherit: bool = True,
+    ) -> None:
+        """Begin a new crawl run over this store — the reference's
+        process-start semantics (``runtime/cache/cache.go:23-24``,
+        ``app/aid/history/history.go:83-104``):
+
+        - ``success_inherit=False`` drops the URL-seen history (and its
+          bloom sketch / bucketed generation), so previously-crawled
+          URLs are admissible again;
+        - ``failure_inherit=True`` re-admits the failure store's
+          serialized requests as pending with a fresh attempt counter
+          (``matrix.go:42-47``); False abandons them.
+
+        New ``seeds`` (if given) are enqueued after the history
+        decision, through the normal Push pipeline."""
+        meta = self._meta()
+        if self.store.current_snapshot_id() is None:
+            if seeds is not None:
+                self.bootstrap(seeds)
+            return
+        round_no = int(meta.get("round", 0))
+        writes: dict = {}
+        registered = None
+        # per-run state: the page budget resets (the reference's maxPage
+        # lives in the per-run Matrix, matrix.go:42-47), the drain-time
+        # failure re-admission is scoped to THIS run's failures
+        # (run_start_round), and the defer latch re-arms
+        new_meta = {
+            **meta,
+            "deferred": False,
+            "admitted": 0,
+            "run_start_round": round_no + 1,
+        }
+        if not success_inherit:
+            empty_seen = self.spark.createDataFrame([], URL_SEEN_SCHEMA)
+            if self._seen_cat is not None:
+                # flip to a fresh (empty) generation; reconcile GCs the
+                # old one after the manifest commit
+                gen = int(meta.get("seen_gen", 0)) + 1
+                self._seen_cat._create(gen)
+                self.spark.catalog.refreshTable(self._seen_cat.table)
+                registered = {"url_seen": ([], "overwrite")}
+                new_meta["seen_gen"] = gen
+            else:
+                writes["url_seen"] = (empty_seen, "overwrite")
+            if self.cfg.use_bloom:
+                writes["seen_sketch"] = (
+                    self.spark.createDataFrame([], SEEN_SKETCH_SCHEMA),
+                    "overwrite",
+                )
+        pending = self.load("pending", FRONTIER_SCHEMA)
+        if failure_inherit:
+            re_rows = (
+                self.failures_df()
+                .select(*FRONTIER_COLS)
+                .withColumn("status", F.lit("pending"))
+                .withColumn("attempt", F.lit(0).cast("int"))
+            )
+            pending = pending.unionByName(re_rows).dropDuplicates(["url_key"])
+        writes["pending"] = (pending.localCheckpoint(eager=True), "overwrite")
+        self.store.commit(round_no, writes, meta=new_meta,
+                          registered=registered)
+        self.spark.catalog.clearCache()
+        if seeds is not None:
+            self._enqueue_new_seeds(seeds)
+
+    def _enqueue_new_seeds(self, seeds: list | DataFrame) -> None:
+        """Push extra seeds into an existing store (rule 'root', the
+        normal dedup/robots/budget pipeline)."""
+        meta = self._meta()
+        store_round = int(meta.get("round", 0))
+        next_seq = int(meta.get("next_seq", 0))
+        admitted = int(meta.get("admitted", 0))
+        cfg = self.cfg
+        if isinstance(seeds, DataFrame):
+            base = self._canonicalize_seed_df(seeds).select(
+                "url", "host", "cand_order",
+                F.lit("GET").alias("method"),
+                F.lit(None).cast("string").alias("post_data"),
+                F.lit(None).cast("string").alias("headers_json"),
+            )
+        else:
+            import json as _json
+
+            import pandas as pd
+
+            rows = []
+            for i, raw in enumerate(seeds):
+                req = raw if isinstance(raw, dict) else {"url": raw}
+                cu = canonicalize(req["url"])
+                if not cu:
+                    continue
+                rows.append(
+                    (cu, host_of(cu), i, req.get("method", "GET"),
+                     req.get("post_data"),
+                     _json.dumps(req["headers"]) if req.get("headers") else None)
+                )
+            base = self.spark.createDataFrame(
+                pd.DataFrame(rows, columns=[
+                    "url", "host", "cand_order", "method", "post_data",
+                    "headers_json"]),
+                schema="url string, host string, cand_order long, "
+                "method string, post_data string, headers_json string",
+            )
+        cands = base.select(
+            "url", "host",
+            F.lit(cfg.spider).alias("spider"),
+            F.lit("root").alias("rule"),
+            "method",
+            F.lit(cfg.seed_priority).cast("int").alias("priority"),
+            F.lit(0).cast("int").alias("depth"),
+            F.lit(None).cast("string").alias("parent_url"),
+            F.lit(None).cast(T.MapType(T.StringType(), T.StringType()))
+            .alias("temp"),
+            F.from_json("headers_json", "map<string,string>").alias("headers"),
+            "post_data",
+            F.lit(False).alias("reloadable"),
+            F.lit(cfg.try_times).cast("int").alias("try_times"),
+            "cand_order",
+        )
+        url_seen = self._url_seen_df()
+        sketch = self._load_sketch(url_seen) if cfg.use_bloom else None
+        remaining = None if cfg.limit is None else cfg.limit - admitted
+        new_rows, n_new = FR.enqueue(
+            cands, url_seen, self._politeness, next_seq, store_round,
+            remaining, sketch=sketch,
+        )
+        new_rows = new_rows.localCheckpoint(eager=True)
+        pending = self.load("pending", FRONTIER_SCHEMA).unionByName(new_rows)
+        writes = {"pending": (pending, "overwrite")}
+        registered = None
+        if self._seen_cat is not None:
+            gen = int(meta.get("seen_gen", 0))
+            files = self._seen_cat.append(new_rows.select("url_key"), gen)
+            registered = {"url_seen": (files, "append")}
+        else:
+            writes["url_seen"] = (new_rows.select("url_key"), "append")
+        if cfg.use_bloom:
+            writes["seen_sketch"] = (
+                SEEN.update_sketch(sketch, new_rows.select("url_key")),
+                "overwrite",
+            )
+        self.store.commit(
+            store_round, writes,
+            meta={**meta, "next_seq": next_seq + n_new,
+                  "admitted": admitted + n_new, "deferred": False},
+            registered=registered,
+        )
+        self.spark.catalog.clearCache()
+
+    def export_failures(self, path: str) -> int:
+        """Serialize the failure store as JSON request rows (the
+        reference's failure persistence shape, failure.go:51-107 —
+        full requests, re-loadable via start_new_run). Returns count."""
+        failed = self.failures_df().localCheckpoint(eager=True)
+        failed.write.mode("overwrite").json(path)
+        return failed.count()
+
     # --- read-side views over the fetched log (+ small tables) ---
 
     def fetched_df(self) -> DataFrame:
@@ -431,10 +737,12 @@ class CrawlEngine:
         }
 
     def items_df(self) -> DataFrame:
-        """DataCell view (ITEMS_SCHEMA): successful fetches' payloads."""
-        return self.fetched_df().filter(F.col("ok")).select(
-            *[f.name for f in ITEMS_SCHEMA.fields]
-        )
+        """DataCell view (ITEMS_SCHEMA): successful fetches' payloads.
+        HEAD responses carry no body (surf.go:103-140) and so produce
+        no item row — filtered via the null image_id."""
+        return self.fetched_df().filter(
+            F.col("ok") & F.col("image_id").isNotNull()
+        ).select(*[f.name for f in ITEMS_SCHEMA.fields])
 
     def resolved_df(self) -> DataFrame:
         """Latest-wins resolution view of the fetched log (the MERGE

@@ -63,6 +63,7 @@ def fetch_batch(
                     res = synthetic.fetch_one(
                         row.url, int(row.depth), base_attempt + i, n_hosts,
                         failure_pct, px_scale,
+                        method=row.method, post_data=row.post_data,
                     )
                     if res.ok:
                         break
@@ -92,6 +93,8 @@ def fetch_batch(
                         "round_enqueued": row.round_enqueued,
                         "parent_url": row.parent_url,
                         "temp": row.temp,
+                        "headers": row.headers,
+                        "post_data": row.post_data,
                         "reloadable": row.reloadable,
                         "try_times": row.try_times,
                         "attempt": row.attempt,
@@ -126,14 +129,13 @@ def fetch_batch(
 
 def links_to_candidates(results: DataFrame) -> DataFrame:
     """Explode parsed child links into enqueue candidates (P3 →
-    AddQueue, reference context.go:104-125): inherit spider/method,
-    auto-Referer from parent, depth+1, deterministic cand_order =
+    AddQueue, reference context.go:104-125): inherit spider, fresh
+    GET method, auto-Referer header from parent, depth+1, deterministic cand_order =
     (parent seq, link index) for the FIFO tie-break."""
     from pyspark.sql import functions as F
 
     exploded = results.filter(F.col("ok")).select(
         "spider",
-        "method",
         "url",
         "depth",
         "seq",
@@ -148,11 +150,15 @@ def links_to_candidates(results: DataFrame) -> DataFrame:
         F.regexp_extract("link.url", r"^[a-z]+://([^/:]+)", 1).alias("host"),
         "spider",
         F.col("link.rule").alias("rule"),
-        "method",
+        # child links are fresh GET requests with an auto-Referer from
+        # the parent (context.go:141-207); POST bodies never inherit
+        F.lit("GET").alias("method"),
         F.col("link.priority").alias("priority"),
         (F.col("depth") + 1).cast("int").alias("depth"),
         F.col("url").alias("parent_url"),
         "temp",
+        F.create_map(F.lit("Referer"), F.col("url")).alias("headers"),
+        F.lit(None).cast("string").alias("post_data"),
         F.lit(False).alias("reloadable"),
         "try_times",
         (F.shiftleft(F.col("seq"), 20) + F.col("link_idx")).alias("cand_order"),

@@ -149,8 +149,9 @@ def enqueue(
     """Full Matrix.Push pipeline for one round's candidate links.
 
     cands columns: url (canonical), host, spider, rule, method,
-    priority, depth, parent_url, temp, reloadable, try_times,
-    cand_order (long — parse order, the FIFO tie-break source).
+    priority, depth, parent_url, temp, headers, post_data, reloadable,
+    try_times, cand_order (long — parse order, the FIFO tie-break
+    source).
     Returns (new frontier rows (status=pending, seq assigned), count).
 
     With ``sketch`` (the seen_sketch bloom table), the seen check runs
@@ -195,6 +196,8 @@ def enqueue(
         F.lit(round_no).cast("int").alias("round_enqueued"),
         "parent_url",
         "temp",
+        "headers",
+        "post_data",
         "reloadable",
         "try_times",
         F.lit(0).cast("int").alias("attempt"),
@@ -253,7 +256,18 @@ def select_batch(
         )
         ranked = p.withColumn("_rs", F.row_number().over(ws)).cache()
         guaranteed = ranked.filter(F.col("_rs") <= quota)
-        leftover_slots = batch_size - min(quota * n_spiders, batch_size)
+        # size the leftover fill from the ACTUAL guaranteed-row count —
+        # a spider with fewer than `quota` pending rows frees its unused
+        # slots for the global fill (matrix.go:73-79 avgRes semantics)
+        n_guaranteed = guaranteed.count()
+        if n_guaranteed > batch_size:
+            # n_spiders > batch_size: even one row per spider overflows
+            # the batch — fall back to the global order cap
+            out = guaranteed.orderBy(
+                F.desc("priority"), F.asc("seq")
+            ).limit(batch_size)
+            return out.drop("_rs")
+        leftover_slots = batch_size - n_guaranteed
         if leftover_slots > 0:
             extra = (
                 ranked.filter(F.col("_rs") > quota)
@@ -262,9 +276,7 @@ def select_batch(
             )
             out = guaranteed.unionByName(extra)
         else:
-            out = guaranteed.orderBy(
-                F.desc("priority"), F.asc("seq")
-            ).limit(batch_size)
+            out = guaranteed
         return out.drop("_rs")
     return p.orderBy(F.desc("priority"), F.asc("seq")).limit(batch_size)
 
@@ -284,7 +296,8 @@ def split_results(results: DataFrame, max_requeue_attempt: int = 1):
     frontier_cols = [
         "url_key", "url", "host", "spider", "rule", "method", "priority",
         "depth", "seq", "round_enqueued", "parent_url", "temp",
-        "reloadable", "try_times", "attempt", "status",
+        "headers", "post_data", "reloadable", "try_times", "attempt",
+        "status",
     ]
     done = (
         results.filter(F.col("ok"))

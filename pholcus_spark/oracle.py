@@ -50,6 +50,11 @@ class CrawlConfig:
     # check via the seen_sketch table — identical results, smaller
     # exact-join probe side (north-rule 10^10-frontier path)
     use_bloom: bool = False
+    # engine-only knob (no semantic effect): store url_seen as a
+    # bucketed table so the confirm join never shuffles the seen side
+    # (seen_catalog.py); 0 disables (plain per-round parquet appends).
+    # At the 10^10-key design point use ~2^13 buckets.
+    seen_buckets: int = 32
     # payload-size multiplier for benchmarks (1 = 24-56 px test images)
     img_px_scale: int = 1
 
@@ -65,6 +70,8 @@ class OracleRow:
     seq: int
     attempt: int
     parent_url: str | None = None
+    method: str = "GET"
+    post_data: str | None = None
 
 
 @dataclass
@@ -133,27 +140,35 @@ def run_oracle(seeds: list[str], cfg: CrawlConfig) -> OracleResult:
                     seq=next_seq,
                     attempt=0,
                     parent_url=c.get("parent_url"),
+                    method=c.get("method", "GET"),
+                    post_data=c.get("post_data"),
                 )
             )
             next_seq += 1
 
     # --- seed round (F1, RuleTree.Root) ---
+    # seeds may be raw URLs or request dicts with method/post_data
+    # (the reference Request surface, request.go:20-43)
     seed_cands = []
     for i, raw in enumerate(seeds):
-        cu = canonicalize(raw)
+        req = raw if isinstance(raw, dict) else {"url": raw}
+        cu = canonicalize(req["url"])
         if not cu:
             continue
         host = host_of(cu)
+        method = req.get("method", "GET")
         seed_cands.append(
             (
                 i,
                 {
-                    "url_key": make_url_key(cfg.spider, "root", cu, "GET"),
+                    "url_key": make_url_key(cfg.spider, "root", cu, method),
                     "url": cu,
                     "host": host,
                     "rule": "root",
                     "priority": cfg.seed_priority,
                     "depth": 0,
+                    "method": method,
+                    "post_data": req.get("post_data"),
                 },
             )
         )
@@ -194,7 +209,8 @@ def run_oracle(seeds: list[str], cfg: CrawlConfig) -> OracleResult:
             for i in range(cfg.try_times):
                 res = synthetic.fetch_one(
                     row.url, row.depth, base + i, cfg.n_hosts, cfg.failure_pct,
-                    cfg.img_px_scale,
+                    cfg.img_px_scale, method=row.method,
+                    post_data=row.post_data,
                 )
                 if res.ok:
                     break
@@ -204,14 +220,15 @@ def run_oracle(seeds: list[str], cfg: CrawlConfig) -> OracleResult:
             )
             if res.ok:
                 done.add(row.url_key)
-                items[row.url_key] = {
-                    "image_id": res.image_id,
-                    "caption": res.caption,
-                    "phash": res.phash,
-                    "fmt": res.fmt,
-                    "w": res.w,
-                    "h": res.h,
-                }
+                if res.image_id is not None:  # HEAD: no body, no item
+                    items[row.url_key] = {
+                        "image_id": res.image_id,
+                        "caption": res.caption,
+                        "phash": res.phash,
+                        "fmt": res.fmt,
+                        "w": res.w,
+                        "h": res.h,
+                    }
                 rule_cfg = cfg.rules.get((cfg.spider, row.rule), {})
                 child_rule = rule_cfg.get("child_rule")
                 if child_rule is not None and row.depth < rule_cfg.get("max_depth", 0):

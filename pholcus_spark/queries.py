@@ -379,6 +379,200 @@ GROUP BY 1
 """
 
 
+def q_method_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1/D2 method-aware request semantics (surfer/param.go:61-84,
+    surf.go:103-140): GET/POST/HEAD/POST-M dispatch, the dedup key
+    includes the method (request.go:139-145), POST carries a body,
+    HEAD yields none. Fixture: requests synthesized from events."""
+    ev = _t(spark, sf_dir, "events")
+    req = ev.select(
+        F.concat(
+            F.lit("http://h"),
+            F.lpad(F.pmod("user_id", F.lit(20)).cast("string"), 3, "0"),
+            F.lit(".example.com/e/"),
+            F.col("event_id").cast("string"),
+        ).alias("url"),
+        F.element_at(
+            F.array(
+                F.lit("GET"), F.lit("POST"), F.lit("HEAD"), F.lit("POST-M")
+            ),
+            (F.pmod("event_id", F.lit(4)) + 1).cast("int"),
+        ).alias("method"),
+        F.when(
+            F.pmod("event_id", F.lit(4)).isin(1, 3),
+            F.concat(F.lit("k="), F.col("event_id").cast("string")),
+        ).alias("post_data"),
+    )
+    keyed = req.withColumn(
+        "req_key",
+        textops.md5_long(
+            F.concat_ws("|", F.lit("sp"), F.lit("root"), "url", "method")
+        ),
+    )
+    return keyed.groupBy("method").agg(
+        F.count("*").alias("n_requests"),
+        F.countDistinct("req_key").alias("n_distinct_keys"),
+        F.sum(F.when(F.col("method") == "HEAD", 0).otherwise(1))
+        .cast("long")
+        .alias("n_with_body"),
+        F.countDistinct("post_data").alias("n_bodies"),
+    )
+
+
+SQL_METHOD_DISPATCH = f"""
+WITH req AS (
+  SELECT 'http://h' || lpad(CAST(user_id % 20 AS VARCHAR), 3, '0')
+           || '.example.com/e/' || CAST(event_id AS VARCHAR) AS url,
+         ['GET','POST','HEAD','POST-M'][(event_id % 4) + 1] AS method,
+         CASE WHEN event_id % 4 IN (1, 3)
+              THEN 'k=' || CAST(event_id AS VARCHAR) END AS post_data
+  FROM events)
+SELECT method,
+       count(*) AS n_requests,
+       count(DISTINCT {_h60_sql("concat_ws('|', 'sp', 'root', url, method)")})
+         AS n_distinct_keys,
+       CAST(sum(CASE WHEN method = 'HEAD' THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_with_body,
+       count(DISTINCT post_data) AS n_bodies
+FROM req
+GROUP BY method
+"""
+
+
+def q_html_helpers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 scalar-helper surface (common.go:19-260, util.go:43-56,
+    context.go:141-207): CleanHtml, ExtractArticle chrome-stripping,
+    MakeUrl href absolutization, JSONP→JSON, \\uXXXX unescape — all as
+    column expressions over a deterministic HTML fixture synthesized
+    from documents."""
+    from . import htmlops
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><script>var a = 1 < 2;</script>"
+                  "<style>p{color:red}</style></head><body>"
+                  "<header>site chrome</header><!-- note --><h1>doc "),
+            F.col("doc_id").cast("string"),
+            F.lit("</h1><p>"),
+            F.substring("text", 1, 40),
+            F.lit(" &amp; more</p><footer>legal</footer></body></html>"),
+        ).alias("html"),
+        F.concat(
+            F.lit("http://h"),
+            F.lpad(F.pmod("doc_id", F.lit(50)).cast("string"), 3, "0"),
+            F.lit(".example.com/dir/page.html"),
+        ).alias("base"),
+        F.element_at(
+            F.array(
+                F.lit("http://cdn.example.com/abs.js"),
+                F.lit("//static.example.com/s.css"),
+                F.lit("/rooted/img.png"),
+                F.lit("rel/child.html"),
+            ),
+            (F.pmod("doc_id", F.lit(4)) + 1).cast("int"),
+        ).alias("href"),
+        F.concat(
+            F.lit("cb_"), F.col("doc_id").cast("string"),
+            F.lit('({"id": '), F.col("doc_id").cast("string"),
+            F.lit("});"),
+        ).alias("jsonp"),
+        F.concat(
+            F.lit("caf\\u00e9 no. "), F.col("doc_id").cast("string")
+        ).alias("escaped"),
+    )
+    return d.select(
+        "doc_id",
+        htmlops.clean_html(F.col("html")).alias("clean_text"),
+        htmlops.extract_article(F.col("html")).alias("article_text"),
+        htmlops.make_url(F.col("base"), F.col("href")).alias("abs_url"),
+        htmlops.jsonp_to_json(F.col("jsonp")).alias("payload_json"),
+        htmlops.unescape_unicode(F.col("escaped")).alias("unescaped"),
+    )
+
+
+SQL_HTML_HELPERS = r"""
+WITH d AS (
+  SELECT doc_id,
+         '<html><head><script>var a = 1 < 2;</script>'
+           || '<style>p{color:red}</style></head><body>'
+           || '<header>site chrome</header><!-- note --><h1>doc '
+           || CAST(doc_id AS VARCHAR) || '</h1><p>' || substr(text, 1, 40)
+           || ' &amp; more</p><footer>legal</footer></body></html>' AS html,
+         'http://h' || lpad(CAST(doc_id % 50 AS VARCHAR), 3, '0')
+           || '.example.com/dir/page.html' AS base,
+         ['http://cdn.example.com/abs.js', '//static.example.com/s.css',
+          '/rooted/img.png', 'rel/child.html'][(doc_id % 4) + 1] AS href,
+         'cb_' || CAST(doc_id AS VARCHAR) || '({"id": '
+           || CAST(doc_id AS VARCHAR) || '});' AS jsonp,
+         'caf\u00e9 no. ' || CAST(doc_id AS VARCHAR) AS escaped
+  FROM documents)
+SELECT doc_id,
+       trim(regexp_replace(replace(replace(replace(replace(replace(replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(html, '(?s)<script[^>]*>.*?</script>', '', 'g'), '(?s)<style[^>]*>.*?</style>', '', 'g'), '(?s)<!--.*?-->', '', 'g'), '<[^>]+>', ' ', 'g'), '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'), '\s+', ' ', 'g')) AS clean_text,
+       trim(regexp_replace(replace(replace(replace(replace(replace(replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(html, '(?s)<header[^>]*>.*?</header>', '', 'g'), '(?s)<footer[^>]*>.*?</footer>', '', 'g'), '(?s)<nav[^>]*>.*?</nav>', '', 'g'), '(?s)<aside[^>]*>.*?</aside>', '', 'g'), '(?s)<script[^>]*>.*?</script>', '', 'g'), '(?s)<style[^>]*>.*?</style>', '', 'g'), '(?s)<!--.*?-->', '', 'g'), '<[^>]+>', ' ', 'g'), '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'), '\s+', ' ', 'g')) AS article_text,
+       CASE WHEN regexp_matches(href, '^[a-z]+://') THEN href
+            WHEN href LIKE '//%' THEN regexp_extract(base, '^([a-z]+):', 1) || ':' || href
+            WHEN href LIKE '/%' THEN regexp_extract(base, '^[a-z]+://[^/]+', 0) || href
+            ELSE (CASE WHEN regexp_matches(base, '^[a-z]+://[^/]+$')
+                       THEN base || '/'
+                       ELSE regexp_replace(base, '[^/]*$', '') END) || href
+       END AS abs_url,
+       CASE WHEN regexp_extract(jsonp, '^\s*[\w$.]+\((.*)\)\s*;?\s*$', 1) <> ''
+            THEN regexp_extract(jsonp, '^\s*[\w$.]+\((.*)\)\s*;?\s*$', 1)
+            ELSE jsonp END AS payload_json,
+       json_extract_string('"' || escaped || '"', '$') AS unescaped
+FROM d
+"""
+
+
+def q_charset_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 charset sniff core (context.go:678-736): BOM + byte-level
+    ASCII detection as column expressions over a deterministic
+    mixed-encoding byte fixture (UTF-8 BOM / UTF-16 BOMs / plain ASCII
+    / 8-bit bytes). The full transcode operator (meta-charset sniff,
+    GBK/Big5 decode) is charset.decode_text, pytest-covered — this
+    query oracles the SQL-expressible detector."""
+    from .charset import sniff_charset_col
+
+    docs = _t(spark, sf_dir, "documents")
+    body = F.encode(F.col("text"), "UTF-8")
+    variant = F.pmod("doc_id", F.lit(4))
+    data = (
+        F.when(variant == 0, F.concat(F.lit(b"\xef\xbb\xbf"), body))
+        .when(variant == 1, F.concat(F.lit(b"\xff\xfe"), body))
+        .when(variant == 2, body)
+        .otherwise(F.concat(body, F.lit(b"\xc3\xa9")))
+    )
+    d = docs.select("doc_id", data.alias("data"))
+    return d.select(
+        "doc_id",
+        sniff_charset_col(F.col("data")).alias("charset"),
+        F.length("data").cast("long").alias("n_bytes"),
+    )
+
+
+SQL_CHARSET_DETECT = r"""
+WITH d AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN '\xEF\xBB\xBF'::BLOB || encode(text)
+           WHEN 1 THEN '\xFF\xFE'::BLOB || encode(text)
+           WHEN 2 THEN encode(text)
+           ELSE encode(text) || '\xC3\xA9'::BLOB
+         END AS data
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN substr(hex(data), 1, 6) = 'EFBBBF' THEN 'utf-8-sig'
+            WHEN substr(hex(data), 1, 4) = 'FFFE' THEN 'utf-16-le'
+            WHEN substr(hex(data), 1, 4) = 'FEFF' THEN 'utf-16-be'
+            WHEN regexp_matches(hex(data), '^([0-7][0-9A-F])*$') THEN 'ascii'
+            ELSE 'other' END AS charset,
+       CAST(octet_length(data) AS BIGINT) AS n_bytes
+FROM d
+"""
+
+
 KEYINS = ("alpha", "beta", "gamma")
 
 
@@ -639,10 +833,13 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sql() -> str:
+    # two-base-hash family (dedup.minhash_components): mh_i =
+    # min(h1 + i*h2); h1,h2 < 2^60 and i < 8 keep the sum inside BIGINT
+    h1 = _h60_sql("x")
+    h2 = _h60_sql("x || '|B'")
     mh_cols = ",\n         ".join(
-        "coalesce(list_min(list_transform(sh, x -> "
-        + _h60_sql("concat('%d|', x)" % i)
-        + ")), -1) AS mh%d" % i
+        f"coalesce(list_min(list_transform(sh, x -> {h1} + {i} * {h2})), -1)"
+        f" AS mh{i}"
         for i in range(MINHASH_K)
     )
     n_bands = MINHASH_K // MINHASH_BAND_ROWS
@@ -935,6 +1132,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "resolved_latest_wins": q_resolved_latest_wins,
     "temp_json_passthrough": q_temp_json_passthrough,
     "download_time_format": q_download_time_format,
+    "method_dispatch": q_method_dispatch,
+    "html_helpers": q_html_helpers,
+    "charset_detect": q_charset_detect,
     "keyin_fanout": q_keyin_fanout,
     "failure_union_requeue": q_failure_union_requeue,
     "events_tumbling_window": q_events_tumbling_window,
@@ -975,6 +1175,9 @@ ORACLE_SQL: dict[str, str] = {
     "resolved_latest_wins": SQL_RESOLVED_LATEST_WINS,
     "temp_json_passthrough": SQL_TEMP_JSON_PASSTHROUGH,
     "download_time_format": SQL_DOWNLOAD_TIME_FORMAT,
+    "method_dispatch": SQL_METHOD_DISPATCH,
+    "html_helpers": SQL_HTML_HELPERS,
+    "charset_detect": SQL_CHARSET_DETECT,
     "keyin_fanout": SQL_KEYIN_FANOUT,
     "failure_union_requeue": SQL_FAILURE_UNION_REQUEUE,
     "events_tumbling_window": SQL_EVENTS_TUMBLING_WINDOW,

@@ -27,6 +27,13 @@ FRONTIER_SCHEMA = T.StructType(
         T.StructField("round_enqueued", T.IntegerType(), False),
         T.StructField("parent_url", T.StringType(), True),
         T.StructField("temp", T.MapType(T.StringType(), T.StringType()), True),
+        # request headers + POST body (reference request.go:24-31
+        # Header http.Header / PostData; single-valued header map —
+        # the reference's multi-value case is join-on-write)
+        T.StructField(
+            "headers", T.MapType(T.StringType(), T.StringType()), True
+        ),
+        T.StructField("post_data", T.StringType(), True),
         T.StructField("reloadable", T.BooleanType(), False),
         T.StructField("try_times", T.IntegerType(), False),
         T.StructField("attempt", T.IntegerType(), False),
@@ -140,6 +147,10 @@ FETCH_RESULT_SCHEMA = T.StructType(
         T.StructField("round_enqueued", T.IntegerType(), False),
         T.StructField("parent_url", T.StringType(), True),
         T.StructField("temp", T.MapType(T.StringType(), T.StringType()), True),
+        T.StructField(
+            "headers", T.MapType(T.StringType(), T.StringType()), True
+        ),
+        T.StructField("post_data", T.StringType(), True),
         T.StructField("reloadable", T.BooleanType(), False),
         T.StructField("try_times", T.IntegerType(), False),
         T.StructField("attempt", T.IntegerType(), False),

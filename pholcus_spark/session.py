@@ -13,6 +13,16 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _master_configured() -> bool:
+    """True when the deploy environment already provides spark.master
+    (spark-submit --master, MASTER env, or an active session)."""
+    if "--master" in os.environ.get("PYSPARK_SUBMIT_ARGS", ""):
+        return True
+    if os.environ.get("MASTER") or os.environ.get("SPARK_MASTER_URL"):
+        return True
+    return SparkSession.getActiveSession() is not None
+
+
 def get_spark(
     app_name: str = "pholcus_spark",
     cores: int | None = None,
@@ -20,8 +30,10 @@ def get_spark(
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     # Explicit cores (or the env knob) force local[N]; with neither,
-    # leave the master to the deploy environment so the same code runs
-    # under `spark-submit --master yarn/k8s` unchanged.
+    # leave the master to the deploy environment (spark-submit --master
+    # yarn/k8s sets spark.master via PYSPARK_SUBMIT_ARGS) — and when no
+    # environment configured one either, fall back to local[*] so plain
+    # `python -m pholcus_spark` runs out of the box.
     env_cores = os.environ.get("SPARK_GRAFT_CPUS")
     if cores is None and env_cores is not None:
         cores = int(env_cores)
@@ -30,6 +42,8 @@ def get_spark(
     builder = SparkSession.builder
     if cores is not None:
         builder = builder.master(f"local[{cores}]")
+    elif not _master_configured():
+        builder = builder.master("local[*]")
     builder = (
         builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))

@@ -174,6 +174,16 @@ class FetchResult:
     links: list[str] = field(default_factory=list)
 
 
+def content_key(url: str, method: str = "GET", post_data: str | None = None) -> str:
+    """The synthetic-content seed: GET responses depend on the URL
+    alone; POST/POST-M responses also depend on the request body
+    (reference method switch surfer/surf.go:103-140 — a form POST and
+    a GET of the same URL return different documents)."""
+    if method in ("GET", "HEAD"):
+        return url
+    return f"{method}|{url}|{post_data or ''}"
+
+
 def fetch_one(
     url: str,
     depth: int,
@@ -181,22 +191,33 @@ def fetch_one(
     n_hosts: int,
     failure_pct: int = FAILURE_PCT,
     px_scale: int = 1,
+    method: str = "GET",
+    post_data: str | None = None,
 ) -> FetchResult:
     """The fetch+decode boundary: returns the full page payload or a
-    transient error. Pure function of its arguments."""
+    transient error. Pure function of its arguments.
+
+    Method semantics (reference surfer/param.go:61-84, surf.go:103-140):
+    GET returns the page; POST/POST-M return a body keyed by
+    (method, url, post_data); HEAD succeeds with headers only — no
+    body, no item payload, no child links.
+    """
     if fetch_fails(url, attempt, failure_pct):
         return FetchResult(url=url, ok=False, error="synthetic transient error")
-    arr, fmt = image_for(url, px_scale)
+    if method == "HEAD":
+        return FetchResult(url=url, ok=True)
+    ck = content_key(url, method, post_data)
+    arr, fmt = image_for(ck, px_scale)
     payload = encode_image(arr, fmt)
     return FetchResult(
         url=url,
         ok=True,
-        image_id=image_id_for(url),
+        image_id=image_id_for(ck),
         payload=payload,
         w=arr.shape[1],
         h=arr.shape[0],
         fmt=fmt,
-        caption=caption_for(url),
+        caption=caption_for(ck),
         phash=phash64(arr),
-        links=child_links(url, depth, n_hosts),
+        links=child_links(ck, depth, n_hosts),
     )

@@ -80,6 +80,7 @@ class SnapshotStore:
         writes: dict[str, tuple[DataFrame, str]],
         meta: dict | None = None,
         adopts: dict[str, tuple[str, str]] | None = None,
+        registered: dict[str, tuple[list[str], str]] | None = None,
     ) -> int:
         """Commit one snapshot. ``writes[table] = (df, mode)`` where mode
         is 'append' (new files added to the table's file list) or
@@ -90,13 +91,21 @@ class SnapshotStore:
         already on disk (e.g. a round's staged fetch output) by RENAMING
         the directory into the table — a zero-copy commit, the Iceberg
         add-files analog. Adoption happens after all ``writes`` finish,
-        so writers may still read from ``src_dir`` while committing."""
+        so writers may still read from ``src_dir`` while committing.
+
+        ``registered[table] = (files, mode)`` records files a caller
+        already wrote under ``data/`` (e.g. a bucketed-table insert,
+        whose file names encode bucket ids and so must be written by
+        the table writer itself) — manifest bookkeeping only."""
         for table, (_df, mode) in writes.items():
             if mode not in ("append", "overwrite"):
                 raise ValueError(f"bad mode {mode!r} for table {table!r}")
         for table, (_src, mode) in (adopts or {}).items():
             if mode not in ("append", "overwrite"):
                 raise ValueError(f"bad adopt mode {mode!r} for table {table!r}")
+        for table, (_files, mode) in (registered or {}).items():
+            if mode not in ("append", "overwrite"):
+                raise ValueError(f"bad registered mode {mode!r} for {table!r}")
         prev = self.read_manifest()
         snapshot_id = prev["snapshot_id"] + 1
         tables: dict[str, list[str]] = {k: list(v) for k, v in prev["tables"].items()}
@@ -130,6 +139,12 @@ class SnapshotStore:
             rel = f"{table}/snap-{snapshot_id:08d}"
             out_dir = os.path.join(self.root, "data", rel)
             os.makedirs(os.path.dirname(out_dir), exist_ok=True)
+            # A crash between this rename and the manifest flip leaves a
+            # non-empty out_dir from the torn commit; the resumed crawl
+            # recomputes the same snapshot_id, so the stale dir must be
+            # cleared or os.replace fails ENOTEMPTY forever.
+            if os.path.exists(out_dir):
+                shutil.rmtree(out_dir)
             os.replace(src_dir, out_dir)
             results.append(
                 (
@@ -142,6 +157,8 @@ class SnapshotStore:
                     ],
                 )
             )
+        for table, (files, mode) in (registered or {}).items():
+            results.append((table, mode, list(files)))
         for table, mode, new_files in results:
             if mode == "append":
                 tables.setdefault(table, []).extend(new_files)

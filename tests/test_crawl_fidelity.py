@@ -160,3 +160,173 @@ def test_resume_ignores_orphan_files(spark, tmp_path):
     resumed.run(seeds)
     assert resumed.visits_log() == full.visits_log()
     assert resumed.url_seen_set() == full.url_seen_set()
+
+
+def test_resume_after_torn_adoption(spark, tmp_path):
+    """A crash in commit() AFTER the scratch dir was adopted (renamed
+    into data/fetched/snap-N) but BEFORE the manifest flip leaves a
+    non-empty snap-N dir. The resumed crawl recomputes the same
+    snapshot id — adoption must clear the stale dir, not fail
+    ENOTEMPTY (ADVICE r1 high)."""
+    import os
+
+    cfg = CrawlConfig(n_hosts=8, batch_size=10, limit=40)
+    seeds = synthetic.seed_urls(6, cfg.n_hosts)
+
+    full = CrawlEngine(spark, SnapshotStore(str(tmp_path / "full")), cfg)
+    full.run(seeds)
+
+    part_store = SnapshotStore(str(tmp_path / "partial"))
+    partial = CrawlEngine(spark, part_store, cfg)
+    partial.run(seeds, max_rounds=2)
+    # plant the torn adoption at the NEXT snapshot id (what the resumed
+    # round will compute): a non-empty fetched/snap-<next> dir
+    next_snap = part_store.current_snapshot_id() + 1
+    torn = os.path.join(
+        part_store.root, "data", "fetched", f"snap-{next_snap:08d}"
+    )
+    os.makedirs(torn, exist_ok=True)
+    spark.range(7).selectExpr("id AS url_key").write.mode(
+        "overwrite"
+    ).parquet(torn)
+
+    resumed = CrawlEngine(spark, SnapshotStore(str(tmp_path / "partial")), cfg)
+    resumed.run(seeds)
+    assert resumed.visits_log() == full.visits_log()
+    assert resumed.url_seen_set() == full.url_seen_set()
+
+
+def test_bloom_enabled_mid_crawl_rebuilds_sketch(spark, tmp_path):
+    """Turning use_bloom on over a store bootstrapped WITHOUT it must
+    rebuild the sketch from url_seen — an empty sketch would mark all
+    historical keys 'definitely new' and silently re-admit them
+    (ADVICE r1 medium). Final state must equal a no-bloom full run."""
+    import dataclasses
+
+    cfg = CrawlConfig(n_hosts=8, batch_size=10, limit=60)
+    seeds = synthetic.seed_urls(8, cfg.n_hosts)
+
+    full = CrawlEngine(spark, SnapshotStore(str(tmp_path / "full")), cfg)
+    full.run(seeds)
+
+    part_store = SnapshotStore(str(tmp_path / "partial"))
+    CrawlEngine(spark, part_store, cfg).run(seeds, max_rounds=3)
+    bloom_cfg = dataclasses.replace(cfg, use_bloom=True)
+    resumed = CrawlEngine(
+        spark, SnapshotStore(str(tmp_path / "partial")), bloom_cfg
+    )
+    resumed.run(seeds)
+    assert resumed.visits_log() == full.visits_log()
+    assert resumed.url_seen_set() == full.url_seen_set()
+
+
+def test_post_head_method_fidelity(spark, tmp_path):
+    """Method-aware crawl (surfer/param.go:61-84): POST seeds key
+    content by (method, url, body) — a GET of the same URL is a
+    distinct frontier entry; HEAD succeeds body-less (no item row);
+    visit order + url_seen + items match the oracle exactly."""
+    cfg = CrawlConfig(n_hosts=10, batch_size=12, limit=60)
+    urls = synthetic.seed_urls(8, cfg.n_hosts)
+    seeds = [
+        {"url": urls[0], "method": "POST", "post_data": "q=alpha",
+         "headers": {"Content-Type": "application/x-www-form-urlencoded"}},
+        {"url": urls[0]},  # same URL via GET → distinct url_key
+        {"url": urls[1], "method": "HEAD"},
+        {"url": urls[2], "method": "POST-M", "post_data": "f=1"},
+        *urls[3:],
+    ]
+    orc = run_oracle(seeds, cfg)
+    eng = CrawlEngine(spark, SnapshotStore(str(tmp_path / "methods")), cfg)
+    eng.run(seeds)
+
+    assert eng.visits_log() == _sorted_oracle_visits(orc)
+    assert eng.url_seen_set() == orc.url_seen
+    items = {r["image_id"] for r in eng.items_df().select("image_id").collect()}
+    assert items == {v["image_id"] for v in orc.items.values()}
+
+    from pyspark.sql import functions as F
+
+    fetched = eng.fetched_df()
+    heads = fetched.filter(F.col("method") == "HEAD").collect()
+    assert heads and all(h["ok"] and h["image_id"] is None for h in heads)
+    # POST and GET of the same URL both visited, with different payloads
+    both = fetched.filter(F.col("url") == sorted({urls[0]})[0]).collect()
+    by_method = {r["method"]: r for r in both}
+    assert {"GET", "POST"} <= set(by_method)
+    assert by_method["GET"]["image_id"] != by_method["POST"]["image_id"]
+    # child links carry the auto-Referer header (context.go:141-207)
+    child = fetched.filter(F.col("depth") > 0).select("headers", "parent_url").first()
+    if child is not None:
+        assert child["headers"]["Referer"] == child["parent_url"]
+
+
+def test_inherit_flags_matrix(spark, tmp_path):
+    """SuccessInherit / FailureInherit run boundaries
+    (runtime/cache/cache.go:23-24, history.go:83-104):
+    - success_inherit=True  -> crawled URLs stay seen, nothing re-runs
+    - success_inherit=False -> history dropped, same seeds re-crawl
+    - failure_inherit=True  -> failed requests re-admitted as pending
+    - failure_inherit=False -> failures abandoned"""
+    from pholcus_spark.schemas import FRONTIER_SCHEMA
+
+    # try_times=1 + 60% transient failures → deterministic final
+    # failures (verified via run_oracle: 9 failed keys)
+    cfg = CrawlConfig(n_hosts=6, batch_size=8, limit=40, failure_pct=60,
+                      try_times=1)
+    seeds = synthetic.seed_urls(8, cfg.n_hosts)
+
+    def fresh(tag):
+        eng = CrawlEngine(spark, SnapshotStore(str(tmp_path / tag)), cfg)
+        eng.run(seeds)
+        return eng
+
+    # success_inherit=True: same seeds are all already-seen -> no-op run
+    eng = fresh("si_true")
+    v0 = len(eng.visits_log())
+    eng.start_new_run(seeds, success_inherit=True, failure_inherit=False)
+    eng.run()
+    assert len(eng.visits_log()) == v0
+
+    # success_inherit=False: history dropped -> the run re-crawls
+    eng = fresh("si_false")
+    v0 = len(eng.visits_log())
+    eng.start_new_run(seeds, success_inherit=False, failure_inherit=False)
+    eng.run()
+    assert len(eng.visits_log()) > v0
+    assert eng.url_seen_set()  # rebuilt
+
+    # failure_inherit matrix over a store that recorded failures
+    eng = fresh("fi")
+    failed0 = {r["url_key"] for r in eng.failures_df().collect()}
+    assert failed0, "fixture should produce at least one final failure"
+
+    abandon = CrawlEngine(spark, SnapshotStore(str(tmp_path / "fi")), cfg)
+    abandon.start_new_run(success_inherit=True, failure_inherit=False)
+    pend = abandon.load("pending", FRONTIER_SCHEMA).count()
+    assert pend == 0  # failures NOT re-admitted
+
+    inherit = CrawlEngine(spark, SnapshotStore(str(tmp_path / "fi")), cfg)
+    inherit.start_new_run(success_inherit=True, failure_inherit=True)
+    pend_keys = {
+        r["url_key"]
+        for r in inherit.load("pending", FRONTIER_SCHEMA).collect()
+    }
+    assert pend_keys == failed0  # every failed request back in the queue
+    inherit.run()
+    assert inherit.load("pending", FRONTIER_SCHEMA).count() == 0
+
+
+def test_failure_export_roundtrip(spark, tmp_path):
+    """Failure store export (failure.go:51-107): serialized failed
+    requests written as JSON, re-loadable row-for-row."""
+    cfg = CrawlConfig(n_hosts=6, batch_size=8, limit=40, failure_pct=60,
+                      try_times=1)
+    eng = CrawlEngine(spark, SnapshotStore(str(tmp_path / "exp")), cfg)
+    eng.run(synthetic.seed_urls(8, cfg.n_hosts))
+    failed = {r["url_key"] for r in eng.failures_df().collect()}
+    assert failed, "fixture should produce failures"
+    out = str(tmp_path / "failures_json")
+    n = eng.export_failures(out)
+    assert n == len(failed)
+    back = spark.read.json(out)
+    assert {r["url_key"] for r in back.collect()} == failed

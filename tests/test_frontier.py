@@ -26,6 +26,8 @@ CAND_SCHEMA = T.StructType(
         T.StructField("depth", T.IntegerType(), False),
         T.StructField("parent_url", T.StringType(), True),
         T.StructField("temp", T.MapType(T.StringType(), T.StringType()), True),
+        T.StructField("headers", T.MapType(T.StringType(), T.StringType()), True),
+        T.StructField("post_data", T.StringType(), True),
         T.StructField("reloadable", T.BooleanType(), False),
         T.StructField("try_times", T.IntegerType(), False),
         T.StructField("cand_order", T.LongType(), False),
@@ -35,7 +37,7 @@ CAND_SCHEMA = T.StructType(
 
 def _cand(url, host, order, priority=0, reloadable=False):
     return ("http://" + host + url, host, "sp", "r", "GET", priority, 0,
-            None, None, reloadable, 3, order)
+            None, None, None, None, reloadable, 3, order)
 
 
 def _politeness(spark, hosts, max_per_round=100, disallow=None):
@@ -267,3 +269,27 @@ def test_fair_share_across_spiders(spark):
     for r in fair:
         counts[r["spider"]] = counts.get(r["spider"], 0) + 1
     assert counts == {"spA": 10, "spB": 10}
+
+
+def test_fair_share_underfilled_spider_frees_slots(spark):
+    """ADVICE r1 low: when a spider has fewer pending rows than its
+    quota, the leftover fill must be sized from the ACTUAL guaranteed
+    count — the batch stays full instead of being under-filled."""
+    rows = []
+    order = 0
+    for spider, n, prio in (("spA", 200, 5), ("spB", 3, 0)):
+        for i in range(n):
+            r = _cand(f"/{spider}/{i}", "h1", order, priority=prio)
+            rows.append(tuple([r[0], r[1], spider] + list(r[3:])))
+            order += 1
+    cands = spark.createDataFrame(rows, CAND_SCHEMA)
+    pol = spark.createDataFrame([("h1", 300, [], 1000)], POLITENESS_SCHEMA)
+    pending, _n = FR.enqueue(cands, _seen(spark), pol, 0, 0, None)
+    pending = pending.cache()
+
+    fair = FR.select_batch(pending, pol, 20, fair_share_spiders=True).collect()
+    counts = {}
+    for r in fair:
+        counts[r["spider"]] = counts.get(r["spider"], 0) + 1
+    # spB only has 3 rows; its unused 7 quota slots go to spA
+    assert counts == {"spA": 17, "spB": 3}

@@ -90,6 +90,41 @@ def main() -> int:
     )
     sections.append(("frontier.anti_join_seen (hash anti-join)", p, probs))
 
+    # 2b. bucketed url_seen confirm join: the seen table must NOT
+    # shuffle — bucketed scan feeds the join directly; the only
+    # Exchange in the plan is the (small) candidate side. Broadcast is
+    # disabled so this is the 10^10-key plan shape.
+    import tempfile
+
+    from pholcus_spark.seen_catalog import BucketedSeen
+
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    seen_store = tempfile.mkdtemp(prefix="plan_audit_seen_b_")
+    os.makedirs(os.path.join(seen_store, "data"), exist_ok=True)
+    cat = BucketedSeen(spark, seen_store, n_buckets=8)
+    cat.open(0, [])
+    cat.append(
+        spark.range(5000).select(F.xxhash64("id").alias("url_key")), 0
+    )
+    bucketed_anti = FR.anti_join_seen(cands, cat.df())
+    p, probs = audit(
+        "frontier.anti_join_seen (bucketed url_seen)", bucketed_anti,
+        expect=["LeftAnti", "Bucketed: true",
+                "SelectedBucketsCount: 8 out of 8"],
+        forbid=["BroadcastNestedLoopJoin", "CartesianProduct"],
+    )
+    n_exch = p.count("Exchange (")
+    if n_exch > 1:
+        probs.append(
+            f"EXPECTED exactly one Exchange (candidate side), saw {n_exch}"
+        )
+    sections.append(
+        ("frontier.anti_join_seen BUCKETED — url_seen side never "
+         "shuffles (round-2 #1 scale item)", p, probs)
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+
     # 3. pruned scan: status rollup must read only the agg columns
     # (AQE plans defer codegen annotation until execution, so assert the
     # partial-agg shape — HashAggregate below and above the exchange —
