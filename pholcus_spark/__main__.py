@@ -39,6 +39,20 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--round-duration-ms", type=int, default=1000)
     ap.add_argument("--use-bloom", action="store_true",
                     help="bloom-prefilter the URL-seen check")
+    ap.add_argument("--seen-buckets", type=int, default=32,
+                    help="bucketed url_seen table width (0 = plain parquet)")
+    ap.add_argument("--spiders", help="comma-separated spider names "
+                    "(multi-spider crawl; default single 'imgspider')")
+    ap.add_argument("--keyins", help="comma-separated keyins — one spider "
+                    "instance per keyin, '{keyin}' substituted in seeds")
+    ap.add_argument("--new-run", action="store_true",
+                    help="start a new run over an existing store")
+    ap.add_argument("--no-success-inherit", action="store_true",
+                    help="with --new-run: drop the URL-seen history")
+    ap.add_argument("--no-failure-inherit", action="store_true",
+                    help="with --new-run: abandon stored failures")
+    ap.add_argument("--export-failures",
+                    help="export the failure store as JSON to this dir")
     ap.add_argument("--cores", type=int, default=None,
                     help="force local[N] (default: inherit spark-submit conf)")
     ap.add_argument("--export-csv", help="export items as CSV to this dir")
@@ -59,6 +73,9 @@ def main(argv: list[str] | None = None) -> int:
         max_rounds=args.max_rounds,
         round_duration_ms=args.round_duration_ms,
         use_bloom=args.use_bloom,
+        seen_buckets=args.seen_buckets,
+        spiders=tuple(args.spiders.split(",")) if args.spiders else (),
+        keyins=tuple(args.keyins.split(",")) if args.keyins else (),
     )
     if args.synthetic_seeds:
         seeds = synthetic.seed_urls(args.synthetic_seeds, cfg.n_hosts)
@@ -70,11 +87,20 @@ def main(argv: list[str] | None = None) -> int:
 
     eng = CrawlEngine(spark, SnapshotStore(args.store), cfg)
     t0 = time.time()
+    if args.new_run:
+        eng.start_new_run(
+            seeds,
+            success_inherit=not args.no_success_inherit,
+            failure_inherit=not args.no_failure_inherit,
+        )
+        seeds = None
     rounds = eng.run(seeds)
     wall = time.time() - t0
     visits = eng.fetched_df().count()
     items = eng.items_df().count()
 
+    if args.export_failures:
+        eng.export_failures(args.export_failures)
     if args.export_csv:
         from pholcus_spark import sinks
 

@@ -13,6 +13,8 @@ Reference lifecycle being reproduced: ``crawler.Run`` dispatch loop
 (oracle.py). Driver-side state is only the loop counter + small
 manifest metadata (next_seq, admitted, deferred) — everything else
 lives in tables, which is what makes kill-and-resume trivial.
+(Driver meta is next_seq, per-spider admitted_by, deferred,
+run_start_round, seen_gen — a dozen scalars.)
 
 Tables (FIXTURES.md §2-7):
 - ``pending``   (overwrite/round)  the active queue — stays small
@@ -38,7 +40,13 @@ from . import frontier as FR
 from . import seen as SEEN
 from . import synthetic
 from .fetch import fetch_batch, links_to_candidates
-from .oracle import CrawlConfig, politeness_map
+from .oracle import (
+    CrawlConfig,
+    expand_rules,
+    politeness_map,
+    seed_url_for,
+    spider_instances,
+)
 from .schemas import (
     FAILURES_SCHEMA,
     FETCH_RESULT_SCHEMA,
@@ -89,6 +97,12 @@ class CrawlEngine:
         self.store = store
         self.cfg = cfg
         self._politeness = self._build_politeness()
+        # spider queue × keyin expansion (spiderqueue.go:56-90): the
+        # engine crawls all instances through one frontier, with
+        # fair-share batching and per-instance budgets
+        self._instances = spider_instances(cfg)
+        self._rules = expand_rules(cfg)
+        self._multi = len(self._instances) > 1
         self._seen_cat = None
         if getattr(cfg, "seen_buckets", 0):
             from .seen_catalog import BucketedSeen
@@ -148,6 +162,32 @@ class CrawlEngine:
     def load(self, table: str, schema) -> DataFrame:
         return self.store.load(self.spark, table, schema)
 
+    def _admitted_by(self, meta: dict) -> dict[str, int]:
+        """Per-spider admitted counters (the per-Matrix maxPage,
+        matrix.go:59-61); legacy single-spider stores carry a scalar."""
+        ab = meta.get("admitted_by")
+        if ab is not None:
+            return {str(k): int(v) for k, v in ab.items()}
+        legacy = int(meta.get("admitted", 0))
+        return {self.cfg.spider: legacy} if legacy else {}
+
+    def _remaining_by(self, meta: dict) -> dict[str, int] | None:
+        if self.cfg.limit is None:
+            return None
+        ab = self._admitted_by(meta)
+        return {
+            inst: self.cfg.limit - ab.get(inst, 0)
+            for inst in self._instances
+        }
+
+    def _count_by_spider(self, new_rows: DataFrame) -> dict[str, int]:
+        return {
+            r["spider"]: r["n"]
+            for r in new_rows.groupBy("spider").agg(
+                F.count("*").alias("n")
+            ).collect()
+        }
+
     # --- bootstrap (F1: RuleTree.Root seed generation) ---
 
     def bootstrap(self, seeds: list | DataFrame) -> None:
@@ -162,11 +202,27 @@ class CrawlEngine:
             return  # resume path: state already in the store
         cfg = self.cfg
         if isinstance(seeds, DataFrame):
+            if cfg.keyins:
+                raise ValueError(
+                    "keyin substitution requires list seeds (the DataFrame"
+                    " path is the mass-bootstrap fast lane)"
+                )
             base = self._canonicalize_seed_df(seeds)
-            base = base.select(
+            # every spider instance pushes the full seed list (the
+            # spider queue starts each crawler over its own Root seeds)
+            inst_df = F.broadcast(
+                self.spark.createDataFrame(
+                    [(inst, idx) for idx, inst in enumerate(self._instances)],
+                    "spider string, _inst_idx long",
+                )
+            )
+            base = base.crossJoin(inst_df).select(
                 "url",
                 "host",
-                "cand_order",
+                "spider",
+                (
+                    F.shiftleft(F.col("_inst_idx"), 44) + F.col("cand_order")
+                ).alias("cand_order"),
                 F.lit("GET").alias("method"),
                 F.lit(None).cast("string").alias("post_data"),
                 F.lit(None).cast("string").alias("headers_json"),
@@ -177,23 +233,25 @@ class CrawlEngine:
             import pandas as pd
 
             rows = []
-            for i, raw in enumerate(seeds):
-                req = raw if isinstance(raw, dict) else {"url": raw}
-                cu = canonicalize(req["url"])
-                if not cu:
-                    continue
-                rows.append(
-                    (
-                        cu,
-                        host_of(cu),
-                        i,
-                        req.get("method", "GET"),
-                        req.get("post_data"),
-                        json.dumps(req["headers"])
-                        if req.get("headers")
-                        else None,
+            for inst_idx, inst in enumerate(self._instances):
+                for i, raw in enumerate(seeds):
+                    req = raw if isinstance(raw, dict) else {"url": raw}
+                    cu = canonicalize(seed_url_for(inst, req["url"]))
+                    if not cu:
+                        continue
+                    rows.append(
+                        (
+                            cu,
+                            host_of(cu),
+                            inst,
+                            (inst_idx << 44) | i,
+                            req.get("method", "GET"),
+                            req.get("post_data"),
+                            json.dumps(req["headers"])
+                            if req.get("headers")
+                            else None,
+                        )
                     )
-                )
             # Arrow path: ship only the data columns as a pandas frame —
             # the constant request fields are derived JVM-side, no
             # row-at-a-time Python pickling. Headers travel as JSON and
@@ -201,19 +259,20 @@ class CrawlEngine:
             pdf = pd.DataFrame(
                 rows,
                 columns=[
-                    "url", "host", "cand_order", "method", "post_data",
-                    "headers_json",
+                    "url", "host", "spider", "cand_order", "method",
+                    "post_data", "headers_json",
                 ],
             )
             base = self.spark.createDataFrame(
                 pdf,
-                schema="url string, host string, cand_order long, "
-                "method string, post_data string, headers_json string",
+                schema="url string, host string, spider string, "
+                "cand_order long, method string, post_data string, "
+                "headers_json string",
             )
         cands = base.select(
             "url",
             "host",
-            F.lit(cfg.spider).alias("spider"),
+            "spider",
             F.lit("root").alias("rule"),
             "method",
             F.lit(cfg.seed_priority).cast("int").alias("priority"),
@@ -229,8 +288,14 @@ class CrawlEngine:
             "cand_order",
         )
         empty_seen = self.spark.createDataFrame([], URL_SEEN_SCHEMA)
+        remaining_by = (
+            {inst: cfg.limit for inst in self._instances}
+            if cfg.limit is not None
+            else None
+        )
         new_rows, n_new = FR.enqueue(
-            cands, empty_seen, self._politeness, 0, 0, cfg.limit
+            cands, empty_seen, self._politeness, 0, 0, None,
+            remaining_by_spider=remaining_by,
         )
         new_rows = new_rows.cache()
         writes = {"pending": (new_rows, "overwrite")}
@@ -249,8 +314,9 @@ class CrawlEngine:
         self.store.commit(
             0,
             writes,
-            meta={"next_seq": n_new, "admitted": n_new, "deferred": False,
-                  "round": 0, "seen_gen": 0},
+            meta={"next_seq": n_new,
+                  "admitted_by": self._count_by_spider(new_rows),
+                  "deferred": False, "round": 0, "seen_gen": 0},
             registered=registered,
         )
         self.spark.catalog.clearCache()
@@ -303,11 +369,12 @@ class CrawlEngine:
         meta = self._meta()
         round_no = int(meta.get("round", 0)) + 1
         next_seq = int(meta.get("next_seq", 0))
-        admitted = int(meta.get("admitted", 0))
+        admitted_by = self._admitted_by(meta)
 
         pending = self.load("pending", FRONTIER_SCHEMA)
         batch = FR.select_batch(
-            pending, self._politeness, cfg.batch_size
+            pending, self._politeness, cfg.batch_size,
+            fair_share_spiders=self._multi,
         ).cache()
 
         # Stage the fetch output as a per-round scratch parquet table:
@@ -319,7 +386,7 @@ class CrawlEngine:
         scratch = os.path.join(self.store.root, "scratch", f"round-{round_no}")
         fetch_batch(
             batch,
-            cfg.rules,
+            self._rules,
             cfg.n_hosts,
             cfg.try_times,
             cfg.failure_pct,
@@ -347,10 +414,9 @@ class CrawlEngine:
         cands = links_to_candidates(results)
         url_seen = self._url_seen_df()
         sketch = self._load_sketch(url_seen) if cfg.use_bloom else None
-        remaining = None if cfg.limit is None else cfg.limit - admitted
         new_rows, n_new = FR.enqueue(
-            cands, url_seen, self._politeness, next_seq, round_no, remaining,
-            sketch=sketch,
+            cands, url_seen, self._politeness, next_seq, round_no, None,
+            sketch=sketch, remaining_by_spider=self._remaining_by(meta),
         )
         # Eager checkpoint, not cache: new_rows' lineage includes the
         # anti-join against the url_seen catalog table, and the bucketed
@@ -421,9 +487,16 @@ class CrawlEngine:
             writes,
             meta={
                 "next_seq": next_seq + n_new,
-                "admitted": admitted + n_new,
+                "admitted_by": {
+                    **admitted_by,
+                    **{
+                        sp: admitted_by.get(sp, 0) + n
+                        for sp, n in self._count_by_spider(new_rows).items()
+                    },
+                },
                 "round": round_no,
                 "deferred": meta.get("deferred", False),
+                "run_start_round": int(meta.get("run_start_round", 0)),
                 "seen_gen": seen_gen,
             },
             # zero-copy: the staged fetch output becomes this round's
@@ -584,7 +657,7 @@ class CrawlEngine:
         new_meta = {
             **meta,
             "deferred": False,
-            "admitted": 0,
+            "admitted_by": {},
             "run_start_round": round_no + 1,
         }
         if not success_inherit:
@@ -626,11 +699,21 @@ class CrawlEngine:
         meta = self._meta()
         store_round = int(meta.get("round", 0))
         next_seq = int(meta.get("next_seq", 0))
-        admitted = int(meta.get("admitted", 0))
         cfg = self.cfg
         if isinstance(seeds, DataFrame):
-            base = self._canonicalize_seed_df(seeds).select(
-                "url", "host", "cand_order",
+            if cfg.keyins:
+                raise ValueError("keyin substitution requires list seeds")
+            inst_df = F.broadcast(
+                self.spark.createDataFrame(
+                    [(inst, idx) for idx, inst in enumerate(self._instances)],
+                    "spider string, _inst_idx long",
+                )
+            )
+            base = self._canonicalize_seed_df(seeds).crossJoin(inst_df).select(
+                "url", "host", "spider",
+                (
+                    F.shiftleft(F.col("_inst_idx"), 44) + F.col("cand_order")
+                ).alias("cand_order"),
                 F.lit("GET").alias("method"),
                 F.lit(None).cast("string").alias("post_data"),
                 F.lit(None).cast("string").alias("headers_json"),
@@ -641,26 +724,29 @@ class CrawlEngine:
             import pandas as pd
 
             rows = []
-            for i, raw in enumerate(seeds):
-                req = raw if isinstance(raw, dict) else {"url": raw}
-                cu = canonicalize(req["url"])
-                if not cu:
-                    continue
-                rows.append(
-                    (cu, host_of(cu), i, req.get("method", "GET"),
-                     req.get("post_data"),
-                     _json.dumps(req["headers"]) if req.get("headers") else None)
-                )
+            for inst_idx, inst in enumerate(self._instances):
+                for i, raw in enumerate(seeds):
+                    req = raw if isinstance(raw, dict) else {"url": raw}
+                    cu = canonicalize(seed_url_for(inst, req["url"]))
+                    if not cu:
+                        continue
+                    rows.append(
+                        (cu, host_of(cu), inst, (inst_idx << 44) | i,
+                         req.get("method", "GET"), req.get("post_data"),
+                         _json.dumps(req["headers"]) if req.get("headers")
+                         else None)
+                    )
             base = self.spark.createDataFrame(
                 pd.DataFrame(rows, columns=[
-                    "url", "host", "cand_order", "method", "post_data",
-                    "headers_json"]),
-                schema="url string, host string, cand_order long, "
-                "method string, post_data string, headers_json string",
+                    "url", "host", "spider", "cand_order", "method",
+                    "post_data", "headers_json"]),
+                schema="url string, host string, spider string, "
+                "cand_order long, method string, post_data string, "
+                "headers_json string",
             )
         cands = base.select(
             "url", "host",
-            F.lit(cfg.spider).alias("spider"),
+            "spider",
             F.lit("root").alias("rule"),
             "method",
             F.lit(cfg.seed_priority).cast("int").alias("priority"),
@@ -676,10 +762,9 @@ class CrawlEngine:
         )
         url_seen = self._url_seen_df()
         sketch = self._load_sketch(url_seen) if cfg.use_bloom else None
-        remaining = None if cfg.limit is None else cfg.limit - admitted
         new_rows, n_new = FR.enqueue(
             cands, url_seen, self._politeness, next_seq, store_round,
-            remaining, sketch=sketch,
+            None, sketch=sketch, remaining_by_spider=self._remaining_by(meta),
         )
         new_rows = new_rows.localCheckpoint(eager=True)
         pending = self.load("pending", FRONTIER_SCHEMA).unionByName(new_rows)
@@ -696,10 +781,18 @@ class CrawlEngine:
                 SEEN.update_sketch(sketch, new_rows.select("url_key")),
                 "overwrite",
             )
+        admitted_by = self._admitted_by(meta)
         self.store.commit(
             store_round, writes,
             meta={**meta, "next_seq": next_seq + n_new,
-                  "admitted": admitted + n_new, "deferred": False},
+                  "admitted_by": {
+                      **admitted_by,
+                      **{
+                          sp: admitted_by.get(sp, 0) + n
+                          for sp, n in self._count_by_spider(new_rows).items()
+                      },
+                  },
+                  "deferred": False},
             registered=registered,
         )
         self.spark.catalog.clearCache()
@@ -720,6 +813,9 @@ class CrawlEngine:
         return self.load("fetched", FETCHED_SCHEMA)
 
     def visits_log(self) -> list[tuple]:
+        """TEST-ONLY: collects the full visit log to the driver for
+        oracle comparison. Never call in a production path — use
+        fetched_df() and keep the computation distributed."""
         df = self.fetched_df().select(
             F.col("visit_round").alias("round"),
             "url_key", "url", "priority", "seq", "attempt", "ok",
@@ -731,6 +827,9 @@ class CrawlEngine:
         ]
 
     def url_seen_set(self) -> set[int]:
+        """TEST-ONLY: driver-side materialization of the seen set for
+        oracle comparison; production code joins against
+        _url_seen_df()."""
         return {
             r["url_key"]
             for r in self.load("url_seen", URL_SEEN_SCHEMA).collect()

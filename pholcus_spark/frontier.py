@@ -145,6 +145,7 @@ def enqueue(
     round_no: int,
     remaining_budget: int | None,
     sketch: DataFrame | None = None,
+    remaining_by_spider: dict[str, int] | None = None,
 ) -> tuple[DataFrame, int]:
     """Full Matrix.Push pipeline for one round's candidate links.
 
@@ -173,12 +174,37 @@ def enqueue(
     # stages that must not be re-evaluated per pass. Cleared with the
     # round's clearCache().
     cands = cands.cache()
-    if remaining_budget is not None:
-        # page budget (F6, matrix.go:59-61): admit in FIFO order until
-        # the budget is spent. orderBy+limit compiles to TakeOrdered,
-        # which funnels everything into ONE partition — only take that
-        # path when the budget actually binds; otherwise admit all
-        # (identical rows) and stay fully partitioned.
+    if remaining_by_spider is not None:
+        # per-spider page budget (Spider.Limit is per Matrix instance,
+        # matrix.go:59-61 + spider.go:241-249): admit each spider's
+        # candidates in FIFO order until ITS budget is spent. Window
+        # rank per spider; skipped entirely (no sort) when no spider
+        # can exceed its budget this round.
+        n_cand = cands.count()
+        min_rem = min(remaining_by_spider.values(), default=0)
+        if n_cand > max(min_rem, 0):
+            spark = cands.sparkSession
+            rb = F.broadcast(
+                spark.createDataFrame(
+                    [(s_, max(int(r), 0)) for s_, r in remaining_by_spider.items()],
+                    "spider string, _rem long",
+                )
+            )
+            wb = Window.partitionBy("spider").orderBy("cand_order")
+            cands = (
+                cands.join(rb, "spider", "left")
+                .withColumn("_rn", F.row_number().over(wb))
+                .filter(
+                    F.col("_rn") <= F.coalesce(F.col("_rem"), F.lit(0))
+                )
+                .drop("_rn", "_rem")
+            )
+    elif remaining_budget is not None:
+        # global page budget (F6, matrix.go:59-61): admit in FIFO order
+        # until the budget is spent. orderBy+limit compiles to
+        # TakeOrdered, which funnels everything into ONE partition —
+        # only take that path when the budget actually binds; otherwise
+        # admit all (identical rows) and stay fully partitioned.
         n_cand = cands.count()
         if n_cand > max(remaining_budget, 0):
             cands = cands.orderBy("cand_order").limit(max(remaining_budget, 0))

@@ -36,6 +36,16 @@ class CrawlConfig:
                                     "child_priority": 0},
         }
     )
+    # multi-spider crawl (reference spider queue,
+    # app/crawler/spiderqueue.go:56-90): names of the spiders to run;
+    # None = just `spider`. Each spider shares `rules` keyed by its
+    # base name and gets its own page budget (`limit` is per spider,
+    # like Spider.Limit).
+    spiders: tuple = ()
+    # keyin fan-out (F13, spiderqueue.go:56-90 + KeyinsParse): every
+    # spider expands to one instance per keyin, named "<spider>@<keyin>";
+    # "{keyin}" in seed URLs is substituted per instance
+    keyins: tuple = ()
     n_hosts: int = 20
     batch_size: int = 20  # reference ThreadNum default, config.go:156
     limit: int | None = None  # page budget (maxPage, matrix.go:59-61)
@@ -59,6 +69,43 @@ class CrawlConfig:
     img_px_scale: int = 1
 
 
+def spider_instances(cfg: "CrawlConfig") -> list[str]:
+    """Expand the spider queue × keyins into instance names (the
+    reference builds one Spider copy per keyin with a sub-namespaced
+    history, spiderqueue.go:56-90, spider.go:108-114)."""
+    bases = list(cfg.spiders) if cfg.spiders else [cfg.spider]
+    if cfg.keyins:
+        return [f"{b}@{k}" for b in bases for k in cfg.keyins]
+    return bases
+
+
+def instance_base(inst: str) -> str:
+    return inst.split("@", 1)[0]
+
+
+def instance_keyin(inst: str) -> str | None:
+    return inst.split("@", 1)[1] if "@" in inst else None
+
+
+def expand_rules(cfg: "CrawlConfig") -> dict:
+    """Per-instance rule table: instances inherit their base spider's
+    RuleTree (spider.go:48-59)."""
+    out = {}
+    for inst in spider_instances(cfg):
+        base = instance_base(inst)
+        for (sp, rule), rc in cfg.rules.items():
+            if sp == base:
+                out[(inst, rule)] = rc
+    return out
+
+
+def seed_url_for(inst: str, url: str) -> str:
+    """Keyin substitution into seed URLs (KeyinsParse fills rule
+    templates, common/util/util.go:408-432)."""
+    k = instance_keyin(inst)
+    return url.replace("{keyin}", k) if k else url
+
+
 @dataclass
 class OracleRow:
     url_key: int
@@ -72,6 +119,7 @@ class OracleRow:
     parent_url: str | None = None
     method: str = "GET"
     post_data: str | None = None
+    spider: str = ""
 
 
 @dataclass
@@ -97,6 +145,8 @@ def politeness_map(cfg: CrawlConfig) -> dict[str, dict]:
 
 def run_oracle(seeds: list[str], cfg: CrawlConfig) -> OracleResult:
     pol = politeness_map(cfg)
+    instances = spider_instances(cfg)
+    rules_x = expand_rules(cfg)
     seen: set[int] = set()
     pending: list[OracleRow] = []
     done: set[int] = set()
@@ -105,18 +155,21 @@ def run_oracle(seeds: list[str], cfg: CrawlConfig) -> OracleResult:
     items: dict[int, dict] = {}
     visits: list[tuple] = []
     next_seq = 0
-    admitted = 0
+    admitted_by: dict[str, int] = {}
     deferred = False
 
     def admit(cands: list[tuple[int, dict]]) -> None:
         """cands: (cand_order, row-dict) — Matrix.Push semantics in
-        candidate order (dedup, robots, seen, budget, seq)."""
-        nonlocal next_seq, admitted
+        candidate order (dedup, robots, seen, per-spider budget, seq).
+        The page budget is per spider instance (Spider.Limit lives in
+        each Matrix, matrix.go:59-61)."""
+        nonlocal next_seq
         cands = sorted(cands, key=lambda t: t[0])
         batch_keys: set[int] = set()
         for _order, c in cands:
-            if cfg.limit is not None and admitted >= cfg.limit:
-                break
+            sp = c["spider"]
+            if cfg.limit is not None and admitted_by.get(sp, 0) >= cfg.limit:
+                continue
             key = c["url_key"]
             if key in batch_keys or key in seen:
                 continue
@@ -128,7 +181,7 @@ def run_oracle(seeds: list[str], cfg: CrawlConfig) -> OracleResult:
                 continue
             batch_keys.add(key)
             seen.add(key)
-            admitted += 1
+            admitted_by[sp] = admitted_by.get(sp, 0) + 1
             pending.append(
                 OracleRow(
                     url_key=key,
@@ -142,36 +195,42 @@ def run_oracle(seeds: list[str], cfg: CrawlConfig) -> OracleResult:
                     parent_url=c.get("parent_url"),
                     method=c.get("method", "GET"),
                     post_data=c.get("post_data"),
+                    spider=sp,
                 )
             )
             next_seq += 1
 
     # --- seed round (F1, RuleTree.Root) ---
     # seeds may be raw URLs or request dicts with method/post_data
-    # (the reference Request surface, request.go:20-43)
+    # (the reference Request surface, request.go:20-43). Every spider
+    # instance pushes the full seed list (instance-major order, like
+    # the spider queue starting each crawler in sequence), with keyin
+    # substitution per instance.
     seed_cands = []
-    for i, raw in enumerate(seeds):
-        req = raw if isinstance(raw, dict) else {"url": raw}
-        cu = canonicalize(req["url"])
-        if not cu:
-            continue
-        host = host_of(cu)
-        method = req.get("method", "GET")
-        seed_cands.append(
-            (
-                i,
-                {
-                    "url_key": make_url_key(cfg.spider, "root", cu, method),
-                    "url": cu,
-                    "host": host,
-                    "rule": "root",
-                    "priority": cfg.seed_priority,
-                    "depth": 0,
-                    "method": method,
-                    "post_data": req.get("post_data"),
-                },
+    for inst_idx, inst in enumerate(instances):
+        for i, raw in enumerate(seeds):
+            req = raw if isinstance(raw, dict) else {"url": raw}
+            cu = canonicalize(seed_url_for(inst, req["url"]))
+            if not cu:
+                continue
+            host = host_of(cu)
+            method = req.get("method", "GET")
+            seed_cands.append(
+                (
+                    (inst_idx << 44) | i,
+                    {
+                        "url_key": make_url_key(inst, "root", cu, method),
+                        "url": cu,
+                        "host": host,
+                        "rule": "root",
+                        "priority": cfg.seed_priority,
+                        "depth": 0,
+                        "method": method,
+                        "post_data": req.get("post_data"),
+                        "spider": inst,
+                    },
+                )
             )
-        )
     admit(seed_cands)
 
     rnd = 0
@@ -197,7 +256,24 @@ def run_oracle(seeds: list[str], cfg: CrawlConfig) -> OracleResult:
             rows.sort(key=lambda r: (-r.priority, r.seq))
             candidates.extend(rows[: pol[host]["max_per_round"]])
         candidates.sort(key=lambda r: (-r.priority, r.seq))
-        batch = candidates[: cfg.batch_size]
+        if len(candidates) > cfg.batch_size and len(instances) > 1:
+            # F4 fair share across spiders (scheduler avgRes,
+            # matrix.go:73-79; mirrors frontier.select_batch): each
+            # spider present is guaranteed batch//n slots in its own
+            # order; unused slots fill globally.
+            present = sorted({r.spider for r in candidates})
+            quota = max(1, cfg.batch_size // max(len(present), 1))
+            rank: dict[str, int] = {}
+            guaranteed, rest = [], []
+            for r in candidates:  # already in global order
+                rank[r.spider] = rank.get(r.spider, 0) + 1
+                (guaranteed if rank[r.spider] <= quota else rest).append(r)
+            if len(guaranteed) > cfg.batch_size:
+                batch = guaranteed[: cfg.batch_size]
+            else:
+                batch = guaranteed + rest[: cfg.batch_size - len(guaranteed)]
+        else:
+            batch = candidates[: cfg.batch_size]
         batch_keys = {r.url_key for r in batch}
         pending = [r for r in pending if r.url_key not in batch_keys]
 
@@ -229,7 +305,7 @@ def run_oracle(seeds: list[str], cfg: CrawlConfig) -> OracleResult:
                         "w": res.w,
                         "h": res.h,
                     }
-                rule_cfg = cfg.rules.get((cfg.spider, row.rule), {})
+                rule_cfg = rules_x.get((row.spider, row.rule), {})
                 child_rule = rule_cfg.get("child_rule")
                 if child_rule is not None and row.depth < rule_cfg.get("max_depth", 0):
                     for idx, link in enumerate(res.links):
@@ -241,7 +317,7 @@ def run_oracle(seeds: list[str], cfg: CrawlConfig) -> OracleResult:
                                 (row.seq << 20) | idx,
                                 {
                                     "url_key": make_url_key(
-                                        cfg.spider, child_rule, cu, "GET"
+                                        row.spider, child_rule, cu, "GET"
                                     ),
                                     "url": cu,
                                     "host": host_of(cu),
@@ -249,6 +325,7 @@ def run_oracle(seeds: list[str], cfg: CrawlConfig) -> OracleResult:
                                     "priority": rule_cfg.get("child_priority", 0),
                                     "depth": row.depth + 1,
                                     "parent_url": row.url,
+                                    "spider": row.spider,
                                 },
                             )
                         )

@@ -573,6 +573,62 @@ FROM d
 """
 
 
+def q_frontier_fair_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 engine-level fair share across spiders (scheduler avgRes,
+    matrix.go:73-79): runs the REAL frontier.select_batch over an
+    events-derived pending set — each spider present is guaranteed
+    batch//n slots, a short spider's unused slots fill globally."""
+    from .frontier import select_batch
+    from .schemas import POLITENESS_SCHEMA
+
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(
+        (F.col("event_id") % 10 < 9) | (F.col("event_id") < 100)
+    ).select(
+        F.col("event_id").alias("url_key"),
+        F.lit("u").alias("url"),
+        F.lit("h1").alias("host"),
+        F.when(F.col("event_id") % 10 < 6, "spA")
+        .when(F.col("event_id") % 10 < 9, "spB")
+        .otherwise("spC")
+        .alias("spider"),
+        (F.col("event_id") % 5).cast("int").alias("priority"),
+        F.col("event_id").alias("seq"),
+    )
+    pol = spark.createDataFrame([("h1", 300, [], 1 << 30)], POLITENESS_SCHEMA)
+    out = select_batch(p, pol, 60, fair_share_spiders=True)
+    return out.select(
+        "spider", "priority", F.col("seq").cast("long").alias("seq")
+    )
+
+
+# quota 20 = batch 60 // 3 spiders present; spC (event_id%10==9 and <100)
+# has only ~10 rows, so its unused slots fill globally — the ADVICE-r1
+# leftover-sizing semantics, verified value-exact
+SQL_FRONTIER_FAIR_SHARE = """
+WITH p AS (
+  SELECT CASE WHEN event_id % 10 < 6 THEN 'spA'
+              WHEN event_id % 10 < 9 THEN 'spB'
+              ELSE 'spC' END AS spider,
+         CAST(event_id % 5 AS INTEGER) AS priority,
+         event_id AS seq
+  FROM events
+  WHERE event_id % 10 < 9 OR event_id < 100),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY spider
+                               ORDER BY priority DESC, seq) AS rs
+  FROM p),
+g AS (SELECT spider, priority, seq FROM ranked WHERE rs <= 20),
+extra AS (
+  SELECT spider, priority, seq FROM ranked WHERE rs > 20
+  ORDER BY priority DESC, seq
+  LIMIT greatest(60 - (SELECT count(*) FROM g), 0))
+SELECT spider, priority, seq FROM g
+UNION ALL
+SELECT spider, priority, seq FROM extra
+"""
+
+
 KEYINS = ("alpha", "beta", "gamma")
 
 
@@ -1135,6 +1191,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "method_dispatch": q_method_dispatch,
     "html_helpers": q_html_helpers,
     "charset_detect": q_charset_detect,
+    "frontier_fair_share": q_frontier_fair_share,
     "keyin_fanout": q_keyin_fanout,
     "failure_union_requeue": q_failure_union_requeue,
     "events_tumbling_window": q_events_tumbling_window,
@@ -1178,6 +1235,7 @@ ORACLE_SQL: dict[str, str] = {
     "method_dispatch": SQL_METHOD_DISPATCH,
     "html_helpers": SQL_HTML_HELPERS,
     "charset_detect": SQL_CHARSET_DETECT,
+    "frontier_fair_share": SQL_FRONTIER_FAIR_SHARE,
     "keyin_fanout": SQL_KEYIN_FANOUT,
     "failure_union_requeue": SQL_FAILURE_UNION_REQUEUE,
     "events_tumbling_window": SQL_EVENTS_TUMBLING_WINDOW,

@@ -330,3 +330,60 @@ def test_failure_export_roundtrip(spark, tmp_path):
     assert n == len(failed)
     back = spark.read.json(out)
     assert {r["url_key"] for r in back.collect()} == failed
+
+
+def test_multi_spider_fidelity(spark, tmp_path):
+    """Engine-level multi-spider crawl (spiderqueue.go:56-90): two
+    spiders with different rule trees share one frontier; fair-share
+    batching + per-spider page budgets; visit order, url_seen and
+    per-spider dispatch match the oracle exactly."""
+    rules = {
+        ("spA", "root"): {"child_rule": "page", "max_depth": 2,
+                          "child_priority": 0},
+        ("spA", "page"): {"child_rule": "page", "max_depth": 2,
+                          "child_priority": 0},
+        ("spB", "root"): {"child_rule": "page", "max_depth": 1,
+                          "child_priority": 2},
+        ("spB", "page"): {"child_rule": None, "max_depth": 0},
+    }
+    cfg = CrawlConfig(spiders=("spA", "spB"), rules=rules, n_hosts=10,
+                      batch_size=10, limit=40)
+    seeds = synthetic.seed_urls(6, cfg.n_hosts)
+    orc = run_oracle(seeds, cfg)
+    eng = CrawlEngine(spark, SnapshotStore(str(tmp_path / "multi")), cfg)
+    eng.run(seeds)
+    assert eng.visits_log() == _sorted_oracle_visits(orc)
+    assert eng.url_seen_set() == orc.url_seen
+    spiders = {
+        r["spider"] for r in eng.fetched_df().select("spider").distinct().collect()
+    }
+    assert spiders == {"spA", "spB"}
+
+
+def test_keyin_fanout_engine_fidelity(spark, tmp_path):
+    """F13 keyin fan-out at ENGINE level (spiderqueue.go:56-90 +
+    KeyinsParse): one spider × two keyins → two instances with
+    substituted seed URLs, each with its own budget and history
+    namespace (distinct url_keys)."""
+    rules = {
+        ("spA", "root"): {"child_rule": "page", "max_depth": 1,
+                          "child_priority": 0},
+        ("spA", "page"): {"child_rule": None, "max_depth": 0},
+    }
+    cfg = CrawlConfig(spiders=("spA",), keyins=("alpha", "beta"),
+                      rules=rules, n_hosts=10, batch_size=10, limit=20)
+    seeds = [f"http://h{i:03d}.example.com/search/{{keyin}}/{i}"
+             for i in range(4)]
+    orc = run_oracle(seeds, cfg)
+    eng = CrawlEngine(spark, SnapshotStore(str(tmp_path / "keyin")), cfg)
+    eng.run(seeds)
+    assert eng.visits_log() == _sorted_oracle_visits(orc)
+    assert eng.url_seen_set() == orc.url_seen
+    urls = [r["url"] for r in eng.fetched_df().select("url").collect()]
+    assert any("/search/alpha/" in u for u in urls)
+    assert any("/search/beta/" in u for u in urls)
+    spiders = {
+        r["spider"]
+        for r in eng.fetched_df().select("spider").distinct().collect()
+    }
+    assert spiders == {"spA@alpha", "spA@beta"}
