@@ -301,7 +301,9 @@ class CrawlEngine:
         writes = {"pending": (new_rows, "overwrite")}
         registered = None
         if self._seen_cat is not None:
-            seen_files = self._seen_cat.append(new_rows.select("url_key"), 0)
+            seen_files = self._seen_cat.append(
+                new_rows.select("url_key"), 0, n_hint=n_new
+            )
             registered = {"url_seen": (seen_files, "append")}
         else:
             writes["url_seen"] = (new_rows.select("url_key"), "append")
@@ -472,7 +474,7 @@ class CrawlEngine:
         seen_gen = int(meta.get("seen_gen", 0))
         if self._seen_cat is not None:
             seen_files = self._seen_cat.append(
-                new_rows.select("url_key"), seen_gen
+                new_rows.select("url_key"), seen_gen, n_hint=n_new
             )
             registered = {"url_seen": (seen_files, "append")}
         else:

@@ -107,18 +107,22 @@ class BucketedSeen:
     def _part_files(self, loc: str) -> set[str]:
         return {n for n in os.listdir(loc) if n.startswith("part-")}
 
-    def append(self, new_keys: DataFrame, gen: int) -> list[str]:
+    def append(self, new_keys: DataFrame, gen: int,
+               n_hint: int | None = None) -> list[str]:
         """Bucketed append of the round's new keys; returns the new
-        files' manifest-relative names. Pre-repartitioning to the
-        bucket layout keeps it to ~1 file per bucket per round."""
+        files' manifest-relative names. Large appends pre-repartition
+        to the bucket layout (~1 file per bucket); small rounds
+        coalesce to one task (the writer re-buckets rows into per-
+        bucket files regardless of input partitioning), avoiding
+        n_buckets tiny tasks per round."""
         loc = self._gen_dir(gen)
         before = self._part_files(loc)
-        (
-            new_keys.select("url_key")
-            .repartition(self.n_buckets, "url_key")
-            .write.mode("append")
-            .insertInto(self.table)
-        )
+        keys = new_keys.select("url_key")
+        if n_hint is not None and n_hint < 4096 * self.n_buckets:
+            keys = keys.coalesce(1)
+        else:
+            keys = keys.repartition(self.n_buckets, "url_key")
+        keys.write.mode("append").insertInto(self.table)
         self.spark.catalog.refreshTable(self.table)
         new = sorted(self._part_files(loc) - before)
         return [f"{self._gen_rel(gen)}/{n}" for n in new]
