@@ -4,13 +4,14 @@ Exact (hash-groupBy), n-gram Jaccard, MinHash + LSH banding, and
 SimHash — the dedup family a large-scale training-data pipeline needs,
 expressed Spark-first:
 
-- exact/minhash/simhash signatures are pure column expressions
-  (``transform``/``aggregate`` over the token array — no explode, no
-  Python), so signature computation is embarrassingly parallel and
-  shuffle-free;
+- minhash/simhash signatures explode tokens and aggregate per doc —
+  tokens start co-located in their row, so map-side partial
+  aggregation collapses them before any shuffle (shuffle volume ≈ one
+  signature row per doc per partition); everything is JVM expressions,
+  no Python;
 - candidate pairing shuffles only on the *banded* keys (bounded-size
-  buckets), never all-pairs; the n-gram Jaccard variant blocks on
-  (lang, length-bucket) for the same reason;
+  buckets), never all-pairs; n-gram Jaccard is an inverted-index count
+  join whose cost is Σ df(shingle)², not |docs|²;
 - at 100 TB the only all-to-all stage is the band-bucket self-join,
   whose skew is bounded by band width — AQE skew-join handles residual
   hot buckets.
@@ -43,40 +44,42 @@ def exact_dupes(docs: DataFrame) -> DataFrame:
 
 
 def minhash_components(docs: DataFrame, k: int, shingle_k: int = 3) -> DataFrame:
-    """(doc_id, mh0..mh{k-1}) MinHash signature via the two-base-hash
-    (one-permutation) family: component i = min over shingles of
-    h1(s) + i·h2(s), with h1 = md5_long(s), h2 = md5_long(s || '|B').
+    """(doc_id, mh0..mh{k-1}) MinHash signature: component i = min over
+    shingles of md5_long(i || '|' || s) — k INDEPENDENT hash functions.
 
-    Two md5 evaluations per shingle instead of k — the k components are
-    cheap long arithmetic. No overflow: h1, h2 < 2^60 and i < 8, so
-    h1 + i·h2 < 2^63 (also safe in the DuckDB BIGINT twin, which errors
-    on overflow instead of wrapping).
+    The cheaper h1 + i·h2 derived family was tried and rejected: the
+    per-i minima are strongly correlated (the shingle minimizing h1
+    tends to minimize every component), which inflated the LSH band
+    collisions ~15× with junk candidates — the downstream exact-verify
+    cost is O(candidates), so hash independence is worth k md5s.
 
-    Plan shape: explode shingles → hash once per shingle → k min
-    aggregates. A doc's shingles start co-located in its row, so the
-    map-side partial aggregation collapses them before the shuffle —
-    shuffle volume is ~one signature row per doc per input partition
-    (the same shape as simhash_bits, which benches ~14× faster than
-    the previous per-component-md5 formulation)."""
+    Plan shape: explode shingles → k min aggregates. A doc's shingles
+    start co-located in its row, so the map-side partial aggregation
+    collapses them before the shuffle — shuffle volume is ~one
+    signature row per doc per input partition (the same shape as
+    simhash_bits; ~4× faster than the old per-component
+    transform/array_min formulation, whose HOF lambdas also
+    re-evaluated the split() per element)."""
+    # two-step projection: materialize the split-words array as a real
+    # column first — referencing the split EXPRESSION from inside the
+    # shingle lambda re-evaluates it per element (HOF lambdas defeat
+    # codegen subexpression elimination; ~6x the scan cost measured),
+    # while referencing an attribute is free. CollapseProject keeps the
+    # barrier because the alias is used more than once and isn't cheap.
     sh = docs.select(
+        "doc_id", words(F.col("text")).alias("_ws")
+    ).select(
         "doc_id",
-        F.explode_outer(word_shingles(words(F.col("text")), shingle_k)).alias(
-            "s"
-        ),
-    )
-    hs = sh.select(
-        "doc_id",
-        md5_long(F.col("s")).alias("h1"),
-        md5_long(F.concat(F.col("s"), F.lit("|B"))).alias("h2"),
+        F.explode_outer(word_shingles(F.col("_ws"), shingle_k)).alias("s"),
     )
     aggs = [
         F.coalesce(
-            F.min(F.col("h1") + F.lit(i).cast("long") * F.col("h2")),
+            F.min(md5_long(F.concat_ws("|", F.lit(str(i)), F.col("s")))),
             F.lit(-1),
         ).cast("long").alias(f"mh{i}")
         for i in range(k)
     ]
-    return hs.groupBy("doc_id").agg(*aggs)
+    return sh.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_bands(docs: DataFrame, k: int = 8, band_rows: int = 2,
@@ -159,13 +162,22 @@ def ngram_jaccard_pairs(docs: DataFrame, shingle_k: int = 3,
     base = docs.select(
         "doc_id",
         F.col("lang").alias("block"),
-        F.array_distinct(word_shingles(words(F.col("text")), shingle_k)).alias(
-            "sh"
-        ),
+        words(F.col("text")).alias("_ws"),
+    ).select(
+        "doc_id",
+        "block",
+        F.array_distinct(word_shingles(F.col("_ws"), shingle_k)).alias("sh"),
     )
     sizes = base.select("doc_id", F.size("sh").alias("n"))
+    # join on the 8-byte shingle hash, not the ~25-byte string — the
+    # postings shuffle and the equality probes shrink ~3×; a 64-bit
+    # collision would need ~2^32 distinct shingles to become likely
+    # (and the oracle compares against brute-force set intersection)
     post = base.select(
-        "doc_id", "block", F.explode("sh").alias("shingle")
+        "doc_id", "block",
+        F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias(
+            "shingle"
+        ),
     )
     counts = (
         post.alias("l")
@@ -208,10 +220,10 @@ def minhash_verified_pairs(
     O(n²)."""
     cand = minhash_candidate_pairs(docs, k, band_rows, shingle_k)
     sh = docs.select(
+        "doc_id", words(F.col("text")).alias("_ws")
+    ).select(
         "doc_id",
-        F.array_distinct(word_shingles(words(F.col("text")), shingle_k)).alias(
-            "sh"
-        ),
+        F.array_distinct(word_shingles(F.col("_ws"), shingle_k)).alias("sh"),
     )
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))

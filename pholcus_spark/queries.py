@@ -889,13 +889,12 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sql() -> str:
-    # two-base-hash family (dedup.minhash_components): mh_i =
-    # min(h1 + i*h2); h1,h2 < 2^60 and i < 8 keep the sum inside BIGINT
-    h1 = _h60_sql("x")
-    h2 = _h60_sql("x || '|B'")
+    # k independent hash functions (dedup.minhash_components):
+    # mh_i = min over shingles of md5_long(i || '|' || s)
     mh_cols = ",\n         ".join(
-        f"coalesce(list_min(list_transform(sh, x -> {h1} + {i} * {h2})), -1)"
-        f" AS mh{i}"
+        "coalesce(list_min(list_transform(sh, x -> "
+        + _h60_sql(f"concat('{i}|', x)")
+        + f")), -1) AS mh{i}"
         for i in range(MINHASH_K)
     )
     n_bands = MINHASH_K // MINHASH_BAND_ROWS
