@@ -313,11 +313,15 @@ class CrawlEngine:
                 SEEN.update_sketch(empty_sketch, new_rows.select("url_key")),
                 "overwrite",
             )
+        boot_by = (
+            self._count_by_spider(new_rows)
+            if self._multi
+            else ({self._instances[0]: n_new} if n_new else {})
+        )
         self.store.commit(
             0,
             writes,
-            meta={"next_seq": n_new,
-                  "admitted_by": self._count_by_spider(new_rows),
+            meta={"next_seq": n_new, "admitted_by": boot_by,
                   "deferred": False, "round": 0, "seen_gen": 0},
             registered=registered,
         )
@@ -470,13 +474,20 @@ class CrawlEngine:
             "pending": (still_pending, "overwrite"),
             "rounds": (part_metrics, "append"),
         }
-        registered = None
+        registered_fn = None
         seen_gen = int(meta.get("seen_gen", 0))
         if self._seen_cat is not None:
-            seen_files = self._seen_cat.append(
-                new_rows.select("url_key"), seen_gen, n_hint=n_new
-            )
-            registered = {"url_seen": (seen_files, "append")}
+            # deferred: the bucketed insert runs concurrently with the
+            # pending/rounds writers inside commit() — new_rows is
+            # checkpointed, so the thread reads materialized partitions
+            registered_fn = lambda: {  # noqa: E731
+                "url_seen": (
+                    self._seen_cat.append(
+                        new_rows.select("url_key"), seen_gen, n_hint=n_new
+                    ),
+                    "append",
+                )
+            }
         else:
             writes["url_seen"] = (new_rows.select("url_key"), "append")
         if cfg.use_bloom:
@@ -484,6 +495,12 @@ class CrawlEngine:
                 SEEN.update_sketch(sketch, new_rows.select("url_key")),
                 "overwrite",
             )
+        if self._multi:
+            new_by = self._count_by_spider(new_rows)
+        else:
+            # single spider: the total IS the per-spider count — no
+            # extra collect job per round
+            new_by = {self._instances[0]: n_new} if n_new else {}
         self.store.commit(
             round_no,
             writes,
@@ -493,7 +510,7 @@ class CrawlEngine:
                     **admitted_by,
                     **{
                         sp: admitted_by.get(sp, 0) + n
-                        for sp, n in self._count_by_spider(new_rows).items()
+                        for sp, n in new_by.items()
                     },
                 },
                 "round": round_no,
@@ -505,7 +522,7 @@ class CrawlEngine:
             # slice of the fetched log (renamed after writes finish, so
             # the writers above could still read it)
             adopts={"fetched": (scratch, "append")},
-            registered=registered,
+            registered_fn=registered_fn,
         )
         _mark("commit")
         self.spark.catalog.clearCache()

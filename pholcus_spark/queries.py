@@ -775,6 +775,50 @@ WHERE event_id < 1000
 """
 
 
+def q_sink_mongo_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 mongo sink shape (output_mgo.go:18-77): collection =
+    namespace__rule, content-hash _id, JSON document."""
+    from . import sinks
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 1000).select(
+        F.col("event_type").alias("rule"), "event_id", "user_id"
+    )
+    return sinks.mongo_frame(ev, "pholcus")
+
+
+SQL_SINK_MONGO_SHAPE = """
+WITH d AS (
+  SELECT event_type AS rule,
+         to_json(struct_pack(event_id := event_id, user_id := user_id)) AS doc
+  FROM events WHERE event_id < 1000)
+SELECT concat('pholcus__', rule) AS collection,
+       md5(doc) AS _id,
+       doc
+FROM d
+"""
+
+
+def q_sink_beanstalk_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 beanstalkd sink shape (output_beanstalkd.go:19-55): tube =
+    namespace__rule + put parameters + JSON job body."""
+    from . import sinks
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 1000).select(
+        F.col("event_type").alias("rule"), "event_id", "user_id"
+    )
+    return sinks.beanstalk_frame(ev, "pholcus", priority=1, ttr_s=60)
+
+
+SQL_SINK_BEANSTALK_SHAPE = """
+SELECT concat('pholcus__', event_type) AS tube,
+       CAST(1 AS BIGINT) AS pri,
+       CAST(0 AS BIGINT) AS delay_s,
+       CAST(60 AS BIGINT) AS ttr_s,
+       to_json(struct_pack(event_id := event_id, user_id := user_id)) AS job
+FROM events WHERE event_id < 1000
+"""
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline ops: dedup / text / fingerprints
 
@@ -1196,6 +1240,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_tumbling_window": q_events_tumbling_window,
     "events_sessionize": q_events_sessionize,
     "sink_kafka_shape": q_sink_kafka_shape,
+    "sink_mongo_shape": q_sink_mongo_shape,
+    "sink_beanstalk_shape": q_sink_beanstalk_shape,
     # training-data pipeline: dedup + text analysis
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1240,6 +1286,8 @@ ORACLE_SQL: dict[str, str] = {
     "events_tumbling_window": SQL_EVENTS_TUMBLING_WINDOW,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "sink_kafka_shape": SQL_SINK_KAFKA_SHAPE,
+    "sink_mongo_shape": SQL_SINK_MONGO_SHAPE,
+    "sink_beanstalk_shape": SQL_SINK_BEANSTALK_SHAPE,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
     "dedup_minhash_verified": SQL_DEDUP_MINHASH_VERIFIED,

@@ -129,3 +129,161 @@ def report(items: DataFrame, namespace: str, rule_col: str = "rule",
         .agg(*aggs)
         .select(F.lit(namespace).alias("namespace"), "*")
     )
+
+
+def mongo_frame(items: DataFrame, namespace: str, rule_col: str = "rule") -> DataFrame:
+    """S5 (output_mgo.go:18-77): document-shaped frame — collection =
+    namespace__rule, deterministic ``_id`` (md5 of the document; the
+    reference lets mgo auto-assign ObjectIds — a content hash gives the
+    same upsert-idempotence the success-history writer uses,
+    history.go:106-156), doc = JSON of the flattened row. Feed to
+    ``.format("mongodb")`` + collection option on a cluster; the
+    sandbox flush writes the identical frame as JSON lines."""
+    payload_cols = [c for c in items.columns if c != rule_col]
+    doc = F.to_json(F.struct(*payload_cols))
+    return items.select(
+        F.concat(F.lit(namespace + "__"), F.col(rule_col)).alias("collection"),
+        F.md5(doc).alias("_id"),
+        doc.alias("doc"),
+    )
+
+
+def write_mongo_shaped(items: DataFrame, out_dir: str, namespace: str) -> None:
+    mongo_frame(items, namespace).write.mode("overwrite").json(out_dir)
+
+
+def beanstalk_frame(
+    items: DataFrame,
+    namespace: str,
+    rule_col: str = "rule",
+    priority: int = 0,
+    delay_s: int = 0,
+    ttr_s: int = 60,
+) -> DataFrame:
+    """S7 (output_beanstalkd.go:19-55): job-shaped frame — tube =
+    namespace__rule, one JSON job body per row with the put parameters
+    (pri/delay/ttr) the reference passes to conn.Put. A worker drains
+    the frame with any beanstalkd client; the sandbox flush is JSON
+    lines of the same frame."""
+    payload_cols = [c for c in items.columns if c != rule_col]
+    return items.select(
+        F.concat(F.lit(namespace + "__"), F.col(rule_col)).alias("tube"),
+        F.lit(priority).cast("long").alias("pri"),
+        F.lit(delay_s).cast("long").alias("delay_s"),
+        F.lit(ttr_s).cast("long").alias("ttr_s"),
+        F.to_json(F.struct(*payload_cols)).alias("job"),
+    )
+
+
+def write_excel(
+    items: DataFrame,
+    out_path: str,
+    rule_col: str = "rule",
+    max_rows_per_sheet: int = 65536,
+) -> int:
+    """S3 (output_excel.go:18-76): one workbook, one sheet per rule
+    value, header row + stringified cells. Self-contained OOXML writer
+    (zipfile + hand-built sheet XML — no xlsx library in the sandbox).
+
+    Excel is the reference's small human-export sink (batches are
+    BatchCap-bounded, 10k rows); rows stream through toLocalIterator so
+    driver memory stays one-partition-bounded, and each sheet truncates
+    at ``max_rows_per_sheet``. Returns the number of rows written."""
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    cols = []
+    for f in items.schema.fields:
+        t = f.dataType.simpleString()
+        if t == "binary":
+            cols.append(F.hex(F.col(f.name)).alias(f.name))
+        elif t.startswith(("array", "map", "struct")):
+            cols.append(F.to_json(F.col(f.name)).alias(f.name))
+        else:
+            cols.append(F.col(f.name).cast("string").alias(f.name))
+    df = items.select(*cols)
+    header = [f.name for f in df.schema.fields if f.name != rule_col]
+
+    sheets: dict[str, list[list[str]]] = {}
+    n_rows = 0
+    for r in df.toLocalIterator():
+        rule = str(r[rule_col])
+        rows = sheets.setdefault(rule, [header])
+        if len(rows) <= max_rows_per_sheet:
+            rows.append(["" if r[c] is None else str(r[c]) for c in header])
+            n_rows += 1
+
+    def sheet_xml(rows: list[list[str]]) -> str:
+        out = [
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>',
+            '<worksheet xmlns="http://schemas.openxmlformats.org/'
+            'spreadsheetml/2006/main"><sheetData>',
+        ]
+        for i, row in enumerate(rows, 1):
+            cells = "".join(
+                f'<c r="{chr(65 + j % 26)}{i}" t="inlineStr">'
+                f"<is><t>{escape(v)}</t></is></c>"
+                for j, v in enumerate(row)
+            )
+            out.append(f'<row r="{i}">{cells}</row>')
+        out.append("</sheetData></worksheet>")
+        return "".join(out)
+
+    names = sorted(sheets)
+    with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr(
+            "[Content_Types].xml",
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            '<Types xmlns="http://schemas.openxmlformats.org/package/2006/'
+            'content-types">'
+            '<Default Extension="rels" ContentType="application/vnd.'
+            'openxmlformats-package.relationships+xml"/>'
+            '<Default Extension="xml" ContentType="application/xml"/>'
+            '<Override PartName="/xl/workbook.xml" ContentType="application/'
+            'vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+            + "".join(
+                f'<Override PartName="/xl/worksheets/sheet{i + 1}.xml" '
+                'ContentType="application/vnd.openxmlformats-officedocument.'
+                'spreadsheetml.worksheet+xml"/>'
+                for i in range(len(names))
+            )
+            + "</Types>",
+        )
+        z.writestr(
+            "_rels/.rels",
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            '<Relationships xmlns="http://schemas.openxmlformats.org/package/'
+            '2006/relationships">'
+            '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+            'officeDocument/2006/relationships/officeDocument" '
+            'Target="xl/workbook.xml"/></Relationships>',
+        )
+        z.writestr(
+            "xl/workbook.xml",
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            '<workbook xmlns="http://schemas.openxmlformats.org/'
+            'spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats'
+            '.org/officeDocument/2006/relationships"><sheets>'
+            + "".join(
+                f'<sheet name="{escape(n)}" sheetId="{i + 1}" '
+                f'r:id="rId{i + 1}"/>'
+                for i, n in enumerate(names)
+            )
+            + "</sheets></workbook>",
+        )
+        z.writestr(
+            "xl/_rels/workbook.xml.rels",
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            '<Relationships xmlns="http://schemas.openxmlformats.org/package/'
+            '2006/relationships">'
+            + "".join(
+                f'<Relationship Id="rId{i + 1}" Type="http://schemas.'
+                'openxmlformats.org/officeDocument/2006/relationships/'
+                f'worksheet" Target="worksheets/sheet{i + 1}.xml"/>'
+                for i in range(len(names))
+            )
+            + "</Relationships>",
+        )
+        for i, n in enumerate(names):
+            z.writestr(f"xl/worksheets/sheet{i + 1}.xml", sheet_xml(sheets[n]))
+    return n_rows

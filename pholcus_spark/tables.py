@@ -81,6 +81,7 @@ class SnapshotStore:
         meta: dict | None = None,
         adopts: dict[str, tuple[str, str]] | None = None,
         registered: dict[str, tuple[list[str], str]] | None = None,
+        registered_fn=None,
     ) -> int:
         """Commit one snapshot. ``writes[table] = (df, mode)`` where mode
         is 'append' (new files added to the table's file list) or
@@ -96,7 +97,12 @@ class SnapshotStore:
         ``registered[table] = (files, mode)`` records files a caller
         already wrote under ``data/`` (e.g. a bucketed-table insert,
         whose file names encode bucket ids and so must be written by
-        the table writer itself) — manifest bookkeeping only."""
+        the table writer itself) — manifest bookkeeping only.
+
+        ``registered_fn`` is the deferred variant: a callable returning
+        such a dict, executed CONCURRENTLY with the ``writes`` jobs so
+        a bucketed-table insert overlaps the round's other writers
+        instead of serializing before them."""
         for table, (_df, mode) in writes.items():
             if mode not in ("append", "overwrite"):
                 raise ValueError(f"bad mode {mode!r} for table {table!r}")
@@ -127,12 +133,19 @@ class SnapshotStore:
 
         # independent tables → submit the write jobs concurrently; the
         # Spark scheduler interleaves them across cores, cutting the
-        # per-round commit wall to ~the largest single write
-        if len(writes) > 1:
+        # per-round commit wall to ~the largest single write. The
+        # deferred registered_fn (bucketed url_seen insert) rides the
+        # same pool.
+        reg_from_fn: dict[str, tuple[list[str], str]] = {}
+        if len(writes) > 1 or registered_fn is not None:
             from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(max_workers=len(writes)) as pool:
+            n_workers = len(writes) + (1 if registered_fn else 0)
+            with ThreadPoolExecutor(max_workers=max(n_workers, 1)) as pool:
+                fut = pool.submit(registered_fn) if registered_fn else None
                 results = list(pool.map(_write, writes.items()))
+                if fut is not None:
+                    reg_from_fn = fut.result()
         else:
             results = [_write(item) for item in writes.items()]
         for table, (src_dir, mode) in (adopts or {}).items():
@@ -157,7 +170,7 @@ class SnapshotStore:
                     ],
                 )
             )
-        for table, (files, mode) in (registered or {}).items():
+        for table, (files, mode) in {**(registered or {}), **reg_from_fn}.items():
             results.append((table, mode, list(files)))
         for table, mode, new_files in results:
             if mode == "append":

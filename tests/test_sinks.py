@@ -80,3 +80,48 @@ def test_namespaced_keyin_hash(spark):
     df = sinks.namespaced(_items(spark), "spider", keyin="golang")
     ns = df.select("namespace").first()["namespace"]
     assert ns.startswith("spider__") and len(ns) == len("spider__") + 8
+
+
+def test_mongo_frame_shape(spark):
+    rows = sinks.mongo_frame(_items(spark), "pholcus").collect()
+    assert {r["collection"] for r in rows} == {"pholcus__page", "pholcus__root"}
+    docs = [json.loads(r["doc"]) for r in rows]
+    assert all("url" in d for d in docs)
+    # deterministic content-hash _id (upsert idempotence)
+    import hashlib
+
+    for r in rows:
+        assert r["_id"] == hashlib.md5(r["doc"].encode()).hexdigest()
+
+
+def test_beanstalk_frame_shape(spark):
+    rows = sinks.beanstalk_frame(
+        _items(spark), "pholcus", priority=5, ttr_s=30
+    ).collect()
+    assert {r["tube"] for r in rows} == {"pholcus__page", "pholcus__root"}
+    assert all(r["pri"] == 5 and r["ttr_s"] == 30 for r in rows)
+    assert all(json.loads(r["job"]) for r in rows)
+
+
+def test_write_excel_roundtrip(spark, tmp_store_dir):
+    """Minimal-OOXML workbook: one sheet per rule, header + values,
+    readable by unzipping the sheet XML."""
+    import re
+    import zipfile
+
+    out = os.path.join(tmp_store_dir, "items.xlsx")
+    n = sinks.write_excel(_items(spark), out)
+    assert n == 3
+    with zipfile.ZipFile(out) as z:
+        names = z.namelist()
+        assert "xl/workbook.xml" in names
+        wb = z.read("xl/workbook.xml").decode()
+        assert 'name="page"' in wb and 'name="root"' in wb
+        sheets = sorted(
+            n for n in names if n.startswith("xl/worksheets/sheet")
+        )
+        assert len(sheets) == 2
+        all_text = "".join(z.read(s).decode() for s in sheets)
+        cells = re.findall(r"<t>([^<]*)</t>", all_text)
+        assert "url" in cells  # header
+        assert "http://h2/c" in cells  # value
