@@ -113,11 +113,21 @@ class CrawlEngine:
     def _open_seen_catalog(self) -> None:
         """Register the bucketed url_seen table over the committed
         snapshot (reconciling torn-commit orphans); a store written in
-        plain (non-bucketed) mode is migrated in place."""
+        plain (non-bucketed) mode is migrated in place.
+
+        The bucket count is part of the on-disk layout: part files carry
+        their bucket id, and Spark TRUSTS the declared HashPartitioning
+        — re-registering old files under a different width would
+        mis-co-partition the confirm anti-join and silently re-admit
+        seen URLs. The width is therefore recorded in the manifest meta
+        (``seen_buckets``); reopening with a different
+        ``CrawlConfig.seen_buckets`` transparently rewrites the keys
+        into a fresh generation at the new width."""
         manifest = self.store.read_manifest()
         meta = manifest.get("meta", {})
         files = manifest["tables"].get("url_seen", [])
         gen = int(meta.get("seen_gen", 0))
+        stored_k = meta.get("seen_buckets")
         from .seen_catalog import GEN_PREFIX
 
         if files and not all(f.startswith(GEN_PREFIX) for f in files):
@@ -128,11 +138,40 @@ class CrawlEngine:
             self.store.commit(
                 int(meta.get("round", 0)),
                 {},
-                meta={**meta, "seen_gen": gen},
+                meta={**meta, "seen_gen": gen,
+                      "seen_buckets": self._seen_cat.n_buckets},
                 registered={"url_seen": (new_files, "overwrite")},
             )
-        else:
-            self._seen_cat.open(gen, files)
+            return
+        if files and stored_k is not None and int(stored_k) != self._seen_cat.n_buckets:
+            # width change: rewrite into gen+1 at the new width (the
+            # part files are plain parquet — read by path, re-bucket)
+            new_gen = gen + 1
+            self._seen_cat._create(new_gen)
+            data_dir = os.path.join(self.store.root, "data")
+            src = self.spark.read.schema("url_key BIGINT").parquet(
+                *[os.path.join(data_dir, f) for f in files]
+            )
+            new_files = self._seen_cat.append(src, new_gen)
+            self.store.commit(
+                int(meta.get("round", 0)),
+                {},
+                meta={**meta, "seen_gen": new_gen,
+                      "seen_buckets": self._seen_cat.n_buckets},
+                registered={"url_seen": (new_files, "overwrite")},
+            )
+            shutil.rmtree(self._seen_cat._gen_dir(gen), ignore_errors=True)
+            self.spark.catalog.refreshTable(self._seen_cat.table)
+            return
+        self._seen_cat.open(gen, files)
+        if files and stored_k is None:
+            # legacy store predating the width stamp: record the width
+            # it is being (and always was) read with
+            self.store.commit(
+                int(meta.get("round", 0)),
+                {},
+                meta={**meta, "seen_buckets": self._seen_cat.n_buckets},
+            )
 
     def _url_seen_df(self) -> DataFrame:
         """The seen set for the confirm anti-join: the bucketed catalog
@@ -296,6 +335,7 @@ class CrawlEngine:
         new_rows, n_new = FR.enqueue(
             cands, empty_seen, self._politeness, 0, 0, None,
             remaining_by_spider=remaining_by,
+            default_remaining=cfg.limit,
         )
         new_rows = new_rows.cache()
         writes = {"pending": (new_rows, "overwrite")}
@@ -318,11 +358,16 @@ class CrawlEngine:
             if self._multi
             else ({self._instances[0]: n_new} if n_new else {})
         )
+        boot_meta = {"next_seq": n_new, "admitted_by": boot_by,
+                     "deferred": False, "round": 0, "seen_gen": 0}
+        if self._seen_cat is not None:
+            # layout stamp: reopening with a different bucket width
+            # triggers a transparent rewrite (_open_seen_catalog)
+            boot_meta["seen_buckets"] = self._seen_cat.n_buckets
         self.store.commit(
             0,
             writes,
-            meta={"next_seq": n_new, "admitted_by": boot_by,
-                  "deferred": False, "round": 0, "seen_gen": 0},
+            meta=boot_meta,
             registered=registered,
         )
         self.spark.catalog.clearCache()
@@ -423,6 +468,7 @@ class CrawlEngine:
         new_rows, n_new = FR.enqueue(
             cands, url_seen, self._politeness, next_seq, round_no, None,
             sketch=sketch, remaining_by_spider=self._remaining_by(meta),
+            default_remaining=cfg.limit,
         )
         # Eager checkpoint, not cache: new_rows' lineage includes the
         # anti-join against the url_seen catalog table, and the bucketed
@@ -554,7 +600,7 @@ class CrawlEngine:
                 return
             meta = self._meta()
             gen = int(meta.get("seen_gen", 0))
-            new_gen, new_files = self._seen_cat.compact(gen)
+            new_gen, new_files = self._seen_cat.compact(gen, files)
             self.store.commit(
                 round_no,
                 {},
@@ -783,7 +829,9 @@ class CrawlEngine:
         sketch = self._load_sketch(url_seen) if cfg.use_bloom else None
         new_rows, n_new = FR.enqueue(
             cands, url_seen, self._politeness, next_seq, store_round,
-            None, sketch=sketch, remaining_by_spider=self._remaining_by(meta),
+            None, sketch=sketch,
+            remaining_by_spider=self._remaining_by(meta),
+            default_remaining=cfg.limit,
         )
         new_rows = new_rows.localCheckpoint(eager=True)
         pending = self.load("pending", FRONTIER_SCHEMA).unionByName(new_rows)

@@ -72,9 +72,18 @@ def minhash_components(docs: DataFrame, k: int, shingle_k: int = 3) -> DataFrame
         "doc_id",
         F.explode_outer(word_shingles(F.col("_ws"), shingle_k)).alias("s"),
     )
+    # NULL guard: docs with < shingle_k words explode_outer to s=NULL,
+    # and concat_ws would silently DROP the null (hashing just str(i))
+    # — the oracle's min-over-no-rows is NULL→-1, so gate the hash on
+    # s IS NOT NULL and coalesce the empty aggregate to -1 like the SQL
     aggs = [
         F.coalesce(
-            F.min(md5_long(F.concat_ws("|", F.lit(str(i)), F.col("s")))),
+            F.min(
+                F.when(
+                    F.col("s").isNotNull(),
+                    md5_long(F.concat_ws("|", F.lit(str(i)), F.col("s"))),
+                )
+            ),
             F.lit(-1),
         ).cast("long").alias(f"mh{i}")
         for i in range(k)

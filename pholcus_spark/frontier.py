@@ -146,6 +146,7 @@ def enqueue(
     remaining_budget: int | None,
     sketch: DataFrame | None = None,
     remaining_by_spider: dict[str, int] | None = None,
+    default_remaining: int | None = None,
 ) -> tuple[DataFrame, int]:
     """Full Matrix.Push pipeline for one round's candidate links.
 
@@ -191,11 +192,23 @@ def enqueue(
                 )
             )
             wb = Window.partitionBy("spider").orderBy("cand_order")
+            # a candidate spider ABSENT from the budget map (e.g. a
+            # resume with a narrowed --spiders/--keyins list) starts a
+            # fresh per-spider budget, exactly like the oracle's
+            # admitted_by.get(sp, 0) — coalesce to the full limit
+            # (default_remaining) instead of silently zero-dropping
+            fallback = max(
+                int(default_remaining)
+                if default_remaining is not None
+                else (1 << 62),
+                0,
+            )
             cands = (
                 cands.join(rb, "spider", "left")
                 .withColumn("_rn", F.row_number().over(wb))
                 .filter(
-                    F.col("_rn") <= F.coalesce(F.col("_rem"), F.lit(0))
+                    F.col("_rn")
+                    <= F.coalesce(F.col("_rem"), F.lit(fallback))
                 )
                 .drop("_rn", "_rem")
             )

@@ -127,16 +127,34 @@ class BucketedSeen:
         new = sorted(self._part_files(loc) - before)
         return [f"{self._gen_rel(gen)}/{n}" for n in new]
 
-    def compact(self, gen: int) -> tuple[int, list[str]]:
+    def compact(self, gen: int,
+                manifest_files: list[str] | None = None) -> tuple[int, list[str]]:
         """Rewrite all committed files into generation ``gen+1`` (one
         file per bucket). Returns (new_gen, new file names); the caller
         commits the manifest flip, after which ``open``/``reconcile``
-        garbage-collects the old generation."""
+        garbage-collects the old generation.
+
+        Reads from the MANIFEST file list, not the directory-scanning
+        catalog table: an orphan part file from a torn commit earlier in
+        the same session (insert finished, manifest flip aborted) must
+        not be folded into the new committed generation — reconcile only
+        runs at engine open, so the directory can be dirtier than the
+        snapshot."""
         new_gen = gen + 1
         tmp_table = f"{self.table}_c{new_gen}"
         self._create(new_gen, tmp_table)
+        if manifest_files is not None:
+            data_dir = os.path.join(self.root, "data")
+            paths = [os.path.join(data_dir, f) for f in manifest_files]
+            src = (
+                self.spark.read.schema("url_key BIGINT").parquet(*paths)
+                if paths
+                else self.spark.createDataFrame([], "url_key BIGINT")
+            )
+        else:
+            src = self.df()
         (
-            self.df()
+            src
             .repartition(self.n_buckets, "url_key")
             .write.mode("append")
             .insertInto(tmp_table)

@@ -213,6 +213,16 @@ def write_excel(
             rows.append(["" if r[c] is None else str(r[c]) for c in header])
             n_rows += 1
 
+    def col_letter(j: int) -> str:
+        # base-26 bijective numeration (A..Z, AA..AZ, BA..): >26 columns
+        # must not wrap back to 'A' or the worksheet has duplicate refs
+        s = ""
+        j += 1
+        while j > 0:
+            j, rem = divmod(j - 1, 26)
+            s = chr(65 + rem) + s
+        return s
+
     def sheet_xml(rows: list[list[str]]) -> str:
         out = [
             '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>',
@@ -221,7 +231,7 @@ def write_excel(
         ]
         for i, row in enumerate(rows, 1):
             cells = "".join(
-                f'<c r="{chr(65 + j % 26)}{i}" t="inlineStr">'
+                f'<c r="{col_letter(j)}{i}" t="inlineStr">'
                 f"<is><t>{escape(v)}</t></is></c>"
                 for j, v in enumerate(row)
             )

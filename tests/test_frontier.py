@@ -296,3 +296,25 @@ def test_fair_share_underfilled_spider_frees_slots(spark):
         counts[r["spider"]] = counts.get(r["spider"], 0) + 1
     # spB only has 3 rows; its unused 7 quota slots go to spA
     assert counts == {"spA": 17, "spB": 3}
+
+
+def test_budget_missing_spider_gets_fresh_budget(spark):
+    """A candidate spider absent from the budget map (resume with a
+    narrowed --spiders list) starts a fresh per-spider budget — it must
+    not be silently zero-dropped (ADVICE r2)."""
+    known = [_cand(f"/{i}", "h1", i) for i in range(5)]
+    foreign = [
+        (f"http://h1/o{i}", "h1", "other", "r", "GET", 0, 0,
+         None, None, None, None, False, 3, 100 + i)
+        for i in range(5)
+    ]
+    cands = spark.createDataFrame(known + foreign, CAND_SCHEMA)
+    out, _n = FR.enqueue(
+        cands, _seen(spark), _politeness(spark, ["h1"]), 0, 0, None,
+        remaining_by_spider={"sp": 2}, default_remaining=3,
+    )
+    by: dict[str, list] = {}
+    for r in out.collect():
+        by.setdefault(r["spider"], []).append(r["url"])
+    assert len(by["sp"]) == 2          # its mapped remaining budget
+    assert len(by["other"]) == 3       # fresh budget = default_remaining

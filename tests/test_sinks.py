@@ -125,3 +125,25 @@ def test_write_excel_roundtrip(spark, tmp_store_dir):
         cells = re.findall(r"<t>([^<]*)</t>", all_text)
         assert "url" in cells  # header
         assert "http://h2/c" in cells  # value
+
+
+def test_write_excel_wide_frame_unique_cell_refs(spark, tmp_store_dir):
+    """>26 columns must produce base-26 refs (AA, AB, ...), not wrap
+    back to 'A' and corrupt the worksheet (ADVICE r2)."""
+    import re
+    import zipfile
+
+    n_cols = 30
+    cols = [f"c{i:02d}" for i in range(n_cols)]
+    df = spark.createDataFrame(
+        [tuple(["r1"] + [str(i) for i in range(1, n_cols)])],
+        ", ".join(f"{c} string" for c in cols),
+    ).withColumn("rule", F.lit("wide"))
+    path = f"{tmp_store_dir}/wide.xlsx"
+    sinks.write_excel(df, path)
+    with zipfile.ZipFile(path) as z:
+        xml = z.read("xl/worksheets/sheet1.xml").decode()
+    refs = re.findall(r'<c r="([A-Z]+)1"', xml)
+    assert len(refs) == n_cols
+    assert len(set(refs)) == n_cols  # unique
+    assert "AA" in refs and "AD" in refs
