@@ -22,6 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from . import synthetic
+from .dom import dom_first, dom_select
 from .schemas import FETCH_RESULT_SCHEMA
 from .urlnorm import canonicalize
 
@@ -70,10 +71,29 @@ def fetch_batch(
                 rule_cfg = rules_map.get((row.spider, row.rule), {})
                 child_rule = rule_cfg.get("child_rule")
                 max_depth = rule_cfg.get("max_depth", 0)
+                caption = res.caption
+                child_urls = res.links
+                if res.ok and res.image_id is not None and (
+                    rule_cfg.get("parse") == "dom"
+                ):
+                    # selector-driven rule (D4): the page body is HTML;
+                    # caption and child links come from CSS selection
+                    # over the parsed DOM (GetDom().Find analog,
+                    # context.go:612-627) — NOT from the fetch result.
+                    # Fidelity vs the oracle (which uses the direct
+                    # values) proves the extraction is lossless.
+                    page = synthetic.html_page_for(
+                        row.url, int(row.depth), n_hosts,
+                        method=row.method, post_data=row.post_data,
+                    )
+                    caption = dom_first(page, "div#main h1#caption", "text")
+                    child_urls = dom_select(
+                        page, "div#main ul.children a.child", "attr:href"
+                    )
                 links = []
                 if res.ok and child_rule is not None and row.depth < max_depth:
                     child_prio = rule_cfg.get("child_priority", 0)
-                    for link in res.links:
+                    for link in child_urls:
                         cu = canonicalize(link)
                         if cu:
                             links.append(
@@ -105,7 +125,7 @@ def fetch_batch(
                         "w": res.w,
                         "h": res.h,
                         "fmt": res.fmt,
-                        "caption": res.caption,
+                        "caption": caption,
                         "phash": res.phash,
                         "links": links,
                     }

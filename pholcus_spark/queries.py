@@ -526,6 +526,83 @@ FROM d
 """
 
 
+def q_dom_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selector/DOM extraction (D4 — GetDom().Find analog,
+    context.go:612-627; consumer shape baidusearch.go:37-56): render a
+    deterministic HTML page per document JVM-side, parse it ONCE with
+    the stdlib DOM engine (dom.select_many_udf, Arrow-batched), and
+    extract title / attribute / text / link fields by CSS selection.
+    Decoy links live in <script> text, a comment, and outside the
+    content container — the oracle computes every field directly from
+    the source columns, so equality proves structural parsing (regex
+    extraction trips on the decoys)."""
+    from . import dom
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    did = F.col("doc_id").cast("string")
+    lis = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.pmod(F.col("doc_id"), F.lit(3))),
+            lambda i: F.concat(
+                F.lit('<li><a class="child" href="/doc/'), did,
+                F.lit("/"), i.cast("string"), F.lit('">c</a></li>'),
+            ),
+        ),
+        "",
+    )
+    html = F.concat(
+        F.lit("<html><head><title>doc-"), did,
+        F.lit("</title><script>var d = \"<a class='nav' href='/decoy-js'>"
+              "x</a>\";</script></head><body>"
+              '<header><a class="nav" href="/home">home</a></header>'
+              '<!-- <a class="nav" href="/decoy-comment">c</a> -->'
+              '<div id="main"><h1 class="title">Doc '),
+        did, F.lit(" ["), F.col("lang"),
+        F.lit(']</h1><p class="meta" data-source="'), F.col("source"),
+        F.lit('">'), F.col("n_chars").cast("string"),
+        F.lit(' chars</p><ul class="links">'), lis,
+        F.lit("</ul></div><footer><a href=\"/about\">about</a></footer>"
+              "</body></html>"),
+    )
+    extract = dom.select_many_udf(
+        {
+            "title": ("div#main h1.title", "text"),
+            "data_source": ("p.meta", "attr:data-source"),
+            "meta_text": ("#main p.meta", "text"),
+            "hrefs": ("ul.links a.child", "attr:href"),
+            "navs": ("a.nav", "attr:href"),
+        }
+    )
+    d = docs.select("doc_id", extract(html).alias("x"))
+    return d.select(
+        "doc_id",
+        F.element_at("x.title", 1).alias("title"),
+        F.element_at("x.data_source", 1).alias("data_source"),
+        F.element_at("x.meta_text", 1).alias("meta_text"),
+        F.size("x.hrefs").cast("long").alias("n_child_links"),
+        F.element_at("x.hrefs", 1).alias("first_href"),
+        F.element_at("x.hrefs", -1).alias("last_href"),
+        # exactly one real nav link survives the decoys
+        F.size("x.navs").cast("long").alias("n_nav"),
+        F.element_at("x.navs", 1).alias("nav_href"),
+    )
+
+
+SQL_DOM_EXTRACT = """
+SELECT doc_id,
+       'Doc ' || CAST(doc_id AS VARCHAR) || ' [' || lang || ']' AS title,
+       source AS data_source,
+       CAST(n_chars AS VARCHAR) || ' chars' AS meta_text,
+       CAST(doc_id % 3 + 1 AS BIGINT) AS n_child_links,
+       '/doc/' || CAST(doc_id AS VARCHAR) || '/0' AS first_href,
+       '/doc/' || CAST(doc_id AS VARCHAR) || '/'
+         || CAST(doc_id % 3 AS VARCHAR) AS last_href,
+       CAST(1 AS BIGINT) AS n_nav,
+       '/home' AS nav_href
+FROM documents WHERE doc_id < 500
+"""
+
+
 def q_charset_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D3 charset sniff core (context.go:678-736): BOM + byte-level
     ASCII detection as column expressions over a deterministic
@@ -1233,6 +1310,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "download_time_format": q_download_time_format,
     "method_dispatch": q_method_dispatch,
     "html_helpers": q_html_helpers,
+    "dom_extract": q_dom_extract,
     "charset_detect": q_charset_detect,
     "frontier_fair_share": q_frontier_fair_share,
     "keyin_fanout": q_keyin_fanout,
@@ -1279,6 +1357,7 @@ ORACLE_SQL: dict[str, str] = {
     "download_time_format": SQL_DOWNLOAD_TIME_FORMAT,
     "method_dispatch": SQL_METHOD_DISPATCH,
     "html_helpers": SQL_HTML_HELPERS,
+    "dom_extract": SQL_DOM_EXTRACT,
     "charset_detect": SQL_CHARSET_DETECT,
     "frontier_fair_share": SQL_FRONTIER_FAIR_SHARE,
     "keyin_fanout": SQL_KEYIN_FANOUT,

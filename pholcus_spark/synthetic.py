@@ -159,6 +159,43 @@ def child_links(url: str, depth: int, n_hosts: int) -> list[str]:
     return out
 
 
+def html_page_for(
+    url: str,
+    depth: int,
+    n_hosts: int,
+    method: str = "GET",
+    post_data: str | None = None,
+) -> str:
+    """Deterministic HTML rendering of a page's content — the fetch
+    body for selector-driven rules (``parse: "dom"``). The caption and
+    child links are embedded in real markup surrounded by decoys that
+    defeat regex extraction (links inside <script> text and comments,
+    nav/footer links outside the content container): a rule can only
+    recover them with a structural parse, which is what the fidelity
+    contract then proves (the oracle uses the direct values)."""
+    ck = content_key(url, method, post_data)
+    caption = caption_for(ck)
+    links = child_links(ck, depth, n_hosts)
+    lis = "".join(
+        f'<li><a class="child" href="{u}">child {i}</a></li>'
+        for i, u in enumerate(links)
+    )
+    return (
+        "<html><head>"
+        f"<title>{image_id_for(ck)}</title>"
+        "<script>var decoy = \"<a class='child' href='/decoy-js'>x</a>\";"
+        "</script></head><body>"
+        '<header><a href="/nav">nav</a></header>'
+        "<!-- <a class=\"child\" href=\"/decoy-comment\">c</a> -->"
+        '<div id="main" class="content">'
+        f'<h1 id="caption">{caption}</h1>'
+        f'<ul class="children">{lis}</ul>'
+        "</div>"
+        '<footer><a href="/about">about</a></footer>'
+        "</body></html>"
+    )
+
+
 @dataclass
 class FetchResult:
     url: str
