@@ -46,6 +46,9 @@ BENCH_QUERIES = [
     "method_dispatch",
     "html_helpers",
     "charset_detect",
+    "dom_extract",
+    "cookie_jar_merge",
+    "proxy_assign",
 ]
 
 
@@ -137,16 +140,31 @@ def bench_crawl(spark) -> dict:
     return {"capacity": capacity, "polite": polite}
 
 
-def bench_seen_confirm(spark, n_seen: int = 10_000_000,
+def _base_scan_sorted(plan: str) -> bool:
+    """True if the plan applies a Sort above the base url_seen scan
+    (the O(|seen| log) per-round CPU the compacted layout eliminates).
+    Textual audit: find the base-generation FileScan line and look for
+    a Sort in the two enclosing plan lines."""
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "FileScan" in line and "url_seen_b_g" in line:
+            return any("Sort " in lines[j] for j in range(max(0, i - 2), i))
+    return True  # base scan not found — fail loudly in the JSON
+
+
+def bench_seen_confirm(spark, n_seen: int = 50_000_000,
                        n_cands: int = 100_000, rounds: int = 3) -> dict:
-    """The VERDICT-r1 #1 scale item, measured: confirm anti-join of a
-    candidate batch against a PRE-SEEDED 10M-key bucketed url_seen
-    table. The table never shuffles (bucketed scan side of the SMJ);
-    per-round cost must stay flat while the table keeps growing.
+    """The VERDICT-r1 #1 / r2 #5 scale item, measured: confirm
+    anti-join of a candidate batch against a PRE-SEEDED 50M-key
+    bucketed url_seen base (one sorted file per bucket — the
+    post-compaction layout) plus the per-round delta appends. The base
+    never shuffles AND never re-sorts (bucketed sorted scan side of the
+    SMJ); per-round cost must stay flat while the table keeps growing.
     Broadcast is disabled so the plan is the same one a 10^10-key table
     would get."""
     from pyspark.sql import functions as F
 
+    from pholcus_spark.frontier import anti_join_frames
     from pholcus_spark.seen_catalog import BucketedSeen
 
     store_dir = tempfile.mkdtemp(prefix="pholcus_seen_")
@@ -158,7 +176,7 @@ def bench_seen_confirm(spark, n_seen: int = 10_000_000,
         os.makedirs(os.path.join(store_dir, "data"), exist_ok=True)
         cat.open(0, [])
         t0 = time.time()
-        files = cat.append(
+        cat.bulk_load(
             spark.range(n_seen).select(F.xxhash64("id").alias("url_key")), 0
         )
         out["build_s"] = round(time.time() - t0, 2)
@@ -173,25 +191,53 @@ def bench_seen_confirm(spark, n_seen: int = 10_000_000,
             cands = hits.union(news).select(
                 F.xxhash64("id").alias("url_key")
             )
-            fresh = cands.join(cat.df(), "url_key", "left_anti")
+            fresh = anti_join_frames(cands, cat.frames())
             n_new = fresh.count()
-            cat.append(fresh, 0)  # table grows every round, like a crawl
+            cat.append(fresh, 0)  # delta grows every round, like a crawl
             next_id += n_cands // 2
             per_round.append(round(time.time() - t0, 2))
             assert n_new == n_cands // 2, n_new
         out["round_s"] = per_round
-        # plan audit: exactly one Exchange (the candidate side)
+        # plan audit: exactly one Exchange (the candidate side), and no
+        # Sort above the 50M-key base scan (delta + candidates may sort
+        # — both are round-sized)
         probe = spark.range(1000).select(F.xxhash64("id").alias("url_key"))
         plan = (
-            probe.join(cat.df(), "url_key", "left_anti")
+            anti_join_frames(probe, cat.frames())
             ._jdf.queryExecution().executedPlan().toString()
         )
         out["seen_side_bucketed"] = "Bucketed: true" in plan
         out["n_exchanges"] = plan.count("Exchange")
+        out["base_scan_sorted"] = _base_scan_sorted(plan)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         shutil.rmtree(store_dir, ignore_errors=True)
     return out
+
+
+def bench_ngram_stopshingle(spark, sf_dir: str) -> float:
+    """Skew fixture for the prefix-filtered exact Jaccard join: inject
+    one stop-shingle shared by ~10% of documents (appending the same
+    3 words to every 10th doc) — the df² pair-enumeration blowup the
+    unfiltered postings join would hit. The prefix filter sorts the hot
+    shingle last (max df) and drops it from almost every doc's prefix,
+    so this must run in the same ballpark as the clean
+    dedup_ngram_jaccard timing."""
+    from pyspark.sql import functions as F
+
+    from pholcus_spark import dedup
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    poisoned = docs.withColumn(
+        "text",
+        F.when(
+            F.pmod(F.xxhash64("doc_id"), F.lit(10)) == 0,
+            F.concat_ws(" ", F.col("text"), F.lit("zzq zzw zze")),
+        ).otherwise(F.col("text")),
+    )
+    t0 = time.time()
+    dedup.ngram_jaccard_pairs(poisoned, threshold=0.05).count()
+    return round(time.time() - t0, 3)
 
 
 def main() -> None:
@@ -220,6 +266,10 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.time() - t0, 3)
         _ = n
+
+    timings["dedup_ngram_stopshingle"] = bench_ngram_stopshingle(
+        spark, sf_dir
+    )
 
     total = round(time.time() - t_all, 2)
     out = {

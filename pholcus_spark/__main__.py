@@ -53,6 +53,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="with --new-run: abandon stored failures")
     ap.add_argument("--export-failures",
                     help="export the failure store as JSON to this dir")
+    ap.add_argument("--enable-cookie", action="store_true",
+                    help="keep a per-(spider,host) cookie jar across "
+                         "rounds (EnableCookie)")
+    ap.add_argument("--proxy-pool",
+                    help="comma-separated proxy URLs; requests rotate "
+                         "across the speed-filtered live pool (F12)")
+    ap.add_argument("--proxy-max-latency-ms", type=int, default=300)
     ap.add_argument("--cores", type=int, default=None,
                     help="force local[N] (default: inherit spark-submit conf)")
     ap.add_argument("--export-csv", help="export items as CSV to this dir")
@@ -76,6 +83,10 @@ def main(argv: list[str] | None = None) -> int:
         seen_buckets=args.seen_buckets,
         spiders=tuple(args.spiders.split(",")) if args.spiders else (),
         keyins=tuple(args.keyins.split(",")) if args.keyins else (),
+        enable_cookie=args.enable_cookie,
+        proxy_pool=tuple(args.proxy_pool.split(","))
+        if args.proxy_pool else (),
+        proxy_max_latency_ms=args.proxy_max_latency_ms,
     )
     if args.synthetic_seeds:
         seeds = synthetic.seed_urls(args.synthetic_seeds, cfg.n_hosts)

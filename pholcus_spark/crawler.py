@@ -48,6 +48,7 @@ from .oracle import (
     spider_instances,
 )
 from .schemas import (
+    COOKIES_SCHEMA,
     FAILURES_SCHEMA,
     FETCH_RESULT_SCHEMA,
     FRONTIER_SCHEMA,
@@ -91,6 +92,16 @@ FETCHED_SCHEMA = T.StructType(
 FRONTIER_COLS = [f.name for f in FRONTIER_SCHEMA.fields]
 
 
+def _norm_headers(h: dict) -> dict:
+    """Seed-request headers → multi-value form (http.Header is
+    map[string][]string, request.go:24): scalar values become
+    one-element lists; list values pass through."""
+    return {
+        k: list(v) if isinstance(v, (list, tuple)) else [v]
+        for k, v in h.items()
+    }
+
+
 class CrawlEngine:
     def __init__(self, spark: SparkSession, store: SnapshotStore, cfg: CrawlConfig):
         self.spark = spark
@@ -128,13 +139,16 @@ class CrawlEngine:
         files = manifest["tables"].get("url_seen", [])
         gen = int(meta.get("seen_gen", 0))
         stored_k = meta.get("seen_buckets")
-        from .seen_catalog import GEN_PREFIX
+        from .seen_catalog import DELTA_PREFIX, GEN_PREFIX
 
-        if files and not all(f.startswith(GEN_PREFIX) for f in files):
-            # migration: load the plain table, rewrite bucketed, commit
+        if files and not all(
+            f.startswith((GEN_PREFIX, DELTA_PREFIX)) for f in files
+        ):
+            # migration: load the plain table, rewrite as a compact
+            # bucketed base (one sorted file per bucket), commit
             self._seen_cat.open(gen, [])
             plain = self.store.load(self.spark, "url_seen", URL_SEEN_SCHEMA)
-            new_files = self._seen_cat.append(plain, gen)
+            new_files = self._seen_cat.bulk_load(plain, gen)
             self.store.commit(
                 int(meta.get("round", 0)),
                 {},
@@ -142,17 +156,18 @@ class CrawlEngine:
                       "seen_buckets": self._seen_cat.n_buckets},
                 registered={"url_seen": (new_files, "overwrite")},
             )
+            self._seen_cat.open(gen, new_files)
             return
         if files and stored_k is not None and int(stored_k) != self._seen_cat.n_buckets:
-            # width change: rewrite into gen+1 at the new width (the
-            # part files are plain parquet — read by path, re-bucket)
+            # width change: rewrite into gen+1's base at the new width
+            # (the part files are plain parquet — read by path,
+            # re-bucket); open() then GCs the old generation dirs
             new_gen = gen + 1
-            self._seen_cat._create(new_gen)
             data_dir = os.path.join(self.store.root, "data")
             src = self.spark.read.schema("url_key BIGINT").parquet(
                 *[os.path.join(data_dir, f) for f in files]
             )
-            new_files = self._seen_cat.append(src, new_gen)
+            new_files = self._seen_cat.bulk_load(src, new_gen)
             self.store.commit(
                 int(meta.get("round", 0)),
                 {},
@@ -160,8 +175,7 @@ class CrawlEngine:
                       "seen_buckets": self._seen_cat.n_buckets},
                 registered={"url_seen": (new_files, "overwrite")},
             )
-            shutil.rmtree(self._seen_cat._gen_dir(gen), ignore_errors=True)
-            self.spark.catalog.refreshTable(self._seen_cat.table)
+            self._seen_cat.open(new_gen, new_files)
             return
         self._seen_cat.open(gen, files)
         if files and stored_k is None:
@@ -174,11 +188,19 @@ class CrawlEngine:
             )
 
     def _url_seen_df(self) -> DataFrame:
-        """The seen set for the confirm anti-join: the bucketed catalog
-        table when enabled (no Exchange on this side in the join plan),
-        else the manifest-listed parquet files."""
+        """The full seen set as ONE DataFrame (whole-set consumers:
+        bloom sketch rebuild, exports)."""
         if self._seen_cat is not None:
             return self._seen_cat.df()
+        return self.load("url_seen", URL_SEEN_SCHEMA)
+
+    def _url_seen_frames(self):
+        """The seen set for the confirm anti-join: the bucketed
+        store's [base, delta] frame pair (candidate-side-only Exchange,
+        no Sort above the base scan), else the manifest-listed parquet
+        files as one frame."""
+        if self._seen_cat is not None:
+            return self._seen_cat.frames()
         return self.load("url_seen", URL_SEEN_SCHEMA)
 
     def _build_politeness(self) -> DataFrame:
@@ -286,7 +308,7 @@ class CrawlEngine:
                             (inst_idx << 44) | i,
                             req.get("method", "GET"),
                             req.get("post_data"),
-                            json.dumps(req["headers"])
+                            json.dumps(_norm_headers(req["headers"]))
                             if req.get("headers")
                             else None,
                         )
@@ -320,7 +342,7 @@ class CrawlEngine:
             F.lit(None)
             .cast(T.MapType(T.StringType(), T.StringType()))
             .alias("temp"),
-            F.from_json("headers_json", "map<string,string>").alias("headers"),
+            F.from_json("headers_json", "map<string,array<string>>").alias("headers"),
             "post_data",
             F.lit(False).alias("reloadable"),
             F.lit(cfg.try_times).cast("int").alias("try_times"),
@@ -332,12 +354,14 @@ class CrawlEngine:
             if cfg.limit is not None
             else None
         )
+        scope = FR.CacheScope()
         new_rows, n_new = FR.enqueue(
             cands, empty_seen, self._politeness, 0, 0, None,
             remaining_by_spider=remaining_by,
             default_remaining=cfg.limit,
+            scope=scope,
         )
-        new_rows = new_rows.cache()
+        new_rows = scope.add(new_rows)
         writes = {"pending": (new_rows, "overwrite")}
         registered = None
         if self._seen_cat is not None:
@@ -370,7 +394,7 @@ class CrawlEngine:
             meta=boot_meta,
             registered=registered,
         )
-        self.spark.catalog.clearCache()
+        scope.release()
 
     def _canonicalize_seed_df(self, seeds: DataFrame) -> DataFrame:
         """(url, cand_order) → canonical (url, host, cand_order) via a
@@ -423,10 +447,19 @@ class CrawlEngine:
         admitted_by = self._admitted_by(meta)
 
         pending = self.load("pending", FRONTIER_SCHEMA)
-        batch = FR.select_batch(
-            pending, self._politeness, cfg.batch_size,
-            fair_share_spiders=self._multi,
-        ).cache()
+        scope = FR.CacheScope()
+        batch = scope.add(
+            FR.select_batch(
+                pending, self._politeness, cfg.batch_size,
+                fair_share_spiders=self._multi, scope=scope,
+            )
+        )
+        # cookie jar as of the round start (EnableCookie,
+        # context.go:110-112): a small dim table — bounded by
+        # spiders × hosts, broadcast into the fetch join
+        cookies_df = (
+            self.load("cookies", COOKIES_SCHEMA) if cfg.enable_cookie else None
+        )
 
         # Stage the fetch output as a per-round scratch parquet table:
         # the fetch UDF runs exactly once, and every consumer (items,
@@ -435,13 +468,21 @@ class CrawlEngine:
         # binary+array-of-struct row shape badly (full-row scans per
         # consumer), while pruned parquet reads stay columnar.
         scratch = os.path.join(self.store.root, "scratch", f"round-{round_no}")
+        dispatch = (
+            FR.assign_proxies(
+                batch, cfg.proxy_pool, cfg.proxy_max_latency_ms
+            )
+            if cfg.proxy_pool
+            else batch
+        )
         fetch_batch(
-            batch,
+            dispatch,
             self._rules,
             cfg.n_hosts,
             cfg.try_times,
             cfg.failure_pct,
             cfg.img_px_scale,
+            cookies=cookies_df,
         ).select(
             "*",
             F.lit(round_no).cast("int").alias("visit_round"),
@@ -455,6 +496,7 @@ class CrawlEngine:
         # row count comes from parquet footer metadata — no data scan
         n_batch = results.count()
         if n_batch == 0:
+            scope.release()
             shutil.rmtree(scratch, ignore_errors=True)
             return 0
         _, requeued, _failed = FR.split_results(
@@ -463,12 +505,14 @@ class CrawlEngine:
         )
 
         cands = links_to_candidates(results)
-        url_seen = self._url_seen_df()
-        sketch = self._load_sketch(url_seen) if cfg.use_bloom else None
+        url_seen = self._url_seen_frames()
+        sketch = (
+            self._load_sketch(self._url_seen_df()) if cfg.use_bloom else None
+        )
         new_rows, n_new = FR.enqueue(
             cands, url_seen, self._politeness, next_seq, round_no, None,
             sketch=sketch, remaining_by_spider=self._remaining_by(meta),
-            default_remaining=cfg.limit,
+            default_remaining=cfg.limit, scope=scope,
         )
         # Eager checkpoint, not cache: new_rows' lineage includes the
         # anti-join against the url_seen catalog table, and the bucketed
@@ -520,6 +564,28 @@ class CrawlEngine:
             "pending": (still_pending, "overwrite"),
             "rounds": (part_metrics, "append"),
         }
+        if cfg.enable_cookie:
+            # merge the round's Set-Cookie headers into the jar:
+            # new-overrides-old per (spider, host, name); within-round
+            # multi-setter ties resolve by max(value) — deterministic
+            # and order-free (the reference's sequential last-wins is
+            # unobservable under the synthetic host-keyed sessions).
+            # Overwrite of a dim-table-sized frame each round.
+            new_ck = (
+                results.filter(F.col("ok") & F.col("set_cookies").isNotNull())
+                .select(
+                    "spider", "host",
+                    F.explode("set_cookies").alias("name", "value"),
+                )
+                .groupBy("spider", "host", "name")
+                .agg(F.max("value").alias("value"))
+            )
+            writes["cookies"] = (
+                cookies_df.join(
+                    new_ck, ["spider", "host", "name"], "left_anti"
+                ).unionByName(new_ck),
+                "overwrite",
+            )
         registered_fn = None
         seen_gen = int(meta.get("seen_gen", 0))
         if self._seen_cat is not None:
@@ -571,7 +637,7 @@ class CrawlEngine:
             registered_fn=registered_fn,
         )
         _mark("commit")
-        self.spark.catalog.clearCache()
+        scope.release()
         self._maybe_compact("url_seen", URL_SEEN_SCHEMA, round_no)
         _mark("compact")
         if _timing:
@@ -610,6 +676,7 @@ class CrawlEngine:
             import shutil as _sh
 
             _sh.rmtree(self._seen_cat._gen_dir(gen), ignore_errors=True)
+            _sh.rmtree(self._seen_cat._delta_dir(gen), ignore_errors=True)
             return
         if len(files) <= 2 * n_part:
             return
@@ -629,12 +696,16 @@ class CrawlEngine:
         failures = self.failures_df().filter(
             F.col("visit_round") >= run_start
         )
-        re_rows = failures.select(*FRONTIER_COLS).withColumn(
-            "status", F.lit("pending")
-        ).cache()
+        scope = FR.CacheScope()
+        re_rows = scope.add(
+            failures.select(*FRONTIER_COLS).withColumn(
+                "status", F.lit("pending")
+            )
+        )
         n = re_rows.count()
         if n == 0:
             # mark deferred anyway so CanStop is a pure table predicate
+            scope.release()
             self.store.commit(
                 int(meta.get("round", 0)),
                 {},
@@ -647,7 +718,7 @@ class CrawlEngine:
             {"pending": (re_rows, "overwrite")},
             meta={**meta, "deferred": True},
         )
-        self.spark.catalog.clearCache()
+        scope.release()
         return True
 
     def run(self, seeds: list[str] | None = None, max_rounds: int | None = None) -> int:
@@ -733,6 +804,7 @@ class CrawlEngine:
                 gen = int(meta.get("seen_gen", 0)) + 1
                 self._seen_cat._create(gen)
                 self.spark.catalog.refreshTable(self._seen_cat.table)
+                self.spark.catalog.refreshTable(self._seen_cat.delta_table)
                 registered = {"url_seen": ([], "overwrite")}
                 new_meta["seen_gen"] = gen
             else:
@@ -751,10 +823,13 @@ class CrawlEngine:
                 .withColumn("attempt", F.lit(0).cast("int"))
             )
             pending = pending.unionByName(re_rows).dropDuplicates(["url_key"])
+        # no caches to release here: pending is pinned by the eager
+        # localCheckpoint (freed by the ContextCleaner when the handle
+        # drops), and run_round/_enqueue_new_seeds manage their own
+        # CacheScopes
         writes["pending"] = (pending.localCheckpoint(eager=True), "overwrite")
         self.store.commit(round_no, writes, meta=new_meta,
                           registered=registered)
-        self.spark.catalog.clearCache()
         if seeds is not None:
             self._enqueue_new_seeds(seeds)
 
@@ -798,8 +873,8 @@ class CrawlEngine:
                     rows.append(
                         (cu, host_of(cu), inst, (inst_idx << 44) | i,
                          req.get("method", "GET"), req.get("post_data"),
-                         _json.dumps(req["headers"]) if req.get("headers")
-                         else None)
+                         _json.dumps(_norm_headers(req["headers"]))
+                         if req.get("headers") else None)
                     )
             base = self.spark.createDataFrame(
                 pd.DataFrame(rows, columns=[
@@ -819,19 +894,22 @@ class CrawlEngine:
             F.lit(None).cast("string").alias("parent_url"),
             F.lit(None).cast(T.MapType(T.StringType(), T.StringType()))
             .alias("temp"),
-            F.from_json("headers_json", "map<string,string>").alias("headers"),
+            F.from_json("headers_json", "map<string,array<string>>").alias("headers"),
             "post_data",
             F.lit(False).alias("reloadable"),
             F.lit(cfg.try_times).cast("int").alias("try_times"),
             "cand_order",
         )
-        url_seen = self._url_seen_df()
-        sketch = self._load_sketch(url_seen) if cfg.use_bloom else None
+        url_seen = self._url_seen_frames()
+        sketch = (
+            self._load_sketch(self._url_seen_df()) if cfg.use_bloom else None
+        )
+        scope = FR.CacheScope()
         new_rows, n_new = FR.enqueue(
             cands, url_seen, self._politeness, next_seq, store_round,
             None, sketch=sketch,
             remaining_by_spider=self._remaining_by(meta),
-            default_remaining=cfg.limit,
+            default_remaining=cfg.limit, scope=scope,
         )
         new_rows = new_rows.localCheckpoint(eager=True)
         pending = self.load("pending", FRONTIER_SCHEMA).unionByName(new_rows)
@@ -862,7 +940,7 @@ class CrawlEngine:
                   "deferred": False},
             registered=registered,
         )
-        self.spark.catalog.clearCache()
+        scope.release()
 
     def export_failures(self, path: str) -> int:
         """Serialize the failure store as JSON request rows (the
@@ -878,29 +956,6 @@ class CrawlEngine:
         """The append-only fetch log: one row per dispatched URL per
         round (payload + outcome). Source of the views below."""
         return self.load("fetched", FETCHED_SCHEMA)
-
-    def visits_log(self) -> list[tuple]:
-        """TEST-ONLY: collects the full visit log to the driver for
-        oracle comparison. Never call in a production path — use
-        fetched_df() and keep the computation distributed."""
-        df = self.fetched_df().select(
-            F.col("visit_round").alias("round"),
-            "url_key", "url", "priority", "seq", "attempt", "ok",
-        ).orderBy("round", F.desc("priority"), "seq", "attempt")
-        return [
-            (r["round"], r["url_key"], r["url"], r["priority"], r["seq"],
-             r["attempt"], r["ok"])
-            for r in df.collect()
-        ]
-
-    def url_seen_set(self) -> set[int]:
-        """TEST-ONLY: driver-side materialization of the seen set for
-        oracle comparison; production code joins against
-        _url_seen_df()."""
-        return {
-            r["url_key"]
-            for r in self.load("url_seen", URL_SEEN_SCHEMA).collect()
-        }
 
     def items_df(self) -> DataFrame:
         """DataCell view (ITEMS_SCHEMA): successful fetches' payloads.
@@ -947,6 +1002,11 @@ class CrawlEngine:
     def rounds_df(self) -> DataFrame:
         return self.load("rounds", ROUNDS_SCHEMA)
 
+    def cookies_df(self) -> DataFrame:
+        """The committed cookie jar (EnableCookie state,
+        COOKIES_SCHEMA); empty unless cfg.enable_cookie."""
+        return self.load("cookies", COOKIES_SCHEMA)
+
     def register_views(self, prefix: str = "crawl") -> list[str]:
         """Expose crawl state to spark.sql as temp views
         (``<prefix>_pending``, ``_fetched``, ``_items``, ``_resolved``,
@@ -960,6 +1020,7 @@ class CrawlEngine:
             f"{prefix}_failures": self.failures_df(),
             f"{prefix}_url_seen": self.load("url_seen", URL_SEEN_SCHEMA),
             f"{prefix}_rounds": self.rounds_df(),
+            f"{prefix}_cookies": self.cookies_df(),
         }
         for name, df in views.items():
             df.createOrReplaceTempView(name)

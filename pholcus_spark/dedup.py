@@ -148,26 +148,41 @@ def minhash_candidate_pairs(docs: DataFrame, k: int = 8, band_rows: int = 2,
 
 def ngram_jaccard_pairs(docs: DataFrame, shingle_k: int = 3,
                         threshold: float = 0.05) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via an inverted-index count
-    join (the Vernica/Carey set-similarity-join shape): |A∩B| / |A∪B|
-    ≥ threshold over distinct word-k-shingles, blocked on lang.
+    """Exact n-gram Jaccard near-dup pairs via the FULL Vernica/Carey
+    prefix-filtered set-similarity join: |A∩B| / |A∪B| ≥ threshold over
+    distinct word-k-shingles, blocked on lang.
 
-    Instead of a quadratic block self-join carrying shingle ARRAYS,
-    explode each doc's distinct shingles into postings (doc_id,
-    shingle), self-join on (lang, shingle), and count matches per doc
-    pair — that count IS |A∩B| exactly, and |A∪B| = |A| + |B| - |A∩B|
-    from the per-doc set sizes. Everything is narrow JVM rows: pair
-    enumeration cost is Σ_s df(s)² within a language (the shingle
-    document-frequency distribution), not |docs|², and no array ever
-    shuffles. Pairs sharing zero shingles have jac = 0 < threshold, so
-    the output set is identical to the brute-force block join (the
-    DuckDB oracle still computes it that way).
+    Three stages, all narrow JVM rows:
 
-    At 100 TB the residual risk is a stop-shingle with huge df; the
-    mitigations are the LSH pre-pass (``minhash_verified_pairs``, the
-    recommended scale path), prefix filtering, or AQE skew-join on the
-    (lang, shingle) key — the operator's shape stays the same.
+    1. postings + df: explode each doc's distinct shingles (as 8-byte
+       xxhash64 keys, not ~25-byte strings) and count each shingle's
+       document frequency within its block.
+    2. prefix filter: order every doc's postings by (df asc, shingle)
+       — a global total order putting RARE shingles first — and keep
+       only the first |x| − ⌈t·|x|⌉ + 1 per doc. Theorem (Bayardo/
+       Chaudhuri): jac(A,B) ≥ t ⇒ |A∩B| ≥ ⌈t·max(|A|,|B|)⌉, so A and
+       B must collide within those prefixes. Candidate enumeration is
+       Σ_s df_prefix(s)²: a stop-shingle with huge df sorts LAST and
+       drops out of (almost) every prefix, so it no longer explodes
+       the self-join — the skew trap of the unfiltered postings join.
+    3. exact verify: array-intersect Jaccard on just the candidate
+       pairs, O(|candidates|) — identical output to the brute-force
+       block join (the DuckDB oracle still computes it that way).
+
+    The prefix bound uses t − 5e-5: the output filter compares the
+    4-decimal ROUNDED jaccard, so a true value just under t can round
+    up into the result set — the slack keeps such pairs inside the
+    candidate set.
+
+    At 100 TB: df agg and prefix join shuffle partial-aggregated
+    narrow rows; the per-doc ranking window partitions by doc_id
+    (bounded rows per doc); residual hot prefix keys fall to AQE
+    skew-join. The LSH pre-pass (``minhash_verified_pairs``) remains
+    the cheapest pipeline when approximate candidate recall ≥ t is
+    acceptable; this operator is the exact one.
     """
+    from pyspark.sql import Window
+
     base = docs.select(
         "doc_id",
         F.col("lang").alias("block"),
@@ -177,40 +192,47 @@ def ngram_jaccard_pairs(docs: DataFrame, shingle_k: int = 3,
         "block",
         F.array_distinct(word_shingles(F.col("_ws"), shingle_k)).alias("sh"),
     )
-    sizes = base.select("doc_id", F.size("sh").alias("n"))
-    # join on the 8-byte shingle hash, not the ~25-byte string — the
-    # postings shuffle and the equality probes shrink ~3×; a 64-bit
-    # collision would need ~2^32 distinct shingles to become likely
-    # (and the oracle compares against brute-force set intersection)
     post = base.select(
-        "doc_id", "block",
+        "doc_id", "block", F.size("sh").alias("n"),
         F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias(
             "shingle"
         ),
     )
-    counts = (
-        post.alias("l")
+    df = post.groupBy("block", "shingle").agg(F.count("*").alias("df"))
+    t_eff = threshold - 5e-5  # rounding slack (see docstring)
+    prefix_len = F.col("n") - F.ceil(F.lit(t_eff) * F.col("n")) + 1
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    prefix = (
+        post.join(df, ["block", "shingle"])
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= prefix_len)
+    )
+    cand = (
+        prefix.alias("l")
         .join(
-            post.alias("r"),
+            prefix.alias("r"),
             [
                 F.col("l.block") == F.col("r.block"),
                 F.col("l.shingle") == F.col("r.shingle"),
                 F.col("l.doc_id") < F.col("r.doc_id"),
             ],
         )
-        .groupBy(
-            F.col("l.doc_id").alias("doc_a"),
-            F.col("r.doc_id").alias("doc_b"),
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
         )
-        .agg(F.count("*").alias("c"))
+        .distinct()
     )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    a = base.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = base.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
     return (
-        counts.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.round(inter / union, 4).alias("jaccard"),
+        )
         .filter(F.col("jaccard") >= threshold)
     )
 

@@ -34,15 +34,40 @@ def fetch_batch(
     try_times_default: int = 3,
     failure_pct: int = synthetic.FAILURE_PCT,
     px_scale: int = 1,
+    cookies: DataFrame | None = None,
 ) -> DataFrame:
     """Run the fetch/parse UDF over a dispatch batch.
 
     ``rules`` maps (spider, rule) -> {child_rule, max_depth, priority}
     (the declarative RuleTree, reference spider.go:48-59) and is
     closure-captured → shipped once per task, broadcast-style.
+
+    ``cookies`` (COOKIES_SCHEMA rows, or None when EnableCookie is off)
+    is the per-(spider, host) jar as of the round start — a dimension
+    table in the politeness class (bounded by hosts × spiders, not by
+    frontier size), broadcast-joined onto the batch so each request
+    carries its jar slice (Surf attaches the spider's jar per request,
+    surfer/param.go:47-108).
     """
     sess = batch.sparkSession
     bc_rules = sess.sparkContext.broadcast(rules)
+
+    if cookies is not None:
+        from pyspark.sql import functions as F
+
+        jar = cookies.groupBy("spider", "host").agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("name", "value"))
+            ).alias("jar")
+        )
+        batch = batch.join(F.broadcast(jar), ["spider", "host"], "left")
+    else:
+        from pyspark.sql import functions as F
+
+        batch = batch.withColumn(
+            "jar",
+            F.lit(None).cast("map<string,string>"),
+        )
 
     # Emit output frames in bounded chunks: payload rows can be tens of
     # KB each, and a full input batch's worth of images in one pandas
@@ -59,16 +84,22 @@ def fetch_batch(
             for row in pdf.itertuples(index=False):
                 tries = int(row.try_times or try_times_default)
                 base_attempt = int(row.attempt) * tries
+                jar = dict(row.jar) if row.jar else None
+                rule_cfg = rules_map.get((row.spider, row.rule), {})
+                # D2 downloader dispatch (downloader_surfer.go:35-74):
+                # rules marked downloader="chrome" route through the JS
+                # renderer — same fetch surface, rendered content
+                dl = rule_cfg.get("downloader", "surf")
                 res = None
                 for i in range(tries):
                     res = synthetic.fetch_one(
                         row.url, int(row.depth), base_attempt + i, n_hosts,
                         failure_pct, px_scale,
                         method=row.method, post_data=row.post_data,
+                        cookies=jar, downloader=dl,
                     )
                     if res.ok:
                         break
-                rule_cfg = rules_map.get((row.spider, row.rule), {})
                 child_rule = rule_cfg.get("child_rule")
                 max_depth = rule_cfg.get("max_depth", 0)
                 caption = res.caption
@@ -85,6 +116,7 @@ def fetch_batch(
                     page = synthetic.html_page_for(
                         row.url, int(row.depth), n_hosts,
                         method=row.method, post_data=row.post_data,
+                        cookies=jar, downloader=dl,
                     )
                     caption = dom_first(page, "div#main h1#caption", "text")
                     child_urls = dom_select(
@@ -128,6 +160,8 @@ def fetch_batch(
                         "caption": caption,
                         "phash": res.phash,
                         "links": links,
+                        "set_cookies": res.set_cookies,
+                        "proxy": getattr(row, "proxy", None),
                     }
                 )
                 if len(out_rows) >= out_chunk:
@@ -177,7 +211,7 @@ def links_to_candidates(results: DataFrame) -> DataFrame:
         (F.col("depth") + 1).cast("int").alias("depth"),
         F.col("url").alias("parent_url"),
         "temp",
-        F.create_map(F.lit("Referer"), F.col("url")).alias("headers"),
+        F.create_map(F.lit("Referer"), F.array(F.col("url"))).alias("headers"),
         F.lit(None).cast("string").alias("post_data"),
         F.lit(False).alias("reloadable"),
         "try_times",

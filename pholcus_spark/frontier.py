@@ -32,6 +32,35 @@ from .hashing import SPARK_HASH_SEED  # noqa: F401  (documents the seed)
 SALT_K = 8  # salted sub-queues per host in phase-1 ranking
 
 
+class CacheScope:
+    """Tracked ``.cache()`` handles for one engine operation.
+
+    The engine releases exactly the DataFrames IT cached after each
+    commit (``release()``), instead of ``spark.catalog.clearCache()``
+    — which evicts every cache in the session and would nuke
+    co-resident applications' caches on a shared cluster."""
+
+    def __init__(self) -> None:
+        self._dfs: list[DataFrame] = []
+
+    def add(self, df: DataFrame) -> DataFrame:
+        df = df.cache()
+        self._dfs.append(df)
+        return df
+
+    def release(self) -> None:
+        for df in self._dfs:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        self._dfs.clear()
+
+
+def _cache(df: DataFrame, scope: CacheScope | None) -> DataFrame:
+    return scope.add(df) if scope is not None else df.cache()
+
+
 def with_url_key(df: DataFrame) -> DataFrame:
     """url_key = xxhash64(spider, rule, url, method) — JVM-side, matching
     the oracle's pure-Python hashing.url_key byte-for-byte.
@@ -75,17 +104,35 @@ def filter_robots(cands: DataFrame, politeness: DataFrame) -> DataFrame:
     return joined.filter(~disallowed).drop("robots_disallow")
 
 
-def anti_join_seen(cands: DataFrame, url_seen: DataFrame) -> DataFrame:
+def seen_frames(url_seen) -> list[DataFrame]:
+    """Normalize a seen set to its join frames: a plain DataFrame, or
+    the bucketed store's [base, delta] pair (seen_catalog.frames()) —
+    kept separate because a union would discard the base scan's bucket
+    partitioning + sortedness that make the confirm shuffle- and
+    sort-free on the big side."""
+    return list(url_seen) if isinstance(url_seen, (list, tuple)) else [url_seen]
+
+
+def anti_join_frames(df: DataFrame, url_seen) -> DataFrame:
+    """Fold left-anti joins over the seen frames. With [base, delta]
+    the candidate side is exchanged+sorted ONCE and reused by both
+    SMJs; only the small delta side ever sorts."""
+    for frame in seen_frames(url_seen):
+        df = df.join(frame, "url_key", "left_anti")
+    return df
+
+
+def anti_join_seen(cands: DataFrame, url_seen) -> DataFrame:
     """Matrix.Push's history check: drop candidates whose url_key is in
     the seen set, unless ``reloadable`` (request.go:36 opt-out)."""
-    fresh = cands.filter(~F.col("reloadable")).join(
-        url_seen, "url_key", "left_anti"
-    )
+    fresh = anti_join_frames(cands.filter(~F.col("reloadable")), url_seen)
     reloadable = cands.filter(F.col("reloadable"))
     return fresh.unionByName(reloadable)
 
 
-def assign_seq(cands: DataFrame, next_seq: int) -> tuple[DataFrame, int]:
+def assign_seq(
+    cands: DataFrame, next_seq: int, scope: CacheScope | None = None
+) -> tuple[DataFrame, int]:
     """Distributed zipWithIndex: global FIFO seq numbers consistent with
     ``cand_order``, without a single-partition window. Range-partition
     by cand_order, count per partition (tiny driver metadata — one long
@@ -105,7 +152,7 @@ def assign_seq(cands: DataFrame, next_seq: int) -> tuple[DataFrame, int]:
     )
     # cache: the counts job and the assign job must see identical
     # partitioning (range boundaries come from sampling).
-    ranged = ranged.cache()
+    ranged = _cache(ranged, scope)
     counts = {
         r["_pid"]: r["cnt"]
         for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
@@ -147,6 +194,7 @@ def enqueue(
     sketch: DataFrame | None = None,
     remaining_by_spider: dict[str, int] | None = None,
     default_remaining: int | None = None,
+    scope: CacheScope | None = None,
 ) -> tuple[DataFrame, int]:
     """Full Matrix.Push pipeline for one round's candidate links.
 
@@ -172,9 +220,9 @@ def enqueue(
     # Cache the admitted set: downstream needs several passes (the
     # range-partitioner's sampling scan, the offsets count, the final
     # write) and the upstream chain includes shuffles + Python UDF
-    # stages that must not be re-evaluated per pass. Cleared with the
-    # round's clearCache().
-    cands = cands.cache()
+    # stages that must not be re-evaluated per pass. Released via the
+    # caller's CacheScope after the commit.
+    cands = _cache(cands, scope)
     if remaining_by_spider is not None:
         # per-spider page budget (Spider.Limit is per Matrix instance,
         # matrix.go:59-61 + spider.go:241-249): admit each spider's
@@ -221,7 +269,7 @@ def enqueue(
         n_cand = cands.count()
         if n_cand > max(remaining_budget, 0):
             cands = cands.orderBy("cand_order").limit(max(remaining_budget, 0))
-    cands, n_new = assign_seq(cands, next_seq)
+    cands, n_new = assign_seq(cands, next_seq, scope=scope)
     out = cands.select(
         "url_key",
         "url",
@@ -251,6 +299,7 @@ def select_batch(
     batch_size: int,
     salt_k: int = SALT_K,
     fair_share_spiders: bool = False,
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """Matrix.Pull × batch: the per-round dispatch set.
 
@@ -276,7 +325,7 @@ def select_batch(
     p = p.withColumn("_r2", F.row_number().over(w2)).filter(
         F.col("_r2") <= F.col("max_per_round")
     )
-    p = p.drop("_r1", "_r2", "max_per_round").cache()
+    p = _cache(p.drop("_r1", "_r2", "max_per_round"), scope)
     # Global batch cap (Pull × ThreadNum). orderBy+limit is TakeOrdered
     # — a single-partition funnel. When the politeness-capped set
     # already fits the batch (the common case for a well-sized round),
@@ -293,7 +342,7 @@ def select_batch(
         ws = Window.partitionBy("spider").orderBy(
             F.desc("priority"), F.asc("seq")
         )
-        ranked = p.withColumn("_rs", F.row_number().over(ws)).cache()
+        ranked = _cache(p.withColumn("_rs", F.row_number().over(ws)), scope)
         guaranteed = ranked.filter(F.col("_rs") <= quota)
         # size the leftover fill from the ACTUAL guaranteed-row count —
         # a spider with fewer than `quota` pending rows frees its unused
@@ -318,6 +367,31 @@ def select_batch(
             out = guaranteed
         return out.drop("_rs")
     return p.orderBy(F.desc("priority"), F.asc("seq")).limit(batch_size)
+
+
+def assign_proxies(
+    batch: DataFrame,
+    pool: list[str] | tuple[str, ...],
+    max_latency_ms: int = 300,
+) -> DataFrame:
+    """F12 proxy assignment (reference app/aid/proxy/proxy.go:141-197):
+    speed-filter the pool, speed-rank the survivors, rotate requests
+    across them keyed by url_key. The live list is config-sized, so the
+    choice compiles to an element_at over an array literal — pure JVM
+    column math, no join, no shuffle. Empty/filtered-out pool → NULL
+    proxy (direct fetch), like the reference when no proxy is usable."""
+    from . import synthetic
+
+    live = synthetic.live_proxies(list(pool), max_latency_ms)
+    if not live:
+        return batch.withColumn("proxy", F.lit(None).cast("string"))
+    arr = F.array(*[F.lit(p) for p, _ in live])
+    return batch.withColumn(
+        "proxy",
+        F.element_at(
+            arr, (F.pmod("url_key", F.lit(len(live))) + 1).cast("int")
+        ),
+    )
 
 
 def split_results(results: DataFrame, max_requeue_attempt: int = 1):

@@ -67,6 +67,19 @@ class CrawlConfig:
     seen_buckets: int = 32
     # payload-size multiplier for benchmarks (1 = 24-56 px test images)
     img_px_scale: int = 1
+    # EnableCookie (reference request.go:28 + context.go:110-112): keep
+    # a per-(spider, host) cookie jar across rounds; responses'
+    # Set-Cookie headers merge in at round commit, and the jar keys the
+    # content of subsequent fetches (Surf jar, surfer/param.go:47-108).
+    # Jar updates are snapshot-consistent at round boundaries — the
+    # micro-batch serialization of the reference's sequential jar.
+    enable_cookie: bool = False
+    # F12 proxy pool (app/aid/proxy/proxy.go:141-197): when non-empty,
+    # requests rotate across the speed-filtered, speed-ranked live
+    # proxies (deterministic synthetic latencies); the routed proxy is
+    # recorded per fetch row. Empty pool = direct fetch (NULL proxy).
+    proxy_pool: tuple = ()
+    proxy_max_latency_ms: int = 300
 
 
 def spider_instances(cfg: "CrawlConfig") -> list[str]:
@@ -130,6 +143,11 @@ class OracleResult:
     failed: set[int]
     items: dict[int, dict]  # url_key -> {image_id, caption, phash, fmt, w, h}
     rounds: int
+    # final cookie jar: (spider, host) -> {name: value} (empty unless
+    # cfg.enable_cookie)
+    cookies: dict = field(default_factory=dict)
+    # url_key -> routed proxy (empty unless cfg.proxy_pool)
+    proxies: dict = field(default_factory=dict)
 
 
 def politeness_map(cfg: CrawlConfig) -> dict[str, dict]:
@@ -157,6 +175,15 @@ def run_oracle(seeds: list[str], cfg: CrawlConfig) -> OracleResult:
     next_seq = 0
     admitted_by: dict[str, int] = {}
     deferred = False
+    # cookie jar (EnableCookie): per-(spider, host) name→value, updated
+    # at round boundaries — identical to the engine's snapshot-merge
+    jar: dict[tuple[str, str], dict[str, str]] = {}
+    # F12: speed-filtered, speed-ranked live proxy list (static config,
+    # like the engine's broadcast assignment)
+    live_proxies = synthetic.live_proxies(
+        list(cfg.proxy_pool), cfg.proxy_max_latency_ms
+    )
+    proxies: dict[int, str] = {}
 
     def admit(cands: list[tuple[int, dict]]) -> None:
         """cands: (cand_order, row-dict) — Matrix.Push semantics in
@@ -279,14 +306,22 @@ def run_oracle(seeds: list[str], cfg: CrawlConfig) -> OracleResult:
 
         # --- fetch + DoHistory ---
         round_cands: list[tuple[int, dict]] = []
+        round_ck: dict[tuple[str, str, str], str] = {}
         for row in batch:
             base = row.attempt * cfg.try_times
+            req_cookies = (
+                jar.get((row.spider, row.host)) if cfg.enable_cookie else None
+            )
+            dl = rules_x.get((row.spider, row.rule), {}).get(
+                "downloader", "surf"
+            )
             res = None
             for i in range(cfg.try_times):
                 res = synthetic.fetch_one(
                     row.url, row.depth, base + i, cfg.n_hosts, cfg.failure_pct,
                     cfg.img_px_scale, method=row.method,
-                    post_data=row.post_data,
+                    post_data=row.post_data, cookies=req_cookies,
+                    downloader=dl,
                 )
                 if res.ok:
                     break
@@ -294,8 +329,17 @@ def run_oracle(seeds: list[str], cfg: CrawlConfig) -> OracleResult:
                 (rnd, row.url_key, row.url, row.priority, row.seq,
                  row.attempt, res.ok)
             )
+            if cfg.proxy_pool:
+                proxies[row.url_key] = synthetic.assign_proxy(
+                    row.url_key, live_proxies
+                )
             if res.ok:
                 done.add(row.url_key)
+                if cfg.enable_cookie and res.set_cookies:
+                    for n, v in res.set_cookies.items():
+                        k = (row.spider, row.host, n)
+                        if k not in round_ck or v > round_ck[k]:
+                            round_ck[k] = v
                 if res.image_id is not None:  # HEAD: no body, no item
                     items[row.url_key] = {
                         "image_id": res.image_id,
@@ -338,6 +382,10 @@ def run_oracle(seeds: list[str], cfg: CrawlConfig) -> OracleResult:
                     failed.add(row.url_key)
                     failures_store.append(row)
 
+        # jar merge at the round boundary (engine: cookies-table commit)
+        for (sp, h, n), v in round_ck.items():
+            jar.setdefault((sp, h), {})[n] = v
+
         admit(round_cands)
         rnd += 1
 
@@ -348,4 +396,6 @@ def run_oracle(seeds: list[str], cfg: CrawlConfig) -> OracleResult:
         failed=failed,
         items=items,
         rounds=rnd,
+        cookies=jar,
+        proxies=proxies,
     )

@@ -752,6 +752,109 @@ GROUP BY 1
 """
 
 
+def q_proxy_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 proxy assignment (reference app/aid/proxy/proxy.go:141-197;
+    engine frontier.assign_proxies): speed-filter a 24-proxy pool
+    (deterministic Knuth-hash latencies), speed-rank the survivors,
+    rotate requests across them keyed by request id. Fully declarative:
+    the pool is a spark.range dim frame, the rank a window, the choice
+    a pmod-equality broadcast join — no collect, no UDF."""
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    pool = spark.range(24).select(
+        F.col("id").cast("int").alias("proxy_idx"),
+        (
+            F.lit(20)
+            + F.pmod(F.col("id") * F.lit(2654435761), F.lit(1 << 32))
+            % F.lit(400)
+        ).cast("int").alias("latency_ms"),
+    )
+    live = (
+        pool.filter(F.col("latency_ms") <= 300)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy("latency_ms", "proxy_idx")
+            ) - 1,
+        )
+        .withColumn("n_live", F.count("*").over(Window.partitionBy()))
+    )
+    return ev.join(
+        F.broadcast(live),
+        F.pmod(F.col("event_id"), F.col("n_live")) == F.col("rk"),
+    ).select("event_id", "proxy_idx", "latency_ms")
+
+
+SQL_PROXY_ASSIGN = """
+WITH pool AS (
+  SELECT CAST(i AS INT) AS proxy_idx,
+         CAST(20 + ((i * 2654435761) % 4294967296) % 400 AS INT)
+           AS latency_ms
+  FROM range(24) t(i)),
+live AS (
+  SELECT proxy_idx, latency_ms,
+         row_number() OVER (ORDER BY latency_ms, proxy_idx) - 1 AS rk,
+         count(*) OVER () AS n_live
+  FROM pool WHERE latency_ms <= 300)
+SELECT e.event_id, l.proxy_idx, l.latency_ms
+FROM events e JOIN live l ON e.event_id % l.n_live = l.rk
+"""
+
+
+def q_cookie_jar_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cookie-jar round merge (EnableCookie, reference request.go:28 +
+    Surf jar surfer/param.go:47-108; engine crawler.run_round cookies
+    commit): fold four rounds of Set-Cookie events through the engine's
+    EXACT merge step — within-round max(value) per (spider, host,
+    name), then new-overrides-old via left-anti + union. The oracle is
+    the declarative equivalent (latest round wins, max-value tie-break)
+    — proving the iterative fold ≡ one window query."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 2 == 0, F.lit("spA"))
+        .otherwise(F.lit("spB"))
+        .alias("spider"),
+        F.concat(F.lit("h"), (F.col("user_id") % 20).cast("string")).alias(
+            "host"
+        ),
+        F.when(F.col("event_id") % 3 == 0, F.lit("sid"))
+        .otherwise(F.lit("pref"))
+        .alias("name"),
+        F.concat(F.lit("v"), (F.col("event_id") % 97).cast("string")).alias(
+            "value"
+        ),
+        (F.col("event_id") % 4).cast("int").alias("rnd"),
+    )
+    from .schemas import COOKIES_SCHEMA
+
+    jar = spark.createDataFrame([], COOKIES_SCHEMA)
+    for r in range(4):
+        new_ck = (
+            ev.filter(F.col("rnd") == r)
+            .groupBy("spider", "host", "name")
+            .agg(F.max("value").alias("value"))
+        )
+        jar = jar.join(
+            new_ck, ["spider", "host", "name"], "left_anti"
+        ).unionByName(new_ck)
+    return jar
+
+
+SQL_COOKIE_JAR_MERGE = """
+WITH ev AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'spA' ELSE 'spB' END AS spider,
+         'h' || CAST(user_id % 20 AS VARCHAR) AS host,
+         CASE WHEN event_id % 3 = 0 THEN 'sid' ELSE 'pref' END AS name,
+         'v' || CAST(event_id % 97 AS VARCHAR) AS value,
+         CAST(event_id % 4 AS INT) AS rnd
+  FROM events)
+SELECT spider, host, name, value
+FROM (SELECT spider, host, name, value,
+             row_number() OVER (PARTITION BY spider, host, name
+                                ORDER BY rnd DESC, value DESC) AS rn
+      FROM ev) t
+WHERE rn = 1
+"""
+
+
 def q_events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Micro-batch round rollup: tumbling 1-hour windows over the event
     stream (the engine's round ≈ a processing-time window)."""
@@ -1237,8 +1340,7 @@ def _synthetic_images(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in pdf_iter:
             rows = []
             for doc_id in pdf["doc_id"]:
-                url = f"http://img.example.com/doc/{int(doc_id)}"
-                arr, fmt = synthetic.image_for(url)
+                arr, fmt = synthetic.image_for_doc(int(doc_id))
                 rows.append(
                     {
                         "image_id": f"doc-{int(doc_id)}",
@@ -1255,13 +1357,40 @@ def _synthetic_images(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_images_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return multimodal.decode_image_meta(_synthetic_images(spark, sf_dir))
+    """Partial multimodal oracle (VERDICT-r2 #9): the engine DECODES
+    real bytes and reports the metadata; the DuckDB oracle predicts the
+    same (image_id, w, h, fmt, decode_ok) from doc_id via the
+    generator's SQL-mirrorable arithmetic — a real byte-level decode
+    check on everything but the codec-dependent columns (those — bytes
+    length, phash, psnr — stay covered by images_phash_neardup and the
+    pytest PSNR invariant)."""
+    meta = multimodal.decode_image_meta(_synthetic_images(spark, sf_dir))
+    return meta.select("image_id", "w", "h", "fmt", "decode_ok")
+
+
+SQL_IMAGES_DECODE_META = """
+WITH p AS (SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS r
+           FROM documents)
+SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS image_id,
+       CAST(24 + r % 33 AS INT) AS w,
+       CAST(24 + (r // 33) % 33 AS INT) AS h,
+       CASE WHEN (r // 1089) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+       TRUE AS decode_ok
+FROM p
+"""
 
 
 def q_images_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     imgs = _synthetic_images(spark, sf_dir)
     resized = multimodal.resize_images(imgs, 16, 16)
-    return resized.select("image_id", "w", "h", "fmt", F.length("bytes").alias("n_bytes"))
+    return resized.select("image_id", "w", "h", "fmt")
+
+
+SQL_IMAGES_RESIZE = """
+SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS image_id,
+       CAST(16 AS INT) AS w, CAST(16 AS INT) AS h, 'png' AS fmt
+FROM documents
+"""
 
 
 def q_images_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1315,6 +1444,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frontier_fair_share": q_frontier_fair_share,
     "keyin_fanout": q_keyin_fanout,
     "failure_union_requeue": q_failure_union_requeue,
+    "cookie_jar_merge": q_cookie_jar_merge,
+    "proxy_assign": q_proxy_assign,
     "events_tumbling_window": q_events_tumbling_window,
     "events_sessionize": q_events_sessionize,
     "sink_kafka_shape": q_sink_kafka_shape,
@@ -1362,6 +1493,8 @@ ORACLE_SQL: dict[str, str] = {
     "frontier_fair_share": SQL_FRONTIER_FAIR_SHARE,
     "keyin_fanout": SQL_KEYIN_FANOUT,
     "failure_union_requeue": SQL_FAILURE_UNION_REQUEUE,
+    "cookie_jar_merge": SQL_COOKIE_JAR_MERGE,
+    "proxy_assign": SQL_PROXY_ASSIGN,
     "events_tumbling_window": SQL_EVENTS_TUMBLING_WINDOW,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "sink_kafka_shape": SQL_SINK_KAFKA_SHAPE,
@@ -1379,5 +1512,10 @@ ORACLE_SQL: dict[str, str] = {
     "embed_cosine_topk": SQL_EMBED_COSINE_TOPK,
     "embed_lsh_ann": SQL_EMBED_LSH_ANN,
     "embed_cosine_neardup": SQL_EMBED_COSINE_NEARDUP,
-    # multimodal queries intentionally absent → rows-only checks
+    # partial multimodal oracles: decode/resize metadata predicted from
+    # doc_id (generator arithmetic mirrored in SQL); the remaining
+    # multimodal queries (phash bands, video/audio stubs) stay
+    # rows-only
+    "images_decode_meta": SQL_IMAGES_DECODE_META,
+    "images_resize": SQL_IMAGES_RESIZE,
 }

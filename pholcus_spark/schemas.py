@@ -28,10 +28,13 @@ FRONTIER_SCHEMA = T.StructType(
         T.StructField("parent_url", T.StringType(), True),
         T.StructField("temp", T.MapType(T.StringType(), T.StringType()), True),
         # request headers + POST body (reference request.go:24-31
-        # Header http.Header / PostData; single-valued header map —
-        # the reference's multi-value case is join-on-write)
+        # Header http.Header = map[string][]string / PostData; values
+        # are arrays so repeated headers (Accept, Set-Cookie style)
+        # survive losslessly)
         T.StructField(
-            "headers", T.MapType(T.StringType(), T.StringType()), True
+            "headers",
+            T.MapType(T.StringType(), T.ArrayType(T.StringType())),
+            True,
         ),
         T.StructField("post_data", T.StringType(), True),
         T.StructField("reloadable", T.BooleanType(), False),
@@ -148,7 +151,9 @@ FETCH_RESULT_SCHEMA = T.StructType(
         T.StructField("parent_url", T.StringType(), True),
         T.StructField("temp", T.MapType(T.StringType(), T.StringType()), True),
         T.StructField(
-            "headers", T.MapType(T.StringType(), T.StringType()), True
+            "headers",
+            T.MapType(T.StringType(), T.ArrayType(T.StringType())),
+            True,
         ),
         T.StructField("post_data", T.StringType(), True),
         T.StructField("reloadable", T.BooleanType(), False),
@@ -176,5 +181,30 @@ FETCH_RESULT_SCHEMA = T.StructType(
             ),
             True,
         ),
+        # Set-Cookie headers the response carried (reference Surf jar
+        # feed, surfer/param.go:47-108); merged into the cookies table
+        # at round commit
+        T.StructField(
+            "set_cookies", T.MapType(T.StringType(), T.StringType()), True
+        ),
+        # proxy the request was routed through (F12,
+        # app/aid/proxy/proxy.go:141-197); NULL when no pool configured
+        T.StructField("proxy", T.StringType(), True),
+    ]
+)
+
+# cookies — per-(spider, host) cookie-jar state (reference: Surf keeps
+# a cookie jar per spider across requests, surfer/param.go:47-108;
+# EnableCookie inherited per request, request.go:28 +
+# context.go:110-112). Engine semantics are snapshot-consistent at
+# round boundaries: cookies set by round N's responses apply to rounds
+# > N (the micro-batch serialization of the reference's sequential jar,
+# same adaptation as the politeness budget).
+COOKIES_SCHEMA = T.StructType(
+    [
+        T.StructField("spider", T.StringType(), False),
+        T.StructField("host", T.StringType(), False),
+        T.StructField("name", T.StringType(), False),
+        T.StructField("value", T.StringType(), False),
     ]
 )

@@ -187,16 +187,23 @@ def anti_join_seen_bloom(
     known-small (low FPR and few duplicate links); with heavy
     duplication the default shuffle join is the safe plan.
     """
+    from .frontier import anti_join_frames, seen_frames
+
     tagged = prefilter(cands.filter(~F.col("reloadable")), sketch, params)
     fresh = tagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
     maybes = tagged.filter(F.col("maybe_seen")).drop("maybe_seen")
     if broadcast_confirm:
-        hits = url_seen.join(
-            F.broadcast(maybes.select("url_key")), "url_key", "left_semi"
-        )
-        confirmed_new = maybes.join(F.broadcast(hits), "url_key", "left_anti")
+        confirmed_new = maybes
+        for frame in seen_frames(url_seen):
+            hits = frame.join(
+                F.broadcast(confirmed_new.select("url_key")),
+                "url_key", "left_semi",
+            )
+            confirmed_new = confirmed_new.join(
+                F.broadcast(hits), "url_key", "left_anti"
+            )
     else:
-        confirmed_new = maybes.join(url_seen, "url_key", "left_anti")
+        confirmed_new = anti_join_frames(maybes, url_seen)
     reloadable = cands.filter(F.col("reloadable"))
     return fresh.unionByName(confirmed_new).unionByName(reloadable)
 

@@ -97,6 +97,41 @@ def host_budget(crawl_delay_ms: int, round_duration_ms: int = 1000) -> int:
     return max(1, round_duration_ms // max(1, crawl_delay_ms))
 
 
+# --- proxy pool (F12, reference app/aid/proxy/proxy.go:141-197) ---
+
+
+def proxy_latency_ms(idx: int) -> int:
+    """Synthetic per-proxy latency, SQL-mirrorable (Knuth
+    multiplicative hash mod 2^32) so the assignment operator has a
+    DuckDB oracle. The reference measures real dial latency per proxy
+    and filters dead ones (proxy.go:78-139); this is that signal's
+    deterministic stand-in."""
+    return 20 + ((int(idx) * 2654435761) % (1 << 32)) % 400
+
+
+def live_proxies(
+    pool: list[str], max_latency_ms: int = 300
+) -> list[tuple[str, int]]:
+    """Speed-filter + speed-rank the pool: [(proxy, latency)] sorted by
+    (latency, index), latency ≤ threshold. The reference keeps only
+    usable proxies ordered by measured speed (proxy.go:141-168)."""
+    timed = [(p, proxy_latency_ms(i)) for i, p in enumerate(pool)]
+    live = [(p, ms) for p, ms in timed if ms <= max_latency_ms]
+    return sorted(live, key=lambda t: (t[1], pool.index(t[0])))
+
+
+def assign_proxy(url_key: int, live: list[tuple[str, int]]) -> str | None:
+    """Per-request proxy choice: rotate over the speed-ranked live pool
+    keyed by url_key. The reference rotates one global proxy on a timer
+    (proxy.go:169-197) — unobservable in a distributed batch — so the
+    micro-batch adaptation spreads requests across the live pool
+    deterministically (same spirit: every live proxy gets traffic,
+    dead/slow ones get none)."""
+    if not live:
+        return None
+    return live[url_key % len(live)][0]
+
+
 # --- page content ---
 
 
@@ -116,16 +151,10 @@ def caption_for(url: str) -> str:
     return f"{image_id_for(url)}: " + " ".join(words)
 
 
-def image_for(url: str, px_scale: int = 1) -> tuple[np.ndarray, str]:
-    """Deterministic pixels + format for a URL. Default images are
-    small (24-56 px) to keep tests fast; ``px_scale`` multiplies the
-    dimensions so benchmarks can model realistic payloads (the codec
-    path is size-agnostic)."""
-    r = _h("image", url)
-    w = (24 + (r % 33)) * px_scale
-    h = (24 + ((r >> 8) % 33)) * px_scale
+def _image_pixels(r: int, w: int, h: int) -> np.ndarray:
+    """Deterministic pixels for a seed + dims: low-frequency structure
+    (gradients) + noise → non-trivial phash."""
     rng = np.random.Generator(np.random.PCG64(r & MASK64))
-    # low-frequency structure (gradients) + noise → non-trivial phash
     gx = np.linspace(0, 255, w)[None, :]
     gy = np.linspace(0, 255, h)[:, None]
     base = np.stack(
@@ -137,9 +166,38 @@ def image_for(url: str, px_scale: int = 1) -> tuple[np.ndarray, str]:
         axis=-1,
     )
     noise = rng.integers(0, 64, size=(h, w, 3))
-    arr = np.clip(base + noise, 0, 255).astype(np.uint8)
+    return np.clip(base + noise, 0, 255).astype(np.uint8)
+
+
+def image_for(url: str, px_scale: int = 1) -> tuple[np.ndarray, str]:
+    """Deterministic pixels + format for a URL. Default images are
+    small (24-56 px) to keep tests fast; ``px_scale`` multiplies the
+    dimensions so benchmarks can model realistic payloads (the codec
+    path is size-agnostic)."""
+    r = _h("image", url)
+    w = (24 + (r % 33)) * px_scale
+    h = (24 + ((r >> 8) % 33)) * px_scale
     fmt = "png" if (r >> 16) % 2 == 0 else "jpeg"
-    return arr, fmt
+    return _image_pixels(r, w, h), fmt
+
+
+def image_params_for_doc(doc_id: int) -> tuple[int, int, str, int]:
+    """(w, h, fmt, seed) for the doc-keyed image fixture — the dims/fmt
+    arithmetic is a Knuth multiplicative hash mod 2^32, chosen to be
+    EXACTLY mirrorable in ANSI SQL so a DuckDB oracle can predict the
+    decoded metadata independently (partial multimodal oracle)."""
+    r = (int(doc_id) * 2654435761) % (1 << 32)
+    w = 24 + r % 33
+    h = 24 + (r // 33) % 33
+    fmt = "png" if (r // 1089) % 2 == 0 else "jpeg"
+    return w, h, fmt, r
+
+
+def image_for_doc(doc_id: int) -> tuple[np.ndarray, str]:
+    """Deterministic image for a documents-table row (the registry's
+    image corpus stand-in)."""
+    w, h, fmt, r = image_params_for_doc(doc_id)
+    return _image_pixels(r, w, h), fmt
 
 
 def child_links(url: str, depth: int, n_hosts: int) -> list[str]:
@@ -165,6 +223,8 @@ def html_page_for(
     n_hosts: int,
     method: str = "GET",
     post_data: str | None = None,
+    cookies: dict | None = None,
+    downloader: str = "surf",
 ) -> str:
     """Deterministic HTML rendering of a page's content — the fetch
     body for selector-driven rules (``parse: "dom"``). The caption and
@@ -173,7 +233,7 @@ def html_page_for(
     nav/footer links outside the content container): a rule can only
     recover them with a structural parse, which is what the fidelity
     contract then proves (the oracle uses the direct values)."""
-    ck = content_key(url, method, post_data)
+    ck = content_key(url, method, post_data, cookies, downloader)
     caption = caption_for(ck)
     links = child_links(ck, depth, n_hosts)
     lis = "".join(
@@ -209,16 +269,55 @@ class FetchResult:
     caption: str | None = None
     phash: int = 0
     links: list[str] = field(default_factory=list)
+    set_cookies: dict | None = None
 
 
-def content_key(url: str, method: str = "GET", post_data: str | None = None) -> str:
+# --- cookies (reference: Surf's per-spider cookie jar,
+#     surfer/param.go:47-108; EnableCookie request.go:28) ---
+
+
+def session_id_for(host: str) -> str:
+    """The session value a host's login pages hand out. Host-keyed (any
+    login page on the host yields the same session) so within-round
+    multi-setter merges are order-independent."""
+    return f"s{_h('sid', host) % 100000:05d}"
+
+
+def set_cookies_for(url: str, host: str) -> dict | None:
+    """~25% of pages are 'login' pages whose response carries a
+    Set-Cookie session header; the rest set nothing."""
+    if _h("setcookie", url) % 4 != 0:
+        return None
+    return {"sid": session_id_for(host)}
+
+
+def content_key(
+    url: str,
+    method: str = "GET",
+    post_data: str | None = None,
+    cookies: dict | None = None,
+    downloader: str = "surf",
+) -> str:
     """The synthetic-content seed: GET responses depend on the URL
     alone; POST/POST-M responses also depend on the request body
     (reference method switch surfer/surf.go:103-140 — a form POST and
-    a GET of the same URL return different documents)."""
+    a GET of the same URL return different documents). Request cookies
+    (when a jar is enabled) also key the content — a logged-in fetch of
+    the same URL returns a different document, which is what makes
+    cookie fidelity observable end-to-end. A non-surf ``downloader``
+    (the Chrome/Phantom JS renderer, D2 dispatch —
+    surfer/chrome.go:26-80) also keys the content: a rendered page
+    differs from the raw response for the same URL."""
     if method in ("GET", "HEAD"):
-        return url
-    return f"{method}|{url}|{post_data or ''}"
+        base = url
+    else:
+        base = f"{method}|{url}|{post_data or ''}"
+    if downloader != "surf":
+        base = f"{downloader}|{base}"
+    if cookies:
+        ck = ";".join(f"{k}={v}" for k, v in sorted(cookies.items()))
+        return f"{base}|ck:{ck}"
+    return base
 
 
 def fetch_one(
@@ -230,6 +329,8 @@ def fetch_one(
     px_scale: int = 1,
     method: str = "GET",
     post_data: str | None = None,
+    cookies: dict | None = None,
+    downloader: str = "surf",
 ) -> FetchResult:
     """The fetch+decode boundary: returns the full page payload or a
     transient error. Pure function of its arguments.
@@ -238,14 +339,20 @@ def fetch_one(
     GET returns the page; POST/POST-M return a body keyed by
     (method, url, post_data); HEAD succeeds with headers only — no
     body, no item payload, no child links.
+
+    Cookie semantics (surfer/param.go:47-108): ``cookies`` is the
+    request jar slice for this host — it keys the returned content;
+    the response's Set-Cookie headers come back in ``set_cookies``
+    (body-carrying responses only — the synthetic HEAD is header-free).
     """
     if fetch_fails(url, attempt, failure_pct):
         return FetchResult(url=url, ok=False, error="synthetic transient error")
     if method == "HEAD":
         return FetchResult(url=url, ok=True)
-    ck = content_key(url, method, post_data)
+    ck = content_key(url, method, post_data, cookies, downloader)
     arr, fmt = image_for(ck, px_scale)
     payload = encode_image(arr, fmt)
+    host = url.split("://", 1)[-1].split("/", 1)[0]
     return FetchResult(
         url=url,
         ok=True,
@@ -257,4 +364,5 @@ def fetch_one(
         caption=caption_for(ck),
         phash=phash64(arr),
         links=child_links(ck, depth, n_hosts),
+        set_cookies=set_cookies_for(url, host),
     )

@@ -16,6 +16,8 @@ from pholcus_spark.imaging import decode_image, psnr
 from pholcus_spark.oracle import CrawlConfig, run_oracle
 from pholcus_spark.tables import SnapshotStore
 
+from tests.helpers import url_seen_set, visits_log
+
 
 def _sorted_oracle_visits(orc):
     # engine rounds start at 1; order within a round is the dispatch
@@ -39,12 +41,12 @@ def crawl_pair(spark, tmp_path_factory):
 
 def test_visit_order_fidelity(crawl_pair):
     _, _, orc, eng = crawl_pair
-    assert eng.visits_log() == _sorted_oracle_visits(orc)
+    assert visits_log(eng) == _sorted_oracle_visits(orc)
 
 
 def test_url_seen_set_fidelity(crawl_pair):
     _, _, orc, eng = crawl_pair
-    assert eng.url_seen_set() == orc.url_seen
+    assert url_seen_set(eng) == orc.url_seen
 
 
 def test_done_failed_sets_fidelity(crawl_pair):
@@ -101,8 +103,8 @@ def test_failure_retry_and_defer(spark, tmp_path):
     store = SnapshotStore(str(tmp_path / "retry_store"))
     eng = CrawlEngine(spark, store, cfg)
     eng.run(seeds)
-    assert eng.visits_log() == _sorted_oracle_visits(orc)
-    assert eng.url_seen_set() == orc.url_seen
+    assert visits_log(eng) == _sorted_oracle_visits(orc)
+    assert url_seen_set(eng) == orc.url_seen
     resolved = eng.resolved_df().collect()
     failed = {r["url_key"] for r in resolved if r["status"] == "failed"}
     assert failed == orc.failed
@@ -125,8 +127,8 @@ def test_resume_from_snapshot(spark, tmp_path):
     resumed = CrawlEngine(spark, SnapshotStore(str(tmp_path / "partial")), cfg)
     resumed.run(seeds)
 
-    assert resumed.visits_log() == full.visits_log()
-    assert resumed.url_seen_set() == full.url_seen_set()
+    assert visits_log(resumed) == visits_log(full)
+    assert url_seen_set(resumed) == url_seen_set(full)
     assert (
         resumed.items_df().select("image_id").orderBy("image_id").collect()
         == full.items_df().select("image_id").orderBy("image_id").collect()
@@ -158,8 +160,8 @@ def test_resume_ignores_orphan_files(spark, tmp_path):
 
     resumed = CrawlEngine(spark, SnapshotStore(str(tmp_path / "partial")), cfg)
     resumed.run(seeds)
-    assert resumed.visits_log() == full.visits_log()
-    assert resumed.url_seen_set() == full.url_seen_set()
+    assert visits_log(resumed) == visits_log(full)
+    assert url_seen_set(resumed) == url_seen_set(full)
 
 
 def test_resume_after_torn_adoption(spark, tmp_path):
@@ -192,8 +194,8 @@ def test_resume_after_torn_adoption(spark, tmp_path):
 
     resumed = CrawlEngine(spark, SnapshotStore(str(tmp_path / "partial")), cfg)
     resumed.run(seeds)
-    assert resumed.visits_log() == full.visits_log()
-    assert resumed.url_seen_set() == full.url_seen_set()
+    assert visits_log(resumed) == visits_log(full)
+    assert url_seen_set(resumed) == url_seen_set(full)
 
 
 def test_bloom_enabled_mid_crawl_rebuilds_sketch(spark, tmp_path):
@@ -216,8 +218,8 @@ def test_bloom_enabled_mid_crawl_rebuilds_sketch(spark, tmp_path):
         spark, SnapshotStore(str(tmp_path / "partial")), bloom_cfg
     )
     resumed.run(seeds)
-    assert resumed.visits_log() == full.visits_log()
-    assert resumed.url_seen_set() == full.url_seen_set()
+    assert visits_log(resumed) == visits_log(full)
+    assert url_seen_set(resumed) == url_seen_set(full)
 
 
 def test_post_head_method_fidelity(spark, tmp_path):
@@ -229,7 +231,11 @@ def test_post_head_method_fidelity(spark, tmp_path):
     urls = synthetic.seed_urls(8, cfg.n_hosts)
     seeds = [
         {"url": urls[0], "method": "POST", "post_data": "q=alpha",
-         "headers": {"Content-Type": "application/x-www-form-urlencoded"}},
+         "headers": {"Content-Type": "application/x-www-form-urlencoded",
+                     # repeated header (http.Header is
+                     # map[string][]string, request.go:24) — must
+                     # survive the round trip losslessly
+                     "Accept": ["text/html", "image/png"]}},
         {"url": urls[0]},  # same URL via GET → distinct url_key
         {"url": urls[1], "method": "HEAD"},
         {"url": urls[2], "method": "POST-M", "post_data": "f=1"},
@@ -239,8 +245,8 @@ def test_post_head_method_fidelity(spark, tmp_path):
     eng = CrawlEngine(spark, SnapshotStore(str(tmp_path / "methods")), cfg)
     eng.run(seeds)
 
-    assert eng.visits_log() == _sorted_oracle_visits(orc)
-    assert eng.url_seen_set() == orc.url_seen
+    assert visits_log(eng) == _sorted_oracle_visits(orc)
+    assert url_seen_set(eng) == orc.url_seen
     items = {r["image_id"] for r in eng.items_df().select("image_id").collect()}
     assert items == {v["image_id"] for v in orc.items.values()}
 
@@ -257,7 +263,13 @@ def test_post_head_method_fidelity(spark, tmp_path):
     # child links carry the auto-Referer header (context.go:141-207)
     child = fetched.filter(F.col("depth") > 0).select("headers", "parent_url").first()
     if child is not None:
-        assert child["headers"]["Referer"] == child["parent_url"]
+        assert child["headers"]["Referer"] == [child["parent_url"]]
+    # multi-value + scalar seed headers round-trip losslessly
+    post_row = by_method["POST"]
+    assert post_row["headers"]["Accept"] == ["text/html", "image/png"]
+    assert post_row["headers"]["Content-Type"] == [
+        "application/x-www-form-urlencoded"
+    ]
 
 
 def test_inherit_flags_matrix(spark, tmp_path):
@@ -282,18 +294,18 @@ def test_inherit_flags_matrix(spark, tmp_path):
 
     # success_inherit=True: same seeds are all already-seen -> no-op run
     eng = fresh("si_true")
-    v0 = len(eng.visits_log())
+    v0 = len(visits_log(eng))
     eng.start_new_run(seeds, success_inherit=True, failure_inherit=False)
     eng.run()
-    assert len(eng.visits_log()) == v0
+    assert len(visits_log(eng)) == v0
 
     # success_inherit=False: history dropped -> the run re-crawls
     eng = fresh("si_false")
-    v0 = len(eng.visits_log())
+    v0 = len(visits_log(eng))
     eng.start_new_run(seeds, success_inherit=False, failure_inherit=False)
     eng.run()
-    assert len(eng.visits_log()) > v0
-    assert eng.url_seen_set()  # rebuilt
+    assert len(visits_log(eng)) > v0
+    assert url_seen_set(eng)  # rebuilt
 
     # failure_inherit matrix over a store that recorded failures
     eng = fresh("fi")
@@ -352,8 +364,8 @@ def test_multi_spider_fidelity(spark, tmp_path):
     orc = run_oracle(seeds, cfg)
     eng = CrawlEngine(spark, SnapshotStore(str(tmp_path / "multi")), cfg)
     eng.run(seeds)
-    assert eng.visits_log() == _sorted_oracle_visits(orc)
-    assert eng.url_seen_set() == orc.url_seen
+    assert visits_log(eng) == _sorted_oracle_visits(orc)
+    assert url_seen_set(eng) == orc.url_seen
     spiders = {
         r["spider"] for r in eng.fetched_df().select("spider").distinct().collect()
     }
@@ -377,8 +389,8 @@ def test_keyin_fanout_engine_fidelity(spark, tmp_path):
     orc = run_oracle(seeds, cfg)
     eng = CrawlEngine(spark, SnapshotStore(str(tmp_path / "keyin")), cfg)
     eng.run(seeds)
-    assert eng.visits_log() == _sorted_oracle_visits(orc)
-    assert eng.url_seen_set() == orc.url_seen
+    assert visits_log(eng) == _sorted_oracle_visits(orc)
+    assert url_seen_set(eng) == orc.url_seen
     urls = [r["url"] for r in eng.fetched_df().select("url").collect()]
     assert any("/search/alpha/" in u for u in urls)
     assert any("/search/beta/" in u for u in urls)
@@ -387,3 +399,113 @@ def test_keyin_fanout_engine_fidelity(spark, tmp_path):
         for r in eng.fetched_df().select("spider").distinct().collect()
     }
     assert spiders == {"spA@alpha", "spA@beta"}
+
+
+def test_cookie_jar_engine_fidelity(spark, tmp_path):
+    """EnableCookie end-to-end (reference request.go:28 +
+    context.go:110-112 + Surf jar surfer/param.go:47-108): login pages
+    set a session cookie; later rounds' fetches on that host carry it
+    and receive DIFFERENT content (cookie-keyed synthetic pages).
+    Engine must match the oracle's visits, seen set, item captions, and
+    final jar exactly — and the run must differ observably from a
+    cookie-off crawl of the same seeds."""
+    cfg = CrawlConfig(n_hosts=8, batch_size=12, limit=90, enable_cookie=True)
+    seeds = synthetic.seed_urls(8, cfg.n_hosts)
+    orc = run_oracle(seeds, cfg)
+    assert orc.cookies, "fixture must actually set cookies"
+
+    eng = CrawlEngine(spark, SnapshotStore(str(tmp_path / "cookie")), cfg)
+    eng.run(seeds)
+    assert visits_log(eng) == _sorted_oracle_visits(orc)
+    assert url_seen_set(eng) == orc.url_seen
+
+    # item captions match the cookie-aware oracle content exactly
+    eng_caps = {
+        r["image_id"]: r["caption"] for r in eng.items_df().collect()
+    }
+    orc_caps = {v["image_id"]: v["caption"] for v in orc.items.values()}
+    assert eng_caps == orc_caps
+
+    # committed jar == oracle jar
+    eng_jar: dict = {}
+    for r in eng.cookies_df().collect():
+        eng_jar.setdefault((r["spider"], r["host"]), {})[r["name"]] = r["value"]
+    assert eng_jar == orc.cookies
+
+    # observability: cookie-off oracle over the same seeds yields
+    # different content for at least one fetched URL on a jar host
+    orc_off = run_oracle(
+        seeds,
+        CrawlConfig(n_hosts=8, batch_size=12, limit=90, enable_cookie=False),
+    )
+    off_caps = {v["image_id"] for v in orc_off.items.values()}
+    assert set(orc_caps) != off_caps
+
+
+def test_proxy_assignment_engine_fidelity(spark, tmp_path):
+    """F12 proxy pool (reference app/aid/proxy/proxy.go:141-197): the
+    pool is speed-filtered + speed-ranked (deterministic synthetic
+    latencies); every request's routed proxy is recorded and must match
+    the oracle's assignment exactly; dead/slow proxies get no traffic;
+    a crawl without a pool records NULL."""
+    from pyspark.sql import functions as F
+
+    pool = tuple(f"http://proxy{i}.example.net:8080" for i in range(10))
+    cfg = CrawlConfig(n_hosts=8, batch_size=12, limit=60, proxy_pool=pool)
+    seeds = synthetic.seed_urls(8, cfg.n_hosts)
+    orc = run_oracle(seeds, cfg)
+    assert orc.proxies
+
+    eng = CrawlEngine(spark, SnapshotStore(str(tmp_path / "proxy")), cfg)
+    eng.run(seeds)
+    assert visits_log(eng) == _sorted_oracle_visits(orc)
+
+    got = {
+        r["url_key"]: r["proxy"]
+        for r in eng.fetched_df().select("url_key", "proxy").collect()
+    }
+    assert got == orc.proxies
+    # only live (latency <= cap) proxies carry traffic, and the slow
+    # ones were actually filtered (the fixture pool must exercise both)
+    live = {p for p, _ in synthetic.live_proxies(list(pool), 300)}
+    assert set(got.values()) <= live
+    assert len(live) < len(pool), "fixture should have dead proxies"
+
+
+def test_downloader_dispatch_fidelity(spark, tmp_path):
+    """D2 downloader dispatch (downloader_surfer.go:35-74 + Chrome
+    surfer/chrome.go:26-80): rules marked downloader='chrome' route
+    through the JS renderer, whose response for the SAME URL differs
+    from the raw surf response. Visit order + items must match the
+    oracle; the two downloaders must observably produce different
+    content."""
+    rules = {
+        ("spA", "root"): {"child_rule": "page", "max_depth": 1,
+                          "child_priority": 0},
+        ("spA", "page"): {"child_rule": None, "max_depth": 0,
+                          "downloader": "chrome"},
+    }
+    cfg = CrawlConfig(spiders=("spA",), rules=rules, n_hosts=8,
+                      batch_size=10, limit=50)
+    seeds = synthetic.seed_urls(6, cfg.n_hosts)
+    orc = run_oracle(seeds, cfg)
+    eng = CrawlEngine(spark, SnapshotStore(str(tmp_path / "dl")), cfg)
+    eng.run(seeds)
+
+    assert visits_log(eng) == _sorted_oracle_visits(orc)
+    caps = {r["image_id"]: r["caption"] for r in eng.items_df().collect()}
+    assert caps == {v["image_id"]: v["caption"] for v in orc.items.values()}
+
+    # dispatch observability: a chrome-rendered page of URL u differs
+    # from the surf response of the same u
+    from pyspark.sql import functions as F
+
+    child = eng.fetched_df().filter(
+        (F.col("rule") == "page") & F.col("ok")
+    ).select("url").first()
+    if child is not None:
+        surf = synthetic.fetch_one(child["url"], 1, 10**6, cfg.n_hosts, 0)
+        chrome = synthetic.fetch_one(
+            child["url"], 1, 10**6, cfg.n_hosts, 0, downloader="chrome"
+        )
+        assert surf.image_id != chrome.image_id

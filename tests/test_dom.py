@@ -16,6 +16,8 @@ import pytest
 from pholcus_spark import synthetic
 from pholcus_spark.dom import dom_first, dom_select, parse_html, select
 
+from tests.helpers import url_seen_set, visits_log
+
 HTML = """
 <html><head><title>T1</title>
 <script>var s = "<a href='/decoy-script' class='child'>x</a>";</script>
@@ -142,8 +144,8 @@ def test_dom_rule_crawl_fidelity(spark, tmp_store_dir):
     orc = run_oracle(seeds, cfg)
     eng = CrawlEngine(spark, SnapshotStore(tmp_store_dir), cfg)
     eng.run(seeds)
-    assert eng.visits_log() == _sorted_oracle_visits(orc)
-    assert eng.url_seen_set() == orc.url_seen
+    assert visits_log(eng) == _sorted_oracle_visits(orc)
+    assert url_seen_set(eng) == orc.url_seen
     # captions came through the DOM, not the fetch result
     by_img = {v["image_id"]: v["caption"] for v in orc.items.values()}
     got = eng.items_df().select("image_id", "caption").collect()

@@ -26,7 +26,7 @@ CAND_SCHEMA = T.StructType(
         T.StructField("depth", T.IntegerType(), False),
         T.StructField("parent_url", T.StringType(), True),
         T.StructField("temp", T.MapType(T.StringType(), T.StringType()), True),
-        T.StructField("headers", T.MapType(T.StringType(), T.StringType()), True),
+        T.StructField("headers", T.MapType(T.StringType(), T.ArrayType(T.StringType())), True),
         T.StructField("post_data", T.StringType(), True),
         T.StructField("reloadable", T.BooleanType(), False),
         T.StructField("try_times", T.IntegerType(), False),
@@ -167,13 +167,13 @@ def test_split_results_dohistory(spark):
         # temp,headers,post_data,reload,try,attempt,ok...
         (1, "u1", "h", "s", "r", "GET", 0, 0, 0, 0, None, None, None, None,
          False, 3, 0, True, None, None, None, None, None, None, None, None,
-         []),
+         [], None, None),
         (2, "u2", "h", "s", "r", "GET", 0, 0, 1, 0, None, None, None, None,
          False, 3, 0, False, "err", None, None, None, None, None, None, None,
-         []),
+         [], None, None),
         (3, "u3", "h", "s", "r", "GET", 0, 0, 2, 0, None, None, None, None,
          False, 3, 1, False, "err", None, None, None, None, None, None, None,
-         []),
+         [], None, None),
     ]
     from pholcus_spark.schemas import FETCH_RESULT_SCHEMA
 

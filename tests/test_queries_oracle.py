@@ -34,7 +34,11 @@ SAMPLED = [
     "embed_cosine_topk",
 ]
 
-ROWS_ONLY = ["images_decode_meta", "video_frame_sample", "audio_features"]
+# the residual rows-only set: phash banding has no SQL twin; the
+# video/audio decoders are the two honest codec stubs.
+# images_decode_meta/images_resize graduated to partial oracles
+# (metadata predicted from doc_id, VERDICT-r2 #9).
+ROWS_ONLY = ["images_phash_neardup", "video_frame_sample", "audio_features"]
 
 
 @pytest.fixture(scope="module")

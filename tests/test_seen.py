@@ -12,6 +12,8 @@ from pyspark.sql import functions as F
 from pholcus_spark import seen as S
 from pholcus_spark.schemas import SEEN_SKETCH_SCHEMA, URL_SEEN_SCHEMA
 
+from tests.helpers import url_seen_set, visits_log
+
 PARAMS = S.BloomParams(n_buckets=8, bits_per_bucket=1 << 12, n_hashes=5)
 
 
@@ -89,8 +91,8 @@ def test_engine_bloom_path_matches_exact(spark, tmp_store_dir):
     )
     eng_bloom.run(seeds)
     try:
-        assert eng_exact.url_seen_set() == eng_bloom.url_seen_set()
-        assert eng_exact.visits_log() == eng_bloom.visits_log()
+        assert url_seen_set(eng_exact) == url_seen_set(eng_bloom)
+        assert visits_log(eng_exact) == visits_log(eng_bloom)
     finally:
         eng_bloom.store.destroy()
 

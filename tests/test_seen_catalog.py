@@ -18,6 +18,8 @@ from pholcus_spark.crawler import CrawlEngine
 from pholcus_spark.oracle import CrawlConfig, run_oracle
 from pholcus_spark.tables import SnapshotStore
 
+from tests.helpers import url_seen_set, visits_log
+
 
 def test_reopen_with_new_bucket_width_rewrites_and_preserves_seen(
     spark, tmp_store_dir
@@ -27,7 +29,7 @@ def test_reopen_with_new_bucket_width_rewrites_and_preserves_seen(
     store = SnapshotStore(tmp_store_dir)
     eng8 = CrawlEngine(spark, store, cfg8)
     eng8.run(seeds, max_rounds=2)
-    seen_before = eng8.url_seen_set()
+    seen_before = url_seen_set(eng8)
     assert seen_before
     meta = store.read_manifest().get("meta", {})
     assert int(meta.get("seen_buckets")) == 8
@@ -38,13 +40,13 @@ def test_reopen_with_new_bucket_width_rewrites_and_preserves_seen(
     eng16 = CrawlEngine(spark, store, cfg16)
     meta = store.read_manifest().get("meta", {})
     assert int(meta.get("seen_buckets")) == 16
-    assert eng16.url_seen_set() == seen_before
+    assert url_seen_set(eng16) == seen_before
 
     # the rewritten catalog must still dedup: finishing the crawl gives
     # exactly the oracle's final seen set (no re-admissions)
     orc = run_oracle(seeds, cfg16)
     eng16.run()
-    assert eng16.url_seen_set() == orc.url_seen
+    assert url_seen_set(eng16) == orc.url_seen
 
 
 def test_compact_reads_manifest_not_directory(spark, tmp_store_dir):
@@ -55,7 +57,7 @@ def test_compact_reads_manifest_not_directory(spark, tmp_store_dir):
     store = SnapshotStore(tmp_store_dir)
     eng = CrawlEngine(spark, store, cfg)
     eng.run(seeds, max_rounds=1)
-    committed = eng.url_seen_set()
+    committed = url_seen_set(eng)
     assert committed
 
     manifest = store.read_manifest()

@@ -104,14 +104,19 @@ def main() -> int:
     os.makedirs(os.path.join(seen_store, "data"), exist_ok=True)
     cat = BucketedSeen(spark, seen_store, n_buckets=8)
     cat.open(0, [])
-    cat.append(
+    # base = post-compaction layout (one sorted file per bucket);
+    # delta = a round's append
+    cat.bulk_load(
         spark.range(5000).select(F.xxhash64("id").alias("url_key")), 0
     )
-    bucketed_anti = FR.anti_join_seen(cands, cat.df())
+    cat.append(
+        spark.range(5000, 5500).select(F.xxhash64("id").alias("url_key")),
+        0, n_hint=500,
+    )
+    bucketed_anti = FR.anti_join_seen(cands, cat.frames())
     p, probs = audit(
         "frontier.anti_join_seen (bucketed url_seen)", bucketed_anti,
-        expect=["LeftAnti", "Bucketed: true",
-                "SelectedBucketsCount: 8 out of 8"],
+        expect=["LeftAnti", "Bucketed: true"],
         forbid=["BroadcastNestedLoopJoin", "CartesianProduct"],
     )
     n_exch = p.count("Exchange (")
@@ -119,9 +124,21 @@ def main() -> int:
         probs.append(
             f"EXPECTED exactly one Exchange (candidate side), saw {n_exch}"
         )
+    # round-3 #5: the big BASE side must stream pre-sorted — no Sort
+    # operator above its scan (candidates + delta may sort; both are
+    # round-sized)
+    lines = p.splitlines()
+    for i, line in enumerate(lines):
+        if "Scan" in line and ".url_seen_b_" in line:
+            if any("Sort (" in lines[j] or "Sort [" in lines[j]
+                   for j in range(max(0, i - 3), i)):
+                probs.append("EXPECTED no Sort above the base url_seen scan")
+            break
+    else:
+        probs.append("base url_seen scan not found in plan")
     sections.append(
-        ("frontier.anti_join_seen BUCKETED — url_seen side never "
-         "shuffles (round-2 #1 scale item)", p, probs)
+        ("frontier.anti_join_seen BUCKETED base+delta — url_seen base "
+         "never shuffles NOR re-sorts (r2 #1 + r3 #5 scale items)", p, probs)
     )
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
 
