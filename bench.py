@@ -47,6 +47,8 @@ BENCH_QUERIES = [
     "html_helpers",
     "charset_detect",
     "dom_extract",
+    "form_submit",
+    "timer_duration",
     "cookie_jar_merge",
     "proxy_assign",
 ]

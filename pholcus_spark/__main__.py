@@ -43,6 +43,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="bucketed url_seen table width (0 = plain parquet)")
     ap.add_argument("--spiders", help="comma-separated spider names "
                     "(multi-spider crawl; default single 'imgspider')")
+    ap.add_argument("--spider-xml",
+                    help="XML <Spider> spec file (P8 dynamic rules, "
+                         "declarative bodies): rules, seeds, pausetime, "
+                         "EnableCookie and timers come from the spec; "
+                         "explicit flags below still override")
     ap.add_argument("--keyins", help="comma-separated keyins — one spider "
                     "instance per keyin, '{keyin}' substituted in seeds")
     ap.add_argument("--new-run", action="store_true",
@@ -73,7 +78,7 @@ def main(argv: list[str] | None = None) -> int:
     from pholcus_spark.tables import SnapshotStore
 
     spark = get_spark("pholcus_spark", cores=args.cores)
-    cfg = CrawlConfig(
+    knobs = dict(
         n_hosts=args.n_hosts,
         batch_size=args.batch_size,
         limit=args.limit,
@@ -83,16 +88,28 @@ def main(argv: list[str] | None = None) -> int:
         seen_buckets=args.seen_buckets,
         spiders=tuple(args.spiders.split(",")) if args.spiders else (),
         keyins=tuple(args.keyins.split(",")) if args.keyins else (),
-        enable_cookie=args.enable_cookie,
         proxy_pool=tuple(args.proxy_pool.split(","))
         if args.proxy_pool else (),
         proxy_max_latency_ms=args.proxy_max_latency_ms,
     )
+    spec = None
+    if args.spider_xml:
+        from pholcus_spark.spiderspec import load_spider_xml, to_crawl_config
+
+        with open(args.spider_xml) as f:
+            spec = load_spider_xml(f.read())
+        if args.enable_cookie:
+            knobs["enable_cookie"] = True
+        cfg = to_crawl_config(spec, **knobs)
+    else:
+        cfg = CrawlConfig(enable_cookie=args.enable_cookie, **knobs)
     if args.synthetic_seeds:
         seeds = synthetic.seed_urls(args.synthetic_seeds, cfg.n_hosts)
     elif args.seeds:
         with open(args.seeds) as f:
             seeds = [ln.strip() for ln in f if ln.strip()]
+    elif spec is not None and spec.seeds:
+        seeds = list(spec.seeds)
     else:
         seeds = None  # pure resume
 

@@ -114,6 +114,21 @@ class CrawlEngine:
         self._instances = spider_instances(cfg)
         self._rules = expand_rules(cfg)
         self._multi = len(self._instances) > 1
+        # F15 timer gating (app/spider/timer.go): named clocks from
+        # cfg.timers; rules carrying "timer": <id> pause the round's
+        # dispatch until that clock fires (RunTimer per batch — the
+        # micro-batch serialization of per-page pacing). Swap
+        # ``self.timer`` for an injected-clock Timer in tests.
+        from .timer import Bell, Timer
+
+        self.timer = Timer()
+        for tid, spec in getattr(cfg, "timers", {}).items():
+            bell = Bell(*spec["bell"]) if "bell" in spec else None
+            tol = spec["tol_days"] if bell is not None else spec["tol_s"]
+            self.timer.set(tid, tol, bell)
+        self._timer_rules = {
+            k for k, rc in self._rules.items() if rc.get("timer")
+        }
         self._seen_cat = None
         if getattr(cfg, "seen_buckets", 0):
             from .seen_catalog import BucketedSeen
@@ -460,6 +475,19 @@ class CrawlEngine:
         cookies_df = (
             self.load("cookies", COOKIES_SCHEMA) if cfg.enable_cookie else None
         )
+
+        # F15: pause until each timer-gated rule present in this batch
+        # fires (config-gated — zero cost for crawls with no timers;
+        # the distinct() is a tiny agg over the cached batch)
+        if self._timer_rules:
+            present = {
+                (r.spider, r.rule)
+                for r in batch.select("spider", "rule").distinct().collect()
+            }
+            for tid in sorted(
+                {self._rules[k]["timer"] for k in present & self._timer_rules}
+            ):
+                self.timer.sleep(tid)
 
         # Stage the fetch output as a per-round scratch parquet table:
         # the fetch UDF runs exactly once, and every consumer (items,

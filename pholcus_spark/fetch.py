@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 
 from . import synthetic
 from .dom import dom_first, dom_select
+from .forms import submit_form
 from .schemas import FETCH_RESULT_SCHEMA
 from .urlnorm import canonicalize
 
@@ -104,6 +105,7 @@ def fetch_batch(
                 max_depth = rule_cfg.get("max_depth", 0)
                 caption = res.caption
                 child_urls = res.links
+                form_req = None
                 if res.ok and res.image_id is not None and (
                     rule_cfg.get("parse") == "dom"
                 ):
@@ -122,6 +124,19 @@ def fetch_batch(
                     child_urls = dom_select(
                         page, "div#main ul.children a.child", "attr:href"
                     )
+                    form_cfg = rule_cfg.get("form")
+                    if form_cfg is not None:
+                        # P9 form rule (Form.Submit, form.go:81-140):
+                        # scrape the page's form, apply the rule's
+                        # input overrides, and enqueue the submit
+                        # request as a child (AddQueue with
+                        # method/post_data).
+                        form_req = submit_form(
+                            page, row.url,
+                            form_cfg.get("selector", "form"),
+                            form_cfg.get("inputs"),
+                            form_cfg.get("button"),
+                        )
                 links = []
                 if res.ok and child_rule is not None and row.depth < max_depth:
                     child_prio = rule_cfg.get("child_priority", 0)
@@ -129,8 +144,23 @@ def fetch_batch(
                         cu = canonicalize(link)
                         if cu:
                             links.append(
-                                {"url": cu, "rule": child_rule, "priority": child_prio}
+                                {"url": cu, "rule": child_rule,
+                                 "priority": child_prio,
+                                 "method": None, "post_data": None}
                             )
+                if form_req is not None and res.ok:
+                    fcu = canonicalize(form_req["url"])
+                    form_cfg = rule_cfg["form"]
+                    if fcu and row.depth < rule_cfg.get("max_depth", 0):
+                        links.append(
+                            {
+                                "url": fcu,
+                                "rule": form_cfg.get("rule", row.rule),
+                                "priority": form_cfg.get("priority", 0),
+                                "method": form_req["method"],
+                                "post_data": form_req["post_data"],
+                            }
+                        )
                 out_rows.append(
                     {
                         "url_key": row.url_key,
@@ -205,14 +235,16 @@ def links_to_candidates(results: DataFrame) -> DataFrame:
         "spider",
         F.col("link.rule").alias("rule"),
         # child links are fresh GET requests with an auto-Referer from
-        # the parent (context.go:141-207); POST bodies never inherit
-        F.lit("GET").alias("method"),
+        # the parent (context.go:141-207); POST bodies never inherit —
+        # except form-submit children (P9), which carry the form's own
+        # method + encoded body
+        F.coalesce(F.col("link.method"), F.lit("GET")).alias("method"),
         F.col("link.priority").alias("priority"),
         (F.col("depth") + 1).cast("int").alias("depth"),
         F.col("url").alias("parent_url"),
         "temp",
         F.create_map(F.lit("Referer"), F.array(F.col("url"))).alias("headers"),
-        F.lit(None).cast("string").alias("post_data"),
+        F.col("link.post_data").alias("post_data"),
         F.lit(False).alias("reloadable"),
         "try_times",
         (F.shiftleft(F.col("seq"), 20) + F.col("link_idx")).alias("cand_order"),

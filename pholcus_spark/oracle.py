@@ -74,6 +74,13 @@ class CrawlConfig:
     # Jar updates are snapshot-consistent at round boundaries — the
     # micro-batch serialization of the reference's sequential jar.
     enable_cookie: bool = False
+    # F15 timer gating (app/spider/timer.go): named clocks, id →
+    # {"tol_s": seconds} (countdown) or {"bell": (h, m, s),
+    # "tol_days": n} (alarm). A rule with "timer": <id> pauses each
+    # round's dispatch until the clock fires (driver-side RunTimer per
+    # batch). Wall-time pacing only — visit order/content unaffected,
+    # so the Matrix oracle ignores it.
+    timers: dict = field(default_factory=dict)
     # F12 proxy pool (app/aid/proxy/proxy.go:141-197): when non-empty,
     # requests rotate across the speed-filtered, speed-ranked live
     # proxies (deterministic synthetic latencies); the routed proxy is
@@ -351,14 +358,15 @@ def run_oracle(seeds: list[str], cfg: CrawlConfig) -> OracleResult:
                     }
                 rule_cfg = rules_x.get((row.spider, row.rule), {})
                 child_rule = rule_cfg.get("child_rule")
+                n_emitted = 0
                 if child_rule is not None and row.depth < rule_cfg.get("max_depth", 0):
-                    for idx, link in enumerate(res.links):
+                    for link in res.links:
                         cu = canonicalize(link)
                         if not cu:
                             continue
                         round_cands.append(
                             (
-                                (row.seq << 20) | idx,
+                                (row.seq << 20) | n_emitted,
                                 {
                                     "url_key": make_url_key(
                                         row.spider, child_rule, cu, "GET"
@@ -369,6 +377,45 @@ def run_oracle(seeds: list[str], cfg: CrawlConfig) -> OracleResult:
                                     "priority": rule_cfg.get("child_priority", 0),
                                     "depth": row.depth + 1,
                                     "parent_url": row.url,
+                                    "spider": row.spider,
+                                },
+                            )
+                        )
+                        n_emitted += 1
+                # P9 form rule: the engine DOM-scrapes the page's login
+                # form and enqueues its submit request; the oracle
+                # predicts that request DIRECTLY from the synthetic
+                # parameters (login_form_request — string construction,
+                # no parse), so equality proves the structural
+                # extraction is lossless.
+                form_cfg = rule_cfg.get("form")
+                if (
+                    form_cfg is not None
+                    and rule_cfg.get("parse") == "dom"
+                    and row.depth < rule_cfg.get("max_depth", 0)
+                    and synthetic.page_has_login_form(row.url)
+                ):
+                    req = synthetic.login_form_request(
+                        row.url, row.host, form_cfg.get("inputs")
+                    )
+                    fcu = canonicalize(req["url"])
+                    frule = form_cfg.get("rule", row.rule)
+                    if fcu:
+                        round_cands.append(
+                            (
+                                (row.seq << 20) | n_emitted,
+                                {
+                                    "url_key": make_url_key(
+                                        row.spider, frule, fcu, req["method"]
+                                    ),
+                                    "url": fcu,
+                                    "host": host_of(fcu),
+                                    "rule": frule,
+                                    "priority": form_cfg.get("priority", 0),
+                                    "depth": row.depth + 1,
+                                    "parent_url": row.url,
+                                    "method": req["method"],
+                                    "post_data": req["post_data"],
                                     "spider": row.spider,
                                 },
                             )

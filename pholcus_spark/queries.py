@@ -603,6 +603,142 @@ FROM documents WHERE doc_id < 500
 """
 
 
+def q_form_submit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Form helper (P9 — NewForm/Input/Submit, form.go:25-160): render
+    a deterministic form page per document JVM-side, scrape + submit it
+    with the Arrow-batched form UDF (one parse per doc), and emit the
+    built request. The fixture walks every send() branch — GET
+    query-string append, POST body, multipart POST-M — plus the
+    serializeForm quirks (no-type input skipped, textarea value-attr
+    empty, submit button joining the body) and an Input override; every
+    output is a pure string function of the source columns, so the
+    DuckDB oracle predicts the request without parsing HTML."""
+    from .forms import form_submit_udf
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    did = F.col("doc_id").cast("string")
+    action = F.element_at(
+        F.array(  # relative (roots at /), rooted, absolute
+            F.lit("find"), F.lit("/login"),
+            F.lit("http://api.example.com/upload"),
+        ),
+        (F.pmod("doc_id", F.lit(3)) + 1).cast("int"),
+    )
+    method = F.element_at(
+        F.array(F.lit("get"), F.lit("post"), F.lit("post")),
+        (F.pmod("doc_id", F.lit(3)) + 1).cast("int"),
+    )
+    enctype = F.when(
+        F.pmod("doc_id", F.lit(3)) == 2,
+        F.lit(' enctype="multipart/form-data"'),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit('<html><body><div id="c"><form id="f" method="'), method,
+        F.lit('" action="'), action, F.lit('"'), enctype,
+        F.lit('><input type="hidden" name="csrf" value="c'), did,
+        F.lit('"/><input type="text" name="q" value="orig"/>'
+              '<input name="notype" value="skipped"/>'
+              '<textarea name="note">body ignored</textarea>'
+              '<input type="submit" name="go" value="1"/>'
+              "</form></div></body></html>"),
+    )
+    # every 7th doc has no form at all → all-NULL request fields
+    html = F.when(F.pmod("doc_id", F.lit(7)) == 0,
+                  F.lit("<html><body>no form</body></html>")).otherwise(html)
+    page_url = F.concat(
+        F.lit("http://h"),
+        F.lpad(F.pmod("doc_id", F.lit(50)).cast("string"), 3, "0"),
+        F.lit(".example.com/dir/page.html"),
+    )
+    submit = form_submit_udf("form#f", {"q": "x y", "absent": "z"})
+    d = docs.select("doc_id", submit(html, page_url).alias("req"))
+    return d.select(
+        "doc_id",
+        F.col("req.url").alias("url"),
+        F.col("req.method").alias("method"),
+        F.col("req.post_data").alias("post_data"),
+    )
+
+
+SQL_FORM_SUBMIT = """
+WITH d AS (
+  SELECT doc_id,
+         'http://h' || lpad(CAST(doc_id % 50 AS VARCHAR), 3, '0')
+           || '.example.com' AS sh,
+         -- url.Values.Encode: keys sorted → csrf, go, note, q
+         'csrf=c' || CAST(doc_id AS VARCHAR) || '&go=1&note=&q=x+y' AS body
+  FROM documents WHERE doc_id < 500)
+SELECT doc_id,
+       CASE WHEN doc_id % 7 = 0 THEN NULL
+            WHEN doc_id % 3 = 0 THEN sh || '/find?' || body
+            WHEN doc_id % 3 = 1 THEN sh || '/login'
+            ELSE 'http://api.example.com/upload' END AS url,
+       CASE WHEN doc_id % 7 = 0 THEN NULL
+            WHEN doc_id % 3 = 0 THEN 'GET'
+            WHEN doc_id % 3 = 1 THEN 'POST'
+            ELSE 'POST-M' END AS method,
+       CASE WHEN doc_id % 7 = 0 OR doc_id % 3 = 0 THEN NULL
+            ELSE body END AS post_data
+FROM d
+"""
+
+
+def q_timer_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timer gating (F15 — Clock.duration alarm arithmetic,
+    timer.go:141-152) as pure column expressions: for a grid of
+    (now, bell, tol) rows derived from doc_id, the seconds until the
+    tol-th bell — today's bell strictly before now → +24h·tol, else
+    +24h·(tol−1). The engine's driver-side sleep (timer.Timer) uses
+    the same formula (pytest asserts pointwise equality with
+    timer.alarm_duration_s); this query oracle-checks the arithmetic
+    itself against DuckDB."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    d = docs.select(
+        "doc_id",
+        (F.lit(1700000000) + F.col("doc_id") * 7919).alias("now_s"),
+        F.pmod("doc_id", F.lit(24)).alias("bell_h"),
+        F.pmod(F.col("doc_id") * 7, F.lit(60)).alias("bell_m"),
+        F.pmod(F.col("doc_id") * 13, F.lit(60)).alias("bell_s"),
+        (F.pmod("doc_id", F.lit(3)) + 1).alias("tol_days"),
+    )
+    day_start = F.col("now_s") - F.pmod("now_s", F.lit(86400))
+    bell = (
+        day_start
+        + F.col("bell_h") * 3600
+        + F.col("bell_m") * 60
+        + F.col("bell_s")
+    )
+    fire = bell + F.lit(86400) * F.when(
+        bell < F.col("now_s"), F.col("tol_days")
+    ).otherwise(F.col("tol_days") - 1)
+    return d.select(
+        "doc_id",
+        F.col("now_s").cast("long").alias("now_s"),
+        (fire - F.col("now_s")).cast("long").alias("sleep_s"),
+    )
+
+
+SQL_TIMER_DURATION = """
+WITH d AS (
+  SELECT doc_id,
+         1700000000 + doc_id * 7919 AS now_s,
+         (doc_id % 24) * 3600 + ((doc_id * 7) % 60) * 60
+           + (doc_id * 13) % 60 AS bell_into_day,
+         doc_id % 3 + 1 AS tol_days
+  FROM documents WHERE doc_id < 500),
+b AS (
+  SELECT doc_id, now_s, tol_days,
+         now_s - (now_s % 86400) + bell_into_day AS bell_s
+  FROM d)
+SELECT doc_id,
+       CAST(now_s AS BIGINT) AS now_s,
+       CAST(bell_s + 86400 * (CASE WHEN bell_s < now_s THEN tol_days
+                                   ELSE tol_days - 1 END)
+            - now_s AS BIGINT) AS sleep_s
+FROM b
+"""
+
+
 def q_charset_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D3 charset sniff core (context.go:678-736): BOM + byte-level
     ASCII detection as column expressions over a deterministic
@@ -1440,6 +1576,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "method_dispatch": q_method_dispatch,
     "html_helpers": q_html_helpers,
     "dom_extract": q_dom_extract,
+    "form_submit": q_form_submit,
+    "timer_duration": q_timer_duration,
     "charset_detect": q_charset_detect,
     "frontier_fair_share": q_frontier_fair_share,
     "keyin_fanout": q_keyin_fanout,
@@ -1489,6 +1627,8 @@ ORACLE_SQL: dict[str, str] = {
     "method_dispatch": SQL_METHOD_DISPATCH,
     "html_helpers": SQL_HTML_HELPERS,
     "dom_extract": SQL_DOM_EXTRACT,
+    "form_submit": SQL_FORM_SUBMIT,
+    "timer_duration": SQL_TIMER_DURATION,
     "charset_detect": SQL_CHARSET_DETECT,
     "frontier_fair_share": SQL_FRONTIER_FAIR_SHARE,
     "keyin_fanout": SQL_KEYIN_FANOUT,

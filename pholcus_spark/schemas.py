@@ -176,6 +176,11 @@ FETCH_RESULT_SCHEMA = T.StructType(
                         T.StructField("url", T.StringType(), False),
                         T.StructField("rule", T.StringType(), False),
                         T.StructField("priority", T.IntegerType(), False),
+                        # form-submit children (P9, form.go:104-140)
+                        # carry their own method + body; plain <a> links
+                        # leave these NULL (→ GET, no body)
+                        T.StructField("method", T.StringType(), True),
+                        T.StructField("post_data", T.StringType(), True),
                     ]
                 )
             ),

@@ -85,15 +85,23 @@ def write_kafka_shaped(items: DataFrame, out_dir: str, namespace: str) -> None:
     kafka_frame(items, namespace).write.mode("overwrite").json(out_dir)
 
 
-def jdbc_writer(items: DataFrame, jdbc_url: str, table: str):
-    """S4: configured DataFrameWriter (driver jar not in sandbox, so
-    the caller invokes .save() where a driver exists)."""
-    return (
+def jdbc_writer(items: DataFrame, jdbc_url: str, table: str,
+                driver: str | None = None):
+    """S4: JDBC writer (reference output_mysql.go:37-87 — dynamic table
+    create + batch insert; Spark's jdbc source does both). The caller
+    invokes ``.save()``. ``driver`` pins the JDBC driver class when the
+    URL prefix alone can't resolve it — exercised end-to-end against
+    embedded Derby (shipped with Spark) in test_sinks; point the URL at
+    MySQL/Postgres with its driver jar on a real cluster."""
+    w = (
         items.write.mode("append")
         .format("jdbc")
         .option("url", jdbc_url)
         .option("dbtable", table)
     )
+    if driver:
+        w = w.option("driver", driver)
+    return w
 
 
 def export_files(files: DataFrame, out_dir: str,

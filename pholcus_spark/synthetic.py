@@ -240,6 +240,7 @@ def html_page_for(
         f'<li><a class="child" href="{u}">child {i}</a></li>'
         for i, u in enumerate(links)
     )
+    form = login_form_html(url) if page_has_login_form(url) else ""
     return (
         "<html><head>"
         f"<title>{image_id_for(ck)}</title>"
@@ -250,6 +251,7 @@ def html_page_for(
         '<div id="main" class="content">'
         f'<h1 id="caption">{caption}</h1>'
         f'<ul class="children">{lis}</ul>'
+        f"{form}"
         "</div>"
         '<footer><a href="/about">about</a></footer>'
         "</body></html>"
@@ -289,6 +291,57 @@ def set_cookies_for(url: str, host: str) -> dict | None:
     if _h("setcookie", url) % 4 != 0:
         return None
     return {"sid": session_id_for(host)}
+
+
+def page_has_login_form(url: str) -> bool:
+    """Login pages (the ~25% that also carry Set-Cookie) embed a login
+    <form>; a form-rule spider can only submit it by structural parse."""
+    return _h("setcookie", url) % 4 == 0
+
+
+def login_csrf_for(url: str) -> str:
+    """Deterministic per-page CSRF token embedded in the login form."""
+    return f"c{_h('csrf', url) % (1 << 32):08x}"
+
+
+def login_form_html(url: str) -> str:
+    """The login form markup a login page embeds. Exercises every
+    serializeForm branch (form.go:145-169): a hidden field, a text
+    field, an input WITHOUT a type attribute (reference quirk: skipped),
+    a textarea (included despite no type; value attr absent → ''), and
+    a submit button."""
+    return (
+        '<form id="login" method="post" action="/login">'
+        f'<input type="hidden" name="csrf" value="{login_csrf_for(url)}"/>'
+        '<input type="text" name="user" value=""/>'
+        '<input name="notype" value="skipped"/>'
+        '<textarea name="note">ignored body</textarea>'
+        '<input type="submit" name="go" value="1"/>'
+        "</form>"
+    )
+
+
+def login_form_request(
+    url: str, host: str, inputs: dict[str, str] | None = None
+) -> dict:
+    """The submit request the embedded login form produces — computed
+    DIRECTLY from the synthetic parameters (no HTML parse), so the
+    oracle can predict what the engine's DOM-extracted form submission
+    must yield. Mirrors Form.Submit: overrides apply only to existing
+    fields, the submit button's pair joins the body, keys sort
+    (url.Values.Encode)."""
+    from urllib.parse import urlencode
+
+    fields = {"csrf": login_csrf_for(url), "user": "", "note": ""}
+    for k, v in (inputs or {}).items():
+        if k in fields:
+            fields[k] = v
+    pairs = sorted(list(fields.items()) + [("go", "1")])
+    return {
+        "url": f"http://{host}/login",
+        "method": "POST",
+        "post_data": urlencode(pairs),
+    }
 
 
 def content_key(

@@ -147,3 +147,32 @@ def test_write_excel_wide_frame_unique_cell_refs(spark, tmp_store_dir):
     assert len(refs) == n_cols
     assert len(set(refs)) == n_cols  # unique
     assert "AA" in refs and "AD" in refs
+
+
+def test_jdbc_roundtrip_embedded_derby(spark, tmp_store_dir):
+    """S4 exercised end-to-end: write items through the JDBC sink into
+    embedded Derby (the driver Spark ships for its Hive metastore),
+    read them back via spark.read.jdbc, compare (reference
+    output_mysql.go:37-87 — table create + batch insert)."""
+    url = f"jdbc:derby:{tmp_store_dir}/derby_items;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    items = spark.range(40).select(
+        F.col("id").alias("seq"),
+        F.concat(F.lit("http://x.example.com/p/"),
+                 F.col("id").cast("string")).alias("url"),
+        F.concat(F.lit("cap "), F.col("id").cast("string")).alias("caption"),
+    )
+    sinks.jdbc_writer(items, url, "items", driver=driver).save()
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "items")
+        .option("driver", driver)
+        .load()
+    )
+    got = {(r["seq"], r["url"], r["caption"]) for r in back.collect()}
+    exp = {(r["seq"], r["url"], r["caption"]) for r in items.collect()}
+    assert got == exp
+    # append mode adds, never clobbers
+    sinks.jdbc_writer(items.limit(5), url, "items", driver=driver).save()
+    assert back.count() == 45
