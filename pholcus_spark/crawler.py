@@ -462,6 +462,12 @@ class CrawlEngine:
         admitted_by = self._admitted_by(meta)
 
         pending = self.load("pending", FRONTIER_SCHEMA)
+        # Drained frontier → end the crawl without paying for an empty
+        # select/fetch/stage cycle (~2-4 s of fixed job latency). The
+        # count reads parquet footer row counts only — one tiny job per
+        # round, repaid on every crawl's final round.
+        if pending.count() == 0:
+            return 0
         scope = FR.CacheScope()
         batch = scope.add(
             FR.select_batch(

@@ -188,6 +188,7 @@ def write_excel(
     out_path: str,
     rule_col: str = "rule",
     max_rows_per_sheet: int = 65536,
+    max_total_rows: int = 1_000_000,
 ) -> int:
     """S3 (output_excel.go:18-76): one workbook, one sheet per rule
     value, header row + stringified cells. Self-contained OOXML writer
@@ -196,7 +197,12 @@ def write_excel(
     Excel is the reference's small human-export sink (batches are
     BatchCap-bounded, 10k rows); rows stream through toLocalIterator so
     driver memory stays one-partition-bounded, and each sheet truncates
-    at ``max_rows_per_sheet``. Returns the number of rows written."""
+    at ``max_rows_per_sheet``. Returns the number of rows written.
+
+    This is a driver-side funnel BY DESIGN (human-sized exports only):
+    ``max_total_rows`` is the tripwire that turns "someone pointed the
+    Excel sink at a crawl table" into a loud error instead of a silent
+    multi-hour iterate."""
     import zipfile
     from xml.sax.saxutils import escape
 
@@ -214,7 +220,15 @@ def write_excel(
 
     sheets: dict[str, list[list[str]]] = {}
     n_rows = 0
+    n_seen = 0
     for r in df.toLocalIterator():
+        n_seen += 1
+        if n_seen > max_total_rows:
+            raise ValueError(
+                f"write_excel: input exceeds max_total_rows="
+                f"{max_total_rows}; this sink is for human-sized exports"
+                " — write a distributed sink (CSV/parquet) instead"
+            )
         rule = str(r[rule_col])
         rows = sheets.setdefault(rule, [header])
         if len(rows) <= max_rows_per_sheet:

@@ -8,6 +8,7 @@ import glob
 import json
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from pholcus_spark import sinks
@@ -176,3 +177,15 @@ def test_jdbc_roundtrip_embedded_derby(spark, tmp_store_dir):
     # append mode adds, never clobbers
     sinks.jdbc_writer(items.limit(5), url, "items", driver=driver).save()
     assert back.count() == 45
+
+
+def test_write_excel_total_row_tripwire(spark, tmp_store_dir):
+    """Pointing the Excel sink at a crawl-table-sized frame must fail
+    loudly (it is a driver-side funnel by design), not iterate for
+    hours."""
+    big = spark.range(200).select(
+        F.lit("r").alias("rule"), F.col("id").cast("string").alias("v")
+    )
+    with pytest.raises(ValueError, match="max_total_rows"):
+        sinks.write_excel(big, f"{tmp_store_dir}/big.xlsx",
+                          max_total_rows=100)
