@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "doc_fingerprint",
     "embed_cosine_topk",
     "embed_lsh_ann",
+    "embed_ivf_ann",
     "images_decode_meta",
     "method_dispatch",
     "html_helpers",
@@ -210,7 +211,9 @@ def bench_seen_confirm(spark, n_seen: int = 50_000_000,
         )
         out["seen_side_bucketed"] = "Bucketed: true" in plan
         out["n_exchanges"] = plan.count("Exchange")
-        out["base_scan_sorted"] = _base_scan_sorted(plan)
+        # true = the SMJ consumes the base scan's bucket-sorted order
+        # directly (no O(|seen| log) re-sort per round — VERDICT-r2 #5)
+        out["base_scan_sort_free"] = not _base_scan_sorted(plan)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         shutil.rmtree(store_dir, ignore_errors=True)
@@ -287,6 +290,14 @@ def main() -> None:
         "load_end": _loadavg(),
         "total_s": total,
     }
+    # the scaling campaign is far too long to run inside bench.py;
+    # tools/scaling_bench.py persists its measured summary here and the
+    # bench embeds it so BENCH_r*.json carries the full evidence
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "SCALING_LATEST.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            out["scaling"] = json.load(f)
     print(json.dumps(out))
 
 

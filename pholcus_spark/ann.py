@@ -128,6 +128,100 @@ def lsh_bucketed_topk(
     )
 
 
+def ivf_centroids(embeds: DataFrame, n_lists: int) -> list[tuple[int, list]]:
+    """Deterministic coarse centroids: the ``n_lists`` vectors ranked
+    first by md5(vec_id) — a seeded pseudo-random sample both engines
+    reproduce. Returns ``[(centroid_id, vector), ...]`` DRIVER-side:
+    an IVF codebook is small shared state (like a trained MLlib
+    model), shipped to executors inside the plan, never joined.
+    (Production IVF trains centroids offline with k-means; the
+    partition/probe structure downstream is identical, and a trained
+    codebook drops in as this list.)"""
+    w = Window.orderBy(F.md5(F.col("vec_id").cast("string")), F.asc("vec_id"))
+    rows = (
+        embeds.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= n_lists)
+        .select((F.col("_r") - 1).alias("centroid_id"), "embedding")
+        .collect()
+    )
+    return [(int(r["centroid_id"]), list(r["embedding"])) for r in rows]
+
+
+def _centroid_cos(vec: Column, cvec: list) -> Column:
+    lit_vec = F.array(*[F.lit(float(x)) for x in cvec])
+    return cosine(vec, lit_vec)
+
+
+def ivf_list_ids(
+    vec: Column, centroids: list[tuple[int, list]], n_probe: int
+) -> Column:
+    """The ``n_probe`` nearest centroid ids for ``vec`` (cosine desc,
+    ties → lower id) as a PURE COLUMN EXPRESSION: per-centroid cosines
+    fold into struct(cos, -id) entries, array_sort ranks them, slice
+    takes the probe set. Whole-stage-codegen JVM work — assignment
+    costs zero shuffles and zero Python."""
+    entries = [
+        F.struct(
+            _centroid_cos(vec, cvec).alias("c"),
+            F.lit(-cid).alias("nid"),
+        )
+        for cid, cvec in centroids
+    ]
+    ranked = F.reverse(F.array_sort(F.array(*entries)))
+    return F.transform(
+        F.slice(ranked, 1, n_probe), lambda e: (-e["nid"]).cast("int")
+    )
+
+
+def ivf_topk(
+    embeds: DataFrame,
+    n_queries: int = 8,
+    k: int = 3,
+    n_lists: int = 16,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF ANN: corpus vectors land in their nearest centroid's
+    inverted list (assignment = a codegen projection against the
+    broadcast codebook — the corpus is NEVER shuffled to be indexed);
+    each query probes its ``n_probe`` nearest lists and exact cosine
+    ranks only within them — O(N·n_probe/n_lists) candidates per query
+    instead of O(N). The probe side is query-count-sized and
+    broadcast, so the only shuffle is the final per-query top-k window
+    over the surviving candidates. The LSH variant prunes by random
+    hyperplanes; IVF prunes by data-adaptive regions, so a trained
+    codebook gives better recall at the same probe cost — on a real
+    corpus, persist the assignment once, partitioned by list_id."""
+    centroids = ivf_centroids(embeds, n_lists)
+    lists = embeds.select(
+        "vec_id",
+        "embedding",
+        ivf_list_ids(F.col("embedding"), centroids, 1)[0].alias("list_id"),
+    )
+    probes = embeds.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.explode(
+            ivf_list_ids(F.col("embedding"), centroids, n_probe)
+        ).alias("list_id"),
+    )
+    cand = lists.join(F.broadcast(probes), "list_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("qvec"), F.col("embedding")), 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
 def cosine_neardup_pairs(
     embeds: DataFrame, threshold: float = 0.95, n_planes: int = N_PLANES
 ) -> DataFrame:

@@ -1435,6 +1435,66 @@ WHERE rank <= 3
 """
 
 
+def q_embed_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-partitioned ANN (ann.ivf_topk): a deterministic codebook
+    (md5-ranked sample standing in for an offline-trained one), corpus
+    assignment as a zero-shuffle codegen projection, n_probe=2 list
+    probing, exact cosine rank within the probed lists. The oracle
+    mirrors codebook selection, assignment argmax, probing, and
+    ranking — so list membership, not just the final top-k, must
+    agree."""
+    df = ann.ivf_topk(
+        _t(spark, sf_dir, "embeddings"),
+        n_queries=8, k=3, n_lists=16, n_probe=2,
+    )
+    return df.withColumn("rank", F.col("rank").cast("long"))
+
+
+_COS_SQL = """
+           list_sum(list_transform(range(0, len({a})),
+             i -> CAST({a}[i+1] AS DOUBLE) * CAST({b}[i+1] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform({a},
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform({b},
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+"""
+
+
+SQL_EMBED_IVF_ANN = f"""
+WITH ranked AS (
+  SELECT vec_id, embedding,
+         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+           AS r
+  FROM embeddings),
+c AS (SELECT r - 1 AS centroid_id, embedding AS cvec
+      FROM ranked WHERE r <= 16),
+cos_all AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+         {_COS_SQL.format(a='e.embedding', b='c.cvec')} AS ccos
+  FROM embeddings e CROSS JOIN c),
+assigned AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY ccos DESC, centroid_id) AS cr
+  FROM cos_all),
+lists AS (
+  SELECT vec_id, embedding, centroid_id AS list_id
+  FROM assigned WHERE cr = 1),
+probes AS (
+  SELECT vec_id AS query_id, embedding AS qvec, centroid_id AS list_id
+  FROM assigned WHERE vec_id < 8 AND cr <= 2),
+pairs AS (
+  SELECT p.query_id, l.vec_id AS neighbor_id,
+         round({_COS_SQL.format(a='p.qvec', b='l.embedding')}, 4) AS cos_sim
+  FROM lists l JOIN probes p USING (list_id)
+  WHERE l.vec_id <> p.query_id)
+SELECT query_id, neighbor_id, rank, cos_sim
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM pairs) t
+WHERE rank <= 3
+"""
+
+
 def q_embed_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.cosine_neardup_pairs(
         _t(spark, sf_dir, "embeddings"), threshold=0.9
@@ -1602,6 +1662,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # similarity search
     "embed_cosine_topk": q_embed_cosine_topk,
     "embed_lsh_ann": q_embed_lsh_ann,
+    "embed_ivf_ann": q_embed_ivf_ann,
     "embed_cosine_neardup": q_embed_cosine_neardup,
     # multimodal (rows-only)
     "images_decode_meta": q_images_decode_meta,
@@ -1651,6 +1712,7 @@ ORACLE_SQL: dict[str, str] = {
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "embed_cosine_topk": SQL_EMBED_COSINE_TOPK,
     "embed_lsh_ann": SQL_EMBED_LSH_ANN,
+    "embed_ivf_ann": SQL_EMBED_IVF_ANN,
     "embed_cosine_neardup": SQL_EMBED_COSINE_NEARDUP,
     # partial multimodal oracles: decode/resize metadata predicted from
     # doc_id (generator arithmetic mirrored in SQL); the remaining

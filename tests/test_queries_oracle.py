@@ -32,6 +32,7 @@ SAMPLED = [
     "text_quality",
     "doc_fingerprint",
     "embed_cosine_topk",
+    "embed_ivf_ann",
 ]
 
 # the residual rows-only set: phash banding has no SQL twin; the

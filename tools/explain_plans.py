@@ -181,6 +181,21 @@ def main() -> int:
     )
     sections.append(("embed_cosine_topk (broadcast query side)", p, probs))
 
+    # 7. IVF ANN: codebook assignment is a projection (no join, no
+    # shuffle on the corpus side); the probe join broadcasts the
+    # query-count-sized side; the only Exchange is the final per-query
+    # top-k window.
+    q = QUERIES["embed_ivf_ann"](spark, sf_dir)
+    p, probs = audit(
+        "embed_ivf_ann", q,
+        expect=["BroadcastHashJoin"],
+        forbid=["SortMergeJoin", "CartesianProduct"],
+    )
+    sections.append(
+        ("embed_ivf_ann (codegen codebook assignment, broadcast probes)",
+         p, probs)
+    )
+
     all_problems = []
     out = ["# PLANS — physical-plan audit of the hot paths\n"]
     out.append(

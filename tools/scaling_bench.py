@@ -196,24 +196,28 @@ def main() -> None:
 
     effs = sorted(p["efficiency"] for p in pair_results)
     median = _median(effs)
-    print(
-        json.dumps(
-            {
-                "metric": "scaling_efficiency",
-                "protocol": "paired-alternation, median-of-pairs",
-                "levels": [lo, hi],
-                "pairs": pair_results,
-                "per_pair_efficiency": effs,
-                "median_efficiency": median,
-                "median_efficiency_rounds_only": _median(
-                    [p["efficiency_rounds_only"] for p in pair_results]
-                ),
-                "best_efficiency": max(effs),
-                "target": 0.8,
-                "pass": median >= 0.8,
-            }
-        )
+    summary = {
+        "metric": "scaling_efficiency",
+        "protocol": "paired-alternation, median-of-pairs",
+        "levels": [lo, hi],
+        "pairs": pair_results,
+        "per_pair_efficiency": effs,
+        "median_efficiency": median,
+        "median_efficiency_rounds_only": _median(
+            [p["efficiency_rounds_only"] for p in pair_results]
+        ),
+        "best_efficiency": max(effs),
+        "target": 0.8,
+        "pass": median >= 0.8,
+    }
+    print(json.dumps(summary))
+    # persist for bench.py to embed into BENCH_r*.json
+    latest = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALING_LATEST.json",
     )
+    with open(latest, "w") as f:
+        json.dump(summary, f, indent=1)
 
 
 if __name__ == "__main__":
