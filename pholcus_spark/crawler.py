@@ -466,7 +466,8 @@ class CrawlEngine:
         # select/fetch/stage cycle (~2-4 s of fixed job latency). The
         # count reads parquet footer row counts only — one tiny job per
         # round, repaid on every crawl's final round.
-        if pending.count() == 0:
+        n_pending = pending.count()
+        if n_pending == 0:
             return 0
         scope = FR.CacheScope()
         batch = scope.add(
@@ -509,6 +510,15 @@ class CrawlEngine:
             if cfg.proxy_pool
             else batch
         )
+        # Size fetch partitions by ROWS, not just cluster width: a
+        # partition's payload output feeds one parquet writer and one
+        # Python worker's Arrow buffers, so fat partitions (100s of MB)
+        # thrash both (measured ~35% per-URL slowdown at 1875 rows x
+        # 140 KB vs ~500-row partitions). batch <= pending, so the
+        # pending count (already taken) bounds the hint.
+        n_part_hint = min(
+            n_pending, cfg.batch_size or n_pending
+        ) // max(int(getattr(cfg, "fetch_part_rows", 512)), 1)
         fetch_batch(
             dispatch,
             self._rules,
@@ -517,6 +527,7 @@ class CrawlEngine:
             cfg.failure_pct,
             cfg.img_px_scale,
             cookies=cookies_df,
+            n_part_hint=n_part_hint,
         ).select(
             "*",
             F.lit(round_no).cast("int").alias("visit_round"),

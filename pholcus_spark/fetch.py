@@ -36,6 +36,7 @@ def fetch_batch(
     failure_pct: int = synthetic.FAILURE_PCT,
     px_scale: int = 1,
     cookies: DataFrame | None = None,
+    n_part_hint: int | None = None,
 ) -> DataFrame:
     """Run the fetch/parse UDF over a dispatch batch.
 
@@ -206,6 +207,11 @@ def fetch_batch(
     # smooth stragglers that a single wave of cluster-width tasks
     # cannot (~20% wall on skewed batches).
     n_part = 4 * int(sess.conf.get("spark.sql.shuffle.partitions", "32"))
+    if n_part_hint:
+        # caller-sized (see run_round: targets bounded rows/bytes per
+        # partition so parquet writers and Arrow buffers stay small);
+        # never below the 4x-wave floor
+        n_part = max(n_part, int(n_part_hint))
     return batch.repartition(n_part, "url_key").mapInPandas(
         _fetch, FETCH_RESULT_SCHEMA
     )

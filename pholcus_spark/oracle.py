@@ -74,6 +74,12 @@ class CrawlConfig:
     # Jar updates are snapshot-consistent at round boundaries — the
     # micro-batch serialization of the reference's sequential jar.
     enable_cookie: bool = False
+    # Fetch-stage partition sizing: target rows per fetch partition
+    # (caps each partition's payload output so parquet writers and the
+    # Python workers' Arrow buffers stay tens-of-MB-sized at any batch
+    # size; the 4x-cluster-width wave floor still applies). Engine
+    # knob only — visit order/content unaffected.
+    fetch_part_rows: int = 512
     # F15 timer gating (app/spider/timer.go): named clocks, id →
     # {"tol_s": seconds} (countdown) or {"bell": (h, m, s),
     # "tol_days": n} (alarm). A rule with "timer": <id> pauses each
