@@ -30,6 +30,9 @@ def leg(procs, total=24000):
     return total / wall, wall
 
 if __name__ == "__main__":
-    for procs in (4, 16, 4, 16):
+    levels = tuple(
+        int(x) for x in os.environ.get("KERNEL_LEVELS", "4,16,4,16").split(",")
+    )
+    for procs in levels:
         ups, wall = leg(procs)
         print(f"KERNEL procs={procs} urls_per_sec={ups:.1f} wall={wall:.1f}")
