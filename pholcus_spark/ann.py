@@ -137,14 +137,20 @@ def ivf_centroids(embeds: DataFrame, n_lists: int) -> list[tuple[int, list]]:
     (Production IVF trains centroids offline with k-means; the
     partition/probe structure downstream is identical, and a trained
     codebook drops in as this list.)"""
-    w = Window.orderBy(F.md5(F.col("vec_id").cast("string")), F.asc("vec_id"))
     rows = (
-        embeds.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= n_lists)
-        .select((F.col("_r") - 1).alias("centroid_id"), "embedding")
+        embeds.select(
+            "embedding",
+            F.md5(F.col("vec_id").cast("string")).alias("_m"),
+            "vec_id",
+        )
+        # orderBy().limit() compiles to TakeOrderedAndProject — a
+        # distributed partial top-k, NOT a single-partition global
+        # window (same ordering the oracle's row_number mirrors)
+        .orderBy("_m", F.asc("vec_id"))
+        .limit(n_lists)
         .collect()
     )
-    return [(int(r["centroid_id"]), list(r["embedding"])) for r in rows]
+    return [(i, list(r["embedding"])) for i, r in enumerate(rows)]
 
 
 def _centroid_cos(vec: Column, cvec: list) -> Column:
