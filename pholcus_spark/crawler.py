@@ -276,6 +276,13 @@ class CrawlEngine:
         Arrow-batched UDF, nothing funnels through the driver)."""
         if self.store.current_snapshot_id() is not None:
             return  # resume path: state already in the store
+        t0 = time.time()
+        _timing = os.environ.get("PHOLCUS_TIMING") == "1"
+        _marks: list[tuple[str, float]] = []
+
+        def _mark(label: str) -> None:
+            if _timing:
+                _marks.append((label, time.time()))
         cfg = self.cfg
         if isinstance(seeds, DataFrame):
             if cfg.keyins:
@@ -363,6 +370,7 @@ class CrawlEngine:
             F.lit(cfg.try_times).cast("int").alias("try_times"),
             "cand_order",
         )
+        _mark("seed_frame")
         empty_seen = self.spark.createDataFrame([], URL_SEEN_SCHEMA)
         remaining_by = (
             {inst: cfg.limit for inst in self._instances}
@@ -377,6 +385,7 @@ class CrawlEngine:
             scope=scope,
         )
         new_rows = scope.add(new_rows)
+        _mark("enqueue")
         writes = {"pending": (new_rows, "overwrite")}
         registered = None
         if self._seen_cat is not None:
@@ -386,6 +395,7 @@ class CrawlEngine:
             registered = {"url_seen": (seen_files, "append")}
         else:
             writes["url_seen"] = (new_rows.select("url_key"), "append")
+        _mark("seen_append")
         if cfg.use_bloom:
             empty_sketch = self.spark.createDataFrame([], SEEN_SKETCH_SCHEMA)
             writes["seen_sketch"] = (
@@ -410,6 +420,14 @@ class CrawlEngine:
             registered=registered,
         )
         scope.release()
+        _mark("commit")
+        if _timing:
+            prev = t0
+            spans = []
+            for label, ts in _marks:
+                spans.append(f"{label}={ts - prev:.1f}s")
+                prev = ts
+            print("[bootstrap] " + " ".join(spans), flush=True)
 
     def _canonicalize_seed_df(self, seeds: DataFrame) -> DataFrame:
         """(url, cand_order) → canonical (url, host, cand_order) via a
