@@ -181,7 +181,15 @@ class _Simple:
                 body = part[1:-1]
                 if "=" in body:
                     k, v = body.split("=", 1)
-                    self.attrs.append((k.strip(), v.strip().strip("'\"")))
+                    # cascadia operators goquery spiders lean on:
+                    # [a=v] exact, [a^=v] prefix, [a$=v] suffix,
+                    # [a*=v] substring
+                    op = "="
+                    if k and k[-1] in "^$*":
+                        op, k = k[-1] + "=", k[:-1]
+                    self.attrs.append(
+                        (k.strip(), (op, v.strip().strip("'\"")))
+                    )
                 else:
                     self.attrs.append((body.strip(), None))
             else:  # :pseudo
@@ -210,8 +218,17 @@ class _Simple:
         for k, v in self.attrs:
             if k not in node.attrs:
                 return False
-            if v is not None and node.attrs.get(k) != v:
-                return False
+            if v is not None:
+                op, want = v
+                got = node.attrs.get(k) or ""
+                if op == "=" and got != want:
+                    return False
+                if op == "^=" and not got.startswith(want):
+                    return False
+                if op == "$=" and not got.endswith(want):
+                    return False
+                if op == "*=" and want not in got:
+                    return False
         for kind, arg in self.pseudos:
             siblings = node.parent.children if node.parent else [node]
             idx = siblings.index(node)

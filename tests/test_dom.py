@@ -152,3 +152,22 @@ def test_dom_rule_crawl_fidelity(spark, tmp_store_dir):
     assert len(got) == len(by_img)
     for r in got:
         assert r["caption"] == by_img[r["image_id"]]
+
+
+def test_attribute_operator_selectors():
+    """cascadia [a=v]/[a^=v]/[a$=v]/[a*=v] (goquery spiders use these
+    for href filtering)."""
+    html = (
+        "<div>"
+        '<a href="http://x.com/a.jpg">one</a>'
+        '<a href="https://y.com/b.png">two</a>'
+        '<a href="/rel/c.jpg">three</a>'
+        "</div>"
+    )
+    root = parse_html(html)
+    assert [n.text() for n in select(root, 'a[href^=http]')] == ["one", "two"]
+    assert [n.text() for n in select(root, 'a[href$=".jpg"]')] == [
+        "one", "three"]
+    assert [n.text() for n in select(root, "a[href*=y.com]")] == ["two"]
+    assert [n.text() for n in select(root, 'a[href="/rel/c.jpg"]')] == [
+        "three"]
