@@ -85,3 +85,29 @@ def test_bloom_soundness(keys):
     seen.bitset_or_keys(bitset, arr, params)
     if len(arr):
         assert seen.contains_keys(bitset, arr, params).all()  # never FN
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    now=st.integers(0, 2**33),
+    h=st.integers(0, 23),
+    m=st.integers(0, 59),
+    s=st.integers(0, 59),
+    tol=st.integers(1, 30),
+)
+def test_alarm_duration_properties(now, h, m, s, tol):
+    """Clock.duration alarm arm (timer.go:141-152) invariants: the
+    sleep is non-negative, lands exactly on the bell's time of day,
+    and wakes at the tol-th occurrence (today's bell counts when it
+    has not yet rung)."""
+    from pholcus_spark.timer import Bell, alarm_duration_s
+
+    d = alarm_duration_s(float(now), Bell(h, m, s), tol)
+    assert d >= 0
+    fire = now + int(d)
+    assert fire % 86400 == h * 3600 + m * 60 + s
+    bell_today = now - (now % 86400) + h * 3600 + m * 60 + s
+    if bell_today >= now:  # today's bell still counts as occurrence 1
+        assert fire == bell_today + (tol - 1) * 86400
+    else:
+        assert fire == bell_today + tol * 86400
