@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_minhash_verified",
+    "dedup_components",
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "text_quality",

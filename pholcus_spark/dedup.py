@@ -272,6 +272,70 @@ def minhash_verified_pairs(
     )
 
 
+def neardup_components(
+    docs: DataFrame,
+    k: int = 8,
+    band_rows: int = 2,
+    shingle_k: int = 3,
+    threshold: float = 0.2,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Cluster resolution over the verified near-dup pair graph — the
+    step a dedup pipeline needs between pair generation and
+    keep-one-per-cluster selection: connected components, labeling
+    every paired doc with its component's minimum doc_id (which IS the
+    canonical keep-doc under keep-first policy).
+
+    Min-label propagation: each vertex starts labeled with itself;
+    each round labels flow across edges and every vertex keeps the
+    minimum; fixpoint when a round changes nothing. Round count =
+    cluster diameter — near-dup clusters are shallow (dupes of one
+    document pair with each other), so this converges in 2-3 rounds;
+    for adversarial long-chain graphs at 10^10 docs, alternate
+    large-star/small-star (Kiveris et al.) for O(log n) rounds — same
+    join shape, different edge rewrite. Each round is one shuffle on
+    doc_id; lineage is cut per round with an eager localCheckpoint so
+    the plan stays flat; the per-round convergence check is a
+    LIMIT-1-count, not a collect."""
+    pairs = minhash_verified_pairs(
+        docs, k, band_rows, shingle_k, threshold
+    ).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("component_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        msgs = edges.join(
+            labels, edges["src"] == labels["doc_id"]
+        ).select(F.col("dst").alias("doc_id"), "component_id")
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("doc_id")
+            .agg(F.min("component_id").alias("component_id"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(labels, ["doc_id", "component_id"], "left_anti")
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def simhash_bits(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """SimHash per doc as a 60-char bitstring (bit 0 first).
 

@@ -1333,6 +1333,41 @@ WHERE jaccard >= {MINHASH_VERIFY_THRESHOLD}
 SQL_DEDUP_MINHASH_VERIFIED = _minhash_verified_sql()
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster resolution (dedup.neardup_components): connected
+    components over the LSH-verified pair graph via min-label
+    propagation (one shuffle per round, rounds = cluster diameter,
+    lineage checkpoint-flattened). component_id = min doc_id = the
+    canonical keep-doc. The oracle computes the same fixpoint as a
+    recursive transitive-closure CTE."""
+    return dedup.neardup_components(
+        _t(spark, sf_dir, "documents"),
+        MINHASH_K,
+        MINHASH_BAND_ROWS,
+        threshold=MINHASH_VERIFY_THRESHOLD,
+    )
+
+
+def _components_sql() -> str:
+    base = _minhash_verified_sql().rstrip()
+    return f"""
+WITH RECURSIVE
+pairs AS ({base}),
+edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach AS (
+  SELECT DISTINCT s AS doc_id, s AS comp FROM edges
+  UNION
+  SELECT e.d AS doc_id, r.comp FROM reach r JOIN edges e ON e.s = r.doc_id
+)
+SELECT doc_id, min(comp) AS component_id
+FROM reach GROUP BY doc_id
+"""
+
+
+SQL_DEDUP_COMPONENTS = _components_sql()
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_bits(_t(spark, sf_dir, "documents"))
 
@@ -1653,6 +1688,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_verified": q_dedup_minhash_verified,
+    "dedup_components": q_dedup_components,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_simhash": q_dedup_simhash,
     "text_tokens": q_text_tokens,
@@ -1704,6 +1740,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
     "dedup_minhash_verified": SQL_DEDUP_MINHASH_VERIFIED,
+    "dedup_components": SQL_DEDUP_COMPONENTS,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "text_tokens": SQL_TEXT_TOKENS,
