@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_minhash_verified",
     "dedup_components",
+    "training_select",
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "text_quality",

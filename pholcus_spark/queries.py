@@ -1368,6 +1368,56 @@ FROM reach GROUP BY doc_id
 SQL_DEDUP_COMPONENTS = _components_sql()
 
 
+def q_training_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data selection (pipeline.select_training_
+    docs): language gate + quality thresholds (codegen expressions) →
+    exact-dup canonicalization (min-doc_id per fingerprint, one
+    shuffle) → near-dup cluster canonicalization (anti-join against
+    the components labeling). The oracle recomputes every stage —
+    including the recursive-CTE components — so the final kept SET
+    must agree, not just its size."""
+    from . import pipeline
+
+    return pipeline.select_training_docs(_t(spark, sf_dir, "documents"))
+
+
+def _training_select_sql() -> str:
+    base = _minhash_verified_sql().rstrip()
+    return f"""
+WITH RECURSIVE
+pairs AS ({base}),
+edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach AS (
+  SELECT DISTINCT s AS doc_id, s AS comp FROM edges
+  UNION
+  SELECT e.d AS doc_id, r.comp FROM reach r JOIN edges e ON e.s = r.doc_id
+),
+comp AS (SELECT doc_id, min(comp) AS component_id FROM reach GROUP BY doc_id),
+t AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+m AS (SELECT doc_id,
+             len(ws) AS n_words,
+             round(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 4)
+               AS uniq_ratio,
+             CASE WHEN CAST(len(list_filter(ws, w -> w IN {{stop}})) AS DOUBLE)
+                       / len(ws) >= 0.02
+                  THEN 'en' ELSE 'unk' END AS lang_pred,
+             md5(regexp_replace(lower(text), ' +', ' ', 'g')) AS fp
+      FROM t),
+g AS (SELECT * FROM m
+      WHERE lang_pred = 'en' AND n_words >= 25 AND uniq_ratio >= 0.35),
+k AS (SELECT g.doc_id, g.n_words, g.uniq_ratio FROM g
+      JOIN (SELECT fp, min(doc_id) AS doc_id FROM g GROUP BY fp) c
+        ON g.fp = c.fp AND g.doc_id = c.doc_id)
+SELECT k.doc_id, CAST(k.n_words AS BIGINT) AS n_words, k.uniq_ratio
+FROM k LEFT JOIN comp ON comp.doc_id = k.doc_id
+WHERE comp.component_id IS NULL OR comp.component_id = k.doc_id
+""".replace("{stop}", _STOP_SQL)
+
+
+SQL_TRAINING_SELECT = _training_select_sql()
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_bits(_t(spark, sf_dir, "documents"))
 
@@ -1689,6 +1739,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_verified": q_dedup_minhash_verified,
     "dedup_components": q_dedup_components,
+    "training_select": q_training_select,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_simhash": q_dedup_simhash,
     "text_tokens": q_text_tokens,
@@ -1741,6 +1792,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
     "dedup_minhash_verified": SQL_DEDUP_MINHASH_VERIFIED,
     "dedup_components": SQL_DEDUP_COMPONENTS,
+    "training_select": SQL_TRAINING_SELECT,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "text_tokens": SQL_TEXT_TOKENS,
