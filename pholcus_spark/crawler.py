@@ -125,16 +125,70 @@ class CrawlEngine:
         for tid, spec in getattr(cfg, "timers", {}).items():
             bell = Bell(*spec["bell"]) if "bell" in spec else None
             tol = spec["tol_days"] if bell is not None else spec["tol_s"]
-            self.timer.set(tid, tol, bell)
+            if not self.timer.set(tid, tol, bell):
+                # a silently-unregistered clock would drop rule pacing
+                # with no signal (timer.sleep on an unknown id no-ops)
+                raise ValueError(
+                    f"invalid timer {tid!r}: tol={tol!r} bell={bell!r}"
+                )
         self._timer_rules = {
             k for k, rc in self._rules.items() if rc.get("timer")
         }
+        self._migrate_v1_headers()
         self._seen_cat = None
         if getattr(cfg, "seen_buckets", 0):
             from .seen_catalog import BucketedSeen
 
             self._seen_cat = BucketedSeen(spark, store.root, cfg.seen_buckets)
             self._open_seen_catalog()
+
+    def _migrate_v1_headers(self) -> None:
+        """Store-format upgrade: ``headers`` widened from
+        map<string,string> to map<string,array<string>> (multi-value
+        http.Header, request.go:24) with no on-disk migration at the
+        time — resuming a pre-change store failed at parquet read of
+        pending/fetched. Detect the old value type in the parquet
+        footer and rewrite those tables once (scalar values wrapped
+        into one-element arrays), stamping the manifest so later opens
+        skip the footer check."""
+        manifest = self.store.read_manifest()
+        meta = manifest.get("meta", {})
+        if int(meta.get("headers_format", 0)) >= 2:
+            return
+        tables = manifest.get("tables", {})
+        writes: dict = {}
+        for name, schema in (("pending", FRONTIER_SCHEMA),
+                             ("fetched", FETCHED_SCHEMA)):
+            files = tables.get(name, [])
+            if not files:
+                continue
+            first = os.path.join(self.store.root, "data", files[0])
+            actual = self.spark.read.parquet(first).schema
+            h = next((f for f in actual.fields if f.name == "headers"), None)
+            if (
+                h is None
+                or not isinstance(h.dataType, T.MapType)
+                or isinstance(h.dataType.valueType, T.ArrayType)
+            ):
+                continue  # already multi-value (post-change, pre-stamp)
+            legacy = T.StructType([
+                T.StructField(
+                    f.name, T.MapType(T.StringType(), T.StringType()),
+                    f.nullable,
+                ) if f.name == "headers" else f
+                for f in schema.fields
+            ])
+            paths = [os.path.join(self.store.root, "data", f) for f in files]
+            df = self.spark.read.schema(legacy).parquet(*paths).withColumn(
+                "headers",
+                F.transform_values("headers", lambda _k, v: F.array(v)),
+            )
+            writes[name] = (df, "overwrite")
+        if writes:
+            self.store.commit(
+                int(meta.get("round", 0)), writes,
+                meta={"headers_format": 2},
+            )
 
     def _open_seen_catalog(self) -> None:
         """Register the bucketed url_seen table over the committed

@@ -153,6 +153,10 @@ def submit_form(
         clicked = buttons[0]
     pairs = list(fields)
     if clicked is not None:
+        # url.Values.Set semantics (form.go:104-140): the clicked
+        # button REPLACES any same-named field's values, it does not
+        # add alongside them
+        pairs = [(k, v) for k, v in pairs if k != clicked[0]]
         pairs.append(clicked)
     body = _encode_sorted(pairs)
     if method == "GET":

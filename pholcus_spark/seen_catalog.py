@@ -203,7 +203,12 @@ class BucketedSeen:
             .insertInto(tmp_table)
         )
         self.spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
-        self.spark.catalog.refreshTable(self.table)
+        # bulk_load may run before the catalog pair exists (the
+        # bucket-width-change path at engine open in a FRESH session
+        # loads the new generation first and registers tables after);
+        # refreshing an unregistered table raises TABLE_OR_VIEW_NOT_FOUND
+        if self.spark.catalog.tableExists(self.table):
+            self.spark.catalog.refreshTable(self.table)
         return [
             f"{self._gen_rel(gen)}/{n}" for n in sorted(self._part_files(loc))
         ]

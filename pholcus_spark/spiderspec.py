@@ -136,7 +136,15 @@ def _parse_timer(t: ET.Element) -> tuple[str, dict]:
     if bell:
         h, m, s = (int(x) for x in bell.split(":"))
         return tid, {"bell": (h, m, s), "tol_days": int(t.get("tolDays", "1"))}
-    return tid, {"tol_s": float(t.get("tolSeconds", "0"))}
+    tol_s = t.get("tolSeconds")
+    if tol_s is None:
+        # a countdown Timer without a duration would register a 0-tol
+        # clock that Clock.new rejects, silently dropping rule pacing —
+        # fail loudly like the rest of the loader
+        raise ValueError(
+            f"<Timer id={tid!r}> countdown mode requires tolSeconds"
+        )
+    return tid, {"tol_s": float(tol_s)}
 
 
 def load_spider_xml(xml_text: str) -> SpiderSpec:

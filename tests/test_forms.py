@@ -78,6 +78,16 @@ def test_submit_form_branches():
     )
     assert multi["method"] == "POST-M" and multi["post_data"] == "f=z"
     assert forms.submit_form("<p>no form</p>", page) is None
+    # clicked button uses Set semantics: a field sharing the button's
+    # name is REPLACED, not encoded alongside (form.go:104-140)
+    clash = forms.submit_form(
+        '<form method="get" action="s">'
+        '<input type="hidden" name="go" value="field"/>'
+        '<input type="text" name="q" value="1"/>'
+        '<input type="submit" name="go" value="btn"/></form>',
+        page,
+    )
+    assert clash["url"].endswith("s?go=btn&q=1")
 
 
 def test_login_form_parse_matches_direct_construction():

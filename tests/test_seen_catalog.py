@@ -49,6 +49,32 @@ def test_reopen_with_new_bucket_width_rewrites_and_preserves_seen(
     assert url_seen_set(eng16) == orc.url_seen
 
 
+def test_width_change_in_fresh_session(spark, tmp_store_dir):
+    """The width-change rewrite must work when NO catalog tables from a
+    previous engine exist — the process-restart scenario the rewrite
+    targets. (A same-session reopen masks the bug: the first engine's
+    registered tables satisfy bulk_load's refreshTable.) Simulated by
+    dropping the catalog pair between the two opens."""
+    cfg8 = CrawlConfig(n_hosts=8, batch_size=10, limit=60, seen_buckets=8)
+    seeds = synthetic.seed_urls(6, cfg8.n_hosts)
+    store = SnapshotStore(tmp_store_dir)
+    eng8 = CrawlEngine(spark, store, cfg8)
+    eng8.run(seeds, max_rounds=2)
+    seen_before = url_seen_set(eng8)
+    assert seen_before
+
+    # process restart: a fresh session's catalog has no tables
+    spark.sql(f"DROP TABLE IF EXISTS {eng8._seen_cat.table}")
+    spark.sql(f"DROP TABLE IF EXISTS {eng8._seen_cat.delta_table}")
+
+    cfg16 = CrawlConfig(n_hosts=8, batch_size=10, limit=60, seen_buckets=16)
+    eng16 = CrawlEngine(spark, store, cfg16)
+    assert url_seen_set(eng16) == seen_before
+    orc = run_oracle(seeds, cfg16)
+    eng16.run()
+    assert url_seen_set(eng16) == orc.url_seen
+
+
 def test_compact_reads_manifest_not_directory(spark, tmp_store_dir):
     """An orphan part file (torn commit: insert done, manifest flip
     aborted) must not be folded into the compacted generation."""
