@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pholcus_spark import multimodal
-from pholcus_spark.queries import ORACLE_SQL, QUERIES, _synthetic_images
+from pholcus_spark.queries import QUERIES, _synthetic_images, oracle_sql_map
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -60,6 +60,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins for every SQL-expressible query; multimodal binary
-    pipelines are intentionally absent (rows-only check)."""
-    return dict(ORACLE_SQL)
+    """DuckDB twins for every SQL-expressible query; the video/audio
+    codec stubs are intentionally absent (rows-only check)."""
+    return oracle_sql_map()

@@ -43,6 +43,7 @@ from .fetch import fetch_batch, links_to_candidates
 from .oracle import (
     CrawlConfig,
     expand_rules,
+    instance_keyin,
     politeness_map,
     seed_url_for,
     spider_instances,
@@ -373,20 +374,37 @@ class CrawlEngine:
             for inst_idx, inst in enumerate(self._instances):
                 for i, raw in enumerate(seeds):
                     req = raw if isinstance(raw, dict) else {"url": raw}
+                    # instance-scoped seeds (JS Root scripts emit
+                    # per-keyin URLs, not {keyin} templates): a seed
+                    # stamped with a keyin feeds only matching instances
+                    if req.get("keyin") is not None and (
+                        instance_keyin(inst) != req["keyin"]
+                    ):
+                        continue
                     cu = canonicalize(seed_url_for(inst, req["url"]))
                     if not cu:
                         continue
+                    temp = None
+                    if req.get("downloader"):
+                        # per-request renderer rides temp (fetch reads
+                        # temp["__downloader"], request.go:37)
+                        temp = json.dumps(
+                            {"__downloader": req["downloader"]}
+                        )
                     rows.append(
                         (
                             cu,
                             host_of(cu),
                             inst,
                             (inst_idx << 44) | i,
+                            req.get("rule") or "root",
                             req.get("method", "GET"),
+                            int(req.get("priority", cfg.seed_priority)),
                             req.get("post_data"),
                             json.dumps(_norm_headers(req["headers"]))
                             if req.get("headers")
                             else None,
+                            temp,
                         )
                     )
             # Arrow path: ship only the data columns as a pandas frame —
@@ -396,28 +414,32 @@ class CrawlEngine:
             pdf = pd.DataFrame(
                 rows,
                 columns=[
-                    "url", "host", "spider", "cand_order", "method",
-                    "post_data", "headers_json",
+                    "url", "host", "spider", "cand_order", "rule",
+                    "method", "priority", "post_data", "headers_json",
+                    "temp_json",
                 ],
             )
             base = self.spark.createDataFrame(
                 pdf,
                 schema="url string, host string, spider string, "
-                "cand_order long, method string, post_data string, "
-                "headers_json string",
+                "cand_order long, rule string, method string, "
+                "priority int, post_data string, headers_json string, "
+                "temp_json string",
             )
+        if "rule" not in base.columns:
+            base = base.withColumn("rule", F.lit("root")).withColumn(
+                "priority", F.lit(cfg.seed_priority).cast("int")
+            ).withColumn("temp_json", F.lit(None).cast("string"))
         cands = base.select(
             "url",
             "host",
             "spider",
-            F.lit("root").alias("rule"),
+            "rule",
             "method",
-            F.lit(cfg.seed_priority).cast("int").alias("priority"),
+            F.col("priority").cast("int").alias("priority"),
             F.lit(0).cast("int").alias("depth"),
             F.lit(None).cast("string").alias("parent_url"),
-            F.lit(None)
-            .cast(T.MapType(T.StringType(), T.StringType()))
-            .alias("temp"),
+            F.from_json("temp_json", "map<string,string>").alias("temp"),
             F.from_json("headers_json", "map<string,array<string>>").alias("headers"),
             "post_data",
             F.lit(False).alias("reloadable"),
@@ -1081,6 +1103,20 @@ class CrawlEngine:
         return self.fetched_df().filter(
             F.col("ok") & F.col("image_id").isNotNull()
         ).select(*[f.name for f in ITEMS_SCHEMA.fields])
+
+    def js_items_df(self) -> DataFrame:
+        """Dynamic-rule Output cells (ctx.Output, context.go:244-280):
+        one row per emitted cell, ``fields`` carrying the script's
+        key→value map — the dynamic DataCell the static ITEMS_SCHEMA
+        cannot hold."""
+        return (
+            self.fetched_df()
+            .filter(F.col("ok") & F.col("outs").isNotNull())
+            .select(
+                "rule", "url", "parent_url", "download_time", "url_key",
+                F.posexplode("outs").alias("cell_idx", "fields"),
+            )
+        )
 
     def resolved_df(self) -> DataFrame:
         """Latest-wins resolution view of the fetched log (the MERGE

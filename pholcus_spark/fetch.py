@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame
 from . import synthetic
 from .dom import dom_first, dom_select
 from .forms import submit_form
+from .jsrules import JsParseCtx, run_js
+from .oracle import instance_keyin
 from .schemas import FETCH_RESULT_SCHEMA
 from .urlnorm import canonicalize
 
@@ -90,8 +92,13 @@ def fetch_batch(
                 rule_cfg = rules_map.get((row.spider, row.rule), {})
                 # D2 downloader dispatch (downloader_surfer.go:35-74):
                 # rules marked downloader="chrome" route through the JS
-                # renderer — same fetch surface, rendered content
-                dl = rule_cfg.get("downloader", "surf")
+                # renderer — same fetch surface, rendered content.
+                # A per-REQUEST DownloaderID (JsAddQueue,
+                # request.go:37,53-63) travels in temp["__downloader"]
+                # and wins over the rule default.
+                dl = (row.temp or {}).get("__downloader") or rule_cfg.get(
+                    "downloader", "surf"
+                )
                 res = None
                 for i in range(tries):
                     res = synthetic.fetch_one(
@@ -107,6 +114,24 @@ def fetch_batch(
                 caption = res.caption
                 child_urls = res.links
                 form_req = None
+                outs = None
+                js_queued: list[dict] = []
+                if res.ok and rule_cfg.get("js_parse") is not None:
+                    # P8 dynamic rule: run the compiled <Script> body
+                    # over the page (parsejs.go:121-133); Output cells
+                    # land in ``outs``, JsAddQueue children in links.
+                    page = synthetic.html_page_for(
+                        row.url, int(row.depth), n_hosts,
+                        method=row.method, post_data=row.post_data,
+                        cookies=jar, downloader=dl,
+                    )
+                    jctx = JsParseCtx(
+                        page, row.url, instance_keyin(row.spider),
+                        temp=dict(row.temp) if row.temp else None,
+                    )
+                    run_js(rule_cfg["js_parse"], {"ctx": jctx})
+                    outs = jctx.outputs or None
+                    js_queued = jctx.queued
                 if res.ok and res.image_id is not None and (
                     rule_cfg.get("parse") == "dom"
                 ):
@@ -147,7 +172,8 @@ def fetch_batch(
                             links.append(
                                 {"url": cu, "rule": child_rule,
                                  "priority": child_prio,
-                                 "method": None, "post_data": None}
+                                 "method": None, "post_data": None,
+                                 "downloader": None}
                             )
                 if form_req is not None and res.ok:
                     fcu = canonicalize(form_req["url"])
@@ -160,6 +186,29 @@ def fetch_batch(
                                 "priority": form_cfg.get("priority", 0),
                                 "method": form_req["method"],
                                 "post_data": form_req["post_data"],
+                                "downloader": None,
+                            }
+                        )
+                for q in js_queued:
+                    # explicit AddQueue requests are depth-independent
+                    # (the reference gates only on dedup/budget,
+                    # context.go:104-125); relative URLs resolve
+                    # against the page like MakeUrl
+                    qu = q["url"]
+                    if qu.startswith("/"):
+                        qu = (
+                            row.url.split("://", 1)[0] + "://" + row.host + qu
+                        )
+                    cu = canonicalize(qu)
+                    if cu:
+                        links.append(
+                            {
+                                "url": cu,
+                                "rule": q["rule"] or row.rule,
+                                "priority": q["priority"],
+                                "method": q["method"],
+                                "post_data": q["post_data"],
+                                "downloader": q["downloader"],
                             }
                         )
                 out_rows.append(
@@ -191,6 +240,7 @@ def fetch_batch(
                         "caption": caption,
                         "phash": res.phash,
                         "links": links,
+                        "outs": outs,
                         "set_cookies": res.set_cookies,
                         "proxy": getattr(row, "proxy", None),
                     }
@@ -248,7 +298,28 @@ def links_to_candidates(results: DataFrame) -> DataFrame:
         F.col("link.priority").alias("priority"),
         (F.col("depth") + 1).cast("int").alias("depth"),
         F.col("url").alias("parent_url"),
-        "temp",
+        # temp passes through (P5) — except __downloader, which is
+        # per-REQUEST (request.go:37): children carry their own link
+        # downloader or none, never the parent's
+        F.when(
+            F.col("link.downloader").isNotNull(),
+            F.map_concat(
+                F.map_filter(
+                    F.coalesce(
+                        F.col("temp"),
+                        F.create_map().cast("map<string,string>"),
+                    ),
+                    lambda k, _v: k != F.lit("__downloader"),
+                ),
+                F.create_map(
+                    F.lit("__downloader"), F.col("link.downloader")
+                ),
+            ),
+        )
+        .otherwise(
+            F.map_filter(F.col("temp"), lambda k, _v: k != F.lit("__downloader"))
+        )
+        .alias("temp"),
         F.create_map(F.lit("Referer"), F.array(F.col("url"))).alias("headers"),
         F.col("link.post_data").alias("post_data"),
         F.lit(False).alias("reloadable"),

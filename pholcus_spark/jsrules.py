@@ -1,0 +1,916 @@
+"""JS ``<Script>`` rule bodies (P8's dynamic half) — a minimal
+ECMAScript-subset interpreter over the ctx API.
+
+Reference behavior being reproduced: ``app/spider/parsejs.go:111-147``
+compiles each dynamic rule's ``<Script>`` body to an otto-VM closure
+that receives ``ctx`` (the parse Context) and drives the crawl through
+``ctx.JsAddQueue`` / ``ctx.Output`` / ``ctx.GetDom`` / ``ctx.GetKeyin``
+(``app/spider/context.go:140-187, 609-627``). The shipped sample
+(``sample/dyn_rules/baidu_search.pholcus.xml``) uses exactly that
+surface plus goquery's Find/Length/Eq/Text/AttrOr/Last selection calls.
+
+This module is NOT a JS VM. It is a from-scratch recursive-descent
+interpreter for the statement/expression subset real pholcus spiders
+are written in — var, if/else, for, while, continue/break, the usual
+operators, object/array literals, member/index/call — that fails
+LOUDLY (``NotImplementedError``) at compile time on anything outside
+that subset (functions, prototypes, regex literals, ``new``, ...).
+Loud rejection preserves the round-3 honesty contract: a spider the
+engine cannot run never half-runs.
+
+Execution model: scripts are compiled ONCE on the driver to a
+plain-tuple AST (picklable — it ships to executors inside the
+broadcast rules map) and interpreted per page inside the fetch
+``mapInPandas`` pass, exactly where the declarative DOM rules already
+run. Per-page Python at the parse boundary is the same declared
+boundary as the DOM engine; everything around it stays vectorized.
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import quote, unquote
+
+from .dom import Node, _match_complex, compile_selector, parse_html
+
+
+class JsError(Exception):
+    """Runtime error inside a <Script> body."""
+
+
+class _Undefined:
+    __slots__ = ()
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return "undefined"
+
+    def __bool__(self) -> bool:
+        return False
+
+
+UNDEF = _Undefined()
+
+# --- tokenizer ---
+
+_KEYWORDS = {
+    "var", "if", "else", "for", "while", "continue", "break", "return",
+    "true", "false", "null", "undefined",
+}
+# constructs the interpreter deliberately does not model — seeing one
+# is a compile-time NotImplementedError, not a silent skip
+_UNSUPPORTED_KEYWORDS = {
+    "function", "new", "typeof", "delete", "in", "instanceof", "do",
+    "switch", "case", "try", "catch", "finally", "throw", "with",
+    "let", "const", "class", "yield", "void", "this",
+}
+
+_TOKEN_RE = re.compile(
+    r"""\s+|//[^\n]*|/\*.*?\*/
+      |(?P<num>\d+(?:\.\d+)?)
+      |(?P<str>"(?:\\.|[^"\\])*"|'(?:\\.|[^'\\])*')
+      |(?P<name>[A-Za-z_$][\w$]*)
+      |(?P<punct>===|!==|==|!=|<=|>=|&&|\|\||\+\+|--|\+=|-=|\*=|/=|%=
+                 |[-+*/%<>=!(){}\[\],;:.?])
+    """,
+    re.X | re.S,
+)
+
+_ESCAPES = {"n": "\n", "t": "\t", "r": "\r", "\\": "\\", "'": "'",
+            '"': '"', "0": "\0", "b": "\b", "f": "\f", "v": "\v"}
+
+
+def _unescape(body: str) -> str:
+    out, i = [], 0
+    while i < len(body):
+        c = body[i]
+        if c == "\\" and i + 1 < len(body):
+            nxt = body[i + 1]
+            if nxt == "u" and i + 5 < len(body):
+                out.append(chr(int(body[i + 2:i + 6], 16)))
+                i += 6
+                continue
+            out.append(_ESCAPES.get(nxt, nxt))
+            i += 2
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _tokenize(src: str) -> list[tuple[str, object]]:
+    toks: list[tuple[str, object]] = []
+    pos = 0
+    while pos < len(src):
+        m = _TOKEN_RE.match(src, pos)
+        if m is None:
+            raise NotImplementedError(
+                f"unsupported JS syntax at {src[pos:pos + 20]!r}"
+            )
+        pos = m.end()
+        if m.lastgroup == "num":
+            text = m.group("num")
+            toks.append(("num", float(text) if "." in text else int(text)))
+        elif m.lastgroup == "str":
+            toks.append(("str", _unescape(m.group("str")[1:-1])))
+        elif m.lastgroup == "name":
+            name = m.group("name")
+            if name in _UNSUPPORTED_KEYWORDS:
+                raise NotImplementedError(
+                    f"JS keyword {name!r} is outside the supported subset"
+                )
+            toks.append(("kw" if name in _KEYWORDS else "name", name))
+        elif m.lastgroup == "punct":
+            toks.append(("punct", m.group("punct")))
+    toks.append(("eof", None))
+    return toks
+
+
+# --- parser (plain-tuple AST: picklable, ships in broadcast rules) ---
+
+
+class _Parser:
+    def __init__(self, toks: list[tuple[str, object]]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i]
+
+    def next(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def at_punct(self, *vals) -> bool:
+        k, v = self.peek()
+        return k == "punct" and v in vals
+
+    def at_kw(self, *vals) -> bool:
+        k, v = self.peek()
+        return k == "kw" and v in vals
+
+    def expect(self, val: str):
+        k, v = self.next()
+        if k != "punct" or v != val:
+            raise ValueError(f"expected {val!r}, got {v!r}")
+
+    # statements
+
+    def program(self):
+        stmts = []
+        while self.peek()[0] != "eof":
+            stmts.append(self.statement())
+        return ("prog", stmts)
+
+    def statement(self):
+        if self.at_punct(";"):
+            self.next()
+            return ("empty",)
+        if self.at_punct("{"):
+            return self.block()
+        if self.at_kw("var"):
+            s = self.var_decl()
+            self._semi()
+            return s
+        if self.at_kw("if"):
+            return self.if_stmt()
+        if self.at_kw("for"):
+            return self.for_stmt()
+        if self.at_kw("while"):
+            self.next()
+            self.expect("(")
+            cond = self.expression()
+            self.expect(")")
+            return ("while", cond, self.statement())
+        if self.at_kw("continue"):
+            self.next()
+            self._semi()
+            return ("continue",)
+        if self.at_kw("break"):
+            self.next()
+            self._semi()
+            return ("break",)
+        if self.at_kw("return"):
+            self.next()
+            if self.at_punct(";") or self.peek()[0] == "eof":
+                self._semi()
+                return ("return", None)
+            e = self.expression()
+            self._semi()
+            return ("return", e)
+        e = self.expression()
+        self._semi()
+        return ("expr", e)
+
+    def _semi(self):
+        if self.at_punct(";"):
+            self.next()
+
+    def block(self):
+        self.expect("{")
+        stmts = []
+        while not self.at_punct("}"):
+            if self.peek()[0] == "eof":
+                raise ValueError("unterminated block")
+            stmts.append(self.statement())
+        self.next()
+        return ("block", stmts)
+
+    def var_decl(self):
+        self.next()  # var
+        decls = []
+        while True:
+            k, name = self.next()
+            if k != "name":
+                raise ValueError(f"expected identifier after var, got {name!r}")
+            init = None
+            if self.at_punct("="):
+                self.next()
+                init = self.assignment()
+            decls.append((name, init))
+            if self.at_punct(","):
+                self.next()
+                continue
+            break
+        return ("var", decls)
+
+    def if_stmt(self):
+        self.next()
+        self.expect("(")
+        cond = self.expression()
+        self.expect(")")
+        then = self.statement()
+        other = None
+        if self.at_kw("else"):
+            self.next()
+            other = self.statement()
+        return ("if", cond, then, other)
+
+    def for_stmt(self):
+        self.next()
+        self.expect("(")
+        init = None
+        if not self.at_punct(";"):
+            init = self.var_decl() if self.at_kw("var") else (
+                "expr", self.expression())
+        self.expect(";")
+        cond = None if self.at_punct(";") else self.expression()
+        self.expect(";")
+        update = None if self.at_punct(")") else ("expr", self.expression())
+        self.expect(")")
+        return ("for", init, cond, update, self.statement())
+
+    # expressions, lowest precedence first
+
+    def expression(self):
+        return self.assignment()
+
+    def assignment(self):
+        left = self.conditional()
+        if self.at_punct("=", "+=", "-=", "*=", "/=", "%="):
+            _, op = self.next()
+            if left[0] not in ("ident", "member", "index"):
+                raise ValueError("invalid assignment target")
+            return ("assign", op, left, self.assignment())
+        return left
+
+    def conditional(self):
+        c = self.logic_or()
+        if self.at_punct("?"):
+            self.next()
+            t = self.assignment()
+            self.expect(":")
+            return ("cond", c, t, self.assignment())
+        return c
+
+    def logic_or(self):
+        left = self.logic_and()
+        while self.at_punct("||"):
+            self.next()
+            left = ("logic", "||", left, self.logic_and())
+        return left
+
+    def logic_and(self):
+        left = self.equality()
+        while self.at_punct("&&"):
+            self.next()
+            left = ("logic", "&&", left, self.equality())
+        return left
+
+    def equality(self):
+        left = self.relational()
+        while self.at_punct("===", "!==", "==", "!="):
+            _, op = self.next()
+            left = ("bin", op, left, self.relational())
+        return left
+
+    def relational(self):
+        left = self.additive()
+        while self.at_punct("<", ">", "<=", ">="):
+            _, op = self.next()
+            left = ("bin", op, left, self.additive())
+        return left
+
+    def additive(self):
+        left = self.multiplicative()
+        while self.at_punct("+", "-"):
+            _, op = self.next()
+            left = ("bin", op, left, self.multiplicative())
+        return left
+
+    def multiplicative(self):
+        left = self.unary()
+        while self.at_punct("*", "/", "%"):
+            _, op = self.next()
+            left = ("bin", op, left, self.unary())
+        return left
+
+    def unary(self):
+        if self.at_punct("!", "-", "+"):
+            _, op = self.next()
+            return ("unary", op, self.unary())
+        if self.at_punct("++", "--"):
+            _, op = self.next()
+            target = self.unary()
+            if target[0] not in ("ident", "member", "index"):
+                raise ValueError("invalid ++/-- target")
+            return ("prefix", op, target)
+        return self.postfix()
+
+    def postfix(self):
+        e = self.primary()
+        while True:
+            if self.at_punct("."):
+                self.next()
+                k, name = self.next()
+                if k not in ("name", "kw"):
+                    raise ValueError(f"expected property name, got {name!r}")
+                e = ("member", e, name)
+            elif self.at_punct("["):
+                self.next()
+                idx = self.expression()
+                self.expect("]")
+                e = ("index", e, idx)
+            elif self.at_punct("("):
+                self.next()
+                args = []
+                while not self.at_punct(")"):
+                    args.append(self.assignment())
+                    if self.at_punct(","):
+                        self.next()
+                e = ("call", e, args)
+                self.next()
+            elif self.at_punct("++", "--"):
+                _, op = self.next()
+                if e[0] not in ("ident", "member", "index"):
+                    raise ValueError("invalid ++/-- target")
+                return ("postfix", op, e)
+            else:
+                return e
+
+    def primary(self):
+        k, v = self.peek()
+        if k == "num":
+            self.next()
+            return ("num", v)
+        if k == "str":
+            self.next()
+            return ("str", v)
+        if k == "kw":
+            self.next()
+            if v == "true":
+                return ("bool", True)
+            if v == "false":
+                return ("bool", False)
+            if v == "null":
+                return ("null",)
+            if v == "undefined":
+                return ("undef",)
+            raise ValueError(f"unexpected keyword {v!r} in expression")
+        if k == "name":
+            self.next()
+            return ("ident", v)
+        if self.at_punct("("):
+            self.next()
+            e = self.expression()
+            self.expect(")")
+            return e
+        if self.at_punct("{"):
+            return self.object_literal()
+        if self.at_punct("["):
+            self.next()
+            elems = []
+            while not self.at_punct("]"):
+                elems.append(self.assignment())
+                if self.at_punct(","):
+                    self.next()
+            self.next()
+            return ("arr", elems)
+        raise ValueError(f"unexpected token {v!r}")
+
+    def object_literal(self):
+        self.expect("{")
+        pairs = []
+        while not self.at_punct("}"):
+            k, v = self.next()
+            if k not in ("str", "name", "kw", "num"):
+                raise ValueError(f"bad object key {v!r}")
+            self.expect(":")
+            pairs.append((str(v), self.assignment()))
+            if self.at_punct(","):
+                self.next()
+        self.next()
+        return ("obj", pairs)
+
+
+def compile_js(src: str):
+    """Source → plain-tuple AST. Raises NotImplementedError on
+    constructs outside the subset, ValueError on malformed input."""
+    return _Parser(_tokenize(src)).program()
+
+
+# --- interpreter ---
+
+
+class _BreakSig(Exception):
+    pass
+
+
+class _ContinueSig(Exception):
+    pass
+
+
+class _ReturnSig(Exception):
+    def __init__(self, value):
+        self.value = value
+
+
+def js_truthy(v) -> bool:
+    if v is UNDEF or v is None:
+        return False
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, (int, float)):
+        return v != 0
+    if isinstance(v, str):
+        return v != ""
+    return True
+
+
+def js_str(v) -> str:
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if v is None:
+        return "null"
+    if v is UNDEF:
+        return "undefined"
+    if isinstance(v, float) and v.is_integer():
+        return str(int(v))
+    return str(v)
+
+
+def _strict_eq(a, b) -> bool:
+    if isinstance(a, bool) != isinstance(b, bool):
+        return False
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        return float(a) == float(b)
+    if type(a) is not type(b):
+        return False
+    return a == b
+
+
+class JsHost:
+    """Base for host objects exposed to scripts: subclasses whitelist
+    callable members via ``_js_methods`` — nothing else is reachable."""
+
+    _js_methods: tuple[str, ...] = ()
+
+
+def _member(obj, name: str):
+    if isinstance(obj, JsHost):
+        if name in obj._js_methods:
+            return getattr(obj, name)
+        raise JsError(f"{type(obj).__name__} has no method {name!r}")
+    if isinstance(obj, dict):
+        return obj.get(name, UNDEF)
+    if isinstance(obj, (str, list)) and name == "length":
+        return len(obj)
+    if obj is UNDEF or obj is None:
+        raise JsError(f"cannot read {name!r} of {js_str(obj)}")
+    raise JsError(f"cannot read {name!r} of {type(obj).__name__}")
+
+
+_MAX_STEPS = 2_000_000
+
+
+class _Interp:
+    def __init__(self, env: dict):
+        self.env = env
+        self.steps = 0
+
+    def _tick(self):
+        self.steps += 1
+        if self.steps > _MAX_STEPS:
+            raise JsError("script exceeded the evaluation-step budget")
+
+    # statements
+
+    def run(self, node) -> None:
+        kind = node[0]
+        self._tick()
+        if kind == "prog" or kind == "block":
+            for s in node[1]:
+                self.run(s)
+        elif kind == "var":
+            for name, init in node[1]:
+                self.env[name] = UNDEF if init is None else self.eval(init)
+        elif kind == "expr":
+            self.eval(node[1])
+        elif kind == "empty":
+            pass
+        elif kind == "if":
+            if js_truthy(self.eval(node[1])):
+                self.run(node[2])
+            elif node[3] is not None:
+                self.run(node[3])
+        elif kind == "for":
+            _, init, cond, update, body = node
+            if init is not None:
+                self.run(init)
+            while cond is None or js_truthy(self.eval(cond)):
+                self._tick()
+                try:
+                    self.run(body)
+                except _ContinueSig:
+                    pass
+                except _BreakSig:
+                    break
+                if update is not None:
+                    self.run(update)
+        elif kind == "while":
+            while js_truthy(self.eval(node[1])):
+                self._tick()
+                try:
+                    self.run(node[2])
+                except _ContinueSig:
+                    pass
+                except _BreakSig:
+                    break
+        elif kind == "continue":
+            raise _ContinueSig()
+        elif kind == "break":
+            raise _BreakSig()
+        elif kind == "return":
+            raise _ReturnSig(None if node[1] is None else self.eval(node[1]))
+        else:  # pragma: no cover
+            raise JsError(f"unknown statement {kind!r}")
+
+    # expressions
+
+    def eval(self, node):
+        self._tick()
+        kind = node[0]
+        if kind == "num" or kind == "str" or kind == "bool":
+            return node[1]
+        if kind == "null":
+            return None
+        if kind == "undef":
+            return UNDEF
+        if kind == "ident":
+            name = node[1]
+            if name in self.env:
+                return self.env[name]
+            raise JsError(f"{name!r} is not defined")
+        if kind == "member":
+            return _member(self.eval(node[1]), node[2])
+        if kind == "index":
+            obj = self.eval(node[1])
+            idx = self.eval(node[2])
+            if isinstance(obj, dict):
+                return obj.get(js_str(idx), UNDEF)
+            if isinstance(obj, (list, str)):
+                i = int(idx)
+                if 0 <= i < len(obj):
+                    return obj[i]
+                return UNDEF
+            raise JsError(f"cannot index {type(obj).__name__}")
+        if kind == "call":
+            callee = node[1]
+            if callee[0] == "member":
+                fn = _member(self.eval(callee[1]), callee[2])
+            else:
+                fn = self.eval(callee)
+            if not callable(fn):
+                raise JsError(f"{js_str(fn)} is not a function")
+            args = [self.eval(a) for a in node[2]]
+            try:
+                return fn(*args)
+            except (JsError, _BreakSig, _ContinueSig, _ReturnSig):
+                raise
+            except TypeError as e:
+                raise JsError(str(e)) from e
+        if kind == "bin":
+            return self._binary(node[1], self.eval(node[2]),
+                                self.eval(node[3]))
+        if kind == "logic":
+            left = self.eval(node[2])
+            if node[1] == "&&":
+                return self.eval(node[3]) if js_truthy(left) else left
+            return left if js_truthy(left) else self.eval(node[3])
+        if kind == "unary":
+            v = self.eval(node[2])
+            if node[1] == "!":
+                return not js_truthy(v)
+            if node[1] == "-":
+                return -self._num(v)
+            return +self._num(v)
+        if kind == "cond":
+            return (self.eval(node[2]) if js_truthy(self.eval(node[1]))
+                    else self.eval(node[3]))
+        if kind == "assign":
+            op, target, expr = node[1], node[2], node[3]
+            val = self.eval(expr)
+            if op != "=":
+                cur = self.eval(target)
+                val = self._binary(op[0], cur, val)
+            self._store(target, val)
+            return val
+        if kind == "prefix" or kind == "postfix":
+            op, target = node[1], node[2]
+            cur = self._num(self.eval(target))
+            new = cur + 1 if op == "++" else cur - 1
+            self._store(target, new)
+            return new if kind == "prefix" else cur
+        if kind == "obj":
+            return {k: self.eval(v) for k, v in node[1]}
+        if kind == "arr":
+            return [self.eval(e) for e in node[1]]
+        raise JsError(f"unknown expression {kind!r}")  # pragma: no cover
+
+    def _num(self, v):
+        if isinstance(v, bool):
+            return int(v)
+        if isinstance(v, (int, float)):
+            return v
+        if isinstance(v, str):
+            try:
+                return float(v) if "." in v else int(v)
+            except ValueError as e:
+                raise JsError(f"not a number: {v!r}") from e
+        raise JsError(f"not a number: {js_str(v)}")
+
+    def _binary(self, op, left, right):
+        if op == "+":
+            if isinstance(left, str) or isinstance(right, str):
+                return js_str(left) + js_str(right)
+            return self._num(left) + self._num(right)
+        if op == "-":
+            return self._num(left) - self._num(right)
+        if op == "*":
+            return self._num(left) * self._num(right)
+        if op == "/":
+            r = self._num(right)
+            if r == 0:
+                raise JsError("division by zero")
+            return self._num(left) / r
+        if op == "%":
+            r = self._num(right)
+            if r == 0:
+                raise JsError("modulo by zero")
+            return self._num(left) % r
+        if op in ("===", "=="):
+            return _strict_eq(left, right)
+        if op in ("!==", "!="):
+            return not _strict_eq(left, right)
+        if op == "<":
+            return self._cmp(left, right) < 0
+        if op == ">":
+            return self._cmp(left, right) > 0
+        if op == "<=":
+            return self._cmp(left, right) <= 0
+        return self._cmp(left, right) >= 0
+
+    def _cmp(self, left, right) -> int:
+        if isinstance(left, str) and isinstance(right, str):
+            return (left > right) - (left < right)
+        ln, rn = self._num(left), self._num(right)
+        return (ln > rn) - (ln < rn)
+
+    def _store(self, target, val) -> None:
+        kind = target[0]
+        if kind == "ident":
+            self.env[target[1]] = val
+            return
+        obj = self.eval(target[1])
+        if kind == "member":
+            key = target[2]
+        else:
+            key = self.eval(target[2])
+        if isinstance(obj, dict):
+            obj[js_str(key) if kind == "index" else key] = val
+            return
+        if isinstance(obj, list) and kind == "index":
+            i = int(key)
+            if 0 <= i < len(obj):
+                obj[i] = val
+                return
+        raise JsError(f"cannot assign property on {type(obj).__name__}")
+
+
+# encodeURIComponent's unreserved set (ECMA-262 §19.2.6.5)
+_ENC_SAFE = "-_.!~*'()"
+
+
+def _builtins() -> dict:
+    return {
+        "encodeURIComponent": lambda s: quote(js_str(s), safe=_ENC_SAFE),
+        "decodeURIComponent": lambda s: unquote(js_str(s)),
+        "parseInt": lambda s, base=10: int(js_str(s).strip(), int(base)),
+        "String": js_str,
+    }
+
+
+def run_js(ast, hosts: dict) -> None:
+    """Execute a compiled script with ``hosts`` (e.g. {"ctx": ...})
+    merged over the builtin globals. A top-level ``return`` simply ends
+    the script (otto's behavior for bare rule bodies)."""
+    env = _builtins()
+    env.update(hosts)
+    try:
+        _Interp(env).run(ast)
+    except _ReturnSig:
+        pass
+    except (_BreakSig, _ContinueSig) as e:
+        raise JsError("break/continue outside a loop") from e
+
+
+# --- goquery-style selection host (GetDom surface) ---
+
+
+class Selection(JsHost):
+    """The goquery ``*goquery.Selection`` subset dynamic rules use
+    (context.go:609-627 hands the parsed document to the script;
+    Find/Eq/Length/Text/Attr walk it). Backed by the repo's own
+    ``dom.py`` node tree — no reference code involved."""
+
+    _js_methods = ("Find", "Length", "Eq", "First", "Last", "Text",
+                   "Html", "Attr", "AttrOr")
+
+    def __init__(self, nodes: list[Node], doc: Node):
+        self.nodes = nodes
+        self.doc = doc
+
+    def _wrap(self, nodes: list[Node]) -> "Selection":
+        return Selection(nodes, self.doc)
+
+    def Find(self, css) -> "Selection":
+        chains = compile_selector(js_str(css))
+        found: list[Node] = []
+        seen: set[int] = set()
+        for base in self.nodes:
+            for chain in chains:
+                for n in _match_complex(base, chain):
+                    if id(n) not in seen:
+                        seen.add(id(n))
+                        found.append(n)
+        if len(self.nodes) > 1 or len(chains) > 1:
+            order = {id(n): i for i, n in enumerate(self.doc.walk())}
+            found.sort(key=lambda n: order.get(id(n), -1))
+        return self._wrap(found)
+
+    def Length(self) -> int:
+        return len(self.nodes)
+
+    def Eq(self, i) -> "Selection":
+        i = int(i)
+        if i < 0:
+            i += len(self.nodes)
+        if 0 <= i < len(self.nodes):
+            return self._wrap([self.nodes[i]])
+        return self._wrap([])
+
+    def First(self) -> "Selection":
+        return self._wrap(self.nodes[:1])
+
+    def Last(self) -> "Selection":
+        return self._wrap(self.nodes[-1:])
+
+    def Text(self) -> str:
+        return "".join(n.text() for n in self.nodes)
+
+    def Html(self) -> str:
+        return self.nodes[0].inner_html() if self.nodes else ""
+
+    def Attr(self, name):
+        for n in self.nodes[:1]:
+            v = n.attrs.get(js_str(name))
+            if v is not None:
+                return v
+        return UNDEF
+
+    def AttrOr(self, name, default) -> str:
+        v = self.Attr(name)
+        return default if v is UNDEF else v
+
+
+# --- ctx hosts ---
+
+
+def _norm_queue_req(jreq) -> dict | None:
+    """JsAddQueue's field mapping (context.go:140-187): URL required,
+    Rule/Method/PostData/Priority/DownloaderID/TryTimes optional.
+    DownloaderID 2 routes through the chrome renderer (request.go:37,
+    53-63); out-of-range ids fall back to surf like SurfID coercion
+    (request.go:105-106)."""
+    if not isinstance(jreq, dict):
+        raise JsError("JsAddQueue expects an object literal")
+    url = jreq.get("URL")
+    if not isinstance(url, str) or not url:
+        return None  # reference drops requests without a string URL
+    dl = None
+    did = jreq.get("DownloaderID")
+    if isinstance(did, (int, float)) and not isinstance(did, bool):
+        dl = {1: "phantom", 2: "chrome"}.get(int(did))
+    out = {
+        "url": url,
+        "rule": js_str(jreq["Rule"]) if "Rule" in jreq else None,
+        "method": (js_str(jreq["Method"]).upper()
+                   if "Method" in jreq and jreq["Method"] else None),
+        "post_data": (js_str(jreq["PostData"])
+                      if "PostData" in jreq and jreq["PostData"] else None),
+        "priority": int(jreq["Priority"]) if "Priority" in jreq else 0,
+        "downloader": dl,
+    }
+    if "TryTimes" in jreq:
+        out["try_times"] = int(jreq["TryTimes"])
+    return out
+
+
+class SeedCtx(JsHost):
+    """The Root-script ctx (RuleTree.Root runs once per spider instance
+    to push the seed requests, parsejs.go:113-119)."""
+
+    _js_methods = ("GetKeyin", "JsAddQueue", "AddQueue")
+
+    def __init__(self, keyin: str | None = None):
+        self.keyin = keyin
+        self.queued: list[dict] = []
+
+    def GetKeyin(self) -> str:
+        return self.keyin or ""
+
+    def JsAddQueue(self, jreq) -> "SeedCtx":
+        q = _norm_queue_req(jreq)
+        if q is not None:
+            self.queued.append(q)
+        return self
+
+    AddQueue = JsAddQueue
+
+
+class JsParseCtx(JsHost):
+    """The ParseFunc ctx: DOM access over the fetched page plus
+    Output/JsAddQueue emission (context.go:140-187, 609-627,
+    parsejs.go:121-133)."""
+
+    _js_methods = ("GetDom", "GetKeyin", "GetUrl", "GetTemp", "Output",
+                   "JsAddQueue", "AddQueue")
+
+    def __init__(self, page_html: str, url: str, keyin: str | None = None,
+                 temp: dict | None = None):
+        self._page = page_html
+        self._url = url
+        self._keyin = keyin
+        self._temp = temp or {}
+        self._dom: Selection | None = None
+        self.outputs: list[dict] = []
+        self.queued: list[dict] = []
+
+    def GetDom(self) -> Selection:
+        if self._dom is None:
+            root = parse_html(self._page)
+            self._dom = Selection([root], root)
+        return self._dom
+
+    def GetKeyin(self) -> str:
+        return self._keyin or ""
+
+    def GetUrl(self) -> str:
+        return self._url
+
+    def GetTemp(self, key, default=""):
+        return self._temp.get(js_str(key), default)
+
+    def Output(self, cell) -> "JsParseCtx":
+        if not isinstance(cell, dict):
+            raise JsError("Output expects an object literal")
+        self.outputs.append({js_str(k): js_str(v) for k, v in cell.items()})
+        return self
+
+    def JsAddQueue(self, jreq) -> "JsParseCtx":
+        q = _norm_queue_req(jreq)
+        if q is not None:
+            self.queued.append(q)
+        return self
+
+    AddQueue = JsAddQueue

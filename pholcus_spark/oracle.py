@@ -47,6 +47,10 @@ class CrawlConfig:
     # "{keyin}" in seed URLs is substituted per instance
     keyins: tuple = ()
     n_hosts: int = 20
+    # hosts outside the synthetic h%03d.example.com universe that the
+    # crawl may touch (e.g. the dynamic-rule sample's search host) —
+    # they get the same deterministic robots/crawl-delay policy
+    extra_hosts: tuple = ()
     batch_size: int = 20  # reference ThreadNum default, config.go:156
     limit: int | None = None  # page budget (maxPage, matrix.go:59-61)
     try_times: int = 3  # download retries, request.go:48
@@ -146,6 +150,9 @@ class OracleRow:
     method: str = "GET"
     post_data: str | None = None
     spider: str = ""
+    # per-request renderer (JsAddQueue DownloaderID, request.go:37);
+    # None = the rule's configured downloader
+    downloader: str | None = None
 
 
 @dataclass
@@ -156,6 +163,8 @@ class OracleResult:
     failed: set[int]
     items: dict[int, dict]  # url_key -> {image_id, caption, phash, fmt, w, h}
     rounds: int
+    # url_key -> [Output cells] emitted by JS rule bodies (P8)
+    js_items: dict = field(default_factory=dict)
     # final cookie jar: (spider, host) -> {name: value} (empty unless
     # cfg.enable_cookie)
     cookies: dict = field(default_factory=dict)
@@ -165,7 +174,9 @@ class OracleResult:
 
 def politeness_map(cfg: CrawlConfig) -> dict[str, dict]:
     out = {}
-    for host in synthetic.make_hosts(cfg.n_hosts):
+    hosts = list(synthetic.make_hosts(cfg.n_hosts))
+    hosts += [h for h in cfg.extra_hosts if h not in hosts]
+    for host in hosts:
         pol = synthetic.robots_for(host, cfg.pausetime_ms)
         pol["max_per_round"] = synthetic.host_budget(
             pol["crawl_delay_ms"], cfg.round_duration_ms
@@ -184,6 +195,7 @@ def run_oracle(seeds: list[str], cfg: CrawlConfig) -> OracleResult:
     failed: set[int] = set()
     failures_store: list[OracleRow] = []
     items: dict[int, dict] = {}
+    js_items: dict[int, list] = {}
     visits: list[tuple] = []
     next_seq = 0
     admitted_by: dict[str, int] = {}
@@ -236,6 +248,7 @@ def run_oracle(seeds: list[str], cfg: CrawlConfig) -> OracleResult:
                     method=c.get("method", "GET"),
                     post_data=c.get("post_data"),
                     spider=sp,
+                    downloader=c.get("downloader"),
                 )
             )
             next_seq += 1
@@ -250,24 +263,33 @@ def run_oracle(seeds: list[str], cfg: CrawlConfig) -> OracleResult:
     for inst_idx, inst in enumerate(instances):
         for i, raw in enumerate(seeds):
             req = raw if isinstance(raw, dict) else {"url": raw}
+            # instance-scoped seeds (JS Root scripts emit per-keyin
+            # URLs rather than {keyin} templates): a seed stamped with
+            # a keyin only feeds the matching instances
+            if req.get("keyin") is not None and (
+                instance_keyin(inst) != req["keyin"]
+            ):
+                continue
             cu = canonicalize(seed_url_for(inst, req["url"]))
             if not cu:
                 continue
             host = host_of(cu)
             method = req.get("method", "GET")
+            rule = req.get("rule") or "root"
             seed_cands.append(
                 (
                     (inst_idx << 44) | i,
                     {
-                        "url_key": make_url_key(inst, "root", cu, method),
+                        "url_key": make_url_key(inst, rule, cu, method),
                         "url": cu,
                         "host": host,
-                        "rule": "root",
-                        "priority": cfg.seed_priority,
+                        "rule": rule,
+                        "priority": req.get("priority", cfg.seed_priority),
                         "depth": 0,
                         "method": method,
                         "post_data": req.get("post_data"),
                         "spider": inst,
+                        "downloader": req.get("downloader"),
                     },
                 )
             )
@@ -325,7 +347,7 @@ def run_oracle(seeds: list[str], cfg: CrawlConfig) -> OracleResult:
             req_cookies = (
                 jar.get((row.spider, row.host)) if cfg.enable_cookie else None
             )
-            dl = rules_x.get((row.spider, row.rule), {}).get(
+            dl = row.downloader or rules_x.get((row.spider, row.rule), {}).get(
                 "downloader", "surf"
             )
             res = None
@@ -426,6 +448,59 @@ def run_oracle(seeds: list[str], cfg: CrawlConfig) -> OracleResult:
                                 },
                             )
                         )
+                        n_emitted += 1
+                # P8 dynamic rule: run the compiled <Script> body over
+                # the page; Output cells and JsAddQueue children mirror
+                # the engine's fetch-pass execution exactly (same
+                # interpreter, same page). AddQueue children are
+                # depth-independent (context.go:104-125).
+                if rule_cfg.get("js_parse") is not None:
+                    from .jsrules import JsParseCtx, run_js
+
+                    page = synthetic.html_page_for(
+                        row.url, row.depth, cfg.n_hosts,
+                        method=row.method, post_data=row.post_data,
+                        cookies=req_cookies, downloader=dl,
+                    )
+                    jctx = JsParseCtx(
+                        page, row.url, instance_keyin(row.spider)
+                    )
+                    run_js(rule_cfg["js_parse"], {"ctx": jctx})
+                    if jctx.outputs:
+                        js_items[row.url_key] = jctx.outputs
+                    for q in jctx.queued:
+                        qu = q["url"]
+                        if qu.startswith("/"):
+                            qu = (
+                                row.url.split("://", 1)[0]
+                                + "://" + row.host + qu
+                            )
+                        cu = canonicalize(qu)
+                        if not cu:
+                            continue
+                        method_q = q["method"] or "GET"
+                        rule_q = q["rule"] or row.rule
+                        round_cands.append(
+                            (
+                                (row.seq << 20) | n_emitted,
+                                {
+                                    "url_key": make_url_key(
+                                        row.spider, rule_q, cu, method_q
+                                    ),
+                                    "url": cu,
+                                    "host": host_of(cu),
+                                    "rule": rule_q,
+                                    "priority": q["priority"],
+                                    "depth": row.depth + 1,
+                                    "parent_url": row.url,
+                                    "method": method_q,
+                                    "post_data": q["post_data"],
+                                    "spider": row.spider,
+                                    "downloader": q["downloader"],
+                                },
+                            )
+                        )
+                        n_emitted += 1
             else:
                 if row.attempt < cfg.max_requeue_attempt:
                     row.attempt += 1
@@ -448,6 +523,7 @@ def run_oracle(seeds: list[str], cfg: CrawlConfig) -> OracleResult:
         done=done,
         failed=failed,
         items=items,
+        js_items=js_items,
         rounds=rnd,
         cookies=jar,
         proxies=proxies,

@@ -23,6 +23,7 @@ check.
 from __future__ import annotations
 
 from collections.abc import Callable
+from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -1606,7 +1607,9 @@ WHERE cos_sim >= 0.9
 # ---------------------------------------------------------------------------
 # multimodal (rows-only: binary pipelines have no SQL twin)
 
-def _synthetic_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _synthetic_images(
+    spark: SparkSession, sf_dir: str, max_docs: int | None = None
+) -> DataFrame:
     """Deterministic image payloads keyed by doc_id — the documents
     table standing in for a crawled image corpus."""
     from typing import Iterator
@@ -1632,6 +1635,8 @@ def _synthetic_images(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["image_id", "bytes", "fmt"])
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
+    if max_docs is not None:
+        docs = docs.filter(F.col("doc_id") < max_docs)
     return docs.mapInPandas(
         _gen, "image_id string, bytes binary, fmt string"
     )
@@ -1674,9 +1679,51 @@ FROM documents
 """
 
 
+PHASH_ORACLE_DOCS = 500
+
+
 def q_images_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    meta = multimodal.decode_image_meta(_synthetic_images(spark, sf_dir))
+    """Engine side: REAL bytes → decode → DCT phash → hamming-band
+    LSH self-join. Restricted to the first PHASH_ORACLE_DOCS docs so
+    the DuckDB twin's independently recomputed phash list stays
+    embeddable (the driver can't read binary pipelines, so the oracle
+    mirrors the banding over phashes recomputed driver-side through
+    the same deterministic encode→decode→phash path)."""
+    imgs = _synthetic_images(
+        spark, sf_dir, max_docs=PHASH_ORACLE_DOCS
+    )
+    meta = multimodal.decode_image_meta(imgs)
     return multimodal.phash_neardup(meta.filter(F.col("decode_ok")))
+
+
+@lru_cache(maxsize=1)
+def _sql_images_phash_neardup() -> str:
+    """Build the DuckDB twin lazily (recomputing phashes for
+    PHASH_ORACLE_DOCS synthetic images costs ~0.5 s — not an
+    import-time tax). The VALUES list is derived by the exact pipeline
+    the engine executes per row (image_for_doc → encode → decode →
+    phash64), so a disagreement in any codec/DCT stage breaks the
+    hash-compare."""
+    from . import synthetic
+    from .imaging import decode_image, encode_image, phash64
+
+    vals = []
+    for doc_id in range(PHASH_ORACLE_DOCS):
+        arr, fmt = synthetic.image_for_doc(doc_id)
+        decoded = decode_image(encode_image(arr, fmt), fmt)
+        vals.append(f"({doc_id}, {phash64(decoded)})")
+    return f"""
+WITH ph(doc_id, phash) AS (VALUES {', '.join(vals)}),
+d AS (SELECT p.doc_id, p.phash
+      FROM ph p JOIN documents t ON t.doc_id = p.doc_id),
+b AS (SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS image_id, band_idx,
+             (phash >> (band_idx * 16)) & 65535 AS band_key
+      FROM d, (VALUES (0), (1), (2), (3)) bands(band_idx))
+SELECT DISTINCT l.image_id AS image_a, r.image_id AS image_b
+FROM b l JOIN b r ON l.band_idx = r.band_idx
+                 AND l.band_key = r.band_key
+                 AND l.image_id < r.image_id
+"""
 
 
 def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1805,8 +1852,18 @@ ORACLE_SQL: dict[str, str] = {
     "embed_cosine_neardup": SQL_EMBED_COSINE_NEARDUP,
     # partial multimodal oracles: decode/resize metadata predicted from
     # doc_id (generator arithmetic mirrored in SQL); the remaining
-    # multimodal queries (phash bands, video/audio stubs) stay
-    # rows-only
+    # multimodal queries (video/audio codec stubs) stay rows-only
     "images_decode_meta": SQL_IMAGES_DECODE_META,
     "images_resize": SQL_IMAGES_RESIZE,
 }
+
+# oracles whose SQL embeds values recomputed driver-side (built on
+# first use — e.g. the phash list costs ~0.5 s of codec work)
+LAZY_ORACLE_SQL: dict[str, Callable[[], str]] = {
+    "images_phash_neardup": _sql_images_phash_neardup,
+}
+
+
+def oracle_sql_map() -> dict[str, str]:
+    """The full oracle dict (static + lazily built entries)."""
+    return {**ORACLE_SQL, **{k: f() for k, f in LAZY_ORACLE_SQL.items()}}

@@ -181,9 +181,21 @@ FETCH_RESULT_SCHEMA = T.StructType(
                         # leave these NULL (→ GET, no body)
                         T.StructField("method", T.StringType(), True),
                         T.StructField("post_data", T.StringType(), True),
+                        # per-request renderer from JsAddQueue's
+                        # DownloaderID (request.go:37,53-63); NULL =
+                        # the target rule's default
+                        T.StructField("downloader", T.StringType(), True),
                     ]
                 )
             ),
+            True,
+        ),
+        # JS-rule Output cells (parsejs.go:121-133 → ctx.Output,
+        # context.go:244-280): dynamic key→value rows, NULL for
+        # declarative rules
+        T.StructField(
+            "outs",
+            T.ArrayType(T.MapType(T.StringType(), T.StringType())),
             True,
         ),
         # Set-Cookie headers the response carried (reference Surf jar

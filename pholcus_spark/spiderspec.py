@@ -31,9 +31,16 @@ form helper, downloader routing, timer gating):
       <Rule name="page"><Parse>dom</Parse></Rule>
     </Spider>
 
-A ``<Rule>`` carrying a JS body (``ParseFunc``/``AidFunc``/``Script``,
-the reference's dynamic-rule form) raises NotImplementedError loudly —
-an honest capability boundary, not silent misbehavior.
+JS ``<Script>`` bodies (the reference's dynamic-rule form,
+``parsejs.go:111-147``) are compiled by the repo's own minimal
+interpreter (``jsrules.py``) — ``<Root><Script>`` runs per keyin to
+produce the seed requests (``root_seeds``), and a Rule's
+``<ParseFunc><Script>`` runs per fetched page inside the engine's
+Arrow-batched fetch pass. Script bodies using constructs outside the
+supported subset raise NotImplementedError at LOAD time — an honest
+capability boundary, not silent misbehavior — as do ``<AidFunc>`` and
+non-empty ``<Namespace>``/``<SubNamespace>`` scripts (nothing in the
+engine drives them).
 
 ``load_spider_xml`` parses one model; ``to_crawl_config`` compiles it
 to the engine's CrawlConfig, so an XML file is a complete runnable
@@ -42,12 +49,28 @@ crawl definition (the reference's ``RegisterDynamicSpiders`` analog).
 
 from __future__ import annotations
 
+import re
 import xml.etree.ElementTree as ET
 from dataclasses import dataclass, field
 
+from .jsrules import SeedCtx, compile_js, run_js
 from .oracle import CrawlConfig
 
-_JS_TAGS = ("ParseFunc", "AidFunc", "Script", "Namespace", "SubNamespace")
+_SCRIPT_TAG_RE = re.compile(r"(<Script[^>]*>)(.*?)(</Script>)", re.S)
+
+
+def wrap_script_cdata(xml_text: str) -> str:
+    """Wrap ``<Script>`` bodies in CDATA so users can write ``<``/``&``
+    in scripts without manual escaping — the reference does the same
+    rewrite before unmarshalling (parsejs.go:155-176)."""
+
+    def _wrap(m: re.Match) -> str:
+        body = m.group(2)
+        if body.strip().startswith("<![CDATA["):
+            return m.group(0)
+        return f"{m.group(1)}<![CDATA[{body}]]>{m.group(3)}"
+
+    return _SCRIPT_TAG_RE.sub(_wrap, xml_text)
 
 
 @dataclass
@@ -63,20 +86,36 @@ class SpiderSpec:
     rules: dict = field(default_factory=dict)
     # timer id -> {"tol_s": float} | {"bell": (h, m, s), "tol_days": int}
     timers: dict = field(default_factory=dict)
+    # compiled <Root><Script> AST (None = declarative <Seed> roots)
+    js_root: tuple | None = None
 
 
 def _bool(text: str | None) -> bool:
     return (text or "").strip().lower() in ("true", "1", "yes")
 
 
-def _reject_js(elem: ET.Element, where: str) -> None:
-    for tag in _JS_TAGS:
-        hit = elem.find(tag)
-        if hit is not None:
+def _script_body(elem: ET.Element | None) -> str | None:
+    """The trimmed <Script> text of a container element (or the element
+    itself), None when absent/empty — parsejs.go treats empty Script
+    nodes as 'not defined' (doRegisterDynamicSpiders skips them)."""
+    if elem is None:
+        return None
+    node = elem if elem.tag == "Script" else elem.find("Script")
+    if node is None:
+        return None
+    body = (node.text or "").strip()
+    return body or None
+
+
+def _reject_js(elem: ET.Element, where: str, tags: tuple[str, ...]) -> None:
+    """Raise on script-bearing elements the engine has no driver for
+    (Namespace/SubNamespace naming closures, AidFunc aid maps)."""
+    for tag in tags:
+        if _script_body(elem.find(tag)) is not None:
             raise NotImplementedError(
-                f"<{tag}> in {where}: JS rule bodies (parsejs.go otto-VM "
-                "closures) are out of scope — use the declarative "
-                "elements (Parse/Links/Form/Downloader/Timer) instead"
+                f"<{tag}> in {where}: no engine surface drives this "
+                "closure (parsejs.go:82-110 naming / AidFunc) — "
+                "out of scope"
             )
 
 
@@ -84,8 +123,13 @@ def _parse_rule(spider: str, rule_el: ET.Element) -> tuple[tuple[str, str], dict
     rname = rule_el.get("name")
     if not rname:
         raise ValueError("<Rule> requires a name attribute")
-    _reject_js(rule_el, f"Rule {rname!r}")
+    _reject_js(rule_el, f"Rule {rname!r}", ("AidFunc",))
     rc: dict = {}
+    js = _script_body(rule_el.find("ParseFunc"))
+    if js is not None:
+        # dynamic rule: compile now (fail-loud at load on unsupported
+        # JS), ship the plain-tuple AST in the broadcast rules map
+        rc["js_parse"] = compile_js(js)
     parse = rule_el.findtext("Parse")
     if parse:
         rc["parse"] = parse.strip()
@@ -150,13 +194,13 @@ def _parse_timer(t: ET.Element) -> tuple[str, dict]:
 def load_spider_xml(xml_text: str) -> SpiderSpec:
     """Parse one ``<Spider>`` model (SpiderModle envelope,
     parsejs.go:36-55, with declarative rule bodies)."""
-    root = ET.fromstring(xml_text)
+    root = ET.fromstring(wrap_script_cdata(xml_text))
     if root.tag != "Spider":
         raise ValueError(f"expected <Spider> root, got <{root.tag}>")
     name = (root.findtext("Name") or "").strip()
     if not name:
         raise ValueError("<Spider> requires a <Name>")
-    _reject_js(root, f"Spider {name!r}")
+    _reject_js(root, f"Spider {name!r}", ("Namespace", "SubNamespace"))
     spec = SpiderSpec(
         name=name,
         description=(root.findtext("Description") or "").strip(),
@@ -167,10 +211,12 @@ def load_spider_xml(xml_text: str) -> SpiderSpec:
     )
     root_el = root.find("Root")
     if root_el is not None:
-        _reject_js(root_el, "Root")
         spec.seeds = [
             s.get("url") for s in root_el.findall("Seed") if s.get("url")
         ]
+        js = _script_body(root_el)
+        if js is not None:
+            spec.js_root = compile_js(js)
     timers_el = root.find("Timers")
     if timers_el is not None:
         spec.timers = dict(
@@ -182,6 +228,33 @@ def load_spider_xml(xml_text: str) -> SpiderSpec:
     if not spec.rules:
         raise ValueError(f"Spider {name!r} declares no <Rule> nodes")
     return spec
+
+
+def root_seeds(spec: SpiderSpec, keyins: tuple | list = ()) -> list:
+    """Run the spider's Root (RuleTree.Root fires once per spider
+    instance to push the seed requests, parsejs.go:113-119): declarative
+    ``<Seed>`` URLs pass through; a ``<Root><Script>`` executes per
+    keyin with a SeedCtx, its JsAddQueue calls becoming keyin-scoped
+    seed request dicts for ``CrawlEngine.bootstrap``."""
+    seeds: list = list(spec.seeds)
+    if spec.js_root is None:
+        return seeds
+    for k in (keyins or [None]):
+        ctx = SeedCtx(keyin=k)
+        run_js(spec.js_root, {"ctx": ctx})
+        for q in ctx.queued:
+            seed = {
+                "url": q["url"],
+                "rule": q["rule"],
+                "priority": q["priority"],
+                "method": q["method"] or "GET",
+                "post_data": q["post_data"],
+                "downloader": q["downloader"],
+            }
+            if k is not None:
+                seed["keyin"] = k
+            seeds.append(seed)
+    return seeds
 
 
 def to_crawl_config(spec: SpiderSpec, **overrides) -> CrawlConfig:

@@ -217,6 +217,77 @@ def child_links(url: str, depth: int, n_hosts: int) -> list[str]:
     return out
 
 
+SEARCH_HOST = "www.baidu.com"
+SEARCH_PAGE_SIZE = 10
+
+
+def search_total_pages(keyin: str) -> int:
+    """Deterministic result depth per keyword: 2-4 pages."""
+    return 2 + _h("serp", keyin) % 3
+
+
+def search_result_title(keyin: str, idx: int) -> str:
+    """Empty every 7th slot — exercises the sample script's
+    skip-empty-result ``continue`` branch."""
+    if _h("serp-skip", keyin, idx) % 7 == 0:
+        return ""
+    w = _WORDS[_h("serp-word", keyin, idx) % len(_WORDS)]
+    return f"{keyin} {w} {idx}"
+
+
+def search_result_href(keyin: str, idx: int) -> str:
+    return f"/link?u={_h('serp-link', keyin, idx) % 10**8:08d}"
+
+
+def search_result_summary(keyin: str, idx: int) -> str:
+    w = _WORDS[_h("serp-sum", keyin, idx) % len(_WORDS)]
+    return f"about {keyin}: {w} snippet {idx}"
+
+
+def search_result_page(url: str) -> str:
+    """Deterministic search-results page for the dynamic-rule sample
+    (sample/dyn_rules/baidu_search.pholcus.xml): div.result /
+    div.result-op entries with h3.t a titles+hrefs and
+    [data-module=abstract] summaries, plus a.n pagination links while
+    more pages remain. Decoy markup mirrors html_page_for's structural
+    honesty (a result-shaped div outside h3.t, links in comments)."""
+    from urllib.parse import parse_qs, quote, urlsplit
+
+    q = parse_qs(urlsplit(url).query)
+    keyin = q.get("wd", [""])[0]
+    pn = int(q.get("pn", ["0"])[0] or 0)
+    total = search_total_pages(keyin)
+    divs = []
+    for i in range(SEARCH_PAGE_SIZE):
+        idx = pn + i
+        cls = "result" if _h("serp-cls", keyin, idx) % 2 == 0 else "result-op"
+        title = search_result_title(keyin, idx)
+        divs.append(
+            f'<div class="{cls}">'
+            f'<h3 class="t"><a href="{search_result_href(keyin, idx)}">'
+            f"{title}</a></h3>"
+            f'<div data-module="abstract">'
+            f"{search_result_summary(keyin, idx)}</div></div>"
+        )
+    nav = '<a class="n" href="/s">decoy-first</a>' if pn else ""
+    if pn // SEARCH_PAGE_SIZE + 1 < total:
+        nav += (
+            f'<a class="n" href="/s?wd={quote(keyin)}'
+            f"&amp;pn={pn + SEARCH_PAGE_SIZE}\">next</a>"
+        )
+    return (
+        "<html><head><title>serp</title>"
+        "<script>var d = \"<div class='result'><a href='/decoy'>x</a>"
+        '</div>";</script></head><body>'
+        "<!-- <div class=\"result\"><h3 class=\"t\">"
+        '<a href="/decoy-c">c</a></h3></div> -->'
+        '<div class="result-like"><a href="/not-a-result">n</a></div>'
+        f'{"".join(divs)}'
+        f"<div id=\"page\">{nav}</div>"
+        "</body></html>"
+    )
+
+
 def html_page_for(
     url: str,
     depth: int,
@@ -233,6 +304,12 @@ def html_page_for(
     nav/footer links outside the content container): a rule can only
     recover them with a structural parse, which is what the fidelity
     contract then proves (the oracle uses the direct values)."""
+    host = url.split("://", 1)[-1].split("/", 1)[0]
+    if host == SEARCH_HOST:
+        # the search-engine host serves result pages (the dynamic-rule
+        # sample's crawl surface) — content is a pure function of the
+        # URL's wd/pn query, independent of jar/renderer
+        return search_result_page(url)
     ck = content_key(url, method, post_data, cookies, downloader)
     caption = caption_for(ck)
     links = child_links(ck, depth, n_hosts)

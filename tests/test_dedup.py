@@ -70,3 +70,69 @@ def test_ngram_prefix_filter_lossless_under_stop_shingle(spark):
     )
     want = {(x["doc_a"], x["doc_b"], x["jaccard"]) for x in brute.collect()}
     assert got == want and want, (len(got), len(want))
+
+
+def _uf_components(n_nodes: int, edges: list[tuple[int, int]]) -> dict:
+    """Union-find ground truth: node -> component min."""
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    out = {}
+    for a, b in edges:
+        for x in (a, b):
+            out[x] = find(x)
+    return out
+
+
+def test_star_components_chain_converges_logarithmically(spark):
+    """A 10k-node path graph is the adversarial case for min-label
+    propagation (diameter rounds = 10k); large-star/small-star must
+    converge in ~log2(n) rounds and still label every node with the
+    component minimum."""
+    import math
+
+    n = 10_000
+    pairs = spark.range(n - 1).selectExpr(
+        "id AS doc_a", "id + 1 AS doc_b"
+    )
+    labels, rounds = dedup.star_components(pairs)
+    assert rounds <= math.ceil(math.log2(n)) + 4, rounds
+    rows = labels.collect()
+    assert len(rows) == n
+    assert all(r["component_id"] == 0 for r in rows)
+
+
+def test_star_components_matches_union_find(spark):
+    """Random multi-component graphs (plus stars, cliques, and isolated
+    pairs) agree with a union-find ground truth."""
+    import random
+
+    rng = random.Random(42)
+    n = 400
+    edges = set()
+    # random sparse edges -> several nontrivial components
+    for _ in range(300):
+        a, b = rng.randrange(n), rng.randrange(n)
+        if a != b:
+            edges.add((a, b))
+    # a clique and a star, far away from the random block
+    for i in range(450, 460):
+        for j in range(i + 1, 460):
+            edges.add((i, j))
+    for leaf in range(501, 520):
+        edges.add((500, leaf))
+    edges = sorted(edges)
+    truth = _uf_components(600, edges)
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    labels, _ = dedup.star_components(pairs)
+    got = {r["doc_id"]: r["component_id"] for r in labels.collect()}
+    assert got == truth

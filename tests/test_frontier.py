@@ -167,13 +167,13 @@ def test_split_results_dohistory(spark):
         # temp,headers,post_data,reload,try,attempt,ok...
         (1, "u1", "h", "s", "r", "GET", 0, 0, 0, 0, None, None, None, None,
          False, 3, 0, True, None, None, None, None, None, None, None, None,
-         [], None, None),
+         [], None, None, None),
         (2, "u2", "h", "s", "r", "GET", 0, 0, 1, 0, None, None, None, None,
          False, 3, 0, False, "err", None, None, None, None, None, None, None,
-         [], None, None),
+         [], None, None, None),
         (3, "u3", "h", "s", "r", "GET", 0, 0, 2, 0, None, None, None, None,
          False, 3, 1, False, "err", None, None, None, None, None, None, None,
-         [], None, None),
+         [], None, None, None),
     ]
     from pholcus_spark.schemas import FETCH_RESULT_SCHEMA
 

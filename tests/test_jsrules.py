@@ -1,0 +1,223 @@
+"""JS <Script> rule bodies (P8 dynamic half): interpreter semantics,
+goquery-subset selection, and the SHIPPED reference sample
+(sample/dyn_rules/baidu_search.pholcus.xml) crawling end-to-end with
+full visit-order / seen-set / Output fidelity vs the oracle."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pholcus_spark import synthetic
+from pholcus_spark.jsrules import (
+    UNDEF,
+    JsError,
+    JsParseCtx,
+    SeedCtx,
+    Selection,
+    compile_js,
+    run_js,
+)
+from pholcus_spark.spiderspec import (
+    load_spider_xml,
+    root_seeds,
+    to_crawl_config,
+    wrap_script_cdata,
+)
+
+SAMPLE_XML = "/root/reference/sample/dyn_rules/baidu_search.pholcus.xml"
+
+
+# --- interpreter semantics ---
+
+
+def _run(src: str, **hosts) -> dict:
+    env = dict(hosts)
+    sink: dict = {}
+
+    class _Sink:
+        pass
+
+    env["emit"] = lambda k, v: sink.__setitem__(k, v)
+    run_js(compile_js(src), env)
+    return sink
+
+
+def test_operators_and_control_flow():
+    got = _run(
+        """
+        var total = 0, s = "";
+        for (var i = 0; i < 10; i++) {
+            if (i % 2 === 0) { continue; }
+            if (i > 7) { break; }
+            total += i;
+        }
+        var j = 0;
+        while (j < 3) { j++; s = s + j; }
+        emit("total", total);   // 1+3+5+7
+        emit("s", s);
+        emit("concat", "n=" + 5 + "!");
+        emit("strict", 1 === 1 && "1" !== 1 && !("" === 0));
+        emit("tern", 3 > 2 ? "yes" : "no");
+        emit("or", "" || "fallback");
+        emit("and", "x" && "y");
+        emit("neg", -(2 * 3) + 1);
+        """
+    )
+    assert got == {
+        "total": 16, "s": "123", "concat": "n=5!", "strict": True,
+        "tern": "yes", "or": "fallback", "and": "y", "neg": -5,
+    }
+
+
+def test_objects_arrays_and_builtins():
+    got = _run(
+        """
+        var o = { a: 1, "b c": "two" };
+        o.d = o.a + 1;
+        o["e"] = [10, 20, 30];
+        emit("d", o.d);
+        emit("bc", o["b c"]);
+        emit("e1", o.e[1]);
+        emit("len", o.e.length);
+        emit("slen", "abc".length);
+        emit("enc", encodeURIComponent("a b/c&d=e"));
+        emit("pi", parseInt("42"));
+        emit("str", String(3.0));
+        emit("missing", o.nope === undefined);
+        """
+    )
+    assert got == {
+        "d": 2, "bc": "two", "e1": 20, "len": 3, "slen": 3,
+        "enc": "a%20b%2Fc%26d%3De", "pi": 42, "str": "3",
+        "missing": True,
+    }
+
+
+def test_unsupported_constructs_raise_loudly():
+    for bad in (
+        "function f() { return 1; }",
+        "var d = new Date();",
+        "try { x(); } catch (e) {}",
+        "let y = 1;",
+        "for (var k in obj) {}",
+    ):
+        with pytest.raises(NotImplementedError):
+            compile_js(bad)
+
+
+def test_runtime_errors_are_js_errors():
+    with pytest.raises(JsError, match="not defined"):
+        run_js(compile_js("var x = nope + 1;"), {})
+    with pytest.raises(JsError, match="step budget"):
+        run_js(compile_js("for (;;) { var x = 1; }"), {})
+    with pytest.raises(JsError, match="no method"):
+        run_js(compile_js("ctx.Secrets()"), {"ctx": SeedCtx()})
+
+
+def test_selection_goquery_subset():
+    from pholcus_spark.dom import parse_html
+
+    html = (
+        "<div><ul>"
+        '<li class="x" data-k="1">one</li>'
+        '<li class="x" data-k="2">two</li>'
+        '<li class="y">three</li>'
+        "</ul><p>tail</p></div>"
+    )
+    root = parse_html(html)
+    sel = Selection([root], root)
+    xs = sel.Find("li.x")
+    assert xs.Length() == 2
+    assert xs.Eq(0).Text() == "one"
+    assert xs.Eq(-1).Text() == "two"
+    assert xs.Eq(5).Length() == 0
+    assert xs.Last().AttrOr("data-k", "?") == "2"
+    assert xs.First().Attr("data-k") == "1"
+    assert sel.Find("p").Attr("data-k") is UNDEF
+    assert sel.Find("li").Text() == "onetwothree"
+    # Find from a non-root selection searches descendants only
+    assert sel.Find("ul").Find("p").Length() == 0
+
+
+# --- the shipped sample ---
+
+
+@pytest.mark.skipif(
+    not os.path.exists(SAMPLE_XML), reason="reference sample not present"
+)
+def test_shipped_sample_loads_and_roots():
+    with open(SAMPLE_XML, encoding="utf-8") as f:
+        spec = load_spider_xml(f.read())
+    assert spec.name == "百度搜索采集动态规则"
+    assert spec.pausetime_ms == 1000
+    assert spec.enable_keyin and spec.enable_cookie
+    assert spec.js_root is not None
+    rc = spec.rules[(spec.name, "搜索结果")]
+    assert rc["js_parse"] is not None
+    seeds = root_seeds(spec, keyins=("golang spark",))
+    assert seeds == [
+        {
+            "url": "https://www.baidu.com/s?wd=golang%20spark&pn=0",
+            "rule": "搜索结果", "priority": 0, "method": "GET",
+            "post_data": None, "downloader": "chrome",
+            "keyin": "golang spark",
+        }
+    ]
+
+
+@pytest.mark.skipif(
+    not os.path.exists(SAMPLE_XML), reason="reference sample not present"
+)
+def test_shipped_sample_crawl_fidelity(spark, tmp_store_dir):
+    """The reference's own dynamic spider runs UNMODIFIED: per-keyin
+    Root seeds, per-page <Script> parse (Output + pagination
+    JsAddQueue), visit order / seen set / Output cells all matching
+    the oracle."""
+    from pholcus_spark.crawler import CrawlEngine
+    from pholcus_spark.oracle import run_oracle
+    from pholcus_spark.tables import SnapshotStore
+    from tests.helpers import url_seen_set, visits_log
+    from tests.test_crawl_fidelity import _sorted_oracle_visits
+
+    with open(SAMPLE_XML, encoding="utf-8") as f:
+        spec = load_spider_xml(f.read())
+    keyins = ("golang spark", "vector db")
+    cfg = to_crawl_config(
+        spec,
+        keyins=keyins,
+        extra_hosts=(synthetic.SEARCH_HOST,),
+        n_hosts=4,
+        batch_size=8,
+    )
+    seeds = root_seeds(spec, keyins)
+    orc = run_oracle(seeds, cfg)
+    eng = CrawlEngine(spark, SnapshotStore(tmp_store_dir), cfg)
+    eng.run(seeds)
+
+    assert visits_log(eng) == _sorted_oracle_visits(orc)
+    assert url_seen_set(eng) == orc.url_seen
+    assert orc.js_items  # the sample actually emitted result cells
+
+    # Output cells: url_key -> ordered list of {标题/链接/摘要} maps
+    got: dict[int, list[dict]] = {}
+    for r in (
+        eng.js_items_df()
+        .orderBy("url_key", "cell_idx")
+        .select("url_key", "fields")
+        .collect()
+    ):
+        got.setdefault(r["url_key"], []).append(dict(r["fields"]))
+    assert got == orc.js_items
+
+    # and the cells hold exactly the synthetic page's non-empty results
+    some_key, cells = next(iter(orc.js_items.items()))
+    assert all(c["标题"] and c["链接"] for c in cells)
+
+
+def test_wrap_script_cdata_idempotent():
+    raw = "<Root><Script>var a = 1 < 2 && 3 > 0;</Script></Root>"
+    wrapped = wrap_script_cdata(raw)
+    assert "<![CDATA[" in wrapped
+    assert wrap_script_cdata(wrapped) == wrapped

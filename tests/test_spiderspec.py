@@ -59,14 +59,48 @@ def test_load_spider_xml_envelope_and_rules():
     assert ("xmlspider", "login") in spec.rules
 
 
-def test_js_rule_bodies_rejected():
+def test_supported_js_parsefunc_compiles():
     js = (
         "<Spider><Name>js</Name><Rule name=\"root\">"
-        "<ParseFunc><Script>ctx.AddQueue()</Script></ParseFunc>"
+        "<ParseFunc><Script>ctx.JsAddQueue({URL: \"http://a/\"})"
+        "</Script></ParseFunc></Rule></Spider>"
+    )
+    spec = load_spider_xml(js)
+    assert spec.rules[("js", "root")]["js_parse"] is not None
+
+
+def test_unsupported_js_still_rejected():
+    """Genuinely unsupported JS constructs and undriven closures keep
+    raising loudly at load time."""
+    fn = (
+        "<Spider><Name>js</Name><Rule name=\"root\">"
+        "<ParseFunc><Script>function f() {} f();</Script></ParseFunc>"
         "</Rule></Spider>"
     )
-    with pytest.raises(NotImplementedError, match="ParseFunc"):
-        load_spider_xml(js)
+    with pytest.raises(NotImplementedError, match="function"):
+        load_spider_xml(fn)
+    aid = (
+        "<Spider><Name>js</Name><Rule name=\"root\">"
+        "<AidFunc><Script>var x = 1;</Script></AidFunc>"
+        "</Rule></Spider>"
+    )
+    with pytest.raises(NotImplementedError, match="AidFunc"):
+        load_spider_xml(aid)
+    ns = (
+        "<Spider><Name>js</Name>"
+        "<Namespace><Script>var n = \"x\";</Script></Namespace>"
+        "<Rule name=\"root\"/></Spider>"
+    )
+    with pytest.raises(NotImplementedError, match="Namespace"):
+        load_spider_xml(ns)
+    # the reference's empty-Script envelope nodes are fine (the sample
+    # ships empty Namespace/SubNamespace scripts, parsejs.go skips them)
+    empty = (
+        "<Spider><Name>js</Name>"
+        "<Namespace><Script></Script></Namespace>"
+        "<Rule name=\"root\"/></Spider>"
+    )
+    assert load_spider_xml(empty).name == "js"
 
 
 def test_malformed_specs_rejected():
