@@ -56,8 +56,11 @@ def plane_sign(plane: int, pos: Column) -> Column:
     return F.when(h % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
 
 
-def bucket_id(vec: Column, n_planes: int = N_PLANES) -> Column:
-    """LSH bucket: bit b = [dot(vec, hyperplane_b) > 0]."""
+def bucket_id(
+    vec: Column, n_planes: int = N_PLANES, plane_offset: int = 0
+) -> Column:
+    """LSH bucket: bit b = [dot(vec, hyperplane_{plane_offset+b}) > 0].
+    ``plane_offset`` gives banded callers disjoint plane sets."""
     def _weigh(b: int):
         # closure factory: a default-arg lambda would change the UDF's
         # visible arity and break F.transform's 2-arg dispatch
@@ -67,10 +70,27 @@ def bucket_id(vec: Column, n_planes: int = N_PLANES) -> Column:
     for b in range(n_planes):
         # dot with ±1 plane = signed sum of components
         proj = F.aggregate(
-            F.transform(vec, _weigh(b)), F.lit(0.0), lambda a, v: a + v
+            F.transform(vec, _weigh(plane_offset + b)),
+            F.lit(0.0),
+            lambda a, v: a + v,
         )
         acc = acc + F.when(proj > 0, F.lit(1 << b)).otherwise(F.lit(0))
     return acc.cast("int")
+
+
+def band_bits_for(n_vectors: int, target_bucket_rows: int = 1024) -> int:
+    """Corpus-sized band width: 2^bits buckets put ~target rows in each
+    (random-hyperplane buckets are near-uniform on centered data). The
+    in-bucket self-join is quadratic per bucket, so bits MUST grow with
+    the corpus: 8 planes (256 buckets) is right for 10^5-10^6 vectors
+    but catastrophic at 10^10, where bits ≈ log2(10^10/1024) ≈ 23.
+    Recall at higher widths comes from OR-ing several independent
+    bands (``banded_cosine_neardup``), exactly like minhash banding."""
+    import math
+
+    if n_vectors <= target_bucket_rows:
+        return 1
+    return max(1, math.ceil(math.log2(n_vectors / target_bucket_rows)))
 
 
 def brute_force_topk(embeds: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
@@ -231,9 +251,10 @@ def ivf_topk(
 def cosine_neardup_pairs(
     embeds: DataFrame, threshold: float = 0.95, n_planes: int = N_PLANES
 ) -> DataFrame:
-    """Embedding-cosine near-dup: pairs above threshold, blocked by LSH
-    bucket (near-identical vectors land in the same bucket with high
-    probability; all-pairs is avoided)."""
+    """Embedding-cosine near-dup: pairs above threshold, blocked by ONE
+    LSH bucket signature. Kept as the single-band baseline; the scale
+    path is ``banded_cosine_neardup`` (multi-band OR + exact verify —
+    wider signatures for bounded buckets, extra bands for recall)."""
     with_bucket = embeds.withColumn(
         "bucket", bucket_id(F.col("embedding"), n_planes)
     )
@@ -251,6 +272,76 @@ def cosine_neardup_pairs(
             F.col("l.vec_id").alias("vec_a"),
             F.col("r.vec_id").alias("vec_b"),
             sim.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def banded_cosine_neardup(
+    embeds: DataFrame,
+    threshold: float = 0.9,
+    band_bits: int | None = None,
+    n_bands: int = 4,
+    target_bucket_rows: int = 1024,
+) -> DataFrame:
+    """The 10^10-scale embedding near-dup shape (VERDICT-r3 #4): the
+    dedup-style two-stage pipeline over random-hyperplane signatures.
+
+    1. CANDIDATES: ``n_bands`` independent bands, each a
+       ``band_bits``-plane signature over its own plane set; vectors
+       colliding in ANY band are candidates. Collision math mirrors
+       minhash banding: per-plane agreement p = 1 − θ/π, band hit
+       p^bits, pair recall 1 − (1−p^bits)^bands — so widening bits
+       (for bounded buckets at big N) is paid for with extra bands,
+       not lost recall.
+    2. VERIFY: exact cosine on just the candidate pairs.
+
+    ``band_bits`` defaults from the corpus size via ``band_bits_for``
+    so the per-(band, key) bucket stays ~target_bucket_rows and the
+    in-bucket self-join never goes quadratic in N. The band-key table
+    is narrow (vec_id, band, key) — payload vectors join in only for
+    the O(|candidates|) verify stage."""
+    if band_bits is None:
+        band_bits = band_bits_for(embeds.count(), target_bucket_rows)
+    keys = None
+    for b in range(n_bands):
+        k = embeds.select(
+            "vec_id",
+            F.lit(b).cast("int").alias("band_idx"),
+            bucket_id(
+                F.col("embedding"), band_bits, plane_offset=b * band_bits
+            ).alias("band_key"),
+        )
+        keys = k if keys is None else keys.unionByName(k)
+    cand = (
+        keys.alias("l")
+        .join(
+            keys.alias("r"),
+            [
+                F.col("l.band_idx") == F.col("r.band_idx"),
+                F.col("l.band_key") == F.col("r.band_key"),
+                F.col("l.vec_id") < F.col("r.vec_id"),
+            ],
+        )
+        .select(
+            F.col("l.vec_id").alias("vec_a"),
+            F.col("r.vec_id").alias("vec_b"),
+        )
+        .distinct()
+    )
+    a = embeds.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va")
+    )
+    b_ = embeds.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb")
+    )
+    return (
+        cand.join(a, "vec_a")
+        .join(b_, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

@@ -1477,12 +1477,13 @@ WHERE rank <= 5
 """
 
 
-def _bucket_sql(vec: str) -> str:
+def _bucket_sql(vec: str, n_planes: int = ann.N_PLANES,
+                plane_offset: int = 0) -> str:
     terms = []
-    for b in range(ann.N_PLANES):
+    for b in range(n_planes):
         sign = (
             "CASE WHEN "
-            + _h60_sql("concat('%d', ',', j)" % b)
+            + _h60_sql("concat('%d', ',', j)" % (plane_offset + b))
             + " % 2 = 0 THEN 1.0 ELSE -1.0 END"
         )
         proj = (
@@ -1581,25 +1582,70 @@ WHERE rank <= 3
 """
 
 
+NEARDUP_BAND_BITS = 8
+NEARDUP_BANDS = 4
+NEARDUP_PLANT_MOD = 29
+
+
 def q_embed_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ann.cosine_neardup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.9
+    """Two-stage banded near-dup (ann.banded_cosine_neardup) over the
+    corpus augmented with PLANTED near-duplicates — every vec_id % 29
+    gains a clone (id + 10^6) with its first component negated, cosine
+    ≈ 1 − 2·v0²/|v|² ≈ 0.97 on 64-dim vectors. The random base corpus
+    has no pairs above 0.9, so without planting the oracle was
+    vacuously green on 0 rows (VERDICT-r3 #3); now both candidate
+    banding (plane parities, band OR) and the exact verify must agree
+    on real rows. Negation is exact in float, so Spark and DuckDB
+    compute bit-identical clones."""
+    base = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = base.filter(
+        F.col("vec_id") % NEARDUP_PLANT_MOD == 0
+    ).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: F.when(i == 0, -x).otherwise(x)
+        ).alias("embedding"),
+    )
+    return ann.banded_cosine_neardup(
+        base.unionByName(planted),
+        threshold=0.9,
+        band_bits=NEARDUP_BAND_BITS,
+        n_bands=NEARDUP_BANDS,
     )
 
 
+def _neardup_band_keys_sql() -> str:
+    parts = []
+    for b in range(NEARDUP_BANDS):
+        key = _bucket_sql(
+            "embedding", NEARDUP_BAND_BITS, plane_offset=b * NEARDUP_BAND_BITS
+        )
+        parts.append(
+            f"SELECT vec_id, {b} AS band_idx, {key} AS band_key FROM aug"
+        )
+    return " UNION ALL ".join(parts)
+
+
 SQL_EMBED_COSINE_NEARDUP = f"""
-WITH e AS (SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
-           FROM embeddings)
+WITH aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(range(0, len(embedding)),
+           i -> CAST(CASE WHEN i = 0 THEN -embedding[1]
+                     ELSE embedding[i+1] END AS FLOAT)) AS embedding
+  FROM embeddings WHERE vec_id % {NEARDUP_PLANT_MOD} = 0),
+keys AS ({_neardup_band_keys_sql()}),
+cand AS (SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b
+         FROM keys l JOIN keys r
+           ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+          AND l.vec_id < r.vec_id)
 SELECT vec_a, vec_b, cos_sim FROM (
-  SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
-         round(
-           list_sum(list_transform(range(0, len(l.embedding)),
-             i -> CAST(l.embedding[i+1] AS DOUBLE) * CAST(r.embedding[i+1] AS DOUBLE)))
-           / (sqrt(list_sum(list_transform(l.embedding,
-                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-              * sqrt(list_sum(list_transform(r.embedding,
-                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos_sim
-  FROM e l JOIN e r ON l.bucket = r.bucket AND l.vec_id < r.vec_id) t
+  SELECT c.vec_a, c.vec_b,
+         round({_COS_SQL.format(a='a.embedding', b='b.embedding')}, 4)
+           AS cos_sim
+  FROM cand c JOIN aug a ON a.vec_id = c.vec_a
+              JOIN aug b ON b.vec_id = c.vec_b) t
 WHERE cos_sim >= 0.9
 """
 

@@ -104,6 +104,40 @@ def jdbc_writer(items: DataFrame, jdbc_url: str, table: str,
     return w
 
 
+def jdbc_reader(
+    spark,
+    jdbc_url: str,
+    table: str,
+    driver: str | None = None,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """S4 read path: the DB-backed history source (reference resumes
+    success/failure history from MySQL/Mongo at start,
+    app/aid/history/history.go:106-264). Pair with
+    ``CrawlEngine.import_seen`` to inherit a foreign seen set, or read
+    any sink table back. ``partition_column``/bounds/``num_partitions``
+    split the read into parallel range scans — REQUIRED at scale: a
+    10^10-key history behind one JDBC cursor is a single-task read."""
+    r = (
+        spark.read.format("jdbc")
+        .option("url", jdbc_url)
+        .option("dbtable", table)
+    )
+    if driver:
+        r = r.option("driver", driver)
+    if partition_column is not None:
+        r = (
+            r.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions or 8))
+        )
+    return r.load()
+
+
 def export_files(files: DataFrame, out_dir: str,
                  name_col: str = "image_id", bytes_col: str = "bytes") -> None:
     """S8: one binary file per row, written executor-side via

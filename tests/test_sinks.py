@@ -189,3 +189,61 @@ def test_write_excel_total_row_tripwire(spark, tmp_store_dir):
     with pytest.raises(ValueError, match="max_total_rows"):
         sinks.write_excel(big, f"{tmp_store_dir}/big.xlsx",
                           max_total_rows=100)
+
+
+def test_jdbc_history_inherit_roundtrip(spark, tmp_store_dir):
+    """S4 history READ path (history.go:106-156): a finished crawl's
+    seen set exported to Derby, read back with jdbc_reader (partitioned
+    range scan), imported into a FRESH store via import_seen — the new
+    run admits nothing it inherited, and dropping the inherited history
+    (success_inherit=False) makes the full crawl admissible again."""
+    import os
+
+    from pholcus_spark import synthetic
+    from pholcus_spark.crawler import CrawlEngine
+    from pholcus_spark.oracle import CrawlConfig
+    from pholcus_spark.schemas import URL_SEEN_SCHEMA
+    from pholcus_spark.tables import SnapshotStore
+    from tests.helpers import url_seen_set
+
+    url = f"jdbc:derby:{tmp_store_dir}/derby_hist;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    cfg = CrawlConfig(n_hosts=8, batch_size=12, limit=60)
+    seeds = synthetic.seed_urls(6, cfg.n_hosts)
+
+    eng_a = CrawlEngine(
+        spark, SnapshotStore(os.path.join(tmp_store_dir, "a")), cfg
+    )
+    eng_a.run(seeds)
+    seen_a = url_seen_set(eng_a)
+    assert seen_a
+    sinks.jdbc_writer(
+        eng_a.load("url_seen", URL_SEEN_SCHEMA), url, "url_seen",
+        driver=driver,
+    ).save()
+
+    hist = sinks.jdbc_reader(
+        spark, url, "url_seen", driver=driver,
+        partition_column="url_key",
+        lower_bound=min(seen_a), upper_bound=max(seen_a) + 1,
+        num_partitions=4,
+    )
+    assert hist.rdd.getNumPartitions() == 4  # parallel range scan
+    # import into an empty store FIRST, then push the seeds — they must
+    # dedup against the inherited history at admission time
+    eng_c = CrawlEngine(
+        spark, SnapshotStore(os.path.join(tmp_store_dir, "c")), cfg
+    )
+    eng_c.bootstrap([])  # empty bootstrap commits an empty snapshot
+    eng_c.import_seen(hist.select("url_key"))
+    eng_c.start_new_run(seeds)
+    eng_c.run()
+    # every inherited URL was refused admission: no visit overlaps A
+    visited_c = {
+        r["url_key"] for r in eng_c.fetched_df().select("url_key").collect()
+    }
+    assert not (visited_c & seen_a)
+    # dropping the inherited history re-admits everything
+    eng_c.start_new_run(seeds, success_inherit=False)
+    eng_c.run()
+    assert url_seen_set(eng_c) >= seen_a
