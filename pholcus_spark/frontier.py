@@ -373,16 +373,22 @@ def assign_proxies(
     batch: DataFrame,
     pool: list[str] | tuple[str, ...],
     max_latency_ms: int = 300,
+    live: list[tuple[str, int]] | None = None,
 ) -> DataFrame:
     """F12 proxy assignment (reference app/aid/proxy/proxy.go:141-197):
     speed-filter the pool, speed-rank the survivors, rotate requests
     across them keyed by url_key. The live list is config-sized, so the
     choice compiles to an element_at over an array literal — pure JVM
     column math, no join, no shuffle. Empty/filtered-out pool → NULL
-    proxy (direct fetch), like the reference when no proxy is usable."""
+    proxy (direct fetch), like the reference when no proxy is usable.
+
+    ``live`` overrides the synthetic latencies with a real probed
+    ranking (``proxypool.ProxyPool.ranking`` — one probe sweep per
+    round, then the per-request choice stays driver-free)."""
     from . import synthetic
 
-    live = synthetic.live_proxies(list(pool), max_latency_ms)
+    if live is None:
+        live = synthetic.live_proxies(list(pool), max_latency_ms)
     if not live:
         return batch.withColumn("proxy", F.lit(None).cast("string"))
     arr = F.array(*[F.lit(p) for p, _ in live])
