@@ -60,6 +60,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins for every SQL-expressible query; the video/audio
-    codec stubs are intentionally absent (rows-only check)."""
+    """DuckDB twins for every registry query — including the
+    multimodal stubs, whose codec-bound columns are recomputed
+    driver-side through the same generator+codec path (partial
+    oracles in the images_decode_meta mold)."""
     return oracle_sql_map()

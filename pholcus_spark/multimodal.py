@@ -202,16 +202,20 @@ def sample_video_frames(videos: DataFrame, every_ms: int = 1000) -> DataFrame:
 
     STUB: real frame extraction needs ffmpeg/pyav (not in this
     container). The deterministic fake emits one synthetic PNG frame
-    per ``every_ms`` from the payload hash, with the exact schema,
-    batching, and timestamp math a real extractor would produce.
+    per ``every_ms`` keyed by (video_id, frame_idx), with the exact
+    schema, batching, and timestamp math a real extractor would
+    produce. The seed is crc32-based (process-salt-free, unlike
+    ``hash()``) and payload-independent so an oracle can recompute
+    each frame from the ids alone.
     """
+    import zlib
 
     def _sample(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in pdf_iter:
             rows = []
             for r in pdf.itertuples(index=False):
                 dur = int(r.duration_ms)
-                seed = hash((r.video_id, len(r.bytes or b""))) & 0xFFFF
+                seed = zlib.crc32(str(r.video_id).encode("utf-8")) & 0xFFFF
                 for i, ts in enumerate(range(0, dur, every_ms)):
                     rng = np.random.Generator(np.random.PCG64(seed + i))
                     frame = rng.integers(0, 255, size=(16, 16, 3), dtype=np.uint8)

@@ -1772,8 +1772,19 @@ FROM b l JOIN b r ON l.band_idx = r.band_idx
 """
 
 
+MEDIA_ORACLE_DOCS = 50
+
+
 def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    """Engine side: REAL binary frame payloads through the stub
+    extractor's mapInPandas path (schema/batching/timestamp math of a
+    real ffmpeg-backed extractor); the DuckDB twin recomputes each
+    frame's PNG byte length driver-side through the same
+    generator+codec path and predicts (frame_idx, ts_ms) by SQL
+    arithmetic — a partial oracle in the images_decode_meta mold."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < MEDIA_ORACLE_DOCS
+    )
     videos = docs.select(
         F.concat(F.lit("vid-"), F.col("doc_id").cast("string")).alias("video_id"),
         F.encode(F.col("text"), "utf-8").alias("bytes"),
@@ -1785,13 +1796,98 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@lru_cache(maxsize=1)
+def _sql_video_frame_sample() -> str:
+    """DuckDB twin of ``q_video_frame_sample``: frame PNG byte lengths
+    recomputed driver-side via the exact stub path (crc32 seed → PCG64
+    pixels → PNG encode), timestamps via SQL arithmetic on the same
+    duration formula."""
+    import zlib
+
+    import numpy as np
+
+    from .imaging import encode_image
+
+    vals = []
+    for doc_id in range(MEDIA_ORACLE_DOCS):
+        video_id = f"vid-{doc_id}"
+        dur = (doc_id % 5 + 1) * 2000
+        seed = zlib.crc32(video_id.encode("utf-8")) & 0xFFFF
+        for i in range(dur // 1000):
+            rng = np.random.Generator(np.random.PCG64(seed + i))
+            frame = rng.integers(0, 255, size=(16, 16, 3), dtype=np.uint8)
+            vals.append(f"({doc_id}, {i}, {len(encode_image(frame, 'png'))})")
+    return f"""
+WITH fb(doc_id, frame_idx, n_bytes) AS (VALUES {', '.join(vals)})
+SELECT 'vid-' || CAST(d.doc_id AS VARCHAR) AS video_id,
+       CAST(f.frame_idx AS INT) AS frame_idx,
+       CAST(f.frame_idx * 1000 AS BIGINT) AS ts_ms,
+       CAST(f.n_bytes AS INT) AS n_bytes
+FROM documents d JOIN fb f ON f.doc_id = d.doc_id
+WHERE d.doc_id < {MEDIA_ORACLE_DOCS}
+"""
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
-    audio = docs.select(
-        F.concat(F.lit("aud-"), F.col("doc_id").cast("string")).alias("audio_id"),
-        F.encode(F.repeat(F.col("text"), 4), "utf-8").alias("bytes"),
+    """Engine side: REAL int16-LE PCM bytes (doc-keyed sine fixture)
+    through the vectorized feature UDF; the DuckDB twin predicts
+    duration by the SQL-mirrorable Knuth-hash sample count and
+    recomputes RMS/zero-crossings driver-side over the same bytes —
+    every output column oracle-checked."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < MEDIA_ORACLE_DOCS
+    )
+
+    def _gen(pdf_iter):
+        import pandas as pd
+
+        from . import synthetic
+
+        for pdf in pdf_iter:
+            rows = [
+                {
+                    "audio_id": f"aud-{doc_id}",
+                    "bytes": synthetic.audio_for_doc(int(doc_id)),
+                }
+                for doc_id in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(rows, columns=["audio_id", "bytes"])
+
+    audio = docs.select("doc_id").mapInPandas(
+        _gen, "audio_id string, bytes binary"
     )
     return multimodal.audio_features(audio)
+
+
+@lru_cache(maxsize=1)
+def _sql_audio_features() -> str:
+    """DuckDB twin of ``q_audio_features``: duration via SQL arithmetic
+    (n_samples = 2000 + knuth(doc_id) % 6000 → ms at 16 kHz), RMS and
+    zero-crossings recomputed driver-side with an inlined copy of the
+    feature math over the same generated PCM."""
+    import numpy as np
+
+    from . import synthetic
+
+    vals = []
+    for doc_id in range(MEDIA_ORACLE_DOCS):
+        pcm = np.frombuffer(
+            synthetic.audio_for_doc(doc_id), dtype="<i2"
+        ).astype(np.float64)
+        rms = round(float(np.sqrt(np.mean(pcm**2))), 4)
+        zc = int(np.sum(np.signbit(pcm[1:]) != np.signbit(pcm[:-1])))
+        vals.append(f"({doc_id}, {rms!r}, {zc})")
+    return f"""
+WITH af(doc_id, rms, zero_crossings) AS (VALUES {', '.join(vals)}),
+n AS (SELECT doc_id,
+             2000 + (doc_id * 2654435761) % 4294967296 % 6000 AS n_samples
+      FROM documents WHERE doc_id < {MEDIA_ORACLE_DOCS})
+SELECT 'aud-' || CAST(n.doc_id AS VARCHAR) AS audio_id,
+       CAST(n.n_samples * 1000 // 16000 AS BIGINT) AS duration_ms,
+       CAST(af.rms AS DOUBLE) AS rms,
+       CAST(af.zero_crossings AS BIGINT) AS zero_crossings
+FROM n JOIN af ON af.doc_id = n.doc_id
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1897,8 +1993,7 @@ ORACLE_SQL: dict[str, str] = {
     "embed_ivf_ann": SQL_EMBED_IVF_ANN,
     "embed_cosine_neardup": SQL_EMBED_COSINE_NEARDUP,
     # partial multimodal oracles: decode/resize metadata predicted from
-    # doc_id (generator arithmetic mirrored in SQL); the remaining
-    # multimodal queries (video/audio codec stubs) stay rows-only
+    # doc_id (generator arithmetic mirrored in SQL)
     "images_decode_meta": SQL_IMAGES_DECODE_META,
     "images_resize": SQL_IMAGES_RESIZE,
 }
@@ -1907,6 +2002,8 @@ ORACLE_SQL: dict[str, str] = {
 # first use — e.g. the phash list costs ~0.5 s of codec work)
 LAZY_ORACLE_SQL: dict[str, Callable[[], str]] = {
     "images_phash_neardup": _sql_images_phash_neardup,
+    "video_frame_sample": _sql_video_frame_sample,
+    "audio_features": _sql_audio_features,
 }
 
 

@@ -200,6 +200,28 @@ def image_for_doc(doc_id: int) -> tuple[np.ndarray, str]:
     return _image_pixels(r, w, h), fmt
 
 
+def audio_params_for_doc(doc_id: int) -> tuple[int, int, int]:
+    """(n_samples, freq_hz, amplitude) for the doc-keyed PCM fixture —
+    same Knuth-hash arithmetic as ``image_params_for_doc`` so oracles
+    can derive the sample count (and hence duration) in plain SQL."""
+    r = (int(doc_id) * 2654435761) % (1 << 32)
+    n_samples = 2000 + r % 6000
+    freq_hz = 50 + (r // 64) % 400
+    amplitude = 4000 + (r // 4096) % 20000
+    return n_samples, freq_hz, amplitude
+
+
+def audio_for_doc(doc_id: int, sample_rate: int = 16000) -> bytes:
+    """Deterministic 16-bit little-endian PCM for a documents-table row
+    (the registry's audio corpus stand-in): a pure sine at a doc-keyed
+    frequency/amplitude, so RMS and zero-crossing counts are non-trivial
+    but exactly recomputable driver-side for the oracle twin."""
+    n, freq, amp = audio_params_for_doc(doc_id)
+    t = np.arange(n, dtype=np.float64)
+    wave = amp * np.sin(2.0 * np.pi * freq * t / float(sample_rate))
+    return wave.astype("<i2").tobytes()
+
+
 def child_links(url: str, depth: int, n_hosts: int) -> list[str]:
     """0-4 deterministic child URLs; ~20% draw from a small per-host
     'popular pool' so duplicate links occur naturally across pages."""

@@ -33,13 +33,18 @@ SAMPLED = [
     "doc_fingerprint",
     "embed_cosine_topk",
     "embed_ivf_ann",
+    # multimodal: the oracles recompute codec-bound values driver-side
+    # through the same generator+codec path (lazy VALUES twins)
+    "images_phash_neardup",
+    "video_frame_sample",
+    "audio_features",
 ]
 
-# the residual rows-only set: phash banding has no SQL twin; the
-# video/audio decoders are the two honest codec stubs.
-# images_decode_meta/images_resize graduated to partial oracles
-# (metadata predicted from doc_id, VERDICT-r2 #9).
-ROWS_ONLY = ["images_phash_neardup", "video_frame_sample", "audio_features"]
+# every registry query now has an oracle twin: images_decode_meta /
+# images_resize via doc_id-arithmetic SQL (VERDICT-r2 #9), the phash
+# banding and the video/audio stubs via lazy driver-side VALUES lists
+# (VERDICT-r3 #3 + round-4 media oracles).
+ROWS_ONLY: list[str] = []
 
 
 @pytest.fixture(scope="module")
@@ -78,7 +83,9 @@ def test_registry_complete():
     assert len(qs) >= 30
     # every oracle key has a query
     assert set(oracles) <= set(qs)
-    # multimodal binary pipelines are rows-only by design
+    # ... and every query has an oracle (ROWS_ONLY documents any
+    # exceptions; currently none)
+    assert set(qs) - set(oracles) == set(ROWS_ONLY)
     for name in ROWS_ONLY:
         assert name in qs and name not in oracles
 
