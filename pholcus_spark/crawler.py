@@ -29,7 +29,6 @@ Tables (FIXTURES.md §2-7):
 from __future__ import annotations
 
 import os
-import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -556,13 +555,11 @@ class CrawlEngine:
         admitted_by = self._admitted_by(meta)
 
         pending = self.load("pending", FRONTIER_SCHEMA)
-        # Drained frontier → end the crawl without paying for an empty
-        # select/fetch/stage cycle (~2-4 s of fixed job latency). The
-        # count reads parquet footer row counts only — one tiny job per
-        # round, repaid on every crawl's final round.
-        n_pending = pending.count()
-        if n_pending == 0:
-            return 0
+        # No separate drained-frontier count: the batch count below
+        # (needed anyway) returns 0 for an empty frontier and exits
+        # before the fetch/stage cycle — one job per round instead of
+        # two, and the final drained round costs one select instead of
+        # a full empty round.
         scope = FR.CacheScope()
         batch = scope.add(
             FR.select_batch(
@@ -576,6 +573,18 @@ class CrawlEngine:
         cookies_df = (
             self.load("cookies", COOKIES_SCHEMA) if cfg.enable_cookie else None
         )
+        # Exact batch size, counted once on the cached batch (the
+        # select_batch evaluation happens exactly once either way — the
+        # cache pins it). Downstream it (a) skips the fetch job when
+        # politeness admitted nothing, (b) sizes fetch partitions to
+        # the real row count instead of the 4x-width floor, and (c)
+        # replaces the post-fetch results.count() — fetch output is
+        # 1:1 with batch rows.
+        n_batch = batch.count()
+        _mark("select")
+        if n_batch == 0:
+            scope.release()
+            return 0
 
         # F15: pause until each timer-gated rule present in this batch
         # fires (config-gated — zero cost for crawls with no timers;
@@ -610,9 +619,9 @@ class CrawlEngine:
         # thrash both (measured ~35% per-URL slowdown at 1875 rows x
         # 140 KB vs ~500-row partitions). batch <= pending, so the
         # pending count (already taken) bounds the hint.
-        n_part_hint = min(
-            n_pending, cfg.batch_size or n_pending
-        ) // max(int(getattr(cfg, "fetch_part_rows", 512)), 1)
+        n_part_hint = n_batch // max(
+            int(getattr(cfg, "fetch_part_rows", 512)), 1
+        )
         fetch_batch(
             dispatch,
             self._rules,
@@ -622,6 +631,7 @@ class CrawlEngine:
             cfg.img_px_scale,
             cookies=cookies_df,
             n_part_hint=n_part_hint,
+            n_rows=n_batch,
         ).select(
             "*",
             F.lit(round_no).cast("int").alias("visit_round"),
@@ -632,12 +642,6 @@ class CrawlEngine:
         ).write.mode("overwrite").parquet(scratch)
         _mark("fetch_scratch")
         results = self.spark.read.schema(FETCHED_SCHEMA).parquet(scratch)
-        # row count comes from parquet footer metadata — no data scan
-        n_batch = results.count()
-        if n_batch == 0:
-            scope.release()
-            shutil.rmtree(scratch, ignore_errors=True)
-            return 0
         _, requeued, _failed = FR.split_results(
             results.select(*FETCH_RESULT_SCHEMA.fieldNames()),
             cfg.max_requeue_attempt,
@@ -785,7 +789,11 @@ class CrawlEngine:
             for label, ts in _marks:
                 spans.append(f"{label}={ts - prev:.1f}s")
                 prev = ts
-            print(f"[round {round_no}] " + " ".join(spans), flush=True)
+            print(
+                f"[round {round_no}] " + " ".join(spans)
+                + f" wall={time.time() - t0:.1f}s n={n_batch}",
+                flush=True,
+            )
         return n_batch
 
     def _maybe_compact(self, table: str, schema, round_no: int) -> None:

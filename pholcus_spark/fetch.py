@@ -39,6 +39,8 @@ def fetch_batch(
     px_scale: int = 1,
     cookies: DataFrame | None = None,
     n_part_hint: int | None = None,
+    n_rows: int | None = None,
+    min_part_rows: int = 8,
 ) -> DataFrame:
     """Run the fetch/parse UDF over a dispatch batch.
 
@@ -262,6 +264,14 @@ def fetch_batch(
         # partition so parquet writers and Arrow buffers stay small);
         # never below the 4x-wave floor
         n_part = max(n_part, int(n_part_hint))
+    if n_rows is not None:
+        # exact batch size known (run_round counts the cached batch):
+        # never schedule more tasks than ~n_rows/min_part_rows — a
+        # politeness-bound round of ~30 URLs otherwise pays 4x-width
+        # (128 at local[32]) near-empty tasks plus a 128-file scratch
+        # write that every downstream consumer re-reads. Large batches
+        # are unaffected (the row bound exceeds the wave floor).
+        n_part = min(n_part, max(1, -(-int(n_rows) // max(min_part_rows, 1))))
     return batch.repartition(n_part, "url_key").mapInPandas(
         _fetch, FETCH_RESULT_SCHEMA
     )

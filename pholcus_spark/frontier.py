@@ -130,8 +130,14 @@ def anti_join_seen(cands: DataFrame, url_seen) -> DataFrame:
     return fresh.unionByName(reloadable)
 
 
+SMALL_SEQ_ROWS = 65536
+
+
 def assign_seq(
-    cands: DataFrame, next_seq: int, scope: CacheScope | None = None
+    cands: DataFrame,
+    next_seq: int,
+    scope: CacheScope | None = None,
+    n_rows_hint: int | None = None,
 ) -> tuple[DataFrame, int]:
     """Distributed zipWithIndex: global FIFO seq numbers consistent with
     ``cand_order``, without a single-partition window. Range-partition
@@ -144,7 +150,22 @@ def assign_seq(
     Entirely JVM-side: range shuffle → per-partition counts (tiny
     driver metadata) → row_number within partition + broadcast-joined
     offsets. No Python round-trip of the candidate rows.
+
+    ``n_rows_hint`` is the EXACT row count when the caller already paid
+    for it (the budget branches count per round): at or below
+    ``SMALL_SEQ_ROWS`` the range machinery is skipped for one global
+    window — on politeness-bound rounds of tens of rows the range
+    partitioner's sampling pass + counts job are pure fixed overhead,
+    and a single-partition sort of ≤64k cached rows is cheaper than
+    either. Big rounds (or unknown counts) keep the scalable path.
     """
+    if n_rows_hint is not None and n_rows_hint <= SMALL_SEQ_ROWS:
+        w = Window.orderBy("cand_order")
+        out = cands.withColumn(
+            "seq",
+            (F.row_number().over(w) - 1 + F.lit(int(next_seq))).cast("long"),
+        )
+        return out, int(n_rows_hint)
     spark = cands.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     ranged = cands.repartitionByRange(n_part, "cand_order").withColumn(
@@ -223,6 +244,9 @@ def enqueue(
     # stages that must not be re-evaluated per pass. Released via the
     # caller's CacheScope after the commit.
     cands = _cache(cands, scope)
+    # exact admitted count when a budget branch pays for one anyway —
+    # lets assign_seq skip its range-partitioner on small rounds
+    n_final: int | None = None
     if remaining_by_spider is not None:
         # per-spider page budget (Spider.Limit is per Matrix instance,
         # matrix.go:59-61 + spider.go:241-249): admit each spider's
@@ -260,6 +284,12 @@ def enqueue(
                 )
                 .drop("_rn", "_rem")
             )
+            if n_cand <= SMALL_SEQ_ROWS:
+                # post-filter count: one cheap job over the cached base
+                # that buys the small-round seq fast path below
+                n_final = cands.count()
+        else:
+            n_final = n_cand
     elif remaining_budget is not None:
         # global page budget (F6, matrix.go:59-61): admit in FIFO order
         # until the budget is spent. orderBy+limit compiles to
@@ -269,7 +299,10 @@ def enqueue(
         n_cand = cands.count()
         if n_cand > max(remaining_budget, 0):
             cands = cands.orderBy("cand_order").limit(max(remaining_budget, 0))
-    cands, n_new = assign_seq(cands, next_seq, scope=scope)
+            n_final = max(remaining_budget, 0)
+        else:
+            n_final = n_cand
+    cands, n_new = assign_seq(cands, next_seq, scope=scope, n_rows_hint=n_final)
     out = cands.select(
         "url_key",
         "url",

@@ -196,6 +196,35 @@ def main() -> int:
          p, probs)
     )
 
+    # 8. assign_seq: politeness-bound rounds (exact count known and
+    # ≤64k) take one single-partition window — the range partitioner's
+    # sampling pass + per-partition counts job are pure fixed overhead
+    # at tens of rows. Unknown or large counts keep the sampled range
+    # shuffle (the scalable zipWithIndex).
+    seq_cands = pending.select(
+        "url_key", "url", "host", F.col("seq").alias("cand_order")
+    )
+    small_seq, _ = FR.assign_seq(seq_cands, 0, n_rows_hint=100)
+    p, probs = audit(
+        "assign_seq (small-round fast path)", small_seq,
+        expect=["SinglePartition", "Window"],
+        forbid=["rangepartitioning"],
+    )
+    sections.append(
+        ("assign_seq small-round fast path — one window, no range "
+         "sampling (r3 #9 round-overhead item)", p, probs)
+    )
+    big_seq, _ = FR.assign_seq(seq_cands, 0)
+    p, probs = audit(
+        "assign_seq (range path)", big_seq,
+        expect=["rangepartitioning"],
+        forbid=[],
+    )
+    sections.append(
+        ("assign_seq range path — sampled range shuffle + offset join "
+         "(the 10^10-candidate shape)", p, probs)
+    )
+
     all_problems = []
     out = ["# PLANS — physical-plan audit of the hot paths\n"]
     out.append(
