@@ -404,6 +404,7 @@ class CrawlEngine:
                             if req.get("headers")
                             else None,
                             temp,
+                            req.get("try_times"),
                         )
                     )
             # Arrow path: ship only the data columns as a pandas frame —
@@ -415,7 +416,7 @@ class CrawlEngine:
                 columns=[
                     "url", "host", "spider", "cand_order", "rule",
                     "method", "priority", "post_data", "headers_json",
-                    "temp_json",
+                    "temp_json", "try_times_req",
                 ],
             )
             base = self.spark.createDataFrame(
@@ -423,12 +424,14 @@ class CrawlEngine:
                 schema="url string, host string, spider string, "
                 "cand_order long, rule string, method string, "
                 "priority int, post_data string, headers_json string, "
-                "temp_json string",
+                "temp_json string, try_times_req int",
             )
         if "rule" not in base.columns:
             base = base.withColumn("rule", F.lit("root")).withColumn(
                 "priority", F.lit(cfg.seed_priority).cast("int")
-            ).withColumn("temp_json", F.lit(None).cast("string"))
+            ).withColumn("temp_json", F.lit(None).cast("string")).withColumn(
+                "try_times_req", F.lit(None).cast("int")
+            )
         cands = base.select(
             "url",
             "host",
@@ -442,7 +445,10 @@ class CrawlEngine:
             F.from_json("headers_json", "map<string,array<string>>").alias("headers"),
             "post_data",
             F.lit(False).alias("reloadable"),
-            F.lit(cfg.try_times).cast("int").alias("try_times"),
+            # per-seed TryTimes (request.go:48) wins over the config
+            F.coalesce(
+                F.col("try_times_req"), F.lit(cfg.try_times)
+            ).cast("int").alias("try_times"),
             "cand_order",
         )
         _mark("seed_frame")
@@ -483,7 +489,11 @@ class CrawlEngine:
             else ({self._instances[0]: n_new} if n_new else {})
         )
         boot_meta = {"next_seq": n_new, "admitted_by": boot_by,
-                     "deferred": False, "round": 0, "seen_gen": 0}
+                     "deferred": False, "round": 0, "seen_gen": 0,
+                     # current store format — new stores must carry the
+                     # stamp or every open re-reads parquet footers in
+                     # _migrate_v1_headers
+                     "headers_format": 2}
         if self._seen_cat is not None:
             # layout stamp: reopening with a different bucket width
             # triggers a transparent rewrite (_open_seen_catalog)
@@ -772,6 +782,10 @@ class CrawlEngine:
                 "deferred": meta.get("deferred", False),
                 "run_start_round": int(meta.get("run_start_round", 0)),
                 "seen_gen": seen_gen,
+                # free format stamp: pre-stamp stores (already
+                # multi-value but unstamped) stop paying the per-open
+                # footer check after their first committed round
+                "headers_format": 2,
             },
             # zero-copy: the staged fetch output becomes this round's
             # slice of the fetched log (renamed after writes finish, so

@@ -16,6 +16,7 @@ I/O (a real fetcher would run an async HTTP client over the same batch).
 from __future__ import annotations
 
 from typing import Iterator
+from urllib.parse import urljoin
 
 import pandas as pd
 
@@ -175,7 +176,7 @@ def fetch_batch(
                                 {"url": cu, "rule": child_rule,
                                  "priority": child_prio,
                                  "method": None, "post_data": None,
-                                 "downloader": None}
+                                 "downloader": None, "try_times": None}
                             )
                 if form_req is not None and res.ok:
                     fcu = canonicalize(form_req["url"])
@@ -189,19 +190,19 @@ def fetch_batch(
                                 "method": form_req["method"],
                                 "post_data": form_req["post_data"],
                                 "downloader": None,
+                                "try_times": None,
                             }
                         )
                 for q in js_queued:
                     # explicit AddQueue requests are depth-independent
                     # (the reference gates only on dedup/budget,
-                    # context.go:104-125); relative URLs resolve
-                    # against the page like MakeUrl
+                    # context.go:104-125); relative URLs — including
+                    # protocol-relative and query-only forms — resolve
+                    # against the page like MakeUrl (RFC 3986 urljoin)
                     qu = q["url"]
-                    if qu.startswith("/"):
-                        qu = (
-                            row.url.split("://", 1)[0] + "://" + row.host + qu
-                        )
-                    cu = canonicalize(qu)
+                    if not qu:
+                        continue
+                    cu = canonicalize(urljoin(row.url, qu))
                     if cu:
                         links.append(
                             {
@@ -211,6 +212,9 @@ def fetch_batch(
                                 "method": q["method"],
                                 "post_data": q["post_data"],
                                 "downloader": q["downloader"],
+                                # JsAddQueue TryTimes (request.go:48):
+                                # NULL = inherit the parent's
+                                "try_times": q.get("try_times"),
                             }
                         )
                 out_rows.append(
@@ -333,6 +337,9 @@ def links_to_candidates(results: DataFrame) -> DataFrame:
         F.create_map(F.lit("Referer"), F.array(F.col("url"))).alias("headers"),
         F.col("link.post_data").alias("post_data"),
         F.lit(False).alias("reloadable"),
-        "try_times",
+        # JsAddQueue TryTimes wins; other children inherit the parent's
+        F.coalesce(F.col("link.try_times"), F.col("try_times")).alias(
+            "try_times"
+        ),
         (F.shiftleft(F.col("seq"), 20) + F.col("link_idx")).alias("cand_order"),
     )

@@ -39,7 +39,7 @@ import ssl
 import time
 import zlib
 from dataclasses import dataclass, field
-from urllib.parse import urlsplit
+from urllib.parse import urljoin, urlsplit
 
 from .synthetic import FetchResult
 
@@ -127,18 +127,29 @@ class HttpFetcher:
         parts = urlsplit(url)
         ip, _, port_s = ip_port.rpartition(":")
         if parts.scheme == "https":
-            # InsecureSkipVerify twin (surf.go:149-151); server_hostname
-            # keeps SNI correct while connecting to the cached IP
+            # InsecureSkipVerify twin (surf.go:149-151). The TCP dial
+            # goes to the DNS-cached IP, but the TLS handshake must
+            # carry the ORIGINAL hostname as SNI — HTTPSConnection(ip)
+            # alone would send no SNI (Python ssl omits it for IP
+            # literals) and name-routed frontends (CDNs, vhosts) would
+            # serve the wrong cert or 421. Dial + wrap explicitly.
             ctx = ssl._create_unverified_context()
             conn = http.client.HTTPSConnection(
                 ip, int(port_s), timeout=dial_timeout, context=ctx
+            )
+            sock = socket.create_connection(
+                (ip, int(port_s)), timeout=dial_timeout
+            )
+            conn.sock = ctx.wrap_socket(
+                sock, server_hostname=parts.hostname
             )
         else:
             conn = http.client.HTTPConnection(
                 ip, int(port_s), timeout=dial_timeout
             )
         try:
-            conn.connect()
+            if conn.sock is None:  # https pre-dialed above with SNI
+                conn.connect()
             conn.sock.settimeout(conn_timeout)
             path = parts.path or "/"
             if parts.query:
@@ -197,9 +208,33 @@ class HttpFetcher:
             hdrs.setdefault(
                 "Content-Type", ["application/x-www-form-urlencoded"]
             )
+        tries = self.try_times if try_times is None else try_times
+        # redirect loop: Surf rides Go's http.Client, which follows up
+        # to 10 redirects transparently — without this the common
+        # http→https 301 came back ok=True with the redirect stub as
+        # page content and the crawl silently dead-ended. 301/302/303
+        # demote to a bodyless GET (HEAD stays HEAD); 307/308 preserve
+        # method + body, per the Go client.
+        for _hop in range(10):
+            resp = self._exchange(url, method, hdrs, body, tries)
+            if resp.status in (301, 302, 303, 307, 308):
+                loc = (resp.headers.get("location") or [None])[0]
+                if loc:
+                    url = urljoin(url, loc)
+                    if resp.status in (301, 302, 303) and method != "HEAD":
+                        method, body = "GET", None
+                        hdrs.pop("Content-Length", None)
+                        hdrs.pop("Content-Type", None)
+                    continue
+            return resp
+        raise RuntimeError("stopped after 10 redirects")
+
+    def _exchange(self, url, method, hdrs, body, tries) -> HttpResponse:
+        """One URL's dial→send→decode with the ≤ try_times retry loop
+        (forever when ≤ 0, surf.go:157-181) and the DNS cache
+        register/evict protocol (surf.go:112-133)."""
         host, port = self._addr_of(url)
         addr = f"{host}:{port}"
-        tries = self.try_times if try_times is None else try_times
         attempt = 0
         last_err: Exception | None = None
         while tries <= 0 or attempt < tries:

@@ -479,6 +479,30 @@ def _strict_eq(a, b) -> bool:
     return a == b
 
 
+def _loose_eq(a, b) -> bool:
+    """ECMA abstract (==) equality for the subset's value types:
+    null == undefined, number-vs-string coerces the string, boolean
+    coerces to number first. Real otto-targeted scripts lean on these
+    (``items.Length() == '0'``, ``x == null``); evaluating == as ===
+    silently took the wrong branch."""
+    a_null = a is None or a is UNDEF
+    b_null = b is None or b is UNDEF
+    if a_null or b_null:
+        return a_null and b_null
+    if isinstance(a, bool):
+        return _loose_eq(int(a), b)
+    if isinstance(b, bool):
+        return _loose_eq(a, int(b))
+    if isinstance(a, (int, float)) and isinstance(b, str):
+        try:
+            return float(a) == float(b.strip() or "0")
+        except ValueError:
+            return False
+    if isinstance(a, str) and isinstance(b, (int, float)):
+        return _loose_eq(b, a)
+    return _strict_eq(a, b)
+
+
 class JsHost:
     """Base for host objects exposed to scripts: subclasses whitelist
     callable members via ``_js_methods`` — nothing else is reachable."""
@@ -607,8 +631,11 @@ class _Interp:
                 return fn(*args)
             except (JsError, _BreakSig, _ContinueSig, _ReturnSig):
                 raise
-            except TypeError as e:
-                raise JsError(str(e)) from e
+            except Exception as e:
+                # contain host/builtin failures as script errors: a
+                # ValueError escaping here would fail the whole Spark
+                # fetch task instead of this one page's parse
+                raise JsError(f"{type(e).__name__}: {e}") from e
         if kind == "bin":
             return self._binary(node[1], self.eval(node[2]),
                                 self.eval(node[3]))
@@ -678,10 +705,14 @@ class _Interp:
             if r == 0:
                 raise JsError("modulo by zero")
             return self._num(left) % r
-        if op in ("===", "=="):
+        if op == "===":
             return _strict_eq(left, right)
-        if op in ("!==", "!="):
+        if op == "!==":
             return not _strict_eq(left, right)
+        if op == "==":
+            return _loose_eq(left, right)
+        if op == "!=":
+            return not _loose_eq(left, right)
         if op == "<":
             return self._cmp(left, right) < 0
         if op == ">":
@@ -720,12 +751,45 @@ class _Interp:
 # encodeURIComponent's unreserved set (ECMA-262 §19.2.6.5)
 _ENC_SAFE = "-_.!~*'()"
 
+_FLOAT_PREFIX = re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?")
+_DIGITS = "0123456789abcdefghijklmnopqrstuvwxyz"
+
+
+def _js_parse_int(s, base=None):
+    """ECMA parseInt: longest leading integer prefix in the given base,
+    NaN when none — '12px' → 12, '' → NaN, '0x1A' → 26. A raw int()
+    here raised ValueError on JS-valid inputs, which escaped run_js and
+    failed the whole Spark fetch task."""
+    text = js_str(s).strip()
+    b = int(base) if base is not None else 0
+    sign = 1
+    if text[:1] in ("+", "-"):
+        sign = -1 if text[0] == "-" else 1
+        text = text[1:]
+    if b in (0, 16) and text[:2].lower() == "0x":
+        text, b = text[2:], 16
+    if b == 0:
+        b = 10
+    digits = _DIGITS[:b]
+    i = 0
+    while i < len(text) and text[i].lower() in digits:
+        i += 1
+    if i == 0:
+        return float("nan")
+    return sign * int(text[:i], b)
+
+
+def _js_parse_float(s):
+    m = _FLOAT_PREFIX.match(js_str(s).strip())
+    return float(m.group(0)) if m else float("nan")
+
 
 def _builtins() -> dict:
     return {
         "encodeURIComponent": lambda s: quote(js_str(s), safe=_ENC_SAFE),
         "decodeURIComponent": lambda s: unquote(js_str(s)),
-        "parseInt": lambda s, base=10: int(js_str(s).strip(), int(base)),
+        "parseInt": _js_parse_int,
+        "parseFloat": _js_parse_float,
         "String": js_str,
     }
 

@@ -19,6 +19,7 @@ which the pytest suite asserts exactly.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from urllib.parse import urljoin
 
 from . import synthetic
 from .hashing import url_key as make_url_key
@@ -462,20 +463,26 @@ def run_oracle(seeds: list[str], cfg: CrawlConfig) -> OracleResult:
                         method=row.method, post_data=row.post_data,
                         cookies=req_cookies, downloader=dl,
                     )
+                    # temp parity with the engine: a per-REQUEST
+                    # downloader travels in temp["__downloader"]
+                    # (fetch.py passes row.temp; the oracle models that
+                    # one key as OracleRow.downloader — None when the
+                    # rule default applies, so GetTemp matches)
                     jctx = JsParseCtx(
-                        page, row.url, instance_keyin(row.spider)
+                        page, row.url, instance_keyin(row.spider),
+                        temp=(
+                            {"__downloader": row.downloader}
+                            if row.downloader else None
+                        ),
                     )
                     run_js(rule_cfg["js_parse"], {"ctx": jctx})
                     if jctx.outputs:
                         js_items[row.url_key] = jctx.outputs
                     for q in jctx.queued:
                         qu = q["url"]
-                        if qu.startswith("/"):
-                            qu = (
-                                row.url.split("://", 1)[0]
-                                + "://" + row.host + qu
-                            )
-                        cu = canonicalize(qu)
+                        if not qu:
+                            continue
+                        cu = canonicalize(urljoin(row.url, qu))
                         if not cu:
                             continue
                         method_q = q["method"] or "GET"

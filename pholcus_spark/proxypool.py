@@ -108,8 +108,12 @@ def default_prober(
                                            scheme: proxy})
     opener = urllib.request.build_opener(handler)
     req = urllib.request.Request(test_host, method="HEAD")
-    t0 = time.monotonic()
     for _ in range(max(try_times, 1)):
+        # clock each attempt separately: timing from before the retry
+        # loop charged a succeed-on-retry proxy with its prior ~4 s
+        # timeouts, ranking a healthy proxy last (or filtering it out
+        # at max_latency_ms) for one transient failure
+        t0 = time.monotonic()
         try:
             with opener.open(req, timeout=timeout) as resp:
                 if resp.status == 200:

@@ -185,6 +185,9 @@ FETCH_RESULT_SCHEMA = T.StructType(
                         # DownloaderID (request.go:37,53-63); NULL =
                         # the target rule's default
                         T.StructField("downloader", T.StringType(), True),
+                        # JsAddQueue TryTimes (request.go:48); NULL =
+                        # inherit the parent's retry budget
+                        T.StructField("try_times", T.IntegerType(), True),
                     ]
                 )
             ),

@@ -129,6 +129,12 @@ def jdbc_reader(
     if driver:
         r = r.option("driver", driver)
     if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            # str(None) would reach Spark as the literal "None" and die
+            # in a NumberFormatException deep inside load()
+            raise ValueError(
+                "partition_column requires lower_bound and upper_bound"
+            )
         r = (
             r.option("partitionColumn", partition_column)
             .option("lowerBound", str(lower_bound))

@@ -251,6 +251,9 @@ def root_seeds(spec: SpiderSpec, keyins: tuple | list = ()) -> list:
                 "post_data": q["post_data"],
                 "downloader": q["downloader"],
             }
+            if q.get("try_times") is not None:
+                # JsAddQueue TryTimes (request.go:48) rides the seed
+                seed["try_times"] = q["try_times"]
             if k is not None:
                 seed["keyin"] = k
             seeds.append(seed)

@@ -131,6 +131,43 @@ def test_dns_cache_reg_reuse_and_evict_on_failure():
     assert f.dns.query("h.example.com:80") == "10.0.0.7:80"
 
 
+def test_redirects_followed_like_go_client():
+    """301/302/303 demote to a bodyless GET and follow Location
+    (relative or absolute); 307 preserves method+body; >10 hops raise.
+    Without this the common http→https 301 came back ok=True with the
+    redirect stub as page content."""
+    net = _FakeNet([
+        _ok(b"", {"location": ["https://h2.example.com/next"]}, 301),
+        _ok(b"landed"),
+    ])
+    f = net.fetcher(try_times=1)
+    resp = f.request(
+        "http://h1.example.com/a", method="POST", post_data="x=1"
+    )
+    assert resp.body == b"landed"
+    assert [c["url"] for c in net.calls] == [
+        "http://h1.example.com/a", "https://h2.example.com/next",
+    ]
+    # 301 POST→GET, body and its headers dropped
+    assert net.calls[1]["method"] == "GET"
+    assert net.calls[1]["body"] is None
+    assert "Content-Length" not in net.calls[1]["headers"]
+    # relative Location resolves against the redirecting URL
+    net2 = _FakeNet([_ok(b"", {"location": ["/other"]}, 302), _ok(b"r")])
+    net2.fetcher(try_times=1).request("http://h/x/y")
+    assert net2.calls[1]["url"] == "http://h/other"
+    # 307 preserves method + body
+    net3 = _FakeNet([_ok(b"", {"location": ["/p"]}, 307), _ok(b"r")])
+    net3.fetcher(try_times=1).request("http://h/a", method="POST",
+                                      post_data="x=1")
+    assert net3.calls[1]["method"] == "POST"
+    assert net3.calls[1]["body"] == b"x=1"
+    # a redirect loop stops after 10 hops
+    net4 = _FakeNet([_ok(b"", {"location": ["/l"]}, 302)] * 11)
+    with pytest.raises(RuntimeError, match="10 redirects"):
+        net4.fetcher(try_times=1).request("http://h/l")
+
+
 def test_dns_cache_surface():
     d = DnsCache()
     assert d.query("a:80") is None

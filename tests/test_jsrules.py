@@ -116,6 +116,56 @@ def test_runtime_errors_are_js_errors():
         run_js(compile_js("ctx.Secrets()"), {"ctx": SeedCtx()})
 
 
+def test_parse_int_js_prefix_semantics():
+    """ECMA parseInt: prefix parsing, NaN on no-digits — a raw Python
+    int() raised ValueError straight through the Spark task."""
+    out = _run(
+        "emit('px', parseInt('12px'));"
+        "emit('empty', parseInt(''));"
+        "emit('hex', parseInt('0x1A'));"
+        "emit('neg', parseInt('-42abc'));"
+        "emit('b16', parseInt('ff', 16));"
+        "emit('f', parseFloat('3.5em'));"
+    )
+    assert out["px"] == 12
+    assert out["empty"] != out["empty"]  # NaN
+    assert out["hex"] == 26
+    assert out["neg"] == -42
+    assert out["b16"] == 255
+    assert out["f"] == 3.5
+
+
+def test_loose_equality_coerces():
+    """== is JS abstract equality (null==undefined, number-vs-string),
+    === stays strict — evaluating == as === silently took the wrong
+    branch in real otto-targeted scripts."""
+    out = _run(
+        "emit('ns', 1 == '1');"
+        "emit('nu', null == undefined);"
+        "emit('strict', 1 === '1');"
+        "emit('sn', '0' == 0);"
+        "emit('ne', 2 != '2');"
+        "emit('bool', true == 1);"
+    )
+    assert out["ns"] is True
+    assert out["nu"] is True
+    assert out["strict"] is False
+    assert out["sn"] is True
+    assert out["ne"] is False
+    assert out["bool"] is True
+
+
+def test_host_exceptions_contained_as_js_errors():
+    class Boomer(SeedCtx):
+        _js_methods = ("Boom",)
+
+        def Boom(self):
+            raise ValueError("kaput")
+
+    with pytest.raises(JsError, match="ValueError: kaput"):
+        run_js(compile_js("ctx.Boom();"), {"ctx": Boomer()})
+
+
 def test_selection_goquery_subset():
     from pholcus_spark.dom import parse_html
 
