@@ -24,8 +24,15 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
-from .textops import fingerprint_md5, md5_long, word_shingles, words
+from .textops import (
+    fingerprint_md5,
+    hashed_word_shingles,
+    md5_long,
+    word_shingles,
+    words,
+)
 
 SIMHASH_BITS = 60  # 60-bit md5 prefix → bits 0..59
 
@@ -193,13 +200,21 @@ def ngram_jaccard_pairs(docs: DataFrame, shingle_k: int = 3,
     ).select(
         "doc_id",
         "block",
-        F.array_distinct(word_shingles(F.col("_ws"), shingle_k)).alias("sh"),
+        # 64-bit shingle keys straight from the word array — never
+        # builds the shingle strings (hashed_word_shingles: the string
+        # concat alone cost ~2.5 s/call at sf0.1, and nothing
+        # downstream needs the text; set semantics identical mod 2⁻⁶⁴)
+        F.array_distinct(
+            hashed_word_shingles(F.col("_ws"), shingle_k)
+        ).alias("sh"),
     )
+    # The shingle table feeds FOUR consumers (df agg, prefix join, and
+    # both verify sides); the persist is the local analog of the staged
+    # shingle table a 100 TB run would materialize once.
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
     post = base.select(
         "doc_id", "block", F.size("sh").alias("n"),
-        F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias(
-            "shingle"
-        ),
+        F.explode("sh").alias("shingle"),
     )
     df = post.groupBy("block", "shingle").agg(F.count("*").alias("df"))
     t_eff = threshold - 5e-5  # rounding slack (see docstring)
@@ -218,8 +233,16 @@ def ngram_jaccard_pairs(docs: DataFrame, shingle_k: int = 3,
         .select(
             "doc_id",
             "block",
+            # df==1 shingles are unique to this doc — they can never
+            # collide, so drop them from the prefix BEFORE the explode
+            # and self-join (on natural text a large fraction of
+            # shingles are singletons; sound because the theorem only
+            # needs colliding pairs to share a prefix shingle)
             F.explode(
-                F.slice(F.array_sort("ps"), F.lit(1), prefix_len)
+                F.filter(
+                    F.slice(F.array_sort("ps"), F.lit(1), prefix_len),
+                    lambda p: p["df"] >= 2,
+                )
             ).alias("p"),
         )
         .select("doc_id", "block", F.col("p.shingle").alias("shingle"))
@@ -239,16 +262,29 @@ def ngram_jaccard_pairs(docs: DataFrame, shingle_k: int = 3,
         )
         .distinct()
     )
-    a = base.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = base.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    # Verify on the 8-byte shingle keys: array_intersect over long
+    # arrays is ~5x cheaper than over the ~25-byte strings (measured:
+    # the string verify alone cost 6 s at sf0.1's 255k candidates),
+    # and |A∪B| = |A|+|B|−|A∩B| replaces the second array pass.
+    a = base.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sh_a"),
+        F.size("sh").alias("n_a"),
+    )
+    b = base.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sh_b"),
+        F.size("sh").alias("n_b"),
+    )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
     return (
         cand.join(a, "doc_a")
         .join(b, "doc_b")
         .select(
             "doc_a", "doc_b",
-            F.round(inter / union, 4).alias("jaccard"),
+            F.round(
+                inter / (F.col("n_a") + F.col("n_b") - inter), 4
+            ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -267,23 +303,36 @@ def minhash_verified_pairs(
     corpus runs — the exact join's pair count is O(|candidates|), not
     O(n²)."""
     cand = minhash_candidate_pairs(docs, k, band_rows, shingle_k)
+    # same hashed verify as ngram_jaccard_pairs: 64-bit shingle keys
+    # (no shingle strings built) + |A∪B| by size arithmetic
     sh = docs.select(
         "doc_id", words(F.col("text")).alias("_ws")
     ).select(
         "doc_id",
-        F.array_distinct(word_shingles(F.col("_ws"), shingle_k)).alias("sh"),
+        F.array_distinct(
+            hashed_word_shingles(F.col("_ws"), shingle_k)
+        ).alias("shh"),
+    ).select("doc_id", "shh", F.size("shh").alias("n"))
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shh").alias("sh_a"),
+        F.col("n").alias("n_a"),
     )
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shh").alias("sh_b"),
+        F.col("n").alias("n_b"),
+    )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
     return (
         cand.join(a, "doc_a")
         .join(b, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            F.round(inter / union, 4).alias("jaccard"),
+            F.round(
+                inter / (F.col("n_a") + F.col("n_b") - inter), 4
+            ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
