@@ -247,6 +247,11 @@ def ngram_jaccard_pairs(docs: DataFrame, shingle_k: int = 3,
         )
         .select("doc_id", "block", F.col("p.shingle").alias("shingle"))
     )
+    # The self-join below reads prefix TWICE; without a persist each
+    # side recomputes the df join + collect_list groupBy from scratch
+    # (measured ~2x the prefix stage cost at sf0.1). Same staged-table
+    # rationale as the base persist above.
+    prefix = prefix.persist(StorageLevel.MEMORY_AND_DISK)
     cand = (
         prefix.alias("l")
         .join(
