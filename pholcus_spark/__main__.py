@@ -2,8 +2,8 @@
 
 Run the crawl engine as a Spark application:
 
-    spark-submit --py-files pholcus_spark.zip -m pholcus_spark \
-        --store /data/crawl1 --seeds seeds.txt --limit 100000
+    spark-submit --master <cluster> --py-files pholcus_spark.zip \
+        tools/submit_crawl.py --store /data/crawl1 --seeds seeds.txt
 
 or locally:
 
@@ -65,6 +65,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="comma-separated proxy URLs; requests rotate "
                          "across the speed-filtered live pool (F12)")
     ap.add_argument("--proxy-max-latency-ms", type=int, default=300)
+    ap.add_argument("--monitor-port", type=int, default=None,
+                    help="serve the JSON status endpoints on "
+                         "127.0.0.1:PORT while the crawl runs (0 = "
+                         "ephemeral; the bound port is printed)")
     ap.add_argument("--cores", type=int, default=None,
                     help="force local[N] (default: inherit spark-submit conf)")
     ap.add_argument("--export-csv", help="export items as CSV to this dir")
@@ -114,6 +118,13 @@ def main(argv: list[str] | None = None) -> int:
         seeds = None  # pure resume
 
     eng = CrawlEngine(spark, SnapshotStore(args.store), cfg)
+    monitor = None
+    if args.monitor_port is not None:
+        from pholcus_spark.monitor import CrawlMonitor
+
+        monitor = CrawlMonitor(eng, port=args.monitor_port)
+        print(f"monitor: http://127.0.0.1:{monitor.start()}/status",
+              file=sys.stderr)
     t0 = time.time()
     if args.new_run:
         eng.start_new_run(
@@ -122,7 +133,11 @@ def main(argv: list[str] | None = None) -> int:
             failure_inherit=not args.no_failure_inherit,
         )
         seeds = None
-    rounds = eng.run(seeds)
+    try:
+        rounds = eng.run(seeds)
+    finally:
+        if monitor is not None:
+            monitor.stop()
     wall = time.time() - t0
     visits = eng.fetched_df().count()
     items = eng.items_df().count()

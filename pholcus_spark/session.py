@@ -18,6 +18,11 @@ def _master_configured() -> bool:
     (spark-submit --master, MASTER env, or an active session)."""
     if "--master" in os.environ.get("PYSPARK_SUBMIT_ARGS", ""):
         return True
+    # spark-submit's PythonRunner hands the driver a pre-built JVM
+    # gateway whose conf carries the submitted --master; setting
+    # .master() here would silently override it with local[*].
+    if os.environ.get("PYSPARK_GATEWAY_PORT"):
+        return True
     if os.environ.get("MASTER") or os.environ.get("SPARK_MASTER_URL"):
         return True
     return SparkSession.getActiveSession() is not None

@@ -1,0 +1,87 @@
+"""CrawlMonitor HTTP status surface (web UI replacement).
+
+Covers: every endpoint against a real finished crawl, totals agreeing
+with the engine's own tables, per-snapshot caching (a second poll does
+no recompute), and 404/400 handling. Reference counterpart:
+/root/reference/web/pholcus-web.go (run status UI).
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from pholcus_spark.crawler import CrawlEngine
+from pholcus_spark.monitor import CrawlMonitor
+from pholcus_spark.oracle import CrawlConfig
+from pholcus_spark.tables import SnapshotStore
+from pholcus_spark import synthetic
+
+
+def _get(port: int, path: str):
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{port}{path}", timeout=10
+    ) as resp:
+        assert resp.headers["Content-Type"] == "application/json"
+        return json.loads(resp.read())
+
+
+@pytest.fixture(scope="module")
+def crawled_engine(spark, tmp_path_factory):
+    store = tmp_path_factory.mktemp("monitor_store")
+    cfg = CrawlConfig(n_hosts=6, batch_size=16, limit=48)
+    eng = CrawlEngine(spark, SnapshotStore(str(store)), cfg)
+    eng.run(synthetic.seed_urls(8, cfg.n_hosts))
+    return eng
+
+
+def test_monitor_endpoints(crawled_engine):
+    eng = crawled_engine
+    with CrawlMonitor(eng) as mon:
+        port = mon.port
+
+        status = _get(port, "/status")
+        assert status["snapshot_id"] == eng.store.current_snapshot_id()
+        assert status["items"] == eng.items_df().count()
+        assert status["fetched"] == eng.fetched_df().count()
+        assert status["rounds"] >= 1
+        assert status["bytes"] > 0
+
+        rounds = _get(port, "/rounds?n=5")
+        assert 1 <= len(rounds) <= 5
+        assert rounds[-1]["round"] == status["rounds"]  # newest last
+        assert {"pulled", "fetched", "items", "wall_ms"} <= set(rounds[0])
+
+        parts = _get(port, f"/partitions?round={rounds[-1]['round']}")
+        assert parts
+        assert sum(p["fetched"] for p in parts) == rounds[-1]["fetched"]
+
+        spiders = _get(port, "/spiders")
+        assert len(spiders) == 1
+        assert spiders[0]["resolved"] > 0
+
+
+def test_monitor_caches_per_snapshot(crawled_engine):
+    mon = CrawlMonitor(crawled_engine)
+    port = mon.start()
+    try:
+        first = _get(port, "/status")
+        # poison the compute path: a cached second poll never reaches it
+        orig, crawled_engine.rounds_df = crawled_engine.rounds_df, None
+        try:
+            assert _get(port, "/status") == first
+        finally:
+            crawled_engine.rounds_df = orig
+    finally:
+        mon.stop()
+
+
+def test_monitor_errors(crawled_engine):
+    with CrawlMonitor(crawled_engine) as mon:
+        for path, code in [("/nope", 404), ("/partitions", 400)]:
+            with pytest.raises(urllib.error.HTTPError) as exc:
+                _get(mon.port, path)
+            assert exc.value.code == code
