@@ -26,6 +26,22 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+# ngram_jaccard_pairs pins two staged relations per call; the returned
+# DataFrame still depends on them lazily, so the call itself can never
+# unpersist. Cap the leak at one call's caches: each new pin evicts the
+# oldest beyond the two the current call needs (unpersist is a hint —
+# an old result re-evaluated later just recomputes).
+_PINNED: list = []
+
+
+def _pin(df, keep: int = 2) -> None:
+    _PINNED.append(df)
+    while len(_PINNED) > keep:
+        try:
+            _PINNED.pop(0).unpersist(False)
+        except Exception:
+            pass  # session gone / already unpersisted — nothing to free
+
 from .textops import (
     fingerprint_md5,
     hashed_word_shingles,
@@ -212,6 +228,7 @@ def ngram_jaccard_pairs(docs: DataFrame, shingle_k: int = 3,
     # both verify sides); the persist is the local analog of the staged
     # shingle table a 100 TB run would materialize once.
     base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    _pin(base)
     post = base.select(
         "doc_id", "block", F.size("sh").alias("n"),
         F.explode("sh").alias("shingle"),
@@ -252,6 +269,7 @@ def ngram_jaccard_pairs(docs: DataFrame, shingle_k: int = 3,
     # (measured ~2x the prefix stage cost at sf0.1). Same staged-table
     # rationale as the base persist above.
     prefix = prefix.persist(StorageLevel.MEMORY_AND_DISK)
+    _pin(prefix)
     cand = (
         prefix.alias("l")
         .join(

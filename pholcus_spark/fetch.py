@@ -15,6 +15,7 @@ I/O (a real fetcher would run an async HTTP client over the same batch).
 
 from __future__ import annotations
 
+import sys
 from typing import Iterator
 from urllib.parse import urljoin
 
@@ -25,7 +26,7 @@ from pyspark.sql import DataFrame
 from . import synthetic
 from .dom import dom_first, dom_select
 from .forms import submit_form
-from .jsrules import JsParseCtx, run_js
+from .jsrules import JsError, JsParseCtx, run_js
 from .oracle import instance_keyin
 from .schemas import FETCH_RESULT_SCHEMA
 from .urlnorm import canonicalize
@@ -132,7 +133,18 @@ def fetch_batch(
                         page, row.url, instance_keyin(row.spider),
                         temp=dict(row.temp) if row.temp else None,
                     )
-                    run_js(rule_cfg["js_parse"], {"ctx": jctx})
+                    try:
+                        run_js(rule_cfg["js_parse"], {"ctx": jctx})
+                    except JsError as exc:
+                        # parsejs.go:126-130: a script runtime error is
+                        # logged and the parse keeps whatever the script
+                        # emitted before failing; the fetch itself stays
+                        # successful (DoHistory records success). Never
+                        # let one page's script kill the Spark task.
+                        print(
+                            f"dynamic rule [ParseFunc] {row.url}: {exc}",
+                            file=sys.stderr,
+                        )
                     outs = jctx.outputs or None
                     js_queued = jctx.queued
                 if res.ok and res.image_id is not None and (

@@ -44,6 +44,14 @@ from urllib.parse import urljoin, urlsplit
 from .synthetic import FetchResult
 
 
+def _same_cookie_domain(src_url: str, dest_url: str) -> bool:
+    """Go net/http isDomainOrSubdomain: credentials follow a redirect
+    only to the same host or a subdomain of it (client.go)."""
+    src = (urlsplit(src_url).hostname or "").lower()
+    dest = (urlsplit(dest_url).hostname or "").lower()
+    return dest == src or dest.endswith("." + src) if src else False
+
+
 @dataclass
 class HttpResponse:
     status: int
@@ -220,7 +228,20 @@ class HttpFetcher:
             if resp.status in (301, 302, 303, 307, 308):
                 loc = (resp.headers.get("location") or [None])[0]
                 if loc:
-                    url = urljoin(url, loc)
+                    dest = urljoin(url, loc)
+                    if not _same_cookie_domain(url, dest):
+                        # Go's client strips credential headers when the
+                        # redirect leaves the host (or its subdomains) —
+                        # net/http shouldCopyHeaderOnRedirect; without
+                        # this a site's session cookie leaks to whatever
+                        # foreign host it 302s to
+                        for k in list(hdrs):
+                            if k.lower() in (
+                                "cookie", "cookie2", "authorization",
+                                "www-authenticate",
+                            ):
+                                del hdrs[k]
+                    url = dest
                     if resp.status in (301, 302, 303) and method != "HEAD":
                         method, body = "GET", None
                         hdrs.pop("Content-Length", None)

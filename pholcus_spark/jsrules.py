@@ -451,7 +451,7 @@ def js_truthy(v) -> bool:
     if isinstance(v, bool):
         return v
     if isinstance(v, (int, float)):
-        return v != 0
+        return v == v and v != 0  # Boolean(NaN) is false (nan != nan)
     if isinstance(v, str):
         return v != ""
     return True
@@ -713,18 +713,25 @@ class _Interp:
             return _loose_eq(left, right)
         if op == "!=":
             return not _loose_eq(left, right)
+        c = self._cmp(left, right)
+        if c is None:
+            # a NaN operand makes every relation false (§7.2.13) —
+            # `parseInt('') <= 10` must not pass a pagination guard
+            return False
         if op == "<":
-            return self._cmp(left, right) < 0
+            return c < 0
         if op == ">":
-            return self._cmp(left, right) > 0
+            return c > 0
         if op == "<=":
-            return self._cmp(left, right) <= 0
-        return self._cmp(left, right) >= 0
+            return c <= 0
+        return c >= 0
 
-    def _cmp(self, left, right) -> int:
+    def _cmp(self, left, right) -> int | None:
         if isinstance(left, str) and isinstance(right, str):
             return (left > right) - (left < right)
         ln, rn = self._num(left), self._num(right)
+        if ln != ln or rn != rn:
+            return None
         return (ln > rn) - (ln < rn)
 
     def _store(self, target, val) -> None:

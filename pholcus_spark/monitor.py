@@ -83,11 +83,18 @@ class CrawlMonitor:
         def compute():
             eng = self.engine
             rounds = eng.rounds_df()
-            agg = rounds.agg(
-                F.max("round").alias("rounds"),
-                F.sum("wall_ms").alias("wall_ms"),
-                *_round_sums(),
-            ).first()
+            # wall_ms is stamped identically on every (round, partition)
+            # row, so total wall = sum of per-round max, not a raw sum
+            agg = (
+                rounds.groupBy("round")
+                .agg(F.max("wall_ms").alias("wall_ms"), *_round_sums())
+                .agg(
+                    F.max("round").alias("rounds"),
+                    F.sum("wall_ms").alias("wall_ms"),
+                    *_round_sums(),
+                )
+                .first()
+            )
             row = agg.asDict() if agg else {}
             return {
                 "snapshot_id": eng.store.current_snapshot_id(),
@@ -176,6 +183,11 @@ class CrawlMonitor:
                         return
                 except (KeyError, ValueError) as exc:
                     self.send_error(400, str(exc))
+                    return
+                except Exception as exc:  # noqa: BLE001 — a failed
+                    # poll (e.g. a transient Spark error) must answer
+                    # with a status line, not a dropped connection
+                    self.send_error(500, type(exc).__name__)
                     return
                 data = json.dumps(body).encode()
                 self.send_response(200)

@@ -456,7 +456,7 @@ def run_oracle(seeds: list[str], cfg: CrawlConfig) -> OracleResult:
                 # interpreter, same page). AddQueue children are
                 # depth-independent (context.go:104-125).
                 if rule_cfg.get("js_parse") is not None:
-                    from .jsrules import JsParseCtx, run_js
+                    from .jsrules import JsError, JsParseCtx, run_js
 
                     page = synthetic.html_page_for(
                         row.url, row.depth, cfg.n_hosts,
@@ -475,7 +475,12 @@ def run_oracle(seeds: list[str], cfg: CrawlConfig) -> OracleResult:
                             if row.downloader else None
                         ),
                     )
-                    run_js(rule_cfg["js_parse"], {"ctx": jctx})
+                    try:
+                        run_js(rule_cfg["js_parse"], {"ctx": jctx})
+                    except JsError:
+                        # same recover-and-keep-partial semantics as the
+                        # engine (fetch.py run_js catch; parsejs.go:126)
+                        pass
                     if jctx.outputs:
                         js_items[row.url_key] = jctx.outputs
                     for q in jctx.queued:

@@ -258,10 +258,14 @@ class ProxyPool:
         optionally speed-filtered. This is how a real deployment feeds
         the batch engine: one probe sweep per fetch round, then the
         per-request choice stays pure JVM column math."""
-        rot = self.test_and_sort(host_key(test_host), test_host)
-        pairs = [
-            (p, int(round(d)))
-            for p, d in zip(rot.proxies, rot.delays_ms)
-            if max_latency_ms is None or d <= max_latency_ms
-        ]
+        # same lock as get_one: test_and_sort swaps rot.proxies and
+        # resets the cursor on the shared _usable entry, and a reader
+        # mid-swap can index past the new, shorter list
+        with self._lock:
+            rot = self.test_and_sort(host_key(test_host), test_host)
+            pairs = [
+                (p, int(round(d)))
+                for p, d in zip(rot.proxies, rot.delays_ms)
+                if max_latency_ms is None or d <= max_latency_ms
+            ]
         return pairs

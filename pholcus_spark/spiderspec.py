@@ -124,8 +124,24 @@ def _parse_rule(spider: str, rule_el: ET.Element) -> tuple[tuple[str, str], dict
     if not rname:
         raise ValueError("<Rule> requires a name attribute")
     _reject_js(rule_el, f"Rule {rname!r}", ("AidFunc",))
+    # script content anywhere but <ParseFunc><Script> is outside the
+    # reference schema (SpiderModle, parsejs.go:52: `ParseFunc>Script`)
+    # and would otherwise load as a declarative no-op — reject loudly
+    # so a spider the engine cannot run never half-runs
+    if _script_body(rule_el) is not None:
+        raise ValueError(
+            f"Rule {rname!r}: <Script> must live inside <ParseFunc> "
+            "(parsejs.go:52 schema)"
+        )
+    pf = rule_el.find("ParseFunc")
+    if pf is not None and pf.find("Script") is None and (pf.text or "").strip():
+        raise ValueError(
+            f"Rule {rname!r}: <ParseFunc> carries inline text but no "
+            "<Script> child — the reference schema (parsejs.go:52) "
+            "reads only ParseFunc>Script, so this body would be dropped"
+        )
     rc: dict = {}
-    js = _script_body(rule_el.find("ParseFunc"))
+    js = _script_body(pf)
     if js is not None:
         # dynamic rule: compile now (fail-loud at load on unsupported
         # JS), ship the plain-tuple AST in the broadcast rules map

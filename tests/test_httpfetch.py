@@ -200,3 +200,32 @@ def test_fetch_one_boundary_shape():
     head = f.fetch_one("http://h/z", 0, 0, method="HEAD")
     assert head.ok and head.payload is None
     assert len(net.calls) == 4
+
+
+def test_redirect_strips_credentials_cross_host():
+    """Cookie/Authorization follow a redirect only to the same host or
+    a subdomain (Go net/http isDomainOrSubdomain) — a foreign host the
+    page 302s to must not see the session cookie."""
+    # cross-host: both credential headers dropped
+    net = _FakeNet([
+        _ok(b"", {"location": ["http://evil.example.net/grab"]}, 302),
+        _ok(b"landed"),
+    ])
+    net.fetcher(try_times=1).request(
+        "http://site-a.com/a",
+        headers={"Authorization": ["Bearer tok"]},
+        cookies={"sid": "secret"},
+    )
+    h0, h1 = net.calls[0]["headers"], net.calls[1]["headers"]
+    assert h0["Cookie"] == ["sid=secret"]
+    assert h0["Authorization"] == ["Bearer tok"]
+    assert "Cookie" not in h1 and "Authorization" not in h1
+    # subdomain: credentials follow
+    net2 = _FakeNet([
+        _ok(b"", {"location": ["http://img.site-a.com/b"]}, 302),
+        _ok(b"landed"),
+    ])
+    net2.fetcher(try_times=1).request(
+        "http://site-a.com/a", cookies={"sid": "s"}
+    )
+    assert net2.calls[1]["headers"]["Cookie"] == ["sid=s"]

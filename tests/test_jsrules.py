@@ -271,3 +271,69 @@ def test_wrap_script_cdata_idempotent():
     wrapped = wrap_script_cdata(raw)
     assert "<![CDATA[" in wrapped
     assert wrap_script_cdata(wrapped) == wrapped
+
+
+def test_nan_semantics():
+    """Boolean(NaN) is false and every NaN relation is false (§7.2.13)
+    — `parseInt('') <= maxPage` must not keep a pagination loop alive
+    on garbage input."""
+    got = _run(
+        """
+        var n = parseInt("");
+        emit("truthy", n ? "t" : "f");
+        emit("le", n <= 10);
+        emit("ge", n >= 0);
+        emit("lt", n < 1);
+        emit("gt", n > -1);
+        emit("eqself", n === n);
+        emit("sane", parseInt("12px") <= 12);
+        """
+    )
+    assert got == {
+        "truthy": "f", "le": False, "ge": False, "lt": False,
+        "gt": False, "eqself": False, "sane": True,
+    }
+
+
+def test_runtime_error_keeps_partial_parse(spark, tmp_store_dir):
+    """A page script that emits then dies mid-run must not kill the
+    crawl: the reference logs and keeps the partial parse
+    (parsejs.go:126-130). Engine and oracle recover identically —
+    visit order, seen set, and the Output cells emitted before the
+    error all still match."""
+    from pholcus_spark.crawler import CrawlEngine
+    from pholcus_spark.oracle import CrawlConfig, run_oracle
+    from pholcus_spark.tables import SnapshotStore
+    from tests.helpers import url_seen_set, visits_log
+    from tests.test_crawl_fidelity import _sorted_oracle_visits
+
+    js = compile_js(
+        'ctx.Output({"t": ctx.GetDom().Find("title").Text()});'
+        'var boom = ctx.GetTemp("missing").nope;'
+    )
+    cfg = CrawlConfig(
+        rules={
+            ("imgspider", "root"): {
+                "child_rule": "root", "max_depth": 2,
+                "child_priority": 0, "js_parse": js,
+            },
+        },
+        n_hosts=4, batch_size=8, limit=24,
+    )
+    seeds = synthetic.seed_urls(6, cfg.n_hosts)
+    orc = run_oracle(seeds, cfg)
+    eng = CrawlEngine(spark, SnapshotStore(tmp_store_dir), cfg)
+    eng.run(seeds)
+
+    assert visits_log(eng) == _sorted_oracle_visits(orc)
+    assert url_seen_set(eng) == orc.url_seen
+    assert orc.js_items  # the Output landed before the error
+    got: dict[int, list[dict]] = {}
+    for r in (
+        eng.js_items_df()
+        .orderBy("url_key", "cell_idx")
+        .select("url_key", "fields")
+        .collect()
+    ):
+        got.setdefault(r["url_key"], []).append(dict(r["fields"]))
+    assert got == orc.js_items

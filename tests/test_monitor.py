@@ -55,6 +55,11 @@ def test_monitor_endpoints(crawled_engine):
         assert rounds[-1]["round"] == status["rounds"]  # newest last
         assert {"pulled", "fetched", "items", "wall_ms"} <= set(rounds[0])
 
+        # wall_ms is stamped per (round, partition): /status must sum
+        # one value per round, not every partition copy
+        all_rounds = _get(port, "/rounds?n=100000")
+        assert status["wall_ms"] == sum(r["wall_ms"] for r in all_rounds)
+
         parts = _get(port, f"/partitions?round={rounds[-1]['round']}")
         assert parts
         assert sum(p["fetched"] for p in parts) == rounds[-1]["fetched"]
@@ -81,7 +86,9 @@ def test_monitor_caches_per_snapshot(crawled_engine):
 
 def test_monitor_errors(crawled_engine):
     with CrawlMonitor(crawled_engine) as mon:
-        for path, code in [("/nope", 404), ("/partitions", 400)]:
+        # a failing Spark query must answer 500, not drop the connection
+        for path, code in [("/nope", 404), ("/partitions", 400),
+                           ("/rounds?n=-1", 500)]:
             with pytest.raises(urllib.error.HTTPError) as exc:
                 _get(mon.port, path)
             assert exc.value.code == code

@@ -173,3 +173,24 @@ def test_xml_spider_runs_in_engine(spark, tmp_store_dir):
     eng.run(seeds)
     assert visits_log(eng) == _sorted_oracle_visits(orc)
     assert url_seen_set(eng) == orc.url_seen
+
+
+def test_misplaced_script_rejected():
+    """Script content outside <ParseFunc><Script> is outside the
+    reference schema (parsejs.go:52 reads only ParseFunc>Script) and
+    used to load as a declarative no-op — the loader must refuse to
+    half-run such a spider."""
+    bare = (
+        "<Spider><Name>x</Name>"
+        "<Rule name=\"root\"><Script>ctx.Output({})</Script></Rule>"
+        "</Spider>"
+    )
+    with pytest.raises(ValueError, match="ParseFunc"):
+        load_spider_xml(bare)
+    inline = (
+        "<Spider><Name>x</Name>"
+        "<Rule name=\"root\"><ParseFunc>ctx.Output({})</ParseFunc></Rule>"
+        "</Spider>"
+    )
+    with pytest.raises(ValueError, match="Script"):
+        load_spider_xml(inline)
