@@ -11,12 +11,15 @@ surface plus goquery's Find/Length/Eq/Text/AttrOr/Last selection calls.
 
 This module is NOT a JS VM. It is a from-scratch recursive-descent
 interpreter for the statement/expression subset real pholcus spiders
-are written in — var, if/else, for, while, continue/break, the usual
-operators, object/array literals, member/index/call — that fails
+are written in — var, if/else, for / for-in, while / do-while,
+continue/break, functions (declarations and expressions, closures,
+goquery Each/Map callbacks), typeof, try/catch/finally + throw, the
+usual operators, object/array literals, member/index/call — that fails
 LOUDLY (``NotImplementedError``) at compile time on anything outside
-that subset (functions, prototypes, regex literals, ``new``, ...).
-Loud rejection preserves the round-3 honesty contract: a spider the
-engine cannot run never half-runs.
+that subset (prototypes, regex literals, ``new``, ``this``,
+``switch``, and the post-ES5 keywords otto itself rejects:
+let/const/class/yield). Loud rejection preserves the round-3 honesty
+contract: a spider the engine cannot run never half-runs.
 
 Execution model: scripts are compiled ONCE on the driver to a
 plain-tuple AST (picklable — it ships to executors inside the
@@ -55,12 +58,16 @@ UNDEF = _Undefined()
 _KEYWORDS = {
     "var", "if", "else", "for", "while", "continue", "break", "return",
     "true", "false", "null", "undefined",
+    "function", "typeof", "in", "do", "try", "catch", "finally", "throw",
 }
 # constructs the interpreter deliberately does not model — seeing one
-# is a compile-time NotImplementedError, not a silent skip
+# is a compile-time NotImplementedError, not a silent skip. otto (the
+# reference VM) is ES5, so let/const/class/yield raise there too; the
+# rest (new/this/switch/...) are ES5 features no shipped rule needs —
+# raising keeps "a spider the engine cannot run never half-runs".
 _UNSUPPORTED_KEYWORDS = {
-    "function", "new", "typeof", "delete", "in", "instanceof", "do",
-    "switch", "case", "try", "catch", "finally", "throw", "with",
+    "new", "delete", "instanceof",
+    "switch", "case", "with",
     "let", "const", "class", "yield", "void", "this",
 }
 
@@ -182,6 +189,26 @@ class _Parser:
             cond = self.expression()
             self.expect(")")
             return ("while", cond, self.statement())
+        if self.at_kw("do"):
+            self.next()
+            body = self.statement()
+            if not self.at_kw("while"):
+                raise ValueError("expected while after do body")
+            self.next()
+            self.expect("(")
+            cond = self.expression()
+            self.expect(")")
+            self._semi()
+            return ("dowhile", cond, body)
+        if self.at_kw("function"):
+            return self.function_literal(declaration=True)
+        if self.at_kw("throw"):
+            self.next()
+            e = self.expression()
+            self._semi()
+            return ("throw", e)
+        if self.at_kw("try"):
+            return self.try_stmt()
         if self.at_kw("continue"):
             self.next()
             self._semi()
@@ -216,6 +243,49 @@ class _Parser:
         self.next()
         return ("block", stmts)
 
+    def function_literal(self, declaration: bool):
+        """``function name(a, b) { ... }`` — a declaration (hoisted to
+        its scope's top, name required) or an expression (name optional,
+        bound inside its own closure for recursion)."""
+        self.next()  # function
+        name = None
+        if self.peek()[0] == "name":
+            name = self.next()[1]
+        elif declaration:
+            raise ValueError("function declaration requires a name")
+        self.expect("(")
+        params = []
+        while not self.at_punct(")"):
+            k, p = self.next()
+            if k != "name":
+                raise ValueError(f"bad parameter name {p!r}")
+            params.append(p)
+            if self.at_punct(","):
+                self.next()
+        self.next()
+        body = self.block()
+        kind = "funcdecl" if declaration else "func"
+        return (kind, name, tuple(params), body)
+
+    def try_stmt(self):
+        self.next()  # try
+        body = self.block()
+        catch_name = catch_body = finally_body = None
+        if self.at_kw("catch"):
+            self.next()
+            self.expect("(")
+            k, catch_name = self.next()
+            if k != "name":
+                raise ValueError(f"bad catch binding {catch_name!r}")
+            self.expect(")")
+            catch_body = self.block()
+        if self.at_kw("finally"):
+            self.next()
+            finally_body = self.block()
+        if catch_body is None and finally_body is None:
+            raise ValueError("try requires catch or finally")
+        return ("try", body, catch_name, catch_body, finally_body)
+
     def var_decl(self):
         self.next()  # var
         decls = []
@@ -249,6 +319,20 @@ class _Parser:
     def for_stmt(self):
         self.next()
         self.expect("(")
+        # for (var k in obj) / for (k in obj): enumerate own keys
+        # (object keys, array/string indices as numbers — see eval)
+        start = self.i
+        if self.at_kw("var") or self.peek()[0] == "name":
+            declared = self.at_kw("var")
+            if declared:
+                self.next()
+            k, name = self.next()
+            if k == "name" and self.at_kw("in"):
+                self.next()
+                obj = self.expression()
+                self.expect(")")
+                return ("forin", name, declared, obj, self.statement())
+            self.i = start  # not for-in: re-parse as the C-style header
         init = None
         if not self.at_punct(";"):
             init = self.var_decl() if self.at_kw("var") else (
@@ -326,6 +410,9 @@ class _Parser:
         return left
 
     def unary(self):
+        if self.at_kw("typeof"):
+            self.next()
+            return ("typeof", self.unary())
         if self.at_punct("!", "-", "+"):
             _, op = self.next()
             return ("unary", op, self.unary())
@@ -377,6 +464,8 @@ class _Parser:
             self.next()
             return ("str", v)
         if k == "kw":
+            if v == "function":
+                return self.function_literal(declaration=False)
             self.next()
             if v == "true":
                 return ("bool", True)
@@ -386,6 +475,11 @@ class _Parser:
                 return ("null",)
             if v == "undefined":
                 return ("undef",)
+            if v == "in":
+                raise NotImplementedError(
+                    "the binary 'in' operator is outside the supported "
+                    "subset (for-in loops are supported)"
+                )
             raise ValueError(f"unexpected keyword {v!r} in expression")
         if k == "name":
             self.next()
@@ -464,6 +558,8 @@ def js_str(v) -> str:
         return "null"
     if v is UNDEF:
         return "undefined"
+    if callable(v):
+        return "function"
     if isinstance(v, float) and v.is_integer():
         return str(int(v))
     return str(v)
@@ -510,6 +606,47 @@ class JsHost:
     _js_methods: tuple[str, ...] = ()
 
 
+def _js_substring(s: str, a, b=None):
+    # ES5 §15.5.4.15: NaN/negative clamp to 0, args swap if reversed
+    def clamp(x):
+        x = int(x) if isinstance(x, (int, float)) and x == x else 0
+        return max(0, min(x, len(s)))
+    i, j = clamp(a), clamp(len(s) if b is None else b)
+    return s[min(i, j):max(i, j)]
+
+
+def _js_slice(s: str, a=0, b=None):
+    i = int(a) if isinstance(a, (int, float)) and a == a else 0
+    j = len(s) if b is None else (
+        int(b) if isinstance(b, (int, float)) and b == b else 0
+    )
+    return s[slice(i, j)] if (i >= 0 and j >= 0) else s[i:j]
+
+
+# the ES5 string methods real otto spider scripts actually call —
+# replace/split are plain-string only (regex literals are outside the
+# subset and raise at tokenize time)
+_STR_METHODS = {
+    "indexOf": lambda s, t, start=0: s.find(js_str(t), int(start)),
+    "lastIndexOf": lambda s, t: s.rfind(js_str(t)),
+    "substring": _js_substring,
+    "slice": _js_slice,
+    "split": lambda s, sep=None, _u=None: (
+        [s] if sep is None else
+        (list(s) if sep == "" else s.split(js_str(sep)))
+    ),
+    "replace": lambda s, old, new: s.replace(js_str(old), js_str(new), 1),
+    "toLowerCase": lambda s: s.lower(),
+    "toUpperCase": lambda s: s.upper(),
+    "trim": lambda s: s.strip(),
+    "charAt": lambda s, i=0: s[int(i)] if 0 <= int(i) < len(s) else "",
+    "charCodeAt": lambda s, i=0: (
+        ord(s[int(i)]) if 0 <= int(i) < len(s) else float("nan")
+    ),
+    "concat": lambda s, *xs: s + "".join(js_str(x) for x in xs),
+}
+
+
 def _member(obj, name: str):
     if isinstance(obj, JsHost):
         if name in obj._js_methods:
@@ -519,6 +656,20 @@ def _member(obj, name: str):
         return obj.get(name, UNDEF)
     if isinstance(obj, (str, list)) and name == "length":
         return len(obj)
+    if isinstance(obj, str):
+        fn = _STR_METHODS.get(name)
+        if fn is not None:
+            return lambda *a, _s=obj: fn(_s, *a)
+    if isinstance(obj, list):
+        if name == "push":
+            def _push(*xs, _o=obj):
+                _o.extend(xs)
+                return len(_o)
+            return _push
+        if name == "join":
+            return lambda sep=",", _o=obj: js_str(sep).join(
+                "" if e is UNDEF or e is None else js_str(e) for e in _o
+            )
     if obj is UNDEF or obj is None:
         raise JsError(f"cannot read {name!r} of {js_str(obj)}")
     raise JsError(f"cannot read {name!r} of {type(obj).__name__}")
@@ -527,27 +678,139 @@ def _member(obj, name: str):
 _MAX_STEPS = 2_000_000
 
 
+class JsBudgetError(JsError):
+    """Step budget exceeded — deliberately NOT catchable by script
+    ``try``/``catch`` (a runaway loop must not swallow its own kill)."""
+
+
+class _ThrowSig(Exception):
+    """A script ``throw`` in flight; ``value`` is the thrown JS value."""
+
+    def __init__(self, value):
+        self.value = value
+
+
+class _Scope:
+    """Function-scoped var environment chain. Assignment to an
+    undeclared name lands on the global scope (non-strict ES5, what
+    otto runs)."""
+
+    __slots__ = ("vars", "parent")
+
+    def __init__(self, vars=None, parent=None):
+        self.vars = {} if vars is None else vars
+        self.parent = parent
+
+    def lookup(self, name):
+        s = self
+        while s is not None:
+            if name in s.vars:
+                return s.vars[name]
+            s = s.parent
+        raise KeyError(name)
+
+    def assign(self, name, val) -> None:
+        s = self
+        while s is not None:
+            if name in s.vars:
+                s.vars[name] = val
+                return
+            s = s.parent
+        g = self
+        while g.parent is not None:
+            g = g.parent
+        g.vars[name] = val
+
+    def declare(self, name, val) -> None:
+        self.vars[name] = val
+
+
+class _JsFunction:
+    """A script function value: params + body closing over the scope
+    where the literal evaluated. Shares its interpreter's step budget,
+    so host callbacks (e.g. ``Selection.Each``) stay bounded too."""
+
+    __slots__ = ("name", "params", "body", "scope", "interp")
+
+    def __init__(self, name, params, body, scope, interp):
+        self.name = name
+        self.params = params
+        self.body = body
+        self.scope = scope
+        self.interp = interp
+
+    def __call__(self, *args):
+        local = _Scope(parent=self.scope)
+        if self.name:
+            local.declare(self.name, self)  # named-expression recursion
+        for i, p in enumerate(self.params):
+            local.declare(p, args[i] if i < len(args) else UNDEF)
+        interp, saved = self.interp, self.interp.scope
+        interp.scope = local
+        try:
+            interp.run_body(self.body[1])
+        except _ReturnSig as r:
+            return r.value
+        except (_BreakSig, _ContinueSig) as e:
+            raise JsError("break/continue outside a loop") from e
+        finally:
+            interp.scope = saved
+        return UNDEF
+
+
+def _typeof(v) -> str:
+    if v is UNDEF:
+        return "undefined"
+    if isinstance(v, bool):
+        return "boolean"
+    if isinstance(v, (int, float)):
+        return "number"
+    if isinstance(v, str):
+        return "string"
+    if isinstance(v, _JsFunction) or callable(v):
+        return "function"
+    return "object"  # null, dicts, arrays, hosts
+
+
 class _Interp:
     def __init__(self, env: dict):
-        self.env = env
+        self.scope = _Scope(vars=env)
         self.steps = 0
 
     def _tick(self):
         self.steps += 1
         if self.steps > _MAX_STEPS:
-            raise JsError("script exceeded the evaluation-step budget")
+            raise JsBudgetError("script exceeded the evaluation-step budget")
 
     # statements
+
+    def run_body(self, stmts) -> None:
+        """Run a statement list with function declarations hoisted to
+        its top (ES5 §10.5 function-scope hoisting)."""
+        for s in stmts:
+            if s[0] == "funcdecl":
+                self.scope.declare(
+                    s[1], _JsFunction(s[1], s[2], s[3], self.scope, self)
+                )
+        for s in stmts:
+            if s[0] != "funcdecl":
+                self.run(s)
 
     def run(self, node) -> None:
         kind = node[0]
         self._tick()
         if kind == "prog" or kind == "block":
-            for s in node[1]:
-                self.run(s)
+            self.run_body(node[1])
+        elif kind == "funcdecl":
+            self.scope.declare(
+                node[1], _JsFunction(node[1], node[2], node[3],
+                                     self.scope, self)
+            )
         elif kind == "var":
             for name, init in node[1]:
-                self.env[name] = UNDEF if init is None else self.eval(init)
+                self.scope.declare(
+                    name, UNDEF if init is None else self.eval(init)
+                )
         elif kind == "expr":
             self.eval(node[1])
         elif kind == "empty":
@@ -580,6 +843,67 @@ class _Interp:
                     pass
                 except _BreakSig:
                     break
+        elif kind == "dowhile":
+            while True:
+                self._tick()
+                try:
+                    self.run(node[2])
+                except _ContinueSig:
+                    pass
+                except _BreakSig:
+                    break
+                if not js_truthy(self.eval(node[1])):
+                    break
+        elif kind == "forin":
+            _, name, declared, obj_e, body = node
+            obj = self.eval(obj_e)
+            if isinstance(obj, dict):
+                keys = list(obj.keys())
+            elif isinstance(obj, (list, str)):
+                keys = [str(i) for i in range(len(obj))]  # ES5: indices
+            elif obj is UNDEF or obj is None:
+                keys = []  # for-in over null/undefined iterates nothing
+            else:
+                raise JsError(
+                    f"for-in over {type(obj).__name__} is not enumerable"
+                )
+            if declared:
+                self.scope.declare(name, UNDEF)
+            for key in keys:
+                self._tick()
+                self.scope.assign(name, key)
+                try:
+                    self.run(body)
+                except _ContinueSig:
+                    pass
+                except _BreakSig:
+                    break
+        elif kind == "throw":
+            raise _ThrowSig(self.eval(node[1]))
+        elif kind == "try":
+            _, body, cname, cbody, fbody = node
+            try:
+                try:
+                    self.run(body)
+                except JsBudgetError:
+                    raise  # a runaway script cannot catch its own kill
+                except _ThrowSig as t:
+                    if cbody is None:
+                        raise
+                    self.scope.declare(cname, t.value)
+                    self.run(cbody)
+                except JsError as e:
+                    if cbody is None:
+                        raise
+                    # runtime errors surface as Error-shaped objects so
+                    # `e.message` reads like otto's
+                    self.scope.declare(
+                        cname, {"name": "Error", "message": str(e)}
+                    )
+                    self.run(cbody)
+            finally:
+                if fbody is not None:
+                    self.run(fbody)
         elif kind == "continue":
             raise _ContinueSig()
         elif kind == "break":
@@ -602,9 +926,22 @@ class _Interp:
             return UNDEF
         if kind == "ident":
             name = node[1]
-            if name in self.env:
-                return self.env[name]
-            raise JsError(f"{name!r} is not defined")
+            try:
+                return self.scope.lookup(name)
+            except KeyError:
+                raise JsError(f"{name!r} is not defined") from None
+        if kind == "func":
+            return _JsFunction(node[1], node[2], node[3], self.scope, self)
+        if kind == "typeof":
+            t = node[1]
+            if t[0] == "ident":
+                # typeof of an undeclared name is "undefined", not a
+                # ReferenceError (§12.5.6.1)
+                try:
+                    return _typeof(self.scope.lookup(t[1]))
+                except KeyError:
+                    return "undefined"
+            return _typeof(self.eval(t))
         if kind == "member":
             return _member(self.eval(node[1]), node[2])
         if kind == "index":
@@ -629,7 +966,8 @@ class _Interp:
             args = [self.eval(a) for a in node[2]]
             try:
                 return fn(*args)
-            except (JsError, _BreakSig, _ContinueSig, _ReturnSig):
+            except (JsError, _ThrowSig, _BreakSig, _ContinueSig,
+                    _ReturnSig):
                 raise
             except Exception as e:
                 # contain host/builtin failures as script errors: a
@@ -737,7 +1075,7 @@ class _Interp:
     def _store(self, target, val) -> None:
         kind = target[0]
         if kind == "ident":
-            self.env[target[1]] = val
+            self.scope.assign(target[1], val)
             return
         obj = self.eval(target[1])
         if kind == "member":
@@ -749,7 +1087,9 @@ class _Interp:
             return
         if isinstance(obj, list) and kind == "index":
             i = int(key)
-            if 0 <= i < len(obj):
+            if i >= 0:
+                if i >= len(obj):  # JS arrays grow on index assign
+                    obj.extend([UNDEF] * (i + 1 - len(obj)))
                 obj[i] = val
                 return
         raise JsError(f"cannot assign property on {type(obj).__name__}")
@@ -811,6 +1151,8 @@ def run_js(ast, hosts: dict) -> None:
         _Interp(env).run(ast)
     except _ReturnSig:
         pass
+    except _ThrowSig as t:
+        raise JsError(f"uncaught: {js_str(t.value)}") from t
     except (_BreakSig, _ContinueSig) as e:
         raise JsError("break/continue outside a loop") from e
 
@@ -825,7 +1167,7 @@ class Selection(JsHost):
     ``dom.py`` node tree — no reference code involved."""
 
     _js_methods = ("Find", "Length", "Eq", "First", "Last", "Text",
-                   "Html", "Attr", "AttrOr")
+                   "Html", "Attr", "AttrOr", "Each", "Map")
 
     def __init__(self, nodes: list[Node], doc: Node):
         self.nodes = nodes
@@ -878,6 +1220,21 @@ class Selection(JsHost):
             if v is not None:
                 return v
         return UNDEF
+
+    def Each(self, fn) -> "Selection":
+        """goquery Each(func(i, s)): call ``fn`` per element with its
+        index and a one-node selection; returns the receiver."""
+        if not callable(fn):
+            raise JsError("Each expects a function")
+        for i, n in enumerate(self.nodes):
+            fn(i, self._wrap([n]))
+        return self
+
+    def Map(self, fn) -> list:
+        """goquery Map(func(i, s) string): collect ``fn``'s returns."""
+        if not callable(fn):
+            raise JsError("Map expects a function")
+        return [fn(i, self._wrap([n])) for i, n in enumerate(self.nodes)]
 
     def AttrOr(self, name, default) -> str:
         v = self.Attr(name)

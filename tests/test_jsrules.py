@@ -97,11 +97,13 @@ def test_objects_arrays_and_builtins():
 
 def test_unsupported_constructs_raise_loudly():
     for bad in (
-        "function f() { return 1; }",
         "var d = new Date();",
-        "try { x(); } catch (e) {}",
-        "let y = 1;",
-        "for (var k in obj) {}",
+        "let y = 1;",                # post-ES5: otto rejects these too
+        "const z = 1;",
+        "class C {}",
+        "this.x = 1;",
+        "switch (x) { case 1: break; }",
+        "var has = 'k' in obj;",     # binary `in` (for-in IS supported)
     ):
         with pytest.raises(NotImplementedError):
             compile_js(bad)
@@ -337,3 +339,219 @@ def test_runtime_error_keeps_partial_parse(spark, tmp_store_dir):
     ):
         got.setdefault(r["url_key"], []).append(dict(r["fields"]))
     assert got == orc.js_items
+
+
+def test_functions_closures_and_hoisting():
+    got = _run(
+        """
+        emit("hoisted", add(2, 3));          // declaration is hoisted
+        function add(a, b) { return a + b; }
+        function counter() {
+            var n = 0;
+            return function () { n += 1; return n; };
+        }
+        var c = counter();
+        c(); c();
+        emit("closure", c());                 // 3: n lives in the closure
+        var fact = function f(n) { return n <= 1 ? 1 : n * f(n - 1); };
+        emit("fact", fact(5));                // named-expression recursion
+        emit("missing_arg", (function (a, b) { return b === undefined; })(1));
+        var shadow = "outer";
+        (function () { var shadow = "inner"; })();
+        emit("shadow", shadow);               // locals never leak out
+        (function () { leak = "global"; })();
+        emit("leak", leak);                   // undeclared assign = global
+        emit("tf", typeof add);
+        """
+    )
+    assert got == {
+        "hoisted": 5, "closure": 3, "fact": 120, "missing_arg": True,
+        "shadow": "outer", "leak": "global", "tf": "function",
+    }
+
+
+def test_typeof_forin_dowhile():
+    got = _run(
+        """
+        emit("tundecl", typeof neverDeclared);   // no ReferenceError
+        emit("tnum", typeof 3);
+        emit("tstr", typeof "x");
+        emit("tbool", typeof true);
+        emit("tnull", typeof null);              // "object", faithfully
+        emit("tundef", typeof undefined);
+        emit("tobj", typeof {});
+        var o = { a: 1, b: 2 }, ks = "", vs = 0;
+        for (var k in o) { ks += k; vs += o[k]; }
+        emit("keys", ks); emit("vals", vs);
+        var arr = [10, 20], idx = "";
+        for (var i in arr) { idx += i; }         // string indices
+        emit("idx", idx);
+        var n = 0;
+        do { n += 1; } while (n < 3);
+        emit("dowhile", n);
+        var once = 0;
+        do { once += 1; } while (false);         // body runs at least once
+        emit("once", once);
+        """
+    )
+    assert got == {
+        "tundecl": "undefined", "tnum": "number", "tstr": "string",
+        "tbool": "boolean", "tnull": "object", "tundef": "undefined",
+        "tobj": "object", "keys": "ab", "vals": 3, "idx": "01",
+        "dowhile": 3, "once": 1,
+    }
+
+
+def test_try_catch_finally_throw():
+    got = _run(
+        """
+        var log = "";
+        try { throw "boom"; } catch (e) { log += "c:" + e; }
+        finally { log += "|f"; }
+        emit("thrown", log);
+        var r = "";
+        try { var x = nope.field; } catch (e) { r = e.message; }
+        emit("runtime_caught", r !== "");        // JsError -> Error object
+        var cleanup = "";
+        function risky() {
+            try { return "ret"; } finally { cleanup = "ran"; }
+        }
+        emit("ret", risky());
+        emit("cleanup", cleanup);                 // finally runs on return
+        """
+    )
+    assert got["thrown"] == "c:boom|f"
+    assert got["runtime_caught"] is True
+    assert got == {**got, "ret": "ret", "cleanup": "ran"}
+
+
+def test_uncaught_throw_and_budget_not_catchable():
+    with pytest.raises(JsError, match="uncaught"):
+        run_js(compile_js('throw "up";'), {})
+    # the step budget must pierce try/catch or a runaway loop would
+    # swallow its own kill
+    with pytest.raises(JsError, match="step budget"):
+        run_js(
+            compile_js("try { while (true) { var i = 1; } } catch (e) {}"),
+            {},
+        )
+
+
+def test_selection_each_and_map():
+    from pholcus_spark.dom import parse_html
+
+    doc = parse_html(
+        "<ul><li class='x'>a</li><li class='x'>b</li><li>c</li></ul>"
+    )
+    sel = Selection([doc], doc)
+    sink: dict = {}
+    env = {
+        "dom": sel,
+        "emit": lambda k, v: sink.__setitem__(k, v),
+    }
+    run_js(
+        compile_js(
+            """
+            var parts = [];
+            dom.Find("li.x").Each(function (i, s) {
+                parts[parts.length] = i + ":" + s.Text();
+            });
+            emit("each", parts[0] + "," + parts[1]);
+            emit("map", dom.Find("li").Map(function (i, s) {
+                return s.Text();
+            }).length);
+            """
+        ),
+        env,
+    )
+    assert sink == {"each": "0:a,1:b", "map": 3}
+
+
+def test_string_and_array_methods():
+    got = _run(
+        """
+        var u = "https://h.example.com/p?pn=30";
+        emit("idx", u.indexOf("pn="));
+        emit("sub", u.substring(u.indexOf("pn=") + 3));
+        emit("split", u.split("?")[1]);
+        emit("rep", "a-b-c".replace("-", "+"));   // first match only
+        emit("lower", "AbC".toLowerCase());
+        emit("upper", "AbC".toUpperCase());
+        emit("trim", "  x  ".trim());
+        emit("char", "abc".charAt(1));
+        emit("slice", "abcdef".slice(1, 4));
+        emit("neg", "abcdef".slice(-3));
+        var a = [];
+        a.push("x"); a.push("y", "z");
+        emit("push_len", a.length);
+        emit("join", a.join("|"));
+        a[5] = "pad";                              // arrays grow, holes
+        emit("grown", a.length);
+        emit("hole_join", a.join(","));
+        """
+    )
+    assert got == {
+        "idx": 24, "sub": "30", "split": "pn=30", "rep": "a+b-c",
+        "lower": "abc", "upper": "ABC", "trim": "x", "char": "b",
+        "slice": "bcd", "neg": "def", "push_len": 3, "join": "x|y|z",
+        "grown": 6, "hole_join": "x,y,z,,,pad",
+    }
+
+
+def test_widened_subset_crawl_fidelity(spark, tmp_store_dir):
+    """A dynamic rule written with the widened subset — helper
+    functions, Selection.Each callbacks, for-in, try/catch — crawls
+    with full engine↔oracle fidelity (same interpreter on both sides,
+    but this proves the engine plumbing carries the new value kinds)."""
+    from pholcus_spark.crawler import CrawlEngine
+    from pholcus_spark.oracle import CrawlConfig, run_oracle
+    from pholcus_spark.tables import SnapshotStore
+    from tests.helpers import url_seen_set, visits_log
+    from tests.test_crawl_fidelity import _sorted_oracle_visits
+
+    js = compile_js(
+        """
+        function clean(s) { return s.trim(); }
+        var cells = [];
+        ctx.GetDom().Find("div#main ul.children a.child").Each(
+            function (i, a) {
+                cells.push({ href: a.AttrOr("href", ""), i: String(i) });
+            }
+        );
+        for (var k in cells) { ctx.Output(cells[k]); }
+        var cap = "";
+        try { cap = clean(ctx.GetDom().Find("h1#caption").Text()); }
+        catch (e) { cap = "err:" + e.message; }
+        ctx.Output({ cap: cap });
+        """
+    )
+    cfg = CrawlConfig(
+        rules={
+            ("imgspider", "root"): {
+                "child_rule": "root", "max_depth": 2,
+                "child_priority": 0, "js_parse": js,
+            },
+        },
+        n_hosts=4, batch_size=8, limit=20,
+    )
+    seeds = synthetic.seed_urls(5, cfg.n_hosts)
+    orc = run_oracle(seeds, cfg)
+    eng = CrawlEngine(spark, SnapshotStore(tmp_store_dir), cfg)
+    eng.run(seeds)
+
+    assert visits_log(eng) == _sorted_oracle_visits(orc)
+    assert url_seen_set(eng) == orc.url_seen
+    assert orc.js_items
+    got: dict[int, list[dict]] = {}
+    for r in (
+        eng.js_items_df()
+        .orderBy("url_key", "cell_idx")
+        .select("url_key", "fields")
+        .collect()
+    ):
+        got.setdefault(r["url_key"], []).append(dict(r["fields"]))
+    assert got == orc.js_items
+    # the Each callback actually fired somewhere (pages with children)
+    assert any(
+        "href" in c for cells in orc.js_items.values() for c in cells
+    )
