@@ -132,6 +132,8 @@ def fetch_batch(
                     jctx = JsParseCtx(
                         page, row.url, instance_keyin(row.spider),
                         temp=dict(row.temp) if row.temp else None,
+                        method=row.method, rule=row.rule,
+                        spider=row.spider,
                     )
                     try:
                         run_js(rule_cfg["js_parse"], {"ctx": jctx})

@@ -32,7 +32,7 @@ boundary as the DOM engine; everything around it stays vectorized.
 from __future__ import annotations
 
 import re
-from urllib.parse import quote, unquote
+from urllib.parse import quote, unquote, urlsplit
 
 from .dom import Node, _match_complex, compile_selector, parse_html
 
@@ -1301,15 +1301,21 @@ class JsParseCtx(JsHost):
     Output/JsAddQueue emission (context.go:140-187, 609-627,
     parsejs.go:121-133)."""
 
-    _js_methods = ("GetDom", "GetKeyin", "GetUrl", "GetTemp", "Output",
-                   "JsAddQueue", "AddQueue")
+    _js_methods = ("GetDom", "GetKeyin", "GetUrl", "GetURL", "GetTemp",
+                   "Output", "JsAddQueue", "AddQueue", "GetText",
+                   "GetMethod", "GetHost", "GetRuleName", "GetName",
+                   "SetTemp", "GetTemps")
 
     def __init__(self, page_html: str, url: str, keyin: str | None = None,
-                 temp: dict | None = None):
+                 temp: dict | None = None, method: str = "GET",
+                 rule: str = "", spider: str = ""):
         self._page = page_html
         self._url = url
         self._keyin = keyin
         self._temp = temp or {}
+        self._method = method or "GET"
+        self._rule = rule
+        self._spider = spider
         self._dom: Selection | None = None
         self.outputs: list[dict] = []
         self.queued: list[dict] = []
@@ -1326,8 +1332,41 @@ class JsParseCtx(JsHost):
     def GetUrl(self) -> str:
         return self._url
 
+    # Go exports it as GetURL (context.go:561); keep both spellings
+    GetURL = GetUrl
+
+    def GetText(self) -> str:
+        """The downloaded body (context.go:631) — for these HTML pages,
+        the same string GetDom parses."""
+        return self._page
+
+    def GetMethod(self) -> str:
+        return self._method
+
+    def GetHost(self) -> str:
+        """scheme://host of the page URL (context.go:571-578)."""
+        p = urlsplit(self._url)
+        return f"{p.scheme}://{p.netloc}" if p.netloc else ""
+
+    def GetRuleName(self) -> str:
+        return self._rule
+
+    def GetName(self) -> str:
+        return self._spider
+
     def GetTemp(self, key, default=""):
         return self._temp.get(js_str(key), default)
+
+    def SetTemp(self, key, value) -> "JsParseCtx":
+        """context.go:304 — script-visible only: the engine's temp
+        column is parent→child state, and JsAddQueue children carry
+        their own temp, so in-page SetTemp mirrors the reference's
+        within-Context mutation."""
+        self._temp[js_str(key)] = value
+        return self
+
+    def GetTemps(self) -> dict:
+        return self._temp
 
     def Output(self, cell) -> "JsParseCtx":
         if not isinstance(cell, dict):

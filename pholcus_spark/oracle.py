@@ -474,6 +474,8 @@ def run_oracle(seeds: list[str], cfg: CrawlConfig) -> OracleResult:
                             {"__downloader": row.downloader}
                             if row.downloader else None
                         ),
+                        method=row.method, rule=row.rule,
+                        spider=row.spider,
                     )
                     try:
                         run_js(rule_cfg["js_parse"], {"ctx": jctx})

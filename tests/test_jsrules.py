@@ -555,3 +555,39 @@ def test_widened_subset_crawl_fidelity(spark, tmp_store_dir):
     assert any(
         "href" in c for cells in orc.js_items.values() for c in cells
     )
+
+
+def test_ctx_accessor_surface():
+    """The wider Context accessor set scripts can call under otto
+    (context.go:304,561-578,631): GetURL spelling, GetText, GetMethod,
+    GetHost, GetRuleName/GetName, SetTemp/GetTemps."""
+    ctx = JsParseCtx(
+        "<html><title>t</title></html>", "https://h1.example.com/p?x=1",
+        keyin="k", temp={"seed": "v"}, method="POST", rule="page",
+        spider="imgspider",
+    )
+    sink: dict = {}
+    run_js(
+        compile_js(
+            """
+            emit("url", ctx.GetURL());
+            emit("same", ctx.GetURL() === ctx.GetUrl());
+            emit("text_has_title", ctx.GetText().indexOf("<title>") >= 0);
+            emit("method", ctx.GetMethod());
+            emit("host", ctx.GetHost());
+            emit("rule", ctx.GetRuleName());
+            emit("name", ctx.GetName());
+            ctx.SetTemp("n", 41);
+            ctx.SetTemp("n", ctx.GetTemp("n", 0) + 1);
+            emit("temp", ctx.GetTemp("n", 0));
+            emit("temps_seed", ctx.GetTemps()["seed"]);
+            """
+        ),
+        {"ctx": ctx, "emit": lambda k, v: sink.__setitem__(k, v)},
+    )
+    assert sink == {
+        "url": "https://h1.example.com/p?x=1", "same": True,
+        "text_has_title": True, "method": "POST", "host":
+        "https://h1.example.com", "rule": "page", "name": "imgspider",
+        "temp": 42, "temps_seed": "v",
+    }
