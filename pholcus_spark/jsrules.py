@@ -31,6 +31,7 @@ boundary as the DOM engine; everything around it stays vectorized.
 
 from __future__ import annotations
 
+import math
 import re
 from urllib.parse import quote, unquote, urlsplit
 
@@ -1131,6 +1132,24 @@ def _js_parse_float(s):
     return float(m.group(0)) if m else float("nan")
 
 
+def _js_number(v=0):
+    if isinstance(v, bool):
+        return int(v)
+    if isinstance(v, (int, float)):
+        return v
+    if v is None:
+        return 0
+    if isinstance(v, str):
+        s = v.strip()
+        if not s:
+            return 0
+        try:
+            return float(s) if ("." in s or "e" in s or "E" in s) else int(s)
+        except ValueError:
+            return float("nan")
+    return float("nan")  # undefined, objects
+
+
 def _builtins() -> dict:
     return {
         "encodeURIComponent": lambda s: quote(js_str(s), safe=_ENC_SAFE),
@@ -1138,6 +1157,22 @@ def _builtins() -> dict:
         "parseInt": _js_parse_int,
         "parseFloat": _js_parse_float,
         "String": js_str,
+        "Number": _js_number,
+        "isNaN": lambda v: (lambda n: n != n)(_js_number(v)),
+        # the Math members pagination/throttle scripts actually use;
+        # random()/Date are deliberately absent (nondeterminism would
+        # break the engine<->oracle fidelity contract AND Spark task
+        # retry idempotence — same reason workflow scripts ban them)
+        "Math": {
+            "floor": lambda x: float(math.floor(x)) if x == x else x,
+            "ceil": lambda x: float(math.ceil(x)) if x == x else x,
+            "round": lambda x: float(math.floor(x + 0.5)) if x == x else x,
+            "abs": lambda x: abs(x),
+            "max": lambda *xs: max(xs) if xs else float("-inf"),
+            "min": lambda *xs: min(xs) if xs else float("inf"),
+            "pow": lambda a, b: float(a) ** float(b),
+            "sqrt": lambda x: math.sqrt(x) if x >= 0 else float("nan"),
+        },
     }
 
 

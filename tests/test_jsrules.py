@@ -591,3 +591,31 @@ def test_ctx_accessor_surface():
         "https://h1.example.com", "rule": "page", "name": "imgspider",
         "temp": 42, "temps_seed": "v",
     }
+
+
+def test_math_and_number_builtins():
+    got = _run(
+        """
+        emit("floor", Math.floor(3.7));
+        emit("ceil", Math.ceil(3.2));
+        emit("round_half", Math.round(2.5));
+        emit("round_neg", Math.round(-2.5));    // JS: -2, not -3
+        emit("abs", Math.abs(-4));
+        emit("max", Math.max(1, 9, 4));
+        emit("min", Math.min(1, 9, 4));
+        emit("pow", Math.pow(2, 10));
+        emit("sqrt", Math.sqrt(49));
+        emit("num", Number("42"));
+        emit("num_empty", Number(""));          // 0, unlike parseInt
+        emit("nan", isNaN(Number("x")));
+        emit("notnan", isNaN("12"));
+        var pages = Math.ceil(95 / 10);
+        emit("pages", pages);
+        """
+    )
+    assert got == {
+        "floor": 3, "ceil": 4, "round_half": 3, "round_neg": -2,
+        "abs": 4, "max": 9, "min": 1, "pow": 1024, "sqrt": 7,
+        "num": 42, "num_empty": 0, "nan": True, "notnan": False,
+        "pages": 10,
+    }
