@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import math
 import re
+import sys
 from urllib.parse import quote, unquote, urlsplit
 
 from .dom import Node, _match_complex, compile_selector, parse_html
@@ -605,6 +606,32 @@ class JsHost:
     callable members via ``_js_methods`` — nothing else is reachable."""
 
     _js_methods: tuple[str, ...] = ()
+
+
+class JsLog(JsHost):
+    """``ctx.Log()`` target — the logs.Logs output surface
+    (/root/reference/logs/logs.go:37-45). Messages go to the executor's
+    stderr (Spark's task log), the cluster analog of the reference's
+    console adapter. %v/%d/%s verbs collapse to stringified args."""
+
+    _js_methods = ("Debug", "Informational", "App", "Notice", "Warning",
+                   "Error", "Critical", "Alert", "Emergency")
+
+    def _emit(self, level: str, fmt, args) -> None:
+        msg = js_str(fmt)
+        for a in args:  # Go-style verbs, first-come substitution
+            for verb in ("%v", "%s", "%d", "%q"):
+                if verb in msg:
+                    msg = msg.replace(verb, js_str(a), 1)
+                    break
+            else:
+                msg += " " + js_str(a)
+        print(f"[{level}] {msg}", file=sys.stderr)
+
+    def __getattr__(self, name: str):
+        if name in JsLog._js_methods:
+            return lambda fmt="", *a, _n=name: self._emit(_n, fmt, a)
+        raise AttributeError(name)
 
 
 def _js_substring(s: str, a, b=None):
@@ -1313,7 +1340,9 @@ class SeedCtx(JsHost):
     """The Root-script ctx (RuleTree.Root runs once per spider instance
     to push the seed requests, parsejs.go:113-119)."""
 
-    _js_methods = ("GetKeyin", "JsAddQueue", "AddQueue")
+    _js_methods = ("GetKeyin", "JsAddQueue", "AddQueue", "Log")
+
+    Log = staticmethod(lambda _log=JsLog(): _log)  # context.go:428
 
     def __init__(self, keyin: str | None = None):
         self.keyin = keyin
@@ -1339,7 +1368,9 @@ class JsParseCtx(JsHost):
     _js_methods = ("GetDom", "GetKeyin", "GetUrl", "GetURL", "GetTemp",
                    "Output", "JsAddQueue", "AddQueue", "GetText",
                    "GetMethod", "GetHost", "GetRuleName", "GetName",
-                   "SetTemp", "GetTemps")
+                   "SetTemp", "GetTemps", "Log")
+
+    Log = staticmethod(lambda _log=JsLog(): _log)  # context.go:428
 
     def __init__(self, page_html: str, url: str, keyin: str | None = None,
                  temp: dict | None = None, method: str = "GET",

@@ -619,3 +619,19 @@ def test_math_and_number_builtins():
         "num": 42, "num_empty": 0, "nan": True, "notnan": False,
         "pages": 10,
     }
+
+
+def test_ctx_log_surface(capsys):
+    """ctx.Log().<level>() (context.go:428, logs.go:37-45) writes to
+    stderr with Go-verb substitution instead of raising 'no method'."""
+    ctx = JsParseCtx("<html></html>", "http://h/x")
+    run_js(
+        compile_js(
+            'ctx.Log().Critical("task %v rule %v", ctx.GetURL(), "r1");'
+            'ctx.Log().Error("plain");'
+        ),
+        {"ctx": ctx},
+    )
+    err = capsys.readouterr().err
+    assert "[Critical] task http://h/x rule r1" in err
+    assert "[Error] plain" in err
