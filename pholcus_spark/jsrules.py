@@ -619,11 +619,12 @@ class JsLog(JsHost):
 
     def _emit(self, level: str, fmt, args) -> None:
         msg = js_str(fmt)
-        for a in args:  # Go-style verbs, first-come substitution
-            for verb in ("%v", "%s", "%d", "%q"):
-                if verb in msg:
-                    msg = msg.replace(verb, js_str(a), 1)
-                    break
+        for a in args:
+            # Go verbs substitute POSITIONALLY: the leftmost verb of
+            # any kind takes the next argument
+            m = re.search(r"%[vsdq]", msg)
+            if m is not None:
+                msg = msg[:m.start()] + js_str(a) + msg[m.end():]
             else:
                 msg += " " + js_str(a)
         print(f"[{level}] {msg}", file=sys.stderr)
@@ -635,34 +636,52 @@ class JsLog(JsHost):
 
 
 def _js_substring(s: str, a, b=None):
-    # ES5 §15.5.4.15: NaN/negative clamp to 0, args swap if reversed
+    # ES5 §15.5.4.15: NaN/negative clamp to 0, args swap if reversed;
+    # an absent OR undefined end means "to the end of the string"
+    if b is None or b is UNDEF:
+        b = len(s)
+
     def clamp(x):
         x = int(x) if isinstance(x, (int, float)) and x == x else 0
         return max(0, min(x, len(s)))
-    i, j = clamp(a), clamp(len(s) if b is None else b)
+    i, j = clamp(a), clamp(b)
     return s[min(i, j):max(i, j)]
 
 
 def _js_slice(s: str, a=0, b=None):
     i = int(a) if isinstance(a, (int, float)) and a == a else 0
-    j = len(s) if b is None else (
-        int(b) if isinstance(b, (int, float)) and b == b else 0
-    )
-    return s[slice(i, j)] if (i >= 0 and j >= 0) else s[i:j]
+    if b is None or b is UNDEF:  # undefined end = string length (§15.5.4.13)
+        return s[i:]
+    j = int(b) if isinstance(b, (int, float)) and b == b else 0
+    return s[i:j]
+
+
+def _js_split(s: str, sep=None, limit=None):
+    if sep is None or sep is UNDEF:
+        out = [s]
+    elif sep == "":
+        out = list(s)
+    else:
+        out = s.split(js_str(sep))
+    if limit is not None and limit is not UNDEF:
+        out = out[:max(0, int(limit))]  # ES5 §15.5.4.14 limit
+    return out
 
 
 # the ES5 string methods real otto spider scripts actually call —
 # replace/split are plain-string only (regex literals are outside the
 # subset and raise at tokenize time)
 _STR_METHODS = {
-    "indexOf": lambda s, t, start=0: s.find(js_str(t), int(start)),
+    # ES5 clamps a negative fromIndex to 0 (Python find would count
+    # from the end and return spurious not-founds)
+    "indexOf": lambda s, t, start=0: s.find(
+        js_str(t), max(0, int(start) if isinstance(start, (int, float))
+                       and start == start else 0)
+    ),
     "lastIndexOf": lambda s, t: s.rfind(js_str(t)),
     "substring": _js_substring,
     "slice": _js_slice,
-    "split": lambda s, sep=None, _u=None: (
-        [s] if sep is None else
-        (list(s) if sep == "" else s.split(js_str(sep)))
-    ),
+    "split": _js_split,
     "replace": lambda s, old, new: s.replace(js_str(old), js_str(new), 1),
     "toLowerCase": lambda s: s.lower(),
     "toUpperCase": lambda s: s.upper(),
@@ -704,6 +723,24 @@ def _member(obj, name: str):
 
 
 _MAX_STEPS = 2_000_000
+_MAX_ARRAY_GROWTH = 1_000_000
+
+
+def _js_array_index(idx):
+    """Coerce a JS index value to a non-negative-able int, or None when
+    it is not an integer index (property-style access)."""
+    if isinstance(idx, bool):
+        return int(idx)
+    if isinstance(idx, int):
+        return idx
+    if isinstance(idx, float):
+        return int(idx) if idx == idx and idx.is_integer() else None
+    if isinstance(idx, str):
+        try:
+            return int(idx, 10)
+        except ValueError:
+            return None
+    return None  # undefined, null, objects
 
 
 class JsBudgetError(JsError):
@@ -824,6 +861,21 @@ class _Interp:
             if s[0] != "funcdecl":
                 self.run(s)
 
+    def _run_catch(self, cname, value, cbody) -> None:
+        """Run a catch block with its binding scoped to the block
+        (§12.14): the binding shadows, then vanishes — it must not
+        clobber an outer var of the same name. (Divergence note: vars
+        declared INSIDE the catch land in this transient scope too,
+        instead of hoisting to the function scope — acceptable for the
+        subset.)"""
+        saved = self.scope
+        self.scope = _Scope(parent=saved)
+        self.scope.declare(cname, value)
+        try:
+            self.run(cbody)
+        finally:
+            self.scope = saved
+
     def run(self, node) -> None:
         kind = node[0]
         self._tick()
@@ -887,7 +939,11 @@ class _Interp:
             obj = self.eval(obj_e)
             if isinstance(obj, dict):
                 keys = list(obj.keys())
-            elif isinstance(obj, (list, str)):
+            elif isinstance(obj, list):
+                # ES5 enumerates own elements only: sparse-growth holes
+                # (UNDEF fill) are skipped, like otto's arrays
+                keys = [str(i) for i, e in enumerate(obj) if e is not UNDEF]
+            elif isinstance(obj, str):
                 keys = [str(i) for i in range(len(obj))]  # ES5: indices
             elif obj is UNDEF or obj is None:
                 keys = []  # for-in over null/undefined iterates nothing
@@ -918,17 +974,15 @@ class _Interp:
                 except _ThrowSig as t:
                     if cbody is None:
                         raise
-                    self.scope.declare(cname, t.value)
-                    self.run(cbody)
+                    self._run_catch(cname, t.value, cbody)
                 except JsError as e:
                     if cbody is None:
                         raise
                     # runtime errors surface as Error-shaped objects so
                     # `e.message` reads like otto's
-                    self.scope.declare(
-                        cname, {"name": "Error", "message": str(e)}
+                    self._run_catch(
+                        cname, {"name": "Error", "message": str(e)}, cbody
                     )
-                    self.run(cbody)
             finally:
                 if fbody is not None:
                     self.run(fbody)
@@ -978,7 +1032,16 @@ class _Interp:
             if isinstance(obj, dict):
                 return obj.get(js_str(idx), UNDEF)
             if isinstance(obj, (list, str)):
-                i = int(idx)
+                i = _js_array_index(idx)
+                # a non-integer key is a property read on the array /
+                # string object (§15.4): resolves like member access
+                # (a["length"], s["indexOf"]) or undefined — never an
+                # interpreter crash
+                if i is None:
+                    try:
+                        return _member(obj, js_str(idx))
+                    except JsError:
+                        return UNDEF
                 if 0 <= i < len(obj):
                     return obj[i]
                 return UNDEF
@@ -1114,9 +1177,22 @@ class _Interp:
             obj[js_str(key) if kind == "index" else key] = val
             return
         if isinstance(obj, list) and kind == "index":
-            i = int(key)
+            i = _js_array_index(key)
+            if i is None:
+                raise JsError(
+                    f"cannot set non-integer array key {js_str(key)!r}"
+                )
             if i >= 0:
                 if i >= len(obj):  # JS arrays grow on index assign
+                    if i >= _MAX_ARRAY_GROWTH:
+                        # our growth is DENSE (UNDEF fill), so a huge
+                        # sparse index would allocate it all in one
+                        # interpreter step and OOM the executor before
+                        # the step budget could fire — contain it
+                        raise JsError(
+                            f"array index {i} exceeds the dense-growth "
+                            f"cap ({_MAX_ARRAY_GROWTH})"
+                        )
                     obj.extend([UNDEF] * (i + 1 - len(obj)))
                 obj[i] = val
                 return

@@ -635,3 +635,83 @@ def test_ctx_log_surface(capsys):
     err = capsys.readouterr().err
     assert "[Critical] task http://h/x rule r1" in err
     assert "[Error] plain" in err
+
+
+def test_index_edge_semantics():
+    """Property-style and out-of-range indexing resolves like ES5
+    instead of escaping as raw Python errors (uncatchable by script
+    try/catch AND by the fetch pass's JsError containment)."""
+    got = _run(
+        """
+        var a = [1, 2];
+        var u;
+        emit("strkey", a["foo"] === undefined);
+        emit("undefkey", a[u] === undefined);
+        emit("nullkey", a[null] === undefined);
+        emit("fractional", a[0.5] === undefined);
+        emit("numstr", a["1"]);                   // "1" IS an index
+        emit("proplen", a["length"]);
+        emit("neg", a[-1] === undefined);
+        var caught = "";
+        try { a["foo"] = 1; } catch (e) { caught = "set"; }
+        emit("setcaught", caught);
+        var big = "";
+        try { a[99999999] = 1; } catch (e) { big = "capped"; }
+        emit("bigcapped", big);
+        emit("len_after", a.length);              // untouched by failures
+        """
+    )
+    assert got == {
+        "strkey": True, "undefkey": True, "nullkey": True,
+        "fractional": True, "numstr": 2, "proplen": 2, "neg": True,
+        "setcaught": "set", "bigcapped": "capped", "len_after": 2,
+    }
+
+
+def test_catch_binding_does_not_leak():
+    got = _run(
+        """
+        var e = 5;
+        try { throw 1; } catch (e) { emit("inside", e); }
+        emit("after", e);                          // outer e untouched
+        """
+    )
+    assert got == {"inside": 1, "after": 5}
+
+
+def test_forin_skips_sparse_holes():
+    got = _run(
+        """
+        var a = [];
+        a[0] = "x"; a[3] = "y";
+        var ks = "";
+        for (var k in a) { ks += k; }
+        emit("keys", ks);                          // holes 1,2 skipped
+        emit("len", a.length);
+        """
+    )
+    assert got == {"keys": "03", "len": 4}
+
+
+def test_string_method_es5_edges():
+    got = _run(
+        """
+        var u;
+        emit("slice_undef_end", "abcdef".slice(2, u));
+        emit("substr_undef_end", "abcdef".substring(2, u));
+        emit("idx_neg_start", "abcdef".indexOf("a", -2));
+        emit("split_limit", "a,b,c".split(",", 2).length);
+        """
+    )
+    assert got == {
+        "slice_undef_end": "cdef", "substr_undef_end": "cdef",
+        "idx_neg_start": 0, "split_limit": 2,
+    }
+
+
+def test_log_positional_verbs(capsys):
+    ctx = JsParseCtx("<html></html>", "http://h/x")
+    run_js(
+        compile_js('ctx.Log().Error("%d of %s", 1, "x");'), {"ctx": ctx}
+    )
+    assert "[Error] 1 of x" in capsys.readouterr().err
