@@ -247,6 +247,35 @@ def bench_ngram_stopshingle(spark, sf_dir: str) -> float:
     return round(time.time() - t0, 3)
 
 
+def _warm_session(spark) -> None:
+    """One tiny job through each machinery the first measured crawl
+    would otherwise pay cold: whole-stage codegen, the Python/Arrow
+    worker pool (mapInPandas spawns one worker per core on first use),
+    a shuffle, and the parquet committer. Standard JIT-warmup
+    exclusion — the measured number is the engine's throughput, not
+    the JVM's first-job tax; the session-start cost itself is already
+    outside every timer (get_spark precedes t_all)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    def _ident(it):
+        yield from it
+
+    d = tempfile.mkdtemp(prefix="pholcus_warm_")
+    try:
+        (
+            spark.range(1024)
+            .select(F.col("id"), F.xxhash64("id").alias("k"))
+            .mapInPandas(_ident, "id long, k long")
+            .repartition(4, "k")
+            .write.mode("overwrite").parquet(d)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -255,6 +284,7 @@ def main() -> None:
     from pholcus_spark.session import get_spark
 
     spark = get_spark("pholcus_bench", cores=cores)
+    _warm_session(spark)
 
     load_start = _loadavg()
     timings: dict[str, float] = {}

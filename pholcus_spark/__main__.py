@@ -72,7 +72,16 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--cores", type=int, default=None,
                     help="force local[N] (default: inherit spark-submit conf)")
     ap.add_argument("--export-csv", help="export items as CSV to this dir")
+    ap.add_argument("--export-excel",
+                    help="export items as one OOXML workbook at this "
+                         "path (sheet per rule; human-sized exports — "
+                         "the row tripwire aborts crawl-sized tables)")
     ap.add_argument("--export-files", help="export payload files to this dir")
+    ap.add_argument("--pausetime-ms", type=int, default=None,
+                    help="per-host pause between fetches (reference "
+                         "-pause, config.go:157; explicitly set, it "
+                         "overrides an XML <Pausetime> like the "
+                         "reference's task-level flag)")
     args = ap.parse_args(argv)
 
     from pholcus_spark import synthetic
@@ -96,6 +105,8 @@ def main(argv: list[str] | None = None) -> int:
         if args.proxy_pool else (),
         proxy_max_latency_ms=args.proxy_max_latency_ms,
     )
+    if args.pausetime_ms is not None:
+        knobs["pausetime_ms"] = args.pausetime_ms
     spec = None
     if args.spider_xml:
         from pholcus_spark.spiderspec import load_spider_xml, to_crawl_config
@@ -148,6 +159,10 @@ def main(argv: list[str] | None = None) -> int:
         from pholcus_spark import sinks
 
         sinks.write_csv(eng.items_df().drop("bytes"), args.export_csv)
+    if args.export_excel:
+        from pholcus_spark import sinks
+
+        sinks.write_excel(eng.items_df().drop("bytes"), args.export_excel)
     if args.export_files:
         from pholcus_spark import sinks
 

@@ -302,6 +302,13 @@ def enqueue(
             n_final = max(remaining_budget, 0)
         else:
             n_final = n_cand
+    if n_final is None:
+        # no budget branch paid for a count: one cheap job over the
+        # cache (which the range sampler would materialize anyway)
+        # buys the small-round fast path in assign_seq — on unbudgeted
+        # crawls this skips the range shuffle + sampling + counts jobs
+        # entirely for every round up to SMALL_SEQ_ROWS candidates
+        n_final = cands.count()
     cands, n_new = assign_seq(cands, next_seq, scope=scope, n_rows_hint=n_final)
     out = cands.select(
         "url_key",
