@@ -308,6 +308,14 @@ def main() -> None:
         spark, sf_dir
     )
 
+    # second-call timing for the heaviest similarity query: the cold
+    # number above pays one-shot codegen + staged-cache builds that a
+    # production pipeline amortizes across calls; reporting both keeps
+    # the cold measurement honest while showing the steady-state cost
+    t0 = time.time()
+    QUERIES["dedup_ngram_jaccard"](spark, sf_dir).count()
+    timings["dedup_ngram_jaccard_warm"] = round(time.time() - t0, 3)
+
     total = round(time.time() - t_all, 2)
     out = {
         "metric": "crawl_urls_per_sec",
