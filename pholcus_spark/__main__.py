@@ -77,6 +77,10 @@ def main(argv: list[str] | None = None) -> int:
                          "path (sheet per rule; human-sized exports — "
                          "the row tripwire aborts crawl-sized tables)")
     ap.add_argument("--export-files", help="export payload files to this dir")
+    ap.add_argument("--snapshot-keep", type=int, default=0,
+                    help="retain only the newest N snapshots, expiring "
+                         "older manifests + dead files after each round "
+                         "(0 = keep all; Iceberg expire_snapshots analog)")
     ap.add_argument("--pausetime-ms", type=int, default=None,
                     help="per-host pause between fetches (reference "
                          "-pause, config.go:157; explicitly set, it "
@@ -104,6 +108,7 @@ def main(argv: list[str] | None = None) -> int:
         proxy_pool=tuple(args.proxy_pool.split(","))
         if args.proxy_pool else (),
         proxy_max_latency_ms=args.proxy_max_latency_ms,
+        snapshot_keep=args.snapshot_keep,
     )
     if args.pausetime_ms is not None:
         knobs["pausetime_ms"] = args.pausetime_ms

@@ -892,11 +892,16 @@ class CrawlEngine:
         rounds_run = 0
         while rounds_run < limit:
             dispatched = self.run_round()
+            if cfg.snapshot_keep:
+                self.store.expire_snapshots(cfg.snapshot_keep)
             if dispatched == 0:
                 if self._try_defer():
                     continue
                 break
             rounds_run += 1
+        if cfg.snapshot_keep:
+            # the drain/defer path commits after the loop's last expire
+            self.store.expire_snapshots(cfg.snapshot_keep)
         return rounds_run
 
     # --- run boundaries: history inherit + failure export (F5/F7) ---

@@ -79,6 +79,12 @@ class CrawlConfig:
     # Jar updates are snapshot-consistent at round boundaries — the
     # micro-batch serialization of the reference's sequential jar.
     enable_cookie: bool = False
+    # Snapshot retention (engine knob, no semantic effect): when > 0,
+    # expire_snapshots(keep_last=snapshot_keep) runs after each round,
+    # bounding store growth on long crawls (a 10^10-URL crawl's
+    # per-round `pending` overwrite would otherwise pin every dead
+    # rewrite forever). 0 = keep all snapshots (full time travel).
+    snapshot_keep: int = 0
     # Fetch-stage partition sizing: target rows per fetch partition
     # (caps each partition's payload output so parquet writers and the
     # Python workers' Arrow buffers stay tens-of-MB-sized at any batch

@@ -196,5 +196,76 @@ class SnapshotStore:
         os.replace(ptr_tmp, self._current_path())
         return snapshot_id
 
+    # --- maintenance ---
+
+    def snapshot_ids(self) -> list[int]:
+        """All committed snapshot ids, ascending (from the manifest dir,
+        so ids survive process restarts)."""
+        out = []
+        for name in os.listdir(os.path.join(self.root, "snapshots")):
+            if name.startswith("snap-") and name.endswith(".json"):
+                out.append(int(name[len("snap-"):-len(".json")]))
+        return sorted(out)
+
+    def expire_snapshots(self, keep_last: int = 2) -> dict:
+        """Iceberg ``expire_snapshots`` analog: retain the newest
+        ``keep_last`` snapshots (always including ``current``), delete
+        older manifests, and delete data files referenced ONLY by
+        expired manifests (reference ``app/aid/history/failure.go``
+        rewrites its whole store each flush; here history accumulates
+        as snapshots, so a long crawl needs bounded retention — at the
+        10^10-URL design point every round's overwritten ``pending``
+        rewrite would otherwise pin dead files forever).
+
+        Deliberately conservative, like Iceberg: only files that appear
+        in an expired manifest and in no retained manifest are removed.
+        Files never referenced by any manifest (torn-commit leftovers,
+        the bucketed seen catalog's own generation dirs) are the
+        province of their own cleanup paths and are not touched.
+
+        Returns ``{"expired": [ids], "retained": [ids],
+        "files_deleted": n}``. Time-travel ``load()`` keeps working for
+        retained ids and raises ``FileNotFoundError`` for expired ones.
+        """
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        ids = self.snapshot_ids()
+        cur = self.current_snapshot_id()
+        retained = set(ids[-keep_last:])
+        if cur is not None:
+            retained.add(cur)
+        expired = [i for i in ids if i not in retained]
+        if not expired:
+            return {"expired": [], "retained": sorted(retained),
+                    "files_deleted": 0}
+        live: set[str] = set()
+        for i in sorted(retained):
+            for files in self.read_manifest(i)["tables"].values():
+                live.update(files)
+        dead: set[str] = set()
+        for i in expired:
+            for files in self.read_manifest(i)["tables"].values():
+                dead.update(f for f in files if f not in live)
+        deleted = 0
+        for rel in sorted(dead):
+            path = os.path.join(self.root, "data", rel)
+            try:
+                os.remove(path)
+                deleted += 1
+            except FileNotFoundError:
+                pass
+            parent = os.path.dirname(path)
+            try:  # prune now-empty snap dirs (best effort)
+                os.rmdir(parent)
+            except OSError:
+                pass
+        for i in expired:
+            try:
+                os.remove(self._manifest_path(i))
+            except FileNotFoundError:
+                pass
+        return {"expired": expired, "retained": sorted(retained),
+                "files_deleted": deleted}
+
     def destroy(self) -> None:
         shutil.rmtree(self.root, ignore_errors=True)
