@@ -23,7 +23,7 @@ use so the kept set is stable under re-sharding.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from . import dedup, textops
@@ -60,4 +60,60 @@ def select_training_docs(
         kept.join(non_canonical, "doc_id", "left_anti")
         .select("doc_id", F.col("n_words").cast("long").alias("n_words"),
                 "uniq_ratio")
+    )
+
+
+def pack_shards(
+    docs: DataFrame, token_budget: int = 4096, n_groups: int = 16
+) -> DataFrame:
+    """Sequence packing: assign each doc to a fixed-token-budget
+    training shard. Deterministic greedy fill — docs are split into
+    ``n_groups`` independent pack groups (``doc_id % n_groups``; a
+    production corpus would hash a stable doc key the same way), and
+    within a group docs fill shards in doc_id order, a doc landing in
+    the shard where its first token falls::
+
+        shard = (running_tokens_before_doc) div token_budget
+
+    One shuffle (the window's group partitioning), per-group sort only
+    — groups are corpus_size/n_groups and independent, so at 100 TB
+    n_groups is set to the writer-task count and packing is
+    embarrassingly parallel; no global sort, no driver state.
+    Returns (doc_id, pack_group, n_tokens, shard).
+    """
+    toks = textops.n_tokens_ws(F.col("text")).cast("long")
+    d = docs.select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(n_groups)).cast("int").alias("pack_group"),
+        toks.alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("pack_group")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    before = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return (
+        d.withColumn("_before", before)
+        .withColumn("shard", F.expr(f"_before div {int(token_budget)}").cast("long"))
+        .drop("_before")
+    )
+
+
+def cap_per_source(docs: DataFrame, k: int = 10) -> DataFrame:
+    """Diversity cap: keep at most ``k`` docs per source, preferring
+    longer docs (n_chars desc, doc_id asc tie-break) — the per-domain
+    cap a corpus mix applies so one source cannot dominate. One
+    shuffle on source; rank is a per-group window (salting applies if
+    a source is pathologically hot — same recipe as the frontier's
+    host windows). Returns (doc_id, source, source_rank).
+    """
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select("doc_id", "source", "n_chars")
+        .withColumn("source_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("source_rank") <= k)
+        .select("doc_id", "source", "source_rank")
     )

@@ -1382,6 +1382,59 @@ def q_training_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.select_training_docs(_t(spark, sf_dir, "documents"))
 
 
+def q_training_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (pipeline.pack_shards): fixed-token-budget
+    shard assignment by deterministic greedy fill within independent
+    pack groups — the shard-writing step after training_select. One
+    shuffle (group partition), per-group sort, no global ordering."""
+    from . import pipeline
+
+    return pipeline.pack_shards(
+        _t(spark, sf_dir, "documents"), token_budget=2000, n_groups=16
+    )
+
+
+SQL_TRAINING_PACK_SHARDS = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(doc_id % 16 AS INT) AS pack_group,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, pack_group, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY pack_group ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) - n_tokens AS before_t
+  FROM d
+)
+SELECT doc_id, pack_group, n_tokens,
+       CAST(before_t // 2000 AS BIGINT) AS shard
+FROM c
+"""
+
+
+def q_training_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source diversity cap (pipeline.cap_per_source): keep the
+    top-k docs per source by length, deterministic tie-break — the
+    domain-mix cap a corpus pipeline applies before packing."""
+    from . import pipeline
+
+    return pipeline.cap_per_source(_t(spark, sf_dir, "documents"), k=10)
+
+
+SQL_TRAINING_SOURCE_CAP = """
+WITH r AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id ASC)
+           AS source_rank
+  FROM documents
+)
+SELECT doc_id, source, CAST(source_rank AS BIGINT) AS source_rank
+FROM r WHERE source_rank <= 10
+"""
+
+
 def _training_select_sql() -> str:
     base = _minhash_verified_sql().rstrip()
     return f"""
@@ -1929,6 +1982,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_verified": q_dedup_minhash_verified,
     "dedup_components": q_dedup_components,
     "training_select": q_training_select,
+    "training_pack_shards": q_training_pack_shards,
+    "training_source_cap": q_training_source_cap,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_simhash": q_dedup_simhash,
     "text_tokens": q_text_tokens,
@@ -1982,6 +2037,8 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_minhash_verified": SQL_DEDUP_MINHASH_VERIFIED,
     "dedup_components": SQL_DEDUP_COMPONENTS,
     "training_select": SQL_TRAINING_SELECT,
+    "training_pack_shards": SQL_TRAINING_PACK_SHARDS,
+    "training_source_cap": SQL_TRAINING_SOURCE_CAP,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "text_tokens": SQL_TEXT_TOKENS,

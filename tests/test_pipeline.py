@@ -1,0 +1,64 @@
+"""Packing/selection invariants beyond oracle value-parity: the
+greedy-fill properties the shard assignment must keep at any scale."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pholcus_spark import pipeline
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_pack_shards_invariants(spark, docs):
+    budget = 500
+    packed = pipeline.pack_shards(docs, token_budget=budget, n_groups=4)
+    rows = packed.collect()
+    # every doc assigned exactly once
+    assert len(rows) == docs.count()
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+    by_group: dict[int, list] = {}
+    for r in rows:
+        by_group.setdefault(r["pack_group"], []).append(r)
+    for grp, rs in by_group.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        # shards are contiguous from 0 and non-decreasing in fill order
+        shards = [r["shard"] for r in rs]
+        assert shards[0] == 0
+        assert all(b - a >= 0 for a, b in zip(shards, shards[1:]))
+        # greedy-fill property: a doc lands in the shard holding its
+        # first token — the tokens BEFORE it are < (shard+1)*budget
+        before = 0
+        for r in rs:
+            assert r["shard"] == before // budget
+            before += r["n_tokens"]
+
+
+def test_pack_shards_group_count_bounds_parallelism(spark, docs):
+    packed = pipeline.pack_shards(docs, token_budget=10**9, n_groups=8)
+    groups = packed.select("pack_group").distinct().collect()
+    assert {g["pack_group"] for g in groups} <= set(range(8))
+    # giant budget -> exactly one shard per group
+    assert packed.filter(F.col("shard") != 0).count() == 0
+
+
+def test_cap_per_source_keeps_top_k_longest(spark, docs):
+    k = 3
+    capped = pipeline.cap_per_source(docs, k=k).collect()
+    per_src: dict[str, list] = {}
+    for r in capped:
+        per_src.setdefault(r["source"], []).append(r)
+    full = docs.select("doc_id", "source", "n_chars").collect()
+    by_src: dict[str, list] = {}
+    for r in full:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, kept in per_src.items():
+        assert len(kept) <= k
+        want = sorted(by_src[src], key=lambda r: (-r["n_chars"], r["doc_id"]))
+        assert sorted(r["doc_id"] for r in kept) == sorted(
+            r["doc_id"] for r in want[:k]
+        )

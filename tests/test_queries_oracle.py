@@ -33,6 +33,8 @@ SAMPLED = [
     "doc_fingerprint",
     "embed_cosine_topk",
     "embed_ivf_ann",
+    "training_pack_shards",
+    "training_source_cap",
     # multimodal: the oracles recompute codec-bound values driver-side
     # through the same generator+codec path (lazy VALUES twins)
     "images_phash_neardup",
