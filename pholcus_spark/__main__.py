@@ -114,7 +114,11 @@ def main(argv: list[str] | None = None) -> int:
         knobs["pausetime_ms"] = args.pausetime_ms
     spec = None
     if args.spider_xml:
-        from pholcus_spark.spiderspec import load_spider_xml, to_crawl_config
+        from pholcus_spark.spiderspec import (
+            load_spider_xml,
+            root_seeds,
+            to_crawl_config,
+        )
 
         with open(args.spider_xml) as f:
             spec = load_spider_xml(f.read())
@@ -128,10 +132,35 @@ def main(argv: list[str] | None = None) -> int:
     elif args.seeds:
         with open(args.seeds) as f:
             seeds = [ln.strip() for ln in f if ln.strip()]
-    elif spec is not None and spec.seeds:
-        seeds = list(spec.seeds)
+    elif spec is not None and (spec.seeds or spec.js_root is not None):
+        # declarative <Seed> URLs, plus a <Root><Script> body executed
+        # per keyin (RuleTree.Root fires once per spider instance)
+        seeds = root_seeds(spec, cfg.keyins)
     else:
         seeds = None  # pure resume
+
+    if seeds:
+        # hosts outside the synthetic h%03d.example.com universe (e.g.
+        # a dynamic spider's search host) need a politeness policy or
+        # their seeds are silently dropped at admission — derive them
+        # from the resolved seed list like run_oracle callers do by
+        # hand with extra_hosts
+        import re
+        from dataclasses import replace as _dc_replace
+
+        from pholcus_spark.urlnorm import canonicalize, host_of
+
+        extra = set()
+        for s in seeds:
+            u = canonicalize(s["url"] if isinstance(s, dict) else s)
+            h = host_of(u) if u else None
+            if h and not re.fullmatch(r"h\d{3}\.example\.com", h):
+                extra.add(h)
+        extra -= set(cfg.extra_hosts)
+        if extra:
+            cfg = _dc_replace(
+                cfg, extra_hosts=tuple(cfg.extra_hosts) + tuple(sorted(extra))
+            )
 
     eng = CrawlEngine(spark, SnapshotStore(args.store), cfg)
     monitor = None

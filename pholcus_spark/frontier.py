@@ -288,6 +288,13 @@ def enqueue(
                 # post-filter count: one cheap job over the cached base
                 # that buys the small-round seq fast path below
                 n_final = cands.count()
+            else:
+                # known-large round: the filtered count could still be
+                # small, but discovering that would re-run the budget
+                # join+window once just for the hint — at 10^10
+                # candidates that doubles the stage. Keep the scalable
+                # range path without paying the fallback count.
+                n_final = -1
         else:
             n_final = n_cand
     elif remaining_budget is not None:
@@ -309,7 +316,10 @@ def enqueue(
         # crawls this skips the range shuffle + sampling + counts jobs
         # entirely for every round up to SMALL_SEQ_ROWS candidates
         n_final = cands.count()
-    cands, n_new = assign_seq(cands, next_seq, scope=scope, n_rows_hint=n_final)
+    cands, n_new = assign_seq(
+        cands, next_seq, scope=scope,
+        n_rows_hint=None if n_final == -1 else n_final,
+    )
     out = cands.select(
         "url_key",
         "url",

@@ -564,6 +564,14 @@ def js_str(v) -> str:
         return "function"
     if isinstance(v, float) and v.is_integer():
         return str(int(v))
+    if isinstance(v, list):
+        # Array.prototype.toString == join(','): null/undefined
+        # elements stringify to "" inside a join
+        return ",".join(
+            "" if x is None or x is UNDEF else js_str(x) for x in v
+        )
+    if isinstance(v, dict):
+        return "[object Object]"
     return str(v)
 
 
@@ -991,7 +999,9 @@ class _Interp:
         elif kind == "break":
             raise _BreakSig()
         elif kind == "return":
-            raise _ReturnSig(None if node[1] is None else self.eval(node[1]))
+            # bare `return;` yields undefined (not null), like a
+            # fall-off-the-end function body
+            raise _ReturnSig(UNDEF if node[1] is None else self.eval(node[1]))
         else:  # pragma: no cover
             raise JsError(f"unknown statement {kind!r}")
 

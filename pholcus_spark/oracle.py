@@ -160,6 +160,10 @@ class OracleRow:
     # per-request renderer (JsAddQueue DownloaderID, request.go:37);
     # None = the rule's configured downloader
     downloader: str | None = None
+    # per-request retry budget (Request.TryTimes, request.go:48);
+    # None = cfg.try_times — mirrors the engine's
+    # `row.try_times or try_times_default` (fetch.py)
+    try_times: int | None = None
 
 
 @dataclass
@@ -256,6 +260,7 @@ def run_oracle(seeds: list[str], cfg: CrawlConfig) -> OracleResult:
                     post_data=c.get("post_data"),
                     spider=sp,
                     downloader=c.get("downloader"),
+                    try_times=c.get("try_times"),
                 )
             )
             next_seq += 1
@@ -297,6 +302,7 @@ def run_oracle(seeds: list[str], cfg: CrawlConfig) -> OracleResult:
                         "post_data": req.get("post_data"),
                         "spider": inst,
                         "downloader": req.get("downloader"),
+                        "try_times": req.get("try_times"),
                     },
                 )
             )
@@ -350,7 +356,8 @@ def run_oracle(seeds: list[str], cfg: CrawlConfig) -> OracleResult:
         round_cands: list[tuple[int, dict]] = []
         round_ck: dict[tuple[str, str, str], str] = {}
         for row in batch:
-            base = row.attempt * cfg.try_times
+            tries = row.try_times or cfg.try_times
+            base = row.attempt * tries
             req_cookies = (
                 jar.get((row.spider, row.host)) if cfg.enable_cookie else None
             )
@@ -358,7 +365,7 @@ def run_oracle(seeds: list[str], cfg: CrawlConfig) -> OracleResult:
                 "downloader", "surf"
             )
             res = None
-            for i in range(cfg.try_times):
+            for i in range(tries):
                 res = synthetic.fetch_one(
                     row.url, row.depth, base + i, cfg.n_hosts, cfg.failure_pct,
                     cfg.img_px_scale, method=row.method,
@@ -517,6 +524,13 @@ def run_oracle(seeds: list[str], cfg: CrawlConfig) -> OracleResult:
                                     "post_data": q["post_data"],
                                     "spider": row.spider,
                                     "downloader": q["downloader"],
+                                    # JsAddQueue TryTimes wins; else
+                                    # inherit the parent's (fetch.py)
+                                    "try_times": (
+                                        q.get("try_times")
+                                        if q.get("try_times") is not None
+                                        else row.try_times
+                                    ),
                                 },
                             )
                         )

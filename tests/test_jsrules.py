@@ -715,3 +715,94 @@ def test_log_positional_verbs(capsys):
         compile_js('ctx.Log().Error("%d of %s", 1, "x");'), {"ctx": ctx}
     )
     assert "[Error] 1 of x" in capsys.readouterr().err
+
+
+def test_bare_return_is_undefined():
+    """A bare `return;` yields undefined, not null (otto: the empty
+    return completion value is undefined)."""
+    got = _run(
+        """
+        function f(x) { if (!x) return; return x; }
+        var r = f("");
+        emit("isUndef", r === undefined);
+        emit("isNull", r === null);
+        emit("t", typeof r);
+        emit("kept", f("v"));
+        """
+    )
+    assert got == {"isUndef": True, "isNull": False, "t": "undefined",
+                   "kept": "v"}
+
+
+def test_array_object_tostring_js_semantics():
+    """String coercion of arrays/objects follows JS ToString — arrays
+    join with commas (null/undefined elements become empty), objects
+    stringify to [object Object] — so Output cells and concatenation
+    match otto, not Python repr."""
+    got = _run(
+        """
+        var a = ["a", "b", 3];
+        emit("arr", "" + a);
+        emit("nested", String([1, ["x", "y"], 2]));
+        emit("holes", String([1, null, undefined, 2]));
+        emit("obj", "" + {k: 1});
+        emit("empty", String([]));
+        """
+    )
+    assert got == {
+        "arr": "a,b,3",
+        "nested": "1,x,y,2",
+        "holes": "1,,,2",
+        "obj": "[object Object]",
+        "empty": "",
+    }
+
+
+def test_jsaddqueue_trytimes_crawl_fidelity(spark, tmp_store_dir):
+    """Per-request TryTimes (request.go:48) must bind the retry loop
+    identically in engine and oracle: a child queued with TryTimes=1
+    gets ONE fetch attempt even though cfg.try_times=3, so done/failed
+    sets diverge if either side ignores the per-request budget."""
+    from pholcus_spark.crawler import CrawlEngine
+    from pholcus_spark.oracle import CrawlConfig, run_oracle
+    from pholcus_spark.tables import SnapshotStore
+    from tests.helpers import url_seen_set, visits_log
+    from tests.test_crawl_fidelity import _sorted_oracle_visits
+
+    js = compile_js(
+        """
+        ctx.GetDom().Find("div#main ul.children a.child").Each(
+            function (i, a) {
+                ctx.JsAddQueue({
+                    URL: a.AttrOr("href", ""),
+                    Rule: "root",
+                    TryTimes: 1
+                });
+            }
+        );
+        """
+    )
+    cfg = CrawlConfig(
+        rules={
+            ("imgspider", "root"): {
+                "child_rule": None, "max_depth": 2,
+                "child_priority": 0, "js_parse": js,
+            },
+        },
+        n_hosts=5, batch_size=8, limit=40, failure_pct=45,
+    )
+    seeds = synthetic.seed_urls(8, cfg.n_hosts)
+    orc = run_oracle(seeds, cfg)
+    # the budget must actually bind somewhere: with failure_pct=45 and
+    # a single attempt, some child must fail that 3 tries would save
+    assert orc.failed, "fixture should produce single-attempt failures"
+    eng = CrawlEngine(spark, SnapshotStore(tmp_store_dir), cfg)
+    eng.run(seeds)
+
+    assert visits_log(eng) == _sorted_oracle_visits(orc)
+    assert url_seen_set(eng) == orc.url_seen
+    resolved = eng.resolved_df().collect()
+    done = {r["url_key"] for r in resolved if r["status"] == "done"}
+    failed = {r["url_key"] for r in resolved if r["status"] == "failed"}
+    assert done == orc.done
+    assert failed == orc.failed

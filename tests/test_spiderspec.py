@@ -194,3 +194,34 @@ def test_misplaced_script_rejected():
     )
     with pytest.raises(ValueError, match="Script"):
         load_spider_xml(inline)
+
+
+def test_cli_runs_js_root_spider(spark, tmp_store_dir, capsys):
+    """The CLI path for a <Root><Script> spider with no declarative
+    <Seed>: __main__ must execute the Root script (per keyin) for its
+    seeds and derive politeness policy for off-universe seed hosts —
+    without either, the shipped dynamic sample 'runs' zero rounds
+    silently."""
+    import json
+    import os
+
+    from pholcus_spark.__main__ import main
+
+    sample = "/root/reference/sample/dyn_rules/baidu_search.pholcus.xml"
+    if not os.path.exists(sample):
+        pytest.skip("reference sample not present")
+    rc = main([
+        "--store", tmp_store_dir,
+        "--spider-xml", sample,
+        "--keyins", "golang spark",
+        "--n-hosts", "4",
+        "--batch-size", "8",
+        "--max-rounds", "3",
+        "--snapshot-keep", "2",
+        "--cores", "8",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    stats = json.loads(out)
+    assert stats["visits"] > 0, "Root-script seeds must actually crawl"
+    assert stats["rounds"] > 0
