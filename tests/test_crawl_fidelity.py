@@ -110,23 +110,53 @@ def test_failure_retry_and_defer(spark, tmp_path):
     assert failed == orc.failed
 
 
-def test_resume_from_snapshot(spark, tmp_path):
+@pytest.fixture(scope="module")
+def resume_world(spark, tmp_path_factory):
+    """Shared ground truth for the resume-shaped tests: one full crawl
+    + one partially-run ("killed") store per config. Each test copies
+    the partial store byte-for-byte before damaging/resuming it — the
+    engine is deterministic, so the copies are exactly the state the
+    per-test crawls used to rebuild, at a fraction of the wall time."""
+    base = tmp_path_factory.mktemp("resume_world")
+    cfg60 = CrawlConfig(n_hosts=8, batch_size=10, limit=60)
+    seeds60 = synthetic.seed_urls(8, cfg60.n_hosts)
+    full60 = CrawlEngine(spark, SnapshotStore(str(base / "full60")), cfg60)
+    full60.run(seeds60)
+    CrawlEngine(spark, SnapshotStore(str(base / "partial60")), cfg60).run(
+        seeds60, max_rounds=3
+    )  # "kill" after 3 rounds
+    cfg40 = CrawlConfig(n_hosts=8, batch_size=10, limit=40)
+    seeds40 = synthetic.seed_urls(6, cfg40.n_hosts)
+    full40 = CrawlEngine(spark, SnapshotStore(str(base / "full40")), cfg40)
+    full40.run(seeds40)
+    CrawlEngine(spark, SnapshotStore(str(base / "partial40")), cfg40).run(
+        seeds40, max_rounds=2
+    )
+    return {
+        "base": base,
+        "cfg60": cfg60, "seeds60": seeds60, "full60": full60,
+        "cfg40": cfg40, "seeds40": seeds40, "full40": full40,
+    }
+
+
+def _copy_partial(world, which: int, name: str) -> str:
+    import shutil
+
+    dst = str(world["base"] / name)
+    shutil.copytree(str(world["base"] / f"partial{which}"), dst)
+    return dst
+
+
+def test_resume_from_snapshot(spark, resume_world):
     """Kill mid-crawl, resume from the last snapshot → identical final
     state to an uninterrupted run (north-rule checkpoint resume)."""
-    cfg = CrawlConfig(n_hosts=8, batch_size=10, limit=60)
-    seeds = synthetic.seed_urls(8, cfg.n_hosts)
+    w = resume_world
+    part = _copy_partial(w, 60, "resume_plain")
+    # a fresh engine object over the (copied) killed store resumes
+    resumed = CrawlEngine(spark, SnapshotStore(part), w["cfg60"])
+    resumed.run(w["seeds60"])
 
-    full_store = SnapshotStore(str(tmp_path / "full"))
-    full = CrawlEngine(spark, full_store, cfg)
-    full.run(seeds)
-
-    part_store = SnapshotStore(str(tmp_path / "partial"))
-    partial = CrawlEngine(spark, part_store, cfg)
-    partial.run(seeds, max_rounds=3)  # "kill" after 3 rounds
-    # a fresh engine object over the same store resumes
-    resumed = CrawlEngine(spark, SnapshotStore(str(tmp_path / "partial")), cfg)
-    resumed.run(seeds)
-
+    full = w["full60"]
     assert visits_log(resumed) == visits_log(full)
     assert url_seen_set(resumed) == url_seen_set(full)
     assert (
@@ -135,36 +165,29 @@ def test_resume_from_snapshot(spark, tmp_path):
     )
 
 
-def test_resume_ignores_orphan_files(spark, tmp_path):
+def test_resume_ignores_orphan_files(spark, resume_world):
     """A kill DURING a commit leaves data files without a manifest
     entry (the manifest pointer flip is the atomic step). Resume must
     read only manifest-listed files — orphans are invisible garbage."""
     import os
 
-    cfg = CrawlConfig(n_hosts=8, batch_size=10, limit=40)
-    seeds = synthetic.seed_urls(6, cfg.n_hosts)
-
-    full = CrawlEngine(spark, SnapshotStore(str(tmp_path / "full")), cfg)
-    full.run(seeds)
-
-    part_store = SnapshotStore(str(tmp_path / "partial"))
-    partial = CrawlEngine(spark, part_store, cfg)
-    partial.run(seeds, max_rounds=2)
+    w = resume_world
+    part = _copy_partial(w, 40, "resume_orphans")
     # simulate the torn commit: stray data files in several tables
     for table in ("fetched", "url_seen", "pending"):
-        orphan = os.path.join(part_store.root, "data", table, "snap-99999999")
+        orphan = os.path.join(part, "data", table, "snap-99999999")
         os.makedirs(orphan, exist_ok=True)
         spark.range(5).selectExpr("id AS url_key").write.mode(
             "overwrite"
         ).parquet(orphan)
 
-    resumed = CrawlEngine(spark, SnapshotStore(str(tmp_path / "partial")), cfg)
-    resumed.run(seeds)
-    assert visits_log(resumed) == visits_log(full)
-    assert url_seen_set(resumed) == url_seen_set(full)
+    resumed = CrawlEngine(spark, SnapshotStore(part), w["cfg40"])
+    resumed.run(w["seeds40"])
+    assert visits_log(resumed) == visits_log(w["full40"])
+    assert url_seen_set(resumed) == url_seen_set(w["full40"])
 
 
-def test_resume_after_torn_adoption(spark, tmp_path):
+def test_resume_after_torn_adoption(spark, resume_world):
     """A crash in commit() AFTER the scratch dir was adopted (renamed
     into data/fetched/snap-N) but BEFORE the manifest flip leaves a
     non-empty snap-N dir. The resumed crawl recomputes the same
@@ -172,54 +195,38 @@ def test_resume_after_torn_adoption(spark, tmp_path):
     ENOTEMPTY (ADVICE r1 high)."""
     import os
 
-    cfg = CrawlConfig(n_hosts=8, batch_size=10, limit=40)
-    seeds = synthetic.seed_urls(6, cfg.n_hosts)
-
-    full = CrawlEngine(spark, SnapshotStore(str(tmp_path / "full")), cfg)
-    full.run(seeds)
-
-    part_store = SnapshotStore(str(tmp_path / "partial"))
-    partial = CrawlEngine(spark, part_store, cfg)
-    partial.run(seeds, max_rounds=2)
+    w = resume_world
+    part = _copy_partial(w, 40, "resume_torn")
+    part_store = SnapshotStore(part)
     # plant the torn adoption at the NEXT snapshot id (what the resumed
     # round will compute): a non-empty fetched/snap-<next> dir
     next_snap = part_store.current_snapshot_id() + 1
-    torn = os.path.join(
-        part_store.root, "data", "fetched", f"snap-{next_snap:08d}"
-    )
+    torn = os.path.join(part, "data", "fetched", f"snap-{next_snap:08d}")
     os.makedirs(torn, exist_ok=True)
     spark.range(7).selectExpr("id AS url_key").write.mode(
         "overwrite"
     ).parquet(torn)
 
-    resumed = CrawlEngine(spark, SnapshotStore(str(tmp_path / "partial")), cfg)
-    resumed.run(seeds)
-    assert visits_log(resumed) == visits_log(full)
-    assert url_seen_set(resumed) == url_seen_set(full)
+    resumed = CrawlEngine(spark, part_store, w["cfg40"])
+    resumed.run(w["seeds40"])
+    assert visits_log(resumed) == visits_log(w["full40"])
+    assert url_seen_set(resumed) == url_seen_set(w["full40"])
 
 
-def test_bloom_enabled_mid_crawl_rebuilds_sketch(spark, tmp_path):
+def test_bloom_enabled_mid_crawl_rebuilds_sketch(spark, resume_world):
     """Turning use_bloom on over a store bootstrapped WITHOUT it must
     rebuild the sketch from url_seen — an empty sketch would mark all
     historical keys 'definitely new' and silently re-admit them
     (ADVICE r1 medium). Final state must equal a no-bloom full run."""
     import dataclasses
 
-    cfg = CrawlConfig(n_hosts=8, batch_size=10, limit=60)
-    seeds = synthetic.seed_urls(8, cfg.n_hosts)
-
-    full = CrawlEngine(spark, SnapshotStore(str(tmp_path / "full")), cfg)
-    full.run(seeds)
-
-    part_store = SnapshotStore(str(tmp_path / "partial"))
-    CrawlEngine(spark, part_store, cfg).run(seeds, max_rounds=3)
-    bloom_cfg = dataclasses.replace(cfg, use_bloom=True)
-    resumed = CrawlEngine(
-        spark, SnapshotStore(str(tmp_path / "partial")), bloom_cfg
-    )
-    resumed.run(seeds)
-    assert visits_log(resumed) == visits_log(full)
-    assert url_seen_set(resumed) == url_seen_set(full)
+    w = resume_world
+    part = _copy_partial(w, 60, "resume_bloom")
+    bloom_cfg = dataclasses.replace(w["cfg60"], use_bloom=True)
+    resumed = CrawlEngine(spark, SnapshotStore(part), bloom_cfg)
+    resumed.run(w["seeds60"])
+    assert visits_log(resumed) == visits_log(w["full60"])
+    assert url_seen_set(resumed) == url_seen_set(w["full60"])
 
 
 def test_post_head_method_fidelity(spark, tmp_path):
@@ -281,27 +288,35 @@ def test_inherit_flags_matrix(spark, tmp_path):
     - failure_inherit=False -> failures abandoned"""
     from pholcus_spark.schemas import FRONTIER_SCHEMA
 
+    import shutil
+
     # try_times=1 + 60% transient failures → deterministic final
     # failures (verified via run_oracle: 9 failed keys)
     cfg = CrawlConfig(n_hosts=6, batch_size=8, limit=40, failure_pct=60,
                       try_times=1)
     seeds = synthetic.seed_urls(8, cfg.n_hosts)
 
+    # one template crawl; each matrix branch reopens a byte-for-byte
+    # copy of its store (the engine is deterministic, so this is the
+    # same state three fresh crawls would produce — at a third of the
+    # wall time)
+    tpl = str(tmp_path / "tpl")
+    tpl_eng = CrawlEngine(spark, SnapshotStore(tpl), cfg)
+    tpl_eng.run(seeds)
+    v0 = len(visits_log(tpl_eng))
+
     def fresh(tag):
-        eng = CrawlEngine(spark, SnapshotStore(str(tmp_path / tag)), cfg)
-        eng.run(seeds)
-        return eng
+        shutil.copytree(tpl, str(tmp_path / tag))
+        return CrawlEngine(spark, SnapshotStore(str(tmp_path / tag)), cfg)
 
     # success_inherit=True: same seeds are all already-seen -> no-op run
     eng = fresh("si_true")
-    v0 = len(visits_log(eng))
     eng.start_new_run(seeds, success_inherit=True, failure_inherit=False)
     eng.run()
     assert len(visits_log(eng)) == v0
 
     # success_inherit=False: history dropped -> the run re-crawls
     eng = fresh("si_false")
-    v0 = len(visits_log(eng))
     eng.start_new_run(seeds, success_inherit=False, failure_inherit=False)
     eng.run()
     assert len(visits_log(eng)) > v0
