@@ -100,6 +100,44 @@ def pack_shards(
     )
 
 
+def decontaminate(
+    docs: DataFrame, eval_docs: DataFrame, k: int = 5
+) -> DataFrame:
+    """Benchmark decontamination: drop every doc that shares at least
+    one k-word shingle with the eval set (the training-data hygiene
+    pass run before any benchmark-adjacent corpus ships).
+
+    Shape for 100 TB: the eval side is benchmark-sized (thousands of
+    docs), so its distinct shingle relation is broadcast — the corpus
+    explode feeds a map-side broadcast LEFT SEMI join and never
+    shuffles; contaminated doc_ids are a small relation the final
+    anti-join consumes (AQE broadcasts it when it fits). No stage
+    moves corpus-sized data across the cluster.
+
+    Returns the clean subset of ``docs`` (all columns).
+    """
+    eval_sh = (
+        eval_docs.select(
+            F.explode(
+                textops.word_shingles(textops.words(F.col("text")), k)
+            ).alias("sh")
+        )
+        .distinct()
+    )
+    doc_sh = docs.select(
+        "doc_id",
+        F.explode(
+            textops.word_shingles(textops.words(F.col("text")), k)
+        ).alias("sh"),
+    )
+    contaminated = (
+        doc_sh.join(F.broadcast(eval_sh), "sh", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return docs.join(contaminated, "doc_id", "left_anti")
+
+
 def cap_per_source(docs: DataFrame, k: int = 10) -> DataFrame:
     """Diversity cap: keep at most ``k`` docs per source, preferring
     longer docs (n_chars desc, doc_id asc tie-break) — the per-domain

@@ -1413,6 +1413,43 @@ FROM c
 """
 
 
+def q_training_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (pipeline.decontaminate): docs sharing
+    any 5-word shingle with the eval slice (doc_id % 83 == 0) are
+    dropped — eval docs knock out themselves AND their exact/near
+    duplicates planted in the fixture. Broadcast semi-join on the eval
+    shingles; the corpus never shuffles."""
+    from . import pipeline
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 83 == 0)
+    return pipeline.decontaminate(docs, eval_docs, k=5).select(
+        "doc_id", "lang", "source"
+    )
+
+
+SQL_TRAINING_DECONTAMINATE = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), s AS (
+  SELECT doc_id,
+         list_transform(range(0, greatest(len(ws) - 4, 0)),
+                        i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+                             || ' ' || ws[i+4] || ' ' || ws[i+5]) AS sh
+  FROM w
+), ev AS (
+  SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 83 = 0
+), bad AS (
+  SELECT DISTINCT s.doc_id
+  FROM s, unnest(s.sh) AS u(g)
+  WHERE u.g IN (SELECT g FROM ev)
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM bad)
+"""
+
+
 def q_training_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source diversity cap (pipeline.cap_per_source): keep the
     top-k docs per source by length, deterministic tie-break — the
@@ -1983,6 +2020,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_components": q_dedup_components,
     "training_select": q_training_select,
     "training_pack_shards": q_training_pack_shards,
+    "training_decontaminate": q_training_decontaminate,
     "training_source_cap": q_training_source_cap,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_simhash": q_dedup_simhash,
@@ -2038,6 +2076,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_components": SQL_DEDUP_COMPONENTS,
     "training_select": SQL_TRAINING_SELECT,
     "training_pack_shards": SQL_TRAINING_PACK_SHARDS,
+    "training_decontaminate": SQL_TRAINING_DECONTAMINATE,
     "training_source_cap": SQL_TRAINING_SOURCE_CAP,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "dedup_simhash": SQL_DEDUP_SIMHASH,

@@ -62,3 +62,32 @@ def test_cap_per_source_keeps_top_k_longest(spark, docs):
         assert sorted(r["doc_id"] for r in kept) == sorted(
             r["doc_id"] for r in want[:k]
         )
+
+
+def test_decontaminate_drops_eval_and_dups(spark, docs):
+    """Eval docs remove themselves and any doc sharing a k-gram (in
+    particular their exact duplicates); disjoint docs survive."""
+    from pyspark.sql import functions as F
+
+    eval_docs = docs.filter(F.col("doc_id") % 83 == 0)
+    clean = pipeline.decontaminate(docs, eval_docs, k=5)
+    kept = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    eval_rows = eval_docs.select("doc_id", "text").collect()
+    texts = {r["doc_id"]: r["text"] for r in
+             docs.select("doc_id", "text").collect()}
+    for r in eval_rows:
+        if len(r["text"].split(" ")) >= 5:
+            assert r["doc_id"] not in kept
+            # exact duplicates of an eval doc are contaminated too
+            for did, t in texts.items():
+                if t == r["text"]:
+                    assert did not in kept
+    # nothing else vanished: every kept doc shares no 5-gram with eval
+    def grams(t):
+        ws = t.split(" ")
+        return {" ".join(ws[i:i+5]) for i in range(max(len(ws)-4, 0))}
+    ev_grams = set()
+    for r in eval_rows:
+        ev_grams |= grams(r["text"])
+    for did in kept:
+        assert not (grams(texts[did]) & ev_grams)
