@@ -138,6 +138,35 @@ def decontaminate(
     return docs.join(contaminated, "doc_id", "left_anti")
 
 
+def sample_mix(
+    docs: DataFrame,
+    rates: dict[str, int],
+    key: str = "lang",
+    default_pct: int = 0,
+) -> DataFrame:
+    """Deterministic stratified sampling — the training-mix weighting
+    pass: keep ``rates[key]`` percent of each stratum (language,
+    source, ...), ``default_pct`` for unlisted strata. The keep
+    decision is a pure arithmetic hash of doc_id, so the sample is
+    reproducible across runs/cluster sizes and re-shards stably (no
+    rand(), no seed plumbing):
+
+        keep iff ((doc_id % 1000003) * 1103515245 + 12345)
+                 % 2147483648 % 100 < pct
+
+    Whole-stage-codegen filter over the scan — zero shuffles; at
+    100 TB this is a pushdown-friendly map-only pass.
+    """
+    pct = F.coalesce(
+        *[F.when(F.col(key) == k, F.lit(int(v))) for k, v in rates.items()],
+        F.lit(int(default_pct)),
+    )
+    h = (
+        (F.col("doc_id") % 1000003) * 1103515245 + 12345
+    ) % 2147483648 % 100
+    return docs.filter(h < pct)
+
+
 def cap_per_source(docs: DataFrame, k: int = 10) -> DataFrame:
     """Diversity cap: keep at most ``k`` docs per source, preferring
     longer docs (n_chars desc, doc_id asc tie-break) — the per-domain

@@ -1450,6 +1450,29 @@ WHERE d.doc_id NOT IN (SELECT doc_id FROM bad)
 """
 
 
+MIX_RATES = {"en": 100, "de": 50, "fr": 50, "es": 25, "zh": 25}
+
+
+def q_training_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix weighting (pipeline.sample_mix): deterministic
+    per-language keep rates via an arithmetic doc_id hash — a codegen
+    filter, no shuffle, reproducible across cluster sizes."""
+    from . import pipeline
+
+    return pipeline.sample_mix(
+        _t(spark, sf_dir, "documents"), MIX_RATES, key="lang"
+    ).select("doc_id", "lang", "source")
+
+
+SQL_TRAINING_SAMPLE_MIX = """
+SELECT doc_id, lang, source
+FROM documents
+WHERE ((doc_id % 1000003) * 1103515245 + 12345) % 2147483648 % 100
+      < CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 50 WHEN 'fr' THEN 50
+                  WHEN 'es' THEN 25 WHEN 'zh' THEN 25 ELSE 0 END
+"""
+
+
 def q_training_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source diversity cap (pipeline.cap_per_source): keep the
     top-k docs per source by length, deterministic tie-break — the
@@ -2021,6 +2044,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "training_select": q_training_select,
     "training_pack_shards": q_training_pack_shards,
     "training_decontaminate": q_training_decontaminate,
+    "training_sample_mix": q_training_sample_mix,
     "training_source_cap": q_training_source_cap,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_simhash": q_dedup_simhash,
@@ -2077,6 +2101,7 @@ ORACLE_SQL: dict[str, str] = {
     "training_select": SQL_TRAINING_SELECT,
     "training_pack_shards": SQL_TRAINING_PACK_SHARDS,
     "training_decontaminate": SQL_TRAINING_DECONTAMINATE,
+    "training_sample_mix": SQL_TRAINING_SAMPLE_MIX,
     "training_source_cap": SQL_TRAINING_SOURCE_CAP,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "dedup_simhash": SQL_DEDUP_SIMHASH,

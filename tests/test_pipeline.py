@@ -91,3 +91,25 @@ def test_decontaminate_drops_eval_and_dups(spark, docs):
         ev_grams |= grams(r["text"])
     for did in kept:
         assert not (grams(texts[did]) & ev_grams)
+
+
+def test_sample_mix_rates_and_determinism(spark, docs):
+    from pyspark.sql import functions as F
+
+    rates = {"en": 100, "zh": 0, "de": 50}
+    s1 = pipeline.sample_mix(docs, rates, key="lang", default_pct=25)
+    s2 = pipeline.sample_mix(docs, rates, key="lang", default_pct=25)
+    ids1 = {r["doc_id"] for r in s1.select("doc_id").collect()}
+    ids2 = {r["doc_id"] for r in s2.select("doc_id").collect()}
+    assert ids1 == ids2  # deterministic, no rand()
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in s1.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    tot = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_lang.get("en", 0) == tot["en"]  # 100% stratum kept whole
+    assert "zh" not in by_lang                # 0% stratum empty
+    assert 0 < by_lang.get("de", 0) < tot["de"]  # partial stratum
