@@ -38,6 +38,12 @@ BENCH_QUERIES = [
     "dedup_minhash_verified",
     "dedup_components",
     "training_select",
+    "training_pack_shards",
+    "training_decontaminate",
+    "training_sample_mix",
+    "training_source_cap",
+    "embed_cosine_neardup",
+    "images_phash_neardup",
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "text_quality",
