@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "training_decontaminate",
     "training_sample_mix",
     "training_source_cap",
+    "corpus_stats",
     "embed_cosine_neardup",
     "images_phash_neardup",
     "dedup_ngram_jaccard",

@@ -167,6 +167,24 @@ def sample_mix(
     return docs.filter(h < pct)
 
 
+def corpus_stats(docs: DataFrame) -> DataFrame:
+    """Corpus composition report — docs / tokens / chars by
+    lang × source with ROLLUP subtotals (per-lang and grand-total rows
+    carry NULL group keys), the mix-sheet a training run is planned
+    against.
+
+    One hash aggregate with map-side partial rows (rollup expands to
+    3 grouping sets but stays a single Exchange keyed by the grouping
+    set + keys); output is dimension-sized. At 100 TB this is a
+    scan + one small shuffle.
+    """
+    return docs.rollup("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(textops.n_tokens_ws(F.col("text"))).alias("n_tokens"),
+        F.sum(F.length("text")).alias("n_chars"),
+    )
+
+
 def cap_per_source(docs: DataFrame, k: int = 10) -> DataFrame:
     """Diversity cap: keep at most ``k`` docs per source, preferring
     longer docs (n_chars desc, doc_id asc tie-break) — the per-domain

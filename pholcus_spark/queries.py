@@ -1473,6 +1473,25 @@ WHERE ((doc_id % 1000003) * 1103515245 + 12345) % 2147483648 % 100
 """
 
 
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition report (pipeline.corpus_stats): lang × source
+    ROLLUP of doc/token/char totals — one hash aggregate, map-side
+    partials, dimension-sized output."""
+    from . import pipeline
+
+    return pipeline.corpus_stats(_t(spark, sf_dir, "documents"))
+
+
+SQL_CORPUS_STATS = """
+SELECT lang, source,
+       count(*) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       CAST(sum(length(text)) AS BIGINT) AS n_chars
+FROM documents
+GROUP BY ROLLUP(lang, source)
+"""
+
+
 def q_training_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source diversity cap (pipeline.cap_per_source): keep the
     top-k docs per source by length, deterministic tie-break — the
@@ -2046,6 +2065,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "training_decontaminate": q_training_decontaminate,
     "training_sample_mix": q_training_sample_mix,
     "training_source_cap": q_training_source_cap,
+    "corpus_stats": q_corpus_stats,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_simhash": q_dedup_simhash,
     "text_tokens": q_text_tokens,
@@ -2103,6 +2123,7 @@ ORACLE_SQL: dict[str, str] = {
     "training_decontaminate": SQL_TRAINING_DECONTAMINATE,
     "training_sample_mix": SQL_TRAINING_SAMPLE_MIX,
     "training_source_cap": SQL_TRAINING_SOURCE_CAP,
+    "corpus_stats": SQL_CORPUS_STATS,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "text_tokens": SQL_TEXT_TOKENS,

@@ -113,3 +113,27 @@ def test_sample_mix_rates_and_determinism(spark, docs):
     assert by_lang.get("en", 0) == tot["en"]  # 100% stratum kept whole
     assert "zh" not in by_lang                # 0% stratum empty
     assert 0 < by_lang.get("de", 0) < tot["de"]  # partial stratum
+
+
+def test_corpus_stats_rollup_structure(spark, docs):
+    from pyspark.sql import functions as F
+
+    stats = pipeline.corpus_stats(docs).collect()
+    total = docs.count()
+    grand = [r for r in stats if r["lang"] is None and r["source"] is None]
+    assert len(grand) == 1 and grand[0]["n_docs"] == total
+    # per-lang subtotals (source NULL) sum back to the grand total
+    per_lang = [r for r in stats if r["lang"] is not None and r["source"] is None]
+    assert sum(r["n_docs"] for r in per_lang) == total
+    # leaf rows sum to their lang subtotal
+    leaves = [r for r in stats if r["source"] is not None]
+    for sub in per_lang:
+        leaf_sum = sum(
+            r["n_docs"] for r in leaves if r["lang"] == sub["lang"]
+        )
+        assert leaf_sum == sub["n_docs"]
+    # token total is the same whole-corpus sum the flat agg computes
+    flat = docs.agg(
+        F.sum(F.size(F.split("text", " "))).alias("t")
+    ).collect()[0]["t"]
+    assert grand[0]["n_tokens"] == flat
