@@ -196,6 +196,57 @@ class SnapshotStore:
         os.replace(ptr_tmp, self._current_path())
         return snapshot_id
 
+    def read_appended(
+        self,
+        spark: SparkSession,
+        table: str,
+        schema: T.StructType,
+        from_snapshot: int,
+        to_snapshot: int | None = None,
+    ) -> DataFrame:
+        """Iceberg incremental-scan analog: rows of ``table`` in files
+        ADDED strictly after ``from_snapshot`` up to and including
+        ``to_snapshot`` (default: current). The downstream-consumer API
+        — a training pipeline tails a crawl store with
+        ``read_appended("items", last_seen_snap)`` and processes only
+        new work, instead of re-scanning the whole table each time.
+
+        Metadata-only planning: one file-list set-difference between
+        two manifests (no data read, no listing of the data dir), so
+        planning cost is O(files in manifest) regardless of table size
+        — at the 10^10-URL design point the incremental batch reads
+        only the appended files' bytes.
+
+        Append-mode tables only ("items", "fetched", "url_seen",
+        "failures"): a table that was OVERWRITTEN in the interval
+        (e.g. ``pending``, compaction rewrites) raises ValueError,
+        because new-files-minus-old-files would silently misread a
+        rewrite as fresh rows (Iceberg's incremental scan refuses
+        non-append snapshots the same way).
+        """
+        base = self.read_manifest(from_snapshot)["tables"].get(table, [])
+        head_manifest = (
+            self.read_manifest(to_snapshot)
+            if to_snapshot is not None
+            else self.read_manifest()
+        )
+        head = head_manifest["tables"].get(table, [])
+        base_set = set(base)
+        missing = base_set - set(head)
+        if missing:
+            raise ValueError(
+                f"table {table!r} was overwritten/compacted between "
+                f"snapshots {from_snapshot} and "
+                f"{to_snapshot if to_snapshot is not None else 'current'}: "
+                f"{len(missing)} base files no longer present — "
+                "incremental read is append-only"
+            )
+        new_files = [f for f in head if f not in base_set]
+        if not new_files:
+            return spark.createDataFrame([], schema)
+        paths = [os.path.join(self.root, "data", f) for f in new_files]
+        return spark.read.schema(schema).parquet(*paths)
+
     # --- maintenance ---
 
     def snapshot_ids(self) -> list[int]:

@@ -109,3 +109,34 @@ def test_crawl_resumes_after_expiry(spark, tmp_store_dir):
     resumed.run(seeds)
     assert url_seen_set(resumed) == orc.url_seen
     assert len(resumed_store.snapshot_ids()) <= 2
+
+
+def test_read_appended_incremental_scan(spark, tmp_path):
+    store = SnapshotStore(str(tmp_path / "store"))
+    s1 = _commit(store, spark, 1, 3, "append")     # rows 0..2
+    s2 = _commit(store, spark, 2, 5, "append")     # rows 0..4 appended
+    s3 = _commit(store, spark, 3, 2, "append")     # rows 0..1 appended
+
+    # tail from s1 to current: exactly the s2+s3 appends
+    inc = store.read_appended(spark, "t", SCHEMA, s1)
+    assert sorted(r["v"] for r in inc.collect()) == sorted(
+        list(range(5)) + list(range(2))
+    )
+    # bounded interval s1..s2: only the s2 append
+    inc12 = store.read_appended(spark, "t", SCHEMA, s1, s2)
+    assert sorted(r["v"] for r in inc12.collect()) == list(range(5))
+    # empty interval: empty frame with the right schema
+    inc33 = store.read_appended(spark, "t", SCHEMA, s3, s3)
+    assert inc33.count() == 0 and inc33.schema == SCHEMA
+    # unknown table at base snapshot behaves as all-new
+    s4 = store.commit(4, {"u": (spark.createDataFrame([(9,)], SCHEMA),
+                               "append")})
+    assert store.read_appended(spark, "u", SCHEMA, s1, s4).count() == 1
+
+
+def test_read_appended_refuses_overwrite(spark, tmp_path):
+    store = SnapshotStore(str(tmp_path / "store"))
+    s1 = _commit(store, spark, 1, 3, "append")
+    _commit(store, spark, 2, 4, "overwrite")
+    with pytest.raises(ValueError, match="append-only"):
+        store.read_appended(spark, "t", SCHEMA, s1)
