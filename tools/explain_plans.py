@@ -228,7 +228,9 @@ def main() -> int:
     all_problems = []
     out = ["# PLANS — physical-plan audit of the hot paths\n"]
     out.append(
-        "Generated by tools/explain_plans.py. Each section is the\n"
+        "Generated by tools/explain_plans.py (hand-audited sections —\n"
+        "those whose heading the generator does not own — are preserved\n"
+        "across regenerations). Each section is the\n"
         "`.explain('formatted')` output plus automated checks for the\n"
         "plan properties that matter at scale.\n"
     )
@@ -236,7 +238,28 @@ def main() -> int:
         status = "OK" if not probs else "; ".join(probs)
         all_problems.extend((title, x) for x in probs)
         out.append(f"\n## {title} — {status}\n\n```\n{p}\n```\n")
-    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
+    plans_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "PLANS.md",
+    )
+    # carry over hand-audited sections (regenerating must not clobber
+    # the narrative plan audits added per-round outside this tool)
+    own_titles = [t for t, _p, _pr in sections]
+    hand: list[str] = []
+    if os.path.exists(plans_path):
+        keep = False
+        for line in open(plans_path):
+            if line.startswith("## "):
+                head = line[3:].strip()
+                keep = not any(head.startswith(t) for t in own_titles)
+            elif line.startswith("# "):
+                keep = False
+            if keep:
+                hand.append(line)
+    if hand:
+        out.append("\n")
+        out.extend(hand)
+    with open(plans_path, "w") as f:
         f.write("".join(out))
     for title, prob in all_problems:
         print(f"PROBLEM {title}: {prob}")
