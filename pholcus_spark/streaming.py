@@ -193,3 +193,102 @@ def run_stateful_dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+GATE_STATE_SCHEMA = "emitted long, pending binary"
+GATE_OUT_SCHEMA = "host string, url_key long, url string, cand_order long"
+
+
+def politeness_gate(
+    candidates: DataFrame,
+    max_per_trigger: int = 2,
+    budget_total: int | None = None,
+) -> DataFrame:
+    """Continuous per-host politeness — the batch engine's
+    ``select_batch`` host cap (F11, reference crawl-delay pacing) as a
+    custom stateful streaming operator.
+
+    Per micro-batch each host emits at most ``max_per_trigger`` rows in
+    cand_order; rows over the cap are NOT dropped — they persist in the
+    host's state and drain in later triggers (the reference re-scans
+    its queue next round, ``matrix.go:101-124``). ``budget_total``
+    additionally caps a host's lifetime emissions (page-budget analog);
+    once exhausted, arrivals stop accumulating.
+
+    State shards by host across executors via the state store; a hot
+    host costs only its own group. Per-batch work is vectorized pandas
+    (concat/sort/head) — no per-row Python.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    cols = ["host", "url_key", "url", "cand_order"]
+
+    def fn(key, pdf_iter, state):
+        import pickle
+
+        import pandas as pd
+
+        if state.exists:
+            emitted, blob = state.get
+            backlog = pickle.loads(blob) if blob else None
+        else:
+            emitted, backlog = 0, None
+        parts = [] if backlog is None else [backlog]
+        parts.extend(pdf[cols] for pdf in pdf_iter)
+        pool = (
+            pd.concat(parts, ignore_index=True)
+            .sort_values("cand_order", kind="mergesort")
+            .drop_duplicates("url_key")
+        )
+        cap = max_per_trigger
+        if budget_total is not None:
+            cap = min(cap, max(0, budget_total - emitted))
+        allow = pool.head(cap)
+        rest = pool.iloc[len(allow):]
+        if budget_total is not None:
+            # arrivals beyond the lifetime budget can never emit — drop
+            # them from state so a dead host's backlog does not grow
+            rest = rest.head(max(0, budget_total - emitted - len(allow)))
+        state.update((
+            int(emitted + len(allow)),
+            pickle.dumps(rest) if len(rest) else None,
+        ))
+        if len(allow):
+            yield allow
+
+    return candidates.groupBy("host").applyInPandasWithState(
+        fn,
+        outputStructType=GATE_OUT_SCHEMA,
+        stateStructType=GATE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_politeness_gate_stream(
+    spark: SparkSession,
+    cand_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    max_per_trigger: int = 2,
+    budget_total: int | None = None,
+):
+    """Drive the politeness gate over a file-source candidate stream
+    (one file per trigger) into a parquet sink; the checkpoint persists
+    per-host emitted counts AND the deferred backlog across restarts."""
+    src = (
+        spark.readStream.schema(
+            "host string, url_key long, url string, cand_order long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(cand_dir)
+    )
+    return (
+        politeness_gate(src, max_per_trigger, budget_total)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

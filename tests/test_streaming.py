@@ -108,3 +108,72 @@ def test_stateful_dedup_across_batches(spark, tmp_store_dir):
     q2.awaitTermination(180)
     got2 = {r["url_key"] for r in spark.read.parquet(out_dir).collect()}
     assert got2 == {1, 2, 3, 4}
+
+
+def test_politeness_gate_paces_and_drains(spark, tmp_store_dir):
+    """Continuous politeness: per-trigger host cap, deferred backlog
+    persists in state (nothing dropped), drains across restarts."""
+    import os
+
+    from pholcus_spark import streaming as st
+
+    cand_dir = os.path.join(tmp_store_dir, "gate_cands")
+    ckpt = os.path.join(tmp_store_dir, "ckpt_gate")
+    out_dir = os.path.join(tmp_store_dir, "gated")
+
+    def write_file(rows):
+        spark.createDataFrame(
+            rows, "host string, url_key long, url string, cand_order long"
+        ).coalesce(1).write.mode("append").parquet(cand_dir)
+
+    write_file([("h", 0, "http://h/0", 0), ("h", 1, "http://h/1", 1),
+                ("h", 2, "http://h/2", 2), ("c", 10, "http://c/0", 0)])
+    write_file([("h", 3, "http://h/3", 3), ("h", 4, "http://h/4", 4)])
+
+    q = st.run_politeness_gate_stream(
+        spark, cand_dir, ckpt, out_dir, max_per_trigger=2
+    )
+    q.awaitTermination(180)
+    rows = spark.read.parquet(out_dir).collect()
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r["host"], set()).add(r["cand_order"])
+    # two triggers: the hot host emitted 2 per trigger (1 deferred to
+    # state), the cold host everything
+    assert len(by_host["h"]) == 4
+    assert by_host["c"] == {0}
+
+    # restart: the checkpointed backlog drains alongside the new file
+    write_file([("h", 5, "http://h/5", 5)])
+    q2 = st.run_politeness_gate_stream(
+        spark, cand_dir, ckpt, out_dir, max_per_trigger=2
+    )
+    q2.awaitTermination(180)
+    rows2 = spark.read.parquet(out_dir).collect()
+    h_orders = sorted(r["cand_order"] for r in rows2 if r["host"] == "h")
+    assert h_orders == [0, 1, 2, 3, 4, 5]  # nothing lost, cand_order whole
+
+
+def test_politeness_gate_budget_total(spark, tmp_store_dir):
+    """Lifetime page budget: a host stops emitting at budget_total and
+    its dead backlog does not accumulate in state."""
+    import os
+
+    from pholcus_spark import streaming as st
+
+    cand_dir = os.path.join(tmp_store_dir, "budget_cands")
+    spark.createDataFrame(
+        [("b", i, f"http://b/{i}", i) for i in range(4)],
+        "host string, url_key long, url string, cand_order long",
+    ).coalesce(1).write.parquet(cand_dir)
+
+    out_dir = os.path.join(tmp_store_dir, "budget_out")
+    q = st.run_politeness_gate_stream(
+        spark, cand_dir, os.path.join(tmp_store_dir, "ckpt_budget"),
+        out_dir, max_per_trigger=10, budget_total=2,
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        r["cand_order"] for r in spark.read.parquet(out_dir).collect()
+    )
+    assert got == [0, 1]  # lowest cand_order first, hard stop at budget
