@@ -197,6 +197,43 @@ def phash_neardup(meta: DataFrame, band_bits: int = 16) -> DataFrame:
     )
 
 
+def phash_verified_pairs(
+    meta: DataFrame, max_hamming: int = 10, band_bits: int = 16
+) -> DataFrame:
+    """Two-stage perceptual near-dup — the image analog of
+    ``dedup.minhash_verified_pairs``: banded LSH candidates
+    (``phash_neardup``) verified by EXACT hamming distance. Banding
+    alone over-connects (any shared 16-bit band pairs two images, and
+    structured corpora share low-frequency DCT bands heavily); the
+    verify stage is O(candidates) — two broadcast-or-shuffle joins on
+    image_id plus a codegen ``bit_count(xor)`` — never all-pairs, so
+    the shape holds at 10^10 images."""
+    cand = phash_neardup(meta, band_bits)
+    ph = meta.select("image_id", "phash")
+    return (
+        cand.join(
+            ph.select(
+                F.col("image_id").alias("image_a"),
+                F.col("phash").alias("phash_a"),
+            ),
+            "image_a",
+        )
+        .join(
+            ph.select(
+                F.col("image_id").alias("image_b"),
+                F.col("phash").alias("phash_b"),
+            ),
+            "image_b",
+        )
+        .filter(
+            F.bit_count(
+                F.col("phash_a").bitwiseXOR(F.col("phash_b"))
+            ) <= max_hamming
+        )
+        .select("image_a", "image_b")
+    )
+
+
 def sample_video_frames(videos: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame sampling over video payloads.
 

@@ -167,6 +167,54 @@ def sample_mix(
     return docs.filter(h < pct)
 
 
+def select_image_corpus(
+    meta: DataFrame,
+    phash_pairs: DataFrame,
+    min_w: int = 32,
+    min_h: int = 32,
+    fmts: tuple[str, ...] = ("png", "jpeg"),
+    min_caption_chars: int = 1,
+) -> DataFrame:
+    """The image-axis twin of ``select_training_docs``: turn a crawled
+    image+caption corpus into a training set.
+
+    - metadata gates (decoded ok, min dimensions, format allowlist,
+      non-trivial caption) are whole-stage-codegen expressions — no
+      shuffle, scan-bandwidth-bound at 100 TB;
+    - exact caption dedup keeps the lexicographic-min image_id per
+      caption (groupBy(min) + semi join — one shuffle on caption,
+      map-side combinable);
+    - perceptual near-dup canonicalization drops every image that is
+      not its phash-component's minimum id (``dedup.star_components``
+      over the banded pair graph — O(log n) rounds, corpus-wide policy
+      like the text pipeline: stable under re-sharding).
+
+    ``meta`` needs (image_id, w, h, fmt, decode_ok, caption);
+    ``phash_pairs`` needs (image_a, image_b). Returns the kept subset
+    of ``meta`` rows.
+    """
+    gated = meta.filter(
+        F.col("decode_ok")
+        & (F.col("w") >= min_w)
+        & (F.col("h") >= min_h)
+        & F.col("fmt").isin(list(fmts))
+        & (F.length("caption") >= min_caption_chars)
+    )
+    canon = gated.groupBy("caption").agg(
+        F.min("image_id").alias("image_id")
+    )
+    exact_kept = gated.join(canon, ["caption", "image_id"], "left_semi")
+    labels, _rounds = dedup.star_components(
+        phash_pairs.select(
+            F.col("image_a").alias("doc_a"), F.col("image_b").alias("doc_b")
+        )
+    )
+    not_canonical = labels.filter(
+        F.col("doc_id") != F.col("component_id")
+    ).select(F.col("doc_id").alias("image_id"))
+    return exact_kept.join(not_canonical, "image_id", "left_anti")
+
+
 def corpus_stats(docs: DataFrame) -> DataFrame:
     """Corpus composition report — docs / tokens / chars by
     lang × source with ROLLUP subtotals (per-lang and grand-total rows

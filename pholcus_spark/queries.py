@@ -1875,13 +1875,13 @@ def q_images_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @lru_cache(maxsize=1)
-def _sql_images_phash_neardup() -> str:
-    """Build the DuckDB twin lazily (recomputing phashes for
-    PHASH_ORACLE_DOCS synthetic images costs ~0.5 s — not an
-    import-time tax). The VALUES list is derived by the exact pipeline
-    the engine executes per row (image_for_doc → encode → decode →
-    phash64), so a disagreement in any codec/DCT stage breaks the
-    hash-compare."""
+def _phash_values() -> str:
+    """Driver-side phash recompute for the first PHASH_ORACLE_DOCS
+    synthetic images, as a SQL VALUES body — derived by the exact
+    pipeline the engine executes per row (image_for_doc → encode →
+    decode → phash64), so a disagreement in any codec/DCT stage breaks
+    the hash-compare. Shared by the phash-neardup and image-corpus
+    oracles; ~0.5 s, built lazily."""
     from . import synthetic
     from .imaging import decode_image, encode_image, phash64
 
@@ -1890,8 +1890,13 @@ def _sql_images_phash_neardup() -> str:
         arr, fmt = synthetic.image_for_doc(doc_id)
         decoded = decode_image(encode_image(arr, fmt), fmt)
         vals.append(f"({doc_id}, {phash64(decoded)})")
+    return ", ".join(vals)
+
+
+@lru_cache(maxsize=1)
+def _sql_images_phash_neardup() -> str:
     return f"""
-WITH ph(doc_id, phash) AS (VALUES {', '.join(vals)}),
+WITH ph(doc_id, phash) AS (VALUES {_phash_values()}),
 d AS (SELECT p.doc_id, p.phash
       FROM ph p JOIN documents t ON t.doc_id = p.doc_id),
 b AS (SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS image_id, band_idx,
@@ -1901,6 +1906,82 @@ SELECT DISTINCT l.image_id AS image_a, r.image_id AS image_b
 FROM b l JOIN b r ON l.band_idx = r.band_idx
                  AND l.band_key = r.band_key
                  AND l.image_id < r.image_id
+"""
+
+
+def q_images_select_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed image-corpus selection (pipeline.select_image_
+    corpus): metadata gates (codegen) → exact caption dedup (groupBy
+    min + semi join) → phash-component canonical (star_components
+    anti-join). REAL bytes on the engine side (decode → DCT phash →
+    banded pairs); the oracle recomputes every stage including the
+    recursive-CTE components over driver-side phashes, so the kept SET
+    must agree."""
+    from . import pipeline
+
+    imgs = _synthetic_images(spark, sf_dir, max_docs=PHASH_ORACLE_DOCS)
+    meta = multimodal.decode_image_meta(imgs)
+    did = F.regexp_extract("image_id", "doc-(\\d+)", 1).cast("long")
+    meta = meta.withColumn(
+        "caption",
+        F.when(did % 101 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("cap-"), (did % 97).cast("string"))
+        ),
+    )
+    pairs = multimodal.phash_verified_pairs(
+        meta.filter(F.col("decode_ok")), max_hamming=10
+    )
+    kept = pipeline.select_image_corpus(meta, pairs, min_w=28, min_h=28)
+    return kept.select("image_id", "w", "h", "fmt", "caption")
+
+
+@lru_cache(maxsize=1)
+def _sql_images_select_corpus() -> str:
+    return f"""
+WITH RECURSIVE
+ph(doc_id, phash) AS (VALUES {_phash_values()}),
+rr AS (SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS r
+       FROM documents WHERE doc_id < {PHASH_ORACLE_DOCS}),
+m AS (SELECT doc_id,
+             'doc-' || CAST(doc_id AS VARCHAR) AS image_id,
+             CAST(24 + r % 33 AS INT) AS w,
+             CAST(24 + (r // 33) % 33 AS INT) AS h,
+             CASE WHEN (r // 1089) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+             CASE WHEN doc_id % 101 = 0 THEN ''
+                  ELSE 'cap-' || CAST(doc_id % 97 AS VARCHAR) END AS caption
+      FROM rr),
+gated AS (SELECT * FROM m
+          WHERE w >= 28 AND h >= 28 AND fmt IN ('png', 'jpeg')
+            AND length(caption) >= 1),
+canon AS (SELECT caption, min(image_id) AS image_id
+          FROM gated GROUP BY caption),
+exact_kept AS (SELECT g.* FROM gated g
+               WHERE g.image_id IN (SELECT image_id FROM canon)),
+d AS (SELECT p.doc_id, p.phash
+      FROM ph p JOIN documents t ON t.doc_id = p.doc_id),
+b AS (SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS image_id, band_idx,
+             (phash >> (band_idx * 16)) & 65535 AS band_key
+      FROM d, (VALUES (0), (1), (2), (3)) bands(band_idx)),
+cand AS (SELECT DISTINCT l.image_id AS a, r2.image_id AS b2
+         FROM b l JOIN b r2 ON l.band_idx = r2.band_idx
+                           AND l.band_key = r2.band_key
+                           AND l.image_id < r2.image_id),
+pairs AS (SELECT c.a, c.b2
+          FROM cand c
+          JOIN d da ON 'doc-' || CAST(da.doc_id AS VARCHAR) = c.a
+          JOIN d db ON 'doc-' || CAST(db.doc_id AS VARCHAR) = c.b2
+          WHERE bit_count(xor(da.phash, db.phash)) <= 10),
+edges AS (SELECT a AS s, b2 AS dd FROM pairs
+          UNION ALL SELECT b2, a FROM pairs),
+reach AS (SELECT DISTINCT s AS node, s AS comp FROM edges
+          UNION
+          SELECT e.dd, r3.comp FROM reach r3 JOIN edges e ON e.s = r3.node),
+labels AS (SELECT node, min(comp) AS component_id
+           FROM reach GROUP BY node)
+SELECT image_id, w, h, fmt, caption
+FROM exact_kept
+WHERE image_id NOT IN
+      (SELECT node FROM labels WHERE node != component_id)
 """
 
 
@@ -2081,6 +2162,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "images_decode_meta": q_images_decode_meta,
     "images_resize": q_images_resize,
     "images_phash_neardup": q_images_phash_neardup,
+    "images_select_corpus": q_images_select_corpus,
     "video_frame_sample": q_video_frame_sample,
     "audio_features": q_audio_features,
 }
@@ -2144,6 +2226,7 @@ ORACLE_SQL: dict[str, str] = {
 # first use — e.g. the phash list costs ~0.5 s of codec work)
 LAZY_ORACLE_SQL: dict[str, Callable[[], str]] = {
     "images_phash_neardup": _sql_images_phash_neardup,
+    "images_select_corpus": _sql_images_select_corpus,
     "video_frame_sample": _sql_video_frame_sample,
     "audio_features": _sql_audio_features,
 }

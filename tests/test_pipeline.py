@@ -137,3 +137,36 @@ def test_corpus_stats_rollup_structure(spark, docs):
         F.sum(F.size(F.split("text", " "))).alias("t")
     ).collect()[0]["t"]
     assert grand[0]["n_tokens"] == flat
+
+
+def test_select_image_corpus_stages(spark):
+    from pholcus_spark import multimodal, pipeline
+
+    meta = spark.createDataFrame(
+        [
+            # a/b: one bit apart (band-sharing candidates, hamming 1)
+            ("a", 64, 64, "png", True, "x", 0),
+            ("b", 64, 64, "png", True, "y", 1 << 32),
+            # c: far phash, duplicate caption of a
+            ("c", 64, 64, "png", True, "x", 0x5555555555555555),
+            # d: fails the min-width gate
+            ("d", 8, 64, "png", True, "z", 0x00FF00FF00FF00FF),
+            # e: independent survivor
+            ("e", 64, 64, "jpeg", True, "w", -0x5555555555555556),
+        ],
+        "image_id string, w int, h int, fmt string, decode_ok boolean,"
+        " caption string, phash long",
+    )
+    pairs = multimodal.phash_verified_pairs(meta, max_hamming=2)
+    got_pairs = {(r["image_a"], r["image_b"]) for r in pairs.collect()}
+    assert got_pairs == {("a", "b")}  # banding candidates, verify kills none
+
+    kept = {
+        r["image_id"]
+        for r in pipeline.select_image_corpus(
+            meta, pairs, min_w=32, min_h=32
+        ).collect()
+    }
+    # d gated out; c loses the caption tie to a; b loses the phash
+    # component to canonical a
+    assert kept == {"a", "e"}
