@@ -208,29 +208,45 @@ def phash_verified_pairs(
     verify stage is O(candidates) — two broadcast-or-shuffle joins on
     image_id plus a codegen ``bit_count(xor)`` — never all-pairs, so
     the shape holds at 10^10 images."""
-    cand = phash_neardup(meta, band_bits)
-    ph = meta.select("image_id", "phash")
+    n_bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    bands = []
+    for b in range(n_bands):
+        key = F.shiftright(F.col("phash"), b * band_bits).bitwiseAND(
+            F.lit(mask)
+        )
+        bands.append(
+            meta.select(
+                "image_id",
+                "phash",
+                F.lit(b).cast("int").alias("band_idx"),
+                key.cast("long").alias("band_key"),
+            )
+        )
+    all_bands = bands[0]
+    for x in bands[1:]:
+        all_bands = all_bands.unionByName(x)
+    # the phash rides along in the band rows, so the hamming verify is
+    # a predicate of the band join itself — no join-back, one shuffle
+    # pair (band key) + the dedup exchange
+    l, r = all_bands.alias("l"), all_bands.alias("r")
     return (
-        cand.join(
-            ph.select(
-                F.col("image_id").alias("image_a"),
-                F.col("phash").alias("phash_a"),
-            ),
-            "image_a",
+        l.join(
+            r,
+            [
+                F.col("l.band_idx") == F.col("r.band_idx"),
+                F.col("l.band_key") == F.col("r.band_key"),
+                F.col("l.image_id") < F.col("r.image_id"),
+                F.bit_count(
+                    F.col("l.phash").bitwiseXOR(F.col("r.phash"))
+                ) <= max_hamming,
+            ],
         )
-        .join(
-            ph.select(
-                F.col("image_id").alias("image_b"),
-                F.col("phash").alias("phash_b"),
-            ),
-            "image_b",
+        .select(
+            F.col("l.image_id").alias("image_a"),
+            F.col("r.image_id").alias("image_b"),
         )
-        .filter(
-            F.bit_count(
-                F.col("phash_a").bitwiseXOR(F.col("phash_b"))
-            ) <= max_hamming
-        )
-        .select("image_a", "image_b")
+        .distinct()
     )
 
 
