@@ -218,8 +218,9 @@ class SnapshotStore:
         only the appended files' bytes.
 
         Append-mode tables only ("items", "fetched", "url_seen",
-        "failures"): a table that was OVERWRITTEN in the interval
-        (e.g. ``pending``, compaction rewrites) raises ValueError,
+        "rounds"): a table that was OVERWRITTEN in the interval
+        (e.g. ``pending``/``failures`` round rewrites, compactions)
+        raises ValueError,
         because new-files-minus-old-files would silently misread a
         rewrite as fresh rows (Iceberg's incremental scan refuses
         non-append snapshots the same way).
