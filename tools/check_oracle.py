@@ -10,10 +10,17 @@ column-name set, and order-insensitive values. Usage:
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+# Spark's forked Python workers resolve imports from PYTHONPATH + cwd,
+# not the driver's sys.path — without both, running this tool from
+# outside the repo fails only in the queries that ship pickled UDFs.
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+os.chdir(_REPO)
 
 TABLES = (
     "region nation customer supplier part orders lineitem events "
