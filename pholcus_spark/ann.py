@@ -173,27 +173,43 @@ def ivf_centroids(embeds: DataFrame, n_lists: int) -> list[tuple[int, list]]:
     return [(i, list(r["embedding"])) for i, r in enumerate(rows)]
 
 
-def _centroid_cos(vec: Column, cvec: list) -> Column:
-    lit_vec = F.array(*[F.lit(float(x)) for x in cvec])
-    return cosine(vec, lit_vec)
+def _codebook_lit(centroids: list[tuple[int, list]]) -> Column:
+    """The codebook as ONE fully-foldable literal
+    ``array<struct<nid:int, v:array<double>>>``: every node is a
+    literal, so Catalyst's ConstantFolding collapses the whole thing
+    into a single Literal value shipped inside the plan. Built as a
+    single generated-SQL ``F.expr`` rather than nested ``F.lit``
+    Columns — composing ~n_lists·dim Column objects costs one py4j
+    round-trip EACH (~1 s driver-side at 16×64, per call site); one
+    parsed string costs one. ``repr(float)`` round-trips exactly, so
+    the JVM parses back bit-identical doubles."""
+    parts = []
+    for cid, cvec in centroids:
+        vals = ",".join(f"{float(x)!r}D" for x in cvec)
+        parts.append(f"named_struct('nid',{-cid},'v',array({vals}))")
+    return F.expr("array(" + ",".join(parts) + ")")
 
 
 def ivf_list_ids(
     vec: Column, centroids: list[tuple[int, list]], n_probe: int
 ) -> Column:
     """The ``n_probe`` nearest centroid ids for ``vec`` (cosine desc,
-    ties → lower id) as a PURE COLUMN EXPRESSION: per-centroid cosines
-    fold into struct(cos, -id) entries, array_sort ranks them, slice
-    takes the probe set. Whole-stage-codegen JVM work — assignment
-    costs zero shuffles and zero Python."""
-    entries = [
-        F.struct(
-            _centroid_cos(vec, cvec).alias("c"),
-            F.lit(-cid).alias("nid"),
-        )
-        for cid, cvec in centroids
-    ]
-    ranked = F.reverse(F.array_sort(F.array(*entries)))
+    ties → lower id) as a PURE COLUMN EXPRESSION: one ``transform``
+    loop over the constant-folded codebook computes struct(cos, -id)
+    entries, array_sort ranks them, slice takes the probe set.
+    Whole-stage-codegen JVM work — assignment costs zero shuffles and
+    zero Python. The cosine subtree appears ONCE (a loop body over the
+    folded literal), not unrolled per centroid: the old per-centroid
+    expansion built a ~4k-literal tree whose analysis + codegen compile
+    dominated the query (measured ~6 s one-shot at 16×64 — flat across
+    scale factors, i.e. pure compile tax)."""
+    entries = F.transform(
+        _codebook_lit(centroids),
+        lambda c: F.struct(
+            cosine(vec, c["v"]).alias("c"), c["nid"].alias("nid")
+        ),
+    )
+    ranked = F.reverse(F.array_sort(entries))
     return F.transform(
         F.slice(ranked, 1, n_probe), lambda e: (-e["nid"]).cast("int")
     )
