@@ -59,3 +59,22 @@ def test_banded_neardup_catches_planted_pairs(spark):
     for r in out:
         a, b = vecs[r["vec_a"]], vecs[r["vec_b"]]
         assert cos(a, b) >= 0.8 - 1e-4
+
+
+def test_codebook_literal_roundtrips_doubles_exactly(spark):
+    """_codebook_lit ships the codebook through generated SQL text;
+    repr(float) must round-trip bit-exact through the JVM parser,
+    including shortest-repr artifacts, subnormals, and exponents."""
+    vals = [
+        1e-05,
+        -3.4028234663852886e38,
+        0.30000000000000004,
+        5e-324,
+        -0.0,
+        123456789.123456789,
+    ]
+    cents = [(0, vals), (3, [-v for v in vals])]
+    row = spark.range(1).select(ann._codebook_lit(cents).alias("cb")).first()
+    got = {-e["nid"]: list(e["v"]) for e in row["cb"]}
+    assert got[0] == vals
+    assert got[3] == [-v for v in vals]
