@@ -56,11 +56,71 @@ def plane_sign(plane: int, pos: Column) -> Column:
     return F.when(h % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
 
 
+def _plane_sign_py(plane: int, pos: int) -> bool:
+    """Driver-side twin of ``plane_sign``: True for +1. Identical md5
+    input string (``"{plane},{pos}"``), identical first-15-hex-digit
+    parity — bit-for-bit the sign the Column expression computes."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{plane},{pos}".encode()).hexdigest()[:15], 16)
+    return h % 2 == 0
+
+
+def _sign_matrix_lit(n_planes: int, dim: int, plane_offset: int) -> Column:
+    """The ±1 hyperplane matrix as ONE constant-folded literal
+    ``array<array<double>>`` (planes × dim), generated-SQL like
+    ``_codebook_lit`` — one py4j call, one parse."""
+    rows = []
+    for b in range(n_planes):
+        signs = ",".join(
+            "1.0D" if _plane_sign_py(plane_offset + b, i) else "-1.0D"
+            for i in range(dim)
+        )
+        rows.append(f"array({signs})")
+    return F.expr("array(" + ",".join(rows) + ")")
+
+
 def bucket_id(
-    vec: Column, n_planes: int = N_PLANES, plane_offset: int = 0
+    vec: Column,
+    n_planes: int = N_PLANES,
+    plane_offset: int = 0,
+    dim: int | None = None,
 ) -> Column:
     """LSH bucket: bit b = [dot(vec, hyperplane_{plane_offset+b}) > 0].
-    ``plane_offset`` gives banded callers disjoint plane sets."""
+    ``plane_offset`` gives banded callers disjoint plane sets.
+
+    With ``dim`` set (fixed-width embedding corpora — the normal case:
+    one model, one width), the sign matrix is precomputed driver-side
+    and shipped as a folded literal, so a row costs n_planes
+    multiply-add folds. The ``dim=None`` generic path derives each sign
+    from md5(plane, position) per element — correct for any vector
+    length but ~dim·n_planes md5 calls per ROW (≈512 at 8×64), a real
+    tax at 10^10 rows. Both paths produce identical buckets for
+    length-``dim`` vectors; under ``dim``, off-width rows fold through
+    NULL products into bucket 0 (degraded recall, never dropped rows —
+    near-dup callers exact-verify candidates anyway)."""
+    if dim is not None:
+        mat = _sign_matrix_lit(n_planes, dim, plane_offset)
+        bits = F.transform(
+            mat,
+            lambda signs: F.when(
+                F.aggregate(
+                    F.zip_with(
+                        vec, signs, lambda x, s: x.cast("double") * s
+                    ),
+                    F.lit(0.0),
+                    lambda a, v: a + v,
+                )
+                > 0,
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        # bucket = Σ bit_b · 2^b (bit 0 = LSB, matching the md5 path):
+        # Horner fold over the reversed bit array — exact integer math
+        return F.aggregate(
+            F.reverse(bits), F.lit(0), lambda a, v: a * 2 + v
+        ).cast("int")
+
     def _weigh(b: int):
         # closure factory: a default-arg lambda would change the UDF's
         # visible arity and break F.transform's 2-arg dispatch
@@ -76,6 +136,14 @@ def bucket_id(
         )
         acc = acc + F.when(proj > 0, F.lit(1 << b)).otherwise(F.lit(0))
     return acc.cast("int")
+
+
+def _probe_dim(embeds: DataFrame) -> int | None:
+    """Embedding width from one row (metadata-cheap: a single-partition
+    head). None on an empty frame — callers fall back to the generic
+    md5-per-element path."""
+    row = embeds.select(F.size("embedding").alias("d")).head(1)
+    return int(row[0]["d"]) if row else None
 
 
 def band_bits_for(n_vectors: int, target_bucket_rows: int = 1024) -> int:
@@ -121,7 +189,8 @@ def lsh_bucketed_topk(
     """ANN: candidates restricted to the query's LSH bucket, then exact
     cosine rank within the bucket. One shuffle on bucket id."""
     with_bucket = embeds.withColumn(
-        "bucket", bucket_id(F.col("embedding"), n_planes)
+        "bucket",
+        bucket_id(F.col("embedding"), n_planes, dim=_probe_dim(embeds)),
     )
     q = with_bucket.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
@@ -272,7 +341,8 @@ def cosine_neardup_pairs(
     path is ``banded_cosine_neardup`` (multi-band OR + exact verify —
     wider signatures for bounded buckets, extra bands for recall)."""
     with_bucket = embeds.withColumn(
-        "bucket", bucket_id(F.col("embedding"), n_planes)
+        "bucket",
+        bucket_id(F.col("embedding"), n_planes, dim=_probe_dim(embeds)),
     )
     l, r = with_bucket.alias("l"), with_bucket.alias("r")
     sim = F.round(cosine(F.col("l.embedding"), F.col("r.embedding")), 4)
@@ -319,13 +389,17 @@ def banded_cosine_neardup(
     the O(|candidates|) verify stage."""
     if band_bits is None:
         band_bits = band_bits_for(embeds.count(), target_bucket_rows)
+    dim = _probe_dim(embeds)
     keys = None
     for b in range(n_bands):
         k = embeds.select(
             "vec_id",
             F.lit(b).cast("int").alias("band_idx"),
             bucket_id(
-                F.col("embedding"), band_bits, plane_offset=b * band_bits
+                F.col("embedding"),
+                band_bits,
+                plane_offset=b * band_bits,
+                dim=dim,
             ).alias("band_key"),
         )
         keys = k if keys is None else keys.unionByName(k)

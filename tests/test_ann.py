@@ -78,3 +78,27 @@ def test_codebook_literal_roundtrips_doubles_exactly(spark):
     got = {-e["nid"]: list(e["v"]) for e in row["cb"]}
     assert got[0] == vals
     assert got[3] == [-v for v in vals]
+
+
+def test_sign_matrix_path_matches_md5_path(spark):
+    """dim-typed bucket_id must be bit-identical to the generic
+    md5-per-element path across plane counts and band offsets."""
+    from pyspark.sql import functions as F
+
+    emb = spark.createDataFrame(
+        [(i, [((i * 7 + j * 13) % 17 - 8) / 8.0 for j in range(12)])
+         for i in range(64)],
+        "vec_id long, embedding array<float>",
+    )
+    for n_planes, off in [(8, 0), (5, 3), (16, 32)]:
+        bad = (
+            emb.select(
+                ann.bucket_id(F.col("embedding"), n_planes, off).alias("a"),
+                ann.bucket_id(
+                    F.col("embedding"), n_planes, off, dim=12
+                ).alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .count()
+        )
+        assert bad == 0, (n_planes, off)
