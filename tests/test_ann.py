@@ -102,3 +102,26 @@ def test_sign_matrix_path_matches_md5_path(spark):
             .count()
         )
         assert bad == 0, (n_planes, off)
+
+
+def test_fixed_dim_queries_take_literal_sign_path(spark):
+    """The registered embedding queries run over a fixed-width corpus,
+    so their physical plans must carry the precomputed sign matrix —
+    no per-element md5 in the signature hot path."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    emb = spark.createDataFrame(
+        [(i, [float((i + j) % 5) for j in range(8)]) for i in range(32)],
+        "vec_id long, embedding array<float>",
+    )
+    for df in (
+        ann.lsh_bucketed_topk(emb, n_queries=4, k=2, n_planes=4),
+        ann.banded_cosine_neardup(emb, band_bits=3, n_bands=2),
+    ):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain(True)
+        assert "md5" not in buf.getvalue(), "signature fell back to md5 path"
