@@ -469,6 +469,69 @@ def neardup_components(
     return labels
 
 
+def duplicate_spans(
+    docs: DataFrame,
+    shingle_k: int = 5,
+    min_count: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide duplicated-substring span detection — the
+    n-gram-granular analog of exact substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): find
+    every maximal run of word positions whose k-gram occurs at least
+    ``min_count`` times anywhere in the corpus (including the same
+    document), and report it as a token span to mask or cut.
+
+    Returns ``(doc_id, span_start, span_end, n_grams, n_tokens)`` with
+    0-based inclusive token positions.
+
+    Scale shape (the reason this beats a distributed suffix array for
+    the masking use case):
+
+    - positions relation = one (doc_id, pos, hash) row per k-gram,
+      hashed to 64 bits streaming (``hashed_word_shingles``) so no
+      shingle strings are ever materialized or shuffled;
+    - corpus-wide occurrence counts are a hash aggregate on the shingle
+      hash — map-side partial agg collapses within-partition repeats
+      before the one wide shuffle;
+    - the duplicated-hash set joins back as a shuffle **semi-join** on
+      the hash (AQE picks broadcast when the dup set is small);
+    - span merging is gaps-and-islands per doc: one shuffle on doc_id,
+      then ``pos - row_number()`` grouping — rows per doc are bounded
+      by doc length, so the window never skews beyond a document.
+
+    A 2^-64 hash collision can only over-mark a span (false duplicate),
+    never miss one — the conservative direction for training-data
+    hygiene.
+    """
+    from pyspark.sql.window import Window
+
+    ws = words(F.col(text_col))
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(hashed_word_shingles(ws, shingle_k)).alias("pos", "sh"),
+    )
+    dup = (
+        pos.groupBy("sh")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= min_count)
+        .select("sh")
+    )
+    hits = pos.join(dup, "sh", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = hits.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        (F.col("pos") - F.row_number().over(w)).alias("grp"),
+    )
+    return islands.groupBy("doc_id", "grp").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + shingle_k - 1).alias("span_end"),
+        F.count("*").alias("n_grams"),
+        (F.max("pos") - F.min("pos") + shingle_k).alias("n_tokens"),
+    ).drop("grp")
+
+
 def simhash_bits(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """SimHash per doc as a 60-char bitstring (bit 0 first).
 

@@ -1300,6 +1300,48 @@ WHERE jaccard >= {JACCARD_THRESHOLD}
 """
 
 
+DUP_SPAN_K = 5
+
+
+def q_dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicated-substring spans (dedup.duplicate_spans):
+    maximal token runs whose every k-gram repeats somewhere in the
+    corpus — the masking targets of exact substring dedup."""
+    return dedup.duplicate_spans(
+        _t(spark, sf_dir, "documents"), shingle_k=DUP_SPAN_K
+    )
+
+
+SQL_DEDUP_DUPLICATE_SPANS = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+  p AS (
+    SELECT doc_id,
+           unnest(generate_series(1, len(toks) - {DUP_SPAN_K} + 1)) AS i,
+           toks
+    FROM t WHERE len(toks) >= {DUP_SPAN_K}
+  ),
+  s AS (
+    SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+           array_to_string(toks[i : i + {DUP_SPAN_K} - 1], ' ') AS sh
+    FROM p
+  ),
+  d AS (SELECT sh FROM s GROUP BY sh HAVING count(*) >= 2),
+  h AS (SELECT doc_id, pos FROM s WHERE sh IN (SELECT sh FROM d)),
+  isl AS (
+    SELECT doc_id, pos,
+           pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+    FROM h
+  )
+SELECT doc_id,
+       min(pos) AS span_start,
+       max(pos) + {DUP_SPAN_K} - 1 AS span_end,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       max(pos) - min(pos) + {DUP_SPAN_K} AS n_tokens
+FROM isl
+GROUP BY doc_id, grp
+"""
+
+
 MINHASH_VERIFY_THRESHOLD = 0.2
 
 
@@ -2148,6 +2190,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "training_source_cap": q_training_source_cap,
     "corpus_stats": q_corpus_stats,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_duplicate_spans": q_dedup_duplicate_spans,
     "dedup_simhash": q_dedup_simhash,
     "text_tokens": q_text_tokens,
     "text_quality": q_text_quality,
@@ -2207,6 +2250,7 @@ ORACLE_SQL: dict[str, str] = {
     "training_source_cap": SQL_TRAINING_SOURCE_CAP,
     "corpus_stats": SQL_CORPUS_STATS,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+    "dedup_duplicate_spans": SQL_DEDUP_DUPLICATE_SPANS,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "text_tokens": SQL_TEXT_TOKENS,
     "text_quality": SQL_TEXT_QUALITY,

@@ -136,3 +136,37 @@ def test_star_components_matches_union_find(spark):
     labels, _ = dedup.star_components(pairs)
     got = {r["doc_id"]: r["component_id"] for r in labels.collect()}
     assert got == truth
+
+
+def test_duplicate_spans_merges_runs_and_counts_within_doc(spark):
+    """duplicate_spans semantics: a k-gram repeated WITHIN one doc is a
+    duplicate (corpus-wide count >= 2 includes same-doc repeats),
+    adjacent duplicated positions merge into one maximal span, and
+    docs shorter than k or with unique text emit nothing."""
+    k = 3
+    shared = "alpha beta gamma delta"  # 4 tokens -> positions 0,1 dup'd
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " unique1 tail1 xx"),
+            (2, shared + " unique2 tail2 yy"),
+            (3, "self rep self rep self rep self rep"),  # within-doc repeat
+            (4, "too short"),  # < k tokens: no shingles at all
+            (5, "all tokens here are strictly once only"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["doc_id"], r["span_start"]): r
+        for r in dedup.duplicate_spans(docs, shingle_k=k).collect()
+    }
+    # docs 1 and 2 share k-grams at positions 0 and 1 -> one merged span
+    # covering tokens 0..(1+k-1)=3, i.e. exactly the shared prefix
+    for d in (1, 2):
+        r = rows[(d, 0)]
+        assert (r["span_end"], r["n_grams"], r["n_tokens"]) == (3, 2, 4)
+    # doc 3: "self rep self" == tokens 0-2, 2-4, 4-6 — every 'self rep
+    # self'/'rep self rep' 3-gram repeats within the doc, one full span
+    r3 = rows[(3, 0)]
+    assert r3["span_end"] == 7 and r3["n_tokens"] == 8
+    # nothing from the short doc or the all-unique doc
+    assert not any(d in (4, 5) for d, _ in rows)
