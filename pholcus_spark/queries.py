@@ -1201,6 +1201,49 @@ FROM m
 """
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gates (textops.repetition_stats): per-doc
+    top-gram and duplicated-gram fractions for unigrams and bigrams,
+    computed in one codegen pass per row (no corpus shuffle)."""
+    docs = _t(spark, sf_dir, "documents")
+    r = textops.repetition_stats(F.col("text"))
+    return docs.select(
+        "doc_id",
+        r["n_words"].alias("n_words"),
+        r["top_word_frac"].alias("top_word_frac"),
+        r["dup_word_frac"].alias("dup_word_frac"),
+        r["top_bigram_frac"].alias("top_bigram_frac"),
+        r["dup_bigram_frac"].alias("dup_bigram_frac"),
+    )
+
+
+SQL_TEXT_REPETITION = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+  u AS (SELECT doc_id, unnest(ws) AS g FROM t),
+  uc AS (SELECT doc_id, g, count(*) AS c FROM u GROUP BY 1, 2),
+  us AS (SELECT doc_id, max(c) AS mx,
+                sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup,
+                sum(c) AS n
+         FROM uc GROUP BY 1),
+  b AS (SELECT doc_id,
+               unnest(list_transform(range(1, len(ws)),
+                                     i -> ws[i] || ' ' || ws[i+1])) AS g
+        FROM t WHERE len(ws) >= 2),
+  bc AS (SELECT doc_id, g, count(*) AS c FROM b GROUP BY 1, 2),
+  bs AS (SELECT doc_id, max(c) AS mx,
+                sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup,
+                sum(c) AS nb
+         FROM bc GROUP BY 1)
+SELECT us.doc_id,
+       CAST(us.n AS BIGINT) AS n_words,
+       round(CAST(us.mx AS DOUBLE) / us.n, 4) AS top_word_frac,
+       round(CAST(us.dup AS DOUBLE) / us.n, 4) AS dup_word_frac,
+       round(CAST(bs.mx AS DOUBLE) / bs.nb, 4) AS top_bigram_frac,
+       round(CAST(bs.dup AS DOUBLE) / bs.nb, 4) AS dup_bigram_frac
+FROM us LEFT JOIN bs ON bs.doc_id = us.doc_id
+"""
+
+
 def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -2194,6 +2237,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "text_tokens": q_text_tokens,
     "text_quality": q_text_quality,
+    "text_repetition": q_text_repetition,
     "text_lang_id": q_text_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     # similarity search
@@ -2254,6 +2298,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "text_tokens": SQL_TEXT_TOKENS,
     "text_quality": SQL_TEXT_QUALITY,
+    "text_repetition": SQL_TEXT_REPETITION,
     "text_lang_id": SQL_TEXT_LANG_ID,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "embed_cosine_topk": SQL_EMBED_COSINE_TOPK,

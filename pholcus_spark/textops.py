@@ -112,6 +112,69 @@ def lang_pred(text: Column, threshold: float = 0.02) -> Column:
     return F.when(ratio >= threshold, F.lit("en")).otherwise(F.lit("unk"))
 
 
+def _run_stats(grams: Column) -> Column:
+    """``struct(max_run, dup)`` over an array of grams: the count of the
+    most frequent gram and the number of grams belonging to any gram
+    that occurs >= 2 times. One ``array_sort`` + one ``aggregate`` pass
+    per ROW — frequency counting without exploding the corpus, so
+    per-doc repetition stats never shuffle (the naive shape is two
+    corpus-wide groupBys; this is JVM-side expression evaluation with
+    zero Exchanges — higher-order fns opt out of whole-stage codegen
+    but stay off the Python path)."""
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("max_run"),
+        F.lit(0).cast("long").alias("dup"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        same = x.eqNullSafe(acc["prev"])
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.when(same, acc["max_run"])
+            .otherwise(F.greatest(acc["max_run"], acc["run"]))
+            .alias("max_run"),
+            F.when(~same & (acc["run"] >= 2), acc["dup"] + acc["run"])
+            .otherwise(acc["dup"])
+            .alias("dup"),
+        )
+
+    def fin(acc: Column) -> Column:
+        return F.struct(
+            F.greatest(acc["max_run"], acc["run"]).alias("max_run"),
+            F.when(acc["run"] >= 2, acc["dup"] + acc["run"])
+            .otherwise(acc["dup"])
+            .alias("dup"),
+        )
+
+    return F.aggregate(F.array_sort(grams), zero, step, fin)
+
+
+def repetition_stats(text: Column) -> dict[str, Column]:
+    """Gopher-style repetition quality gates (Rae et al. 2021 §A1.1,
+    adapted to the single-space corpus: word/bigram grams instead of
+    lines): fraction of tokens taken by the most frequent gram and by
+    all duplicated grams, for unigrams and bigrams. High values flag
+    the boilerplate / degenerate-repetition docs a training pipeline
+    drops. All ratios rounded to 4 (oracle-hash parity); bigram stats
+    are NULL for one-word docs."""
+    ws = words(text)
+    n = F.size(ws).cast("long")
+    uni = _run_stats(ws)
+    bi_arr = word_shingles(ws, 2)
+    nb = F.size(bi_arr).cast("long")
+    bi = _run_stats(bi_arr)
+    return {
+        "n_words": n,
+        "top_word_frac": F.round(uni["max_run"] / n, 4),
+        "dup_word_frac": F.round(uni["dup"] / n, 4),
+        "top_bigram_frac": F.when(nb > 0, F.round(bi["max_run"] / nb, 4)),
+        "dup_bigram_frac": F.when(nb > 0, F.round(bi["dup"] / nb, 4)),
+    }
+
+
 def fingerprint_md5(text: Column) -> Column:
     """Exact-dup fingerprint: md5 of the lowercased, squeezed text."""
     return F.md5(F.regexp_replace(F.lower(text), " +", " "))

@@ -170,3 +170,44 @@ def test_duplicate_spans_merges_runs_and_counts_within_doc(spark):
     assert r3["span_end"] == 7 and r3["n_tokens"] == 8
     # nothing from the short doc or the all-unique doc
     assert not any(d in (4, 5) for d, _ in rows)
+
+
+def test_repetition_stats_degenerate_and_unique_docs(spark):
+    """repetition_stats edge cases: a degenerate all-one-word doc has
+    every fraction 1.0; an all-unique doc has dup fractions 0 with
+    top fractions 1/n; a one-word doc has NULL bigram stats."""
+    from pyspark.sql import functions as F
+
+    from pholcus_spark import textops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),
+            (2, "all words here differ"),
+            (3, "single"),
+            (4, "ab ab cd ab cd ef"),
+        ],
+        "doc_id long, text string",
+    )
+    r = textops.repetition_stats(F.col("text"))
+    rows = {
+        x["doc_id"]: x
+        for x in docs.select(
+            "doc_id", *[v.alias(k) for k, v in r.items()]
+        ).collect()
+    }
+    assert rows[1]["top_word_frac"] == 1.0 and rows[1]["dup_word_frac"] == 1.0
+    assert rows[1]["top_bigram_frac"] == 1.0  # 'spam spam' x3
+    assert rows[2]["dup_word_frac"] == 0.0
+    assert rows[2]["top_word_frac"] == 0.25  # 1 of 4
+    assert rows[2]["dup_bigram_frac"] == 0.0
+    assert rows[3]["top_word_frac"] == 1.0  # the single word is the top
+    assert rows[3]["dup_word_frac"] == 0.0
+    assert rows[3]["top_bigram_frac"] is None
+    assert rows[3]["dup_bigram_frac"] is None
+    # doc 4: words = [ab,ab,cd,ab,cd,ef] -> top ab 3/6, dup (ab:3+cd:2)/6
+    assert rows[4]["top_word_frac"] == 0.5
+    assert rows[4]["dup_word_frac"] == round(5 / 6, 4)
+    # bigrams: [ab ab, ab cd, cd ab, ab cd, cd ef] -> top 'ab cd' 2/5
+    assert rows[4]["top_bigram_frac"] == 0.4
+    assert rows[4]["dup_bigram_frac"] == 0.4
