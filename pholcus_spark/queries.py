@@ -1244,6 +1244,59 @@ FROM us LEFT JOIN bs ON bs.doc_id = us.doc_id
 """
 
 
+BM25_TERMS = ("table", "window", "spark")
+BM25_TOPK = 25
+
+
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical top-k (search.bm25_topk): per-doc term frequencies
+    as JVM filter/size expressions (no explode), corpus stats as one
+    1-row broadcast, final TakeOrderedAndProject — two corpus scans,
+    zero wide shuffles."""
+    from . import search
+
+    return search.bm25_topk(
+        _t(spark, sf_dir, "documents"), BM25_TERMS, k=BM25_TOPK
+    )
+
+
+def _bm25_sql() -> str:
+    from .search import BM25_B, BM25_K1
+
+    k1, b = BM25_K1, BM25_B
+    tf = ",\n         ".join(
+        f"CAST(len(list_filter(ws, w -> w = '{t}')) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    df_ = ",\n         ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    # literals via repr() so DuckDB parses the exact doubles Spark uses
+    parts = " + ".join(
+        f"(ln(1.0 + (n_docs - df{i} + 0.5) / (df{i} + 0.5)) * tf{i}"
+        f" * {k1 + 1.0!r} / (tf{i} + {k1!r} * ({1.0 - b!r}"
+        f" + {b!r} * dl / avgdl)))"
+        for i in range(len(BM25_TERMS))
+    )
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+  pd AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+         {tf}
+         FROM t),
+  st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+         {df_}
+         FROM pd)
+SELECT doc_id, round({parts}, 4) AS score
+FROM pd, st
+ORDER BY score DESC, doc_id ASC
+LIMIT {BM25_TOPK}
+"""
+
+
+SQL_TEXT_BM25 = _bm25_sql()
+
+
 def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -2238,6 +2291,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_tokens": q_text_tokens,
     "text_quality": q_text_quality,
     "text_repetition": q_text_repetition,
+    "text_bm25": q_text_bm25,
     "text_lang_id": q_text_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     # similarity search
@@ -2299,6 +2353,7 @@ ORACLE_SQL: dict[str, str] = {
     "text_tokens": SQL_TEXT_TOKENS,
     "text_quality": SQL_TEXT_QUALITY,
     "text_repetition": SQL_TEXT_REPETITION,
+    "text_bm25": SQL_TEXT_BM25,
     "text_lang_id": SQL_TEXT_LANG_ID,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "embed_cosine_topk": SQL_EMBED_COSINE_TOPK,
