@@ -1244,6 +1244,76 @@ FROM us LEFT JOIN bs ON bs.doc_id = us.doc_id
 """
 
 
+def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (textops.pii_columns): count + redact emails, phones,
+    IPv4s. The fixture corpus is clean, so PII is planted
+    deterministically from doc_id (different densities per kind,
+    including docs with none) — the oracle plants identically, so the
+    redaction itself is what's being verified, non-vacuously."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    email = F.concat(
+        F.lit(" u"), d.cast("string"), F.lit("@mail.example.com")
+    )
+    phone = F.concat(
+        F.lit(" +1-"),
+        F.lpad((d % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad(((d * 7) % 10000).cast("string"), 4, "0"),
+    )
+    ip = F.concat(
+        F.lit(" "),
+        (d % 256).cast("string"),
+        F.lit(".0.113."),
+        ((d * 3) % 256).cast("string"),
+    )
+    planted = F.concat(
+        F.col("text"),
+        F.when(d % 3 != 0, email).otherwise(F.lit("")),
+        F.when(d % 4 == 0, phone).otherwise(F.lit("")),
+        F.when(d % 5 == 0, ip).otherwise(F.lit("")),
+    )
+    p = textops.pii_columns(planted)
+    return docs.select(
+        "doc_id",
+        p["n_emails"].alias("n_emails"),
+        p["n_phones"].alias("n_phones"),
+        p["n_ips"].alias("n_ips"),
+        p["redacted"].alias("redacted"),
+    )
+
+
+SQL_TEXT_PII_REDACT = f"""
+WITH t AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 != 0
+                 THEN ' u' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 4 = 0
+                 THEN ' +1-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                      || '-' || lpad(CAST(doc_id * 7 % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' ' || CAST(doc_id % 256 AS VARCHAR) || '.0.113.'
+                      || CAST(doc_id * 3 % 256 AS VARCHAR)
+                 ELSE '' END AS pt
+  FROM documents),
+  e AS (SELECT doc_id,
+               CAST(len(regexp_extract_all(pt, '{textops.PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+               regexp_replace(pt, '{textops.PII_EMAIL_RE}', '<EMAIL>', 'g') AS s1
+        FROM t),
+  p AS (SELECT doc_id, n_emails,
+               CAST(len(regexp_extract_all(s1, '{textops.PII_PHONE_RE}')) AS BIGINT) AS n_phones,
+               regexp_replace(s1, '{textops.PII_PHONE_RE}', '<PHONE>', 'g') AS s2
+        FROM e)
+SELECT doc_id, n_emails, n_phones,
+       CAST(len(regexp_extract_all(s2, '{textops.PII_IPV4_RE}')) AS BIGINT) AS n_ips,
+       regexp_replace(s2, '{textops.PII_IPV4_RE}', '<IP>', 'g') AS redacted
+FROM p
+"""
+
+
 BM25_TERMS = ("table", "window", "spark")
 BM25_TOPK = 25
 
@@ -2292,6 +2362,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "text_repetition": q_text_repetition,
     "text_bm25": q_text_bm25,
+    "text_pii_redact": q_text_pii_redact,
     "text_lang_id": q_text_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     # similarity search
@@ -2354,6 +2425,7 @@ ORACLE_SQL: dict[str, str] = {
     "text_quality": SQL_TEXT_QUALITY,
     "text_repetition": SQL_TEXT_REPETITION,
     "text_bm25": SQL_TEXT_BM25,
+    "text_pii_redact": SQL_TEXT_PII_REDACT,
     "text_lang_id": SQL_TEXT_LANG_ID,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "embed_cosine_topk": SQL_EMBED_COSINE_TOPK,

@@ -175,6 +175,36 @@ def repetition_stats(text: Column) -> dict[str, Column]:
     }
 
 
+# PII patterns shared with the DuckDB oracle. Kept inside the common
+# Java-regex ∩ RE2 subset (no backrefs, no lookaround) so both engines
+# compile them identically.
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_PHONE_RE = "\\+1-[0-9]{3}-[0-9]{4}"
+PII_IPV4_RE = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+
+def pii_columns(text: Column) -> dict[str, Column]:
+    """PII scrub pass (the pre-release hygiene stage of a training-data
+    pipeline): count and redact emails, NANP phone numbers, and IPv4
+    addresses. Pure regexp column expressions — JVM-side, zero shuffle,
+    linear in input. Replacement order is fixed (email → phone → ip) so
+    overlapping matches resolve identically in engine and oracle; the
+    email pattern cannot leave a bare IP behind because its domain tail
+    requires an alphabetic TLD."""
+    emails = F.regexp_count(text, F.lit(PII_EMAIL_RE))
+    after_email = F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>")
+    phones = F.regexp_count(after_email, F.lit(PII_PHONE_RE))
+    after_phone = F.regexp_replace(after_email, PII_PHONE_RE, "<PHONE>")
+    ips = F.regexp_count(after_phone, F.lit(PII_IPV4_RE))
+    redacted = F.regexp_replace(after_phone, PII_IPV4_RE, "<IP>")
+    return {
+        "n_emails": emails.cast("long"),
+        "n_phones": phones.cast("long"),
+        "n_ips": ips.cast("long"),
+        "redacted": redacted,
+    }
+
+
 def fingerprint_md5(text: Column) -> Column:
     """Exact-dup fingerprint: md5 of the lowercased, squeezed text."""
     return F.md5(F.regexp_replace(F.lower(text), " +", " "))

@@ -211,3 +211,37 @@ def test_repetition_stats_degenerate_and_unique_docs(spark):
     # bigrams: [ab ab, ab cd, cd ab, ab cd, cd ef] -> top 'ab cd' 2/5
     assert rows[4]["top_bigram_frac"] == 0.4
     assert rows[4]["dup_bigram_frac"] == 0.4
+
+
+def test_pii_columns_redacts_and_counts(spark):
+    """pii_columns: multiple matches per kind all redact, clean text
+    passes through byte-identical, and an IP glued to a word (no
+    boundary) is NOT redacted."""
+    from pyspark.sql import functions as F
+
+    from pholcus_spark import textops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a@b.co and c.d@e-f.org then call +1-555-0199 ok"),
+            (2, "clean text with no contact info at all"),
+            (3, "hosts 10.0.0.1 and 192.168.1.255 but notanip1.2.3.4x"),
+            (4, "+1-555-0000 +1-555-1111 twice"),
+        ],
+        "doc_id long, text string",
+    )
+    p = textops.pii_columns(F.col("text"))
+    rows = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id", *[v.alias(k) for k, v in p.items()]
+        ).collect()
+    }
+    assert rows[1]["n_emails"] == 2 and rows[1]["n_phones"] == 1
+    assert rows[1]["redacted"] == "mail <EMAIL> and <EMAIL> then call <PHONE> ok"
+    assert rows[2]["redacted"] == "clean text with no contact info at all"
+    assert (rows[2]["n_emails"], rows[2]["n_phones"], rows[2]["n_ips"]) == (0, 0, 0)
+    # \b guards: the two real IPs redact, the glued one survives intact
+    assert rows[3]["n_ips"] == 2
+    assert "notanip1.2.3.4x" in rows[3]["redacted"]
+    assert rows[4]["redacted"] == "<PHONE> <PHONE> twice"
