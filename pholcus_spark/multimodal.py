@@ -159,6 +159,27 @@ def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
     )
 
 
+def exact_image_dupes(images: DataFrame) -> DataFrame:
+    """Byte-exact image dedup — the cheapest first gate of an image
+    corpus pipeline, run before any decode: md5 over the raw payload,
+    hash-groupBy keeping the min image_id and the copy count.
+
+    Scale shape: the binary column is hashed in the scan projection and
+    immediately dropped, so only (32-byte fp, image_id) ever shuffles —
+    at 100 TB of payload the shuffle is a few GB. Map-side partial agg
+    collapses same-partition copies first. Returns
+    ``(fp, keep_id, n_copies)``.
+    """
+    return (
+        images.select(F.md5(F.col("bytes")).alias("fp"), "image_id")
+        .groupBy("fp")
+        .agg(
+            F.min("image_id").alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
 def phash_neardup(meta: DataFrame, band_bits: int = 16) -> DataFrame:
     """Near-dup clustering on perceptual hash: band the 64-bit phash
     into 64/band_bits chunks; images sharing any band are candidates

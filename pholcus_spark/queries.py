@@ -1994,10 +1994,16 @@ WHERE cos_sim >= 0.9
 # multimodal (rows-only: binary pipelines have no SQL twin)
 
 def _synthetic_images(
-    spark: SparkSession, sf_dir: str, max_docs: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    max_docs: int | None = None,
+    payload_mod: int | None = None,
 ) -> DataFrame:
     """Deterministic image payloads keyed by doc_id — the documents
-    table standing in for a crawled image corpus."""
+    table standing in for a crawled image corpus. With ``payload_mod``
+    the payload is keyed by ``doc_id % payload_mod`` instead, planting
+    genuine byte-identical duplicates (image_id stays unique) for the
+    exact-dedup operators."""
     from typing import Iterator
 
     import pandas as pd
@@ -2010,7 +2016,8 @@ def _synthetic_images(
         for pdf in pdf_iter:
             rows = []
             for doc_id in pdf["doc_id"]:
-                arr, fmt = synthetic.image_for_doc(int(doc_id))
+                key = int(doc_id) if payload_mod is None else int(doc_id) % payload_mod
+                arr, fmt = synthetic.image_for_doc(key)
                 rows.append(
                     {
                         "image_id": f"doc-{int(doc_id)}",
@@ -2062,6 +2069,30 @@ SQL_IMAGES_RESIZE = """
 SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS image_id,
        CAST(16 AS INT) AS w, CAST(16 AS INT) AS h, 'png' AS fmt
 FROM documents
+"""
+
+
+IMG_DEDUP_MOD = 100
+
+
+def q_images_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-exact image dedup (multimodal.exact_image_dupes) over a
+    corpus with planted byte-identical duplicates (payload keyed by
+    doc_id % IMG_DEDUP_MOD). Partial oracle: DuckDB can't encode the
+    PNG/JPEG payloads, but it predicts the GROUPS — byte-driven
+    grouping must land exactly on the payload classes, so keep_id and
+    n_copies verify the whole hash-group pipeline; a single bytes-level
+    mismatch between same-class encodes (or one md5 collision across
+    classes) would split/merge a group and fail the compare."""
+    imgs = _synthetic_images(spark, sf_dir, payload_mod=IMG_DEDUP_MOD)
+    return multimodal.exact_image_dupes(imgs).select("keep_id", "n_copies")
+
+
+SQL_IMAGES_EXACT_DEDUP = f"""
+SELECT min('doc-' || CAST(doc_id AS VARCHAR)) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM documents
+GROUP BY doc_id % {IMG_DEDUP_MOD}
 """
 
 
@@ -2374,6 +2405,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "images_decode_meta": q_images_decode_meta,
     "images_resize": q_images_resize,
     "images_phash_neardup": q_images_phash_neardup,
+    "images_exact_dedup": q_images_exact_dedup,
     "images_select_corpus": q_images_select_corpus,
     "video_frame_sample": q_video_frame_sample,
     "audio_features": q_audio_features,
@@ -2436,6 +2468,7 @@ ORACLE_SQL: dict[str, str] = {
     # doc_id (generator arithmetic mirrored in SQL)
     "images_decode_meta": SQL_IMAGES_DECODE_META,
     "images_resize": SQL_IMAGES_RESIZE,
+    "images_exact_dedup": SQL_IMAGES_EXACT_DEDUP,
 }
 
 # oracles whose SQL embeds values recomputed driver-side (built on

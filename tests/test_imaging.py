@@ -59,3 +59,23 @@ def test_encode_image_dispatch():
 def test_psnr_identity_inf():
     arr = _rand_img(3)
     assert psnr(arr, arr) == float("inf")
+
+
+def test_exact_image_dupes_groups_by_bytes(spark):
+    """exact_image_dupes: identical payloads group regardless of id or
+    fmt metadata; distinct payloads never merge; keep_id is the lexical
+    min of the group."""
+    from pholcus_spark import multimodal
+
+    rows = [
+        ("img-b", bytearray(b"\x89PNGpayload1"), "png"),
+        ("img-a", bytearray(b"\x89PNGpayload1"), "png"),
+        ("img-c", bytearray(b"\x89PNGpayload1"), "jpeg"),  # fmt ignored
+        ("img-d", bytearray(b"\x89PNGpayload2"), "png"),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    got = {
+        r["keep_id"]: r["n_copies"]
+        for r in multimodal.exact_image_dupes(df).collect()
+    }
+    assert got == {"img-a": 3, "img-d": 1}
