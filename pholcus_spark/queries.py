@@ -1244,6 +1244,28 @@ FROM us LEFT JOIN bs ON bs.doc_id = us.doc_id
 """
 
 
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc unigram Shannon entropy (textops.word_entropy): lexical
+    diversity computed in one sorted-run aggregate() per row — zero
+    Exchanges, vs the naive corpus-wide double groupBy the oracle
+    runs."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", textops.word_entropy(F.col("text")).alias("entropy")
+    )
+
+
+SQL_TEXT_ENTROPY = """
+WITH u AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+  c AS (SELECT doc_id, w, count(*) AS c FROM u GROUP BY 1, 2),
+  s AS (SELECT doc_id,
+               sum(CASE WHEN c >= 2 THEN c * ln(c) ELSE 0 END) AS clnc,
+               sum(c) AS n
+        FROM c GROUP BY 1)
+SELECT doc_id, round(ln(n) - clnc / n, 4) AS entropy FROM s
+"""
+
+
 def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub (textops.pii_columns): count + redact emails, phones,
     IPv4s. The fixture corpus is clean, so PII is planted
@@ -2394,6 +2416,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_repetition": q_text_repetition,
     "text_bm25": q_text_bm25,
     "text_pii_redact": q_text_pii_redact,
+    "text_entropy": q_text_entropy,
     "text_lang_id": q_text_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     # similarity search
@@ -2458,6 +2481,7 @@ ORACLE_SQL: dict[str, str] = {
     "text_repetition": SQL_TEXT_REPETITION,
     "text_bm25": SQL_TEXT_BM25,
     "text_pii_redact": SQL_TEXT_PII_REDACT,
+    "text_entropy": SQL_TEXT_ENTROPY,
     "text_lang_id": SQL_TEXT_LANG_ID,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "embed_cosine_topk": SQL_EMBED_COSINE_TOPK,

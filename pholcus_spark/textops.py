@@ -175,6 +175,46 @@ def repetition_stats(text: Column) -> dict[str, Column]:
     }
 
 
+def word_entropy(text: Column) -> Column:
+    """Shannon entropy (nats) of the per-doc unigram distribution — the
+    lexical-diversity gate of a curation pipeline (degenerate docs
+    score near 0, naturally varied text near ln(n_words)). Computed as
+    ``ln(n) - (Σ c·ln c)/n`` over word-run lengths of the SORTED word
+    array: one aggregate() expression per row, zero shuffle — same
+    shape as ``_run_stats``, which cannot be reused because entropy
+    needs every run length, not just the max. Rounded to 4."""
+    ws = words(text)
+    n = F.size(ws).cast("double")
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0.0).alias("clnc"),
+    )
+
+    def _contrib(run: Column) -> Column:
+        # runs of length 0 (initial) and 1 contribute 0 — guarding also
+        # avoids 0*ln(0) = NaN
+        return F.when(
+            run >= 2, run.cast("double") * F.log(run.cast("double"))
+        ).otherwise(F.lit(0.0))
+
+    def step(acc: Column, x: Column) -> Column:
+        same = x.eqNullSafe(acc["prev"])
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.when(same, acc["clnc"])
+            .otherwise(acc["clnc"] + _contrib(acc["run"]))
+            .alias("clnc"),
+        )
+
+    def fin(acc: Column) -> Column:
+        return acc["clnc"] + _contrib(acc["run"])
+
+    clnc = F.aggregate(F.array_sort(ws), zero, step, fin)
+    return F.round(F.log(n) - clnc / n, 4)
+
+
 # PII patterns shared with the DuckDB oracle. Kept inside the common
 # Java-regex ∩ RE2 subset (no backrefs, no lookaround) so both engines
 # compile them identically.

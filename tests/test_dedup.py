@@ -245,3 +245,34 @@ def test_pii_columns_redacts_and_counts(spark):
     assert rows[3]["n_ips"] == 2
     assert "notanip1.2.3.4x" in rows[3]["redacted"]
     assert rows[4]["redacted"] == "<PHONE> <PHONE> twice"
+
+
+def test_word_entropy_degenerate_uniform_and_known_value(spark):
+    """word_entropy: all-same-word doc -> 0; all-distinct doc ->
+    ln(n); a 3:1 mix matches the hand-computed H."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from pholcus_spark import textops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x x x x x x"),
+            (2, "a b c d"),
+            (3, "a a a b"),
+            (4, "solo"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["h"]
+        for r in docs.select(
+            "doc_id", textops.word_entropy(F.col("text")).alias("h")
+        ).collect()
+    }
+    assert got[1] == 0.0
+    assert got[2] == round(math.log(4), 4)
+    want3 = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert got[3] == round(want3, 4)
+    assert got[4] == 0.0
