@@ -225,6 +225,41 @@ def main() -> int:
          "(the 10^10-candidate shape)", p, probs)
     )
 
+    # 9. duplicate_spans: hashed k-grams, corpus-count semi-join back,
+    # per-doc islands window — never an all-pairs join
+    q = QUERIES["dedup_duplicate_spans"](spark, sf_dir)
+    p, probs = audit(
+        "dedup_duplicate_spans", q,
+        expect=["LeftSemi", "Window"],
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin"],
+    )
+    sections.append(
+        ("dedup_duplicate_spans (hashed k-grams, dup-count semi-join, "
+         "per-doc islands window)", p, probs)
+    )
+
+    # 10. bm25: two corpus scans + 1-row stats broadcast + top-k; no
+    # explode, no corpus window, no sort-merge join anywhere
+    q = QUERIES["text_bm25"](spark, sf_dir)
+    p, probs = audit(
+        "text_bm25", q,
+        expect=["TakeOrderedAndProject", "BroadcastExchange"],
+        forbid=["Generate", "Window", "SortMergeJoin"],
+    )
+    sections.append(
+        ("text_bm25 (1-row stats broadcast, TakeOrderedAndProject top-k)",
+         p, probs)
+    )
+
+    # 11. per-row text gates must be pure scan+project: ZERO Exchanges
+    for qname in ("text_repetition", "text_entropy", "text_pii_redact"):
+        q = QUERIES[qname](spark, sf_dir)
+        p, probs = audit(qname, q, expect=[], forbid=["Exchange"])
+        sections.append(
+            (f"{qname} (per-row gate: scan+project, zero Exchange)",
+             p, probs)
+        )
+
     all_problems = []
     out = ["# PLANS — physical-plan audit of the hot paths\n"]
     out.append(
