@@ -506,6 +506,15 @@ def duplicate_spans(
     """
     from pyspark.sql.window import Window
 
+    # The shingle hashing dominates and is evaluated once per branch
+    # (dup-count + probe), so starve no cores: a small corpus that read
+    # as fewer partitions than the session has slots is rebalanced
+    # first (tiny shuffle); a corpus big enough to matter already scans
+    # as many partitions and skips this.
+    want = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < want:
+        docs = docs.repartition(want)
+
     ws = words(F.col(text_col))
     pos = docs.select(
         "doc_id",
@@ -530,6 +539,53 @@ def duplicate_spans(
         F.count("*").alias("n_grams"),
         (F.max("pos") - F.min("pos") + shingle_k).alias("n_tokens"),
     ).drop("grp")
+
+
+def strip_duplicate_spans(
+    docs: DataFrame,
+    shingle_k: int = 5,
+    min_count: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """The apply half of exact substring dedup: cut every duplicated
+    span found by ``duplicate_spans`` out of the text (Lee et al. 2022
+    cut repeated substrings from training text rather than dropping
+    whole docs). Returns ``(doc_id, clean_text, n_removed_tokens)`` for
+    EVERY input doc — unaffected docs pass through with 0 removed.
+
+    Shape: the span relation is tiny relative to the corpus (only
+    duplicated regions), aggregated per doc and joined back LEFT so the
+    corpus shuffles once on doc_id; the token cut is a JVM
+    filter-with-index over the word array (no Python, no explode).
+    """
+    spans = (
+        duplicate_spans(docs, shingle_k, min_count, text_col)
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(
+                F.array(F.col("span_start"), F.col("span_end"))
+            ).alias("spans")
+        )
+    )
+    joined = docs.select("doc_id", text_col).join(spans, "doc_id", "left")
+    ws = words(F.col(text_col))
+    sp = F.coalesce(
+        F.col("spans"), F.array().cast("array<array<bigint>>")
+    )
+
+    def keep(w, i):
+        # F.filter's 2-arg lambda receives (element, index)
+        covered = F.exists(
+            sp, lambda s: (i.cast("long") >= s[0]) & (i.cast("long") <= s[1])
+        )
+        return ~covered
+
+    kept = F.filter(ws, keep)
+    return joined.select(
+        "doc_id",
+        F.concat_ws(" ", kept).alias("clean_text"),
+        (F.size(ws) - F.size(kept)).cast("long").alias("n_removed_tokens"),
+    )
 
 
 def simhash_bits(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -1530,6 +1530,38 @@ GROUP BY doc_id, grp
 """
 
 
+def q_dedup_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply half of exact substring dedup (dedup.strip_duplicate_spans):
+    cut every duplicated span out of the text; unaffected docs pass
+    through with 0 removed."""
+    return dedup.strip_duplicate_spans(
+        _t(spark, sf_dir, "documents"), shingle_k=DUP_SPAN_K
+    )
+
+
+SQL_DEDUP_STRIP_SPANS = f"""
+WITH spansrc AS ({SQL_DEDUP_DUPLICATE_SPANS}),
+  sp AS (SELECT doc_id, list([span_start, span_end]) AS spans
+         FROM spansrc GROUP BY doc_id),
+  t AS (SELECT d.doc_id, string_split(d.text, ' ') AS ws,
+               coalesce(sp.spans, CAST([] AS BIGINT[][])) AS spans
+        FROM documents d LEFT JOIN sp ON sp.doc_id = d.doc_id),
+  k AS (SELECT doc_id, ws,
+               list_filter(range(1, len(ws) + 1),
+                           i -> len(list_filter(spans,
+                                s -> i - 1 >= s[1] AND i - 1 <= s[2])) = 0
+               ) AS keep_idx
+        FROM t)
+SELECT doc_id,
+       -- array_to_string([]) is NULL in DuckDB; Spark's concat_ws
+       -- yields '' for a fully-stripped doc
+       coalesce(array_to_string(list_transform(keep_idx, i -> ws[i]), ' '),
+                '') AS clean_text,
+       CAST(len(ws) - len(keep_idx) AS BIGINT) AS n_removed_tokens
+FROM k
+"""
+
+
 MINHASH_VERIFY_THRESHOLD = 0.2
 
 
@@ -2410,6 +2442,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_stats": q_corpus_stats,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_duplicate_spans": q_dedup_duplicate_spans,
+    "dedup_strip_spans": q_dedup_strip_spans,
     "dedup_simhash": q_dedup_simhash,
     "text_tokens": q_text_tokens,
     "text_quality": q_text_quality,
@@ -2475,6 +2508,7 @@ ORACLE_SQL: dict[str, str] = {
     "corpus_stats": SQL_CORPUS_STATS,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "dedup_duplicate_spans": SQL_DEDUP_DUPLICATE_SPANS,
+    "dedup_strip_spans": SQL_DEDUP_STRIP_SPANS,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "text_tokens": SQL_TEXT_TOKENS,
     "text_quality": SQL_TEXT_QUALITY,

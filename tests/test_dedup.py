@@ -276,3 +276,33 @@ def test_word_entropy_degenerate_uniform_and_known_value(spark):
     want3 = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
     assert got[3] == round(want3, 4)
     assert got[4] == 0.0
+
+
+def test_strip_duplicate_spans_cuts_and_passes_through(spark):
+    """strip_duplicate_spans: duplicated spans are cut from BOTH docs
+    sharing them, a fully-duplicated doc strips to '', and docs with no
+    spans pass through byte-identical with 0 removed."""
+    k = 3
+    shared = "alpha beta gamma delta"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " tail one here"),  # shares 'tail' too
+            (2, shared + " tail two there"),
+            (3, shared),  # wholly duplicated -> empty after strip
+            (4, "totally unique words everywhere now"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in dedup.strip_duplicate_spans(docs, shingle_k=k).collect()
+    }
+    assert len(rows) == 4  # every doc comes back
+    # docs 1 and 2 share "...delta tail" too, so the duplicated run
+    # covers 'tail' as well: 5 tokens cut from each
+    assert rows[1]["clean_text"] == "one here"
+    assert rows[1]["n_removed_tokens"] == 5
+    assert rows[2]["clean_text"] == "two there"
+    assert rows[3]["clean_text"] == "" and rows[3]["n_removed_tokens"] == 4
+    assert rows[4]["clean_text"] == "totally unique words everywhere now"
+    assert rows[4]["n_removed_tokens"] == 0
