@@ -46,7 +46,14 @@ BENCH_QUERIES = [
     "embed_cosine_neardup",
     "images_phash_neardup",
     "dedup_ngram_jaccard",
+    "dedup_duplicate_spans",
+    "dedup_strip_spans",
     "dedup_simhash",
+    "text_bm25",
+    "text_repetition",
+    "text_entropy",
+    "text_pii_redact",
+    "images_exact_dedup",
     "text_quality",
     "doc_fingerprint",
     "embed_cosine_topk",
