@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "text_bm25",
     "text_repetition",
     "text_entropy",
+    "text_unigram_nll",
     "text_pii_redact",
     "images_exact_dedup",
     "text_quality",

@@ -233,6 +233,49 @@ def corpus_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def unigram_nll(docs: DataFrame) -> DataFrame:
+    """Unigram-LM fit score — the cheap stand-in for the perplexity
+    filter large pipelines run (train an LM on the corpus, drop docs
+    the model finds surprising): per-doc average negative log
+    probability per token under the corpus unigram distribution with
+    Laplace smoothing, ``p(w) = (C(w)+1) / (T+V)``. Low = stereotyped,
+    high = out-of-distribution; both tails are curation targets.
+
+    Scale shape: shuffled data is (doc, word, count) DISTINCT triplets,
+    never raw tokens — the per-doc term counts collapse in the map-side
+    partial agg of the first groupBy; vocabulary counts are a second
+    hash agg on the same relation; the term→p(w) join shuffles on the
+    word key (AQE broadcasts a small vocab); the final per-doc agg is
+    doc-count-sized. Returns ``(doc_id, n_tokens, nll)`` with nll in
+    nats rounded to 4.
+    """
+    terms = (
+        docs.select(
+            "doc_id", F.explode(textops.words(F.col("text"))).alias("w")
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    vocab = terms.groupBy("w").agg(F.sum("c").alias("cw"))
+    totals = vocab.agg(
+        F.sum("cw").alias("t"), F.count("*").alias("v")
+    )
+    p = vocab.join(F.broadcast(totals)).select(
+        "w",
+        F.log((F.col("cw") + 1.0) / (F.col("t") + F.col("v"))).alias("lp"),
+    )
+    return (
+        terms.join(p, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.round(-F.sum(F.col("c") * F.col("lp")) / F.sum("c"), 4).alias(
+                "nll"
+            ),
+        )
+    )
+
+
 def cap_per_source(docs: DataFrame, k: int = 10) -> DataFrame:
     """Diversity cap: keep at most ``k`` docs per source, preferring
     longer docs (n_chars desc, doc_id asc tie-break) — the per-domain

@@ -1266,6 +1266,31 @@ SELECT doc_id, round(ln(n) - clnc / n, 4) AS entropy FROM s
 """
 
 
+def q_text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM fit score (pipeline.unigram_nll): per-doc avg
+    negative log prob per token under the Laplace-smoothed corpus
+    unigram distribution — the perplexity-filter stand-in."""
+    from . import pipeline
+
+    return pipeline.unigram_nll(_t(spark, sf_dir, "documents"))
+
+
+SQL_TEXT_UNIGRAM_NLL = """
+WITH terms AS (
+    SELECT doc_id, w, count(*) AS c
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents)
+    GROUP BY 1, 2),
+  vocab AS (SELECT w, sum(c) AS cw FROM terms GROUP BY 1),
+  tot AS (SELECT sum(cw) AS t, count(*) AS v FROM vocab),
+  p AS (SELECT w, ln((cw + 1.0) / (t + v)) AS lp FROM vocab, tot)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+       round(-sum(c * lp) / sum(c), 4) AS nll
+FROM terms JOIN p USING (w)
+GROUP BY doc_id
+"""
+
+
 def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub (textops.pii_columns): count + redact emails, phones,
     IPv4s. The fixture corpus is clean, so PII is planted
@@ -2450,6 +2475,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bm25": q_text_bm25,
     "text_pii_redact": q_text_pii_redact,
     "text_entropy": q_text_entropy,
+    "text_unigram_nll": q_text_unigram_nll,
     "text_lang_id": q_text_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     # similarity search
@@ -2516,6 +2542,7 @@ ORACLE_SQL: dict[str, str] = {
     "text_bm25": SQL_TEXT_BM25,
     "text_pii_redact": SQL_TEXT_PII_REDACT,
     "text_entropy": SQL_TEXT_ENTROPY,
+    "text_unigram_nll": SQL_TEXT_UNIGRAM_NLL,
     "text_lang_id": SQL_TEXT_LANG_ID,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "embed_cosine_topk": SQL_EMBED_COSINE_TOPK,

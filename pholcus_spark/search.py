@@ -46,6 +46,8 @@ def bm25_topk(
     Returns ``(doc_id, score)``.
     """
     terms = list(dict.fromkeys(terms))  # dedupe, keep order
+    if not terms:
+        raise ValueError("bm25_topk needs at least one query term")
 
     def _tf(term: str):
         # single-arg lambda: a 2-arg lambda would make F.filter pass

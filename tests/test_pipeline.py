@@ -170,3 +170,24 @@ def test_select_image_corpus_stages(spark):
     # d gated out; c loses the caption tie to a; b loses the phash
     # component to canonical a
     assert kept == {"a", "e"}
+
+
+def test_unigram_nll_matches_hand_computation(spark):
+    """unigram_nll: Laplace-smoothed corpus unigram fit. Corpus
+    'a a b' + 'a c': C(a)=3, C(b)=1, C(c)=1, T=5, V=3 -> p(a)=4/8,
+    p(b)=p(c)=2/8; doc nll = -(sum c*ln p)/n."""
+    import math
+
+    from pholcus_spark import pipeline
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in pipeline.unigram_nll(docs).collect()}
+    pa, pb = 4 / 8, 2 / 8
+    want1 = -(2 * math.log(pa) + 1 * math.log(pb)) / 3
+    want2 = -(math.log(pa) + math.log(pb)) / 2
+    assert rows[1]["n_tokens"] == 3 and rows[1]["nll"] == round(want1, 4)
+    assert rows[2]["n_tokens"] == 2 and rows[2]["nll"] == round(want2, 4)
+    # the stereotyped all-'a' doc scores lower nll than a rare-word doc
+    assert rows[1]["nll"] < rows[2]["nll"]
