@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "text_repetition",
     "text_entropy",
     "text_unigram_nll",
+    "text_tfidf_topk",
     "text_pii_redact",
     "images_exact_dedup",
     "text_quality",

@@ -276,6 +276,52 @@ def unigram_nll(docs: DataFrame) -> DataFrame:
     )
 
 
+def tfidf_topk_terms(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Per-doc top-k distinctive terms by tf-idf — the corpus-audit /
+    keyword-extraction pass (``score = (c/dl) · ln(N/df)``, ties broken
+    by term so the top-k set is deterministic).
+
+    Same scale skeleton as ``unigram_nll``: everything past the first
+    map-side-combined aggregate moves (doc, word, count) distinct
+    triplets; document frequencies are a second hash agg over the same
+    relation; N is a 1-row broadcast; the final top-k is a rank window
+    partitioned by doc_id — per-partition work bounded by per-doc vocab.
+    Returns ``(doc_id, term, score)``, k rows per doc.
+    """
+    from pyspark.sql.window import Window
+
+    terms = (
+        docs.select(
+            "doc_id", F.explode(textops.words(F.col("text"))).alias("w")
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    dl = terms.groupBy("doc_id").agg(F.sum("c").alias("dl"))
+    df_ = terms.groupBy("w").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        terms.join(dl, "doc_id")
+        .join(df_, "w")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            F.col("w").alias("term"),
+            (
+                F.col("c").cast("double")
+                / F.col("dl")
+                * F.log(F.col("n_docs").cast("double") / F.col("df"))
+            ).alias("raw"),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.desc("raw"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= k)
+        .select("doc_id", "term", F.round(F.col("raw"), 4).alias("score"))
+    )
+
+
 def cap_per_source(docs: DataFrame, k: int = 10) -> DataFrame:
     """Diversity cap: keep at most ``k`` docs per source, preferring
     longer docs (n_chars desc, doc_id asc tie-break) — the per-domain

@@ -1291,6 +1291,46 @@ GROUP BY doc_id
 """
 
 
+TFIDF_K = 3
+
+
+def q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-k distinctive terms by tf-idf
+    (pipeline.tfidf_topk_terms) — keyword extraction for corpus
+    audits."""
+    from . import pipeline
+
+    return pipeline.tfidf_topk_terms(
+        _t(spark, sf_dir, "documents"), k=TFIDF_K
+    )
+
+
+SQL_TEXT_TFIDF_TOPK = f"""
+WITH terms AS (
+    SELECT doc_id, w, count(*) AS c
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents)
+    GROUP BY 1, 2),
+  dl AS (SELECT doc_id, sum(c) AS dl FROM terms GROUP BY 1),
+  dfreq AS (SELECT w, count(*) AS df FROM terms GROUP BY 1),
+  n AS (SELECT count(*) AS n_docs FROM documents),
+  scored AS (
+    SELECT terms.doc_id, terms.w AS term,
+           CAST(c AS DOUBLE) / dl.dl * ln(CAST(n_docs AS DOUBLE) / df) AS raw
+    FROM terms
+    JOIN dl ON dl.doc_id = terms.doc_id
+    JOIN dfreq ON dfreq.w = terms.w
+    CROSS JOIN n),
+  ranked AS (
+    SELECT doc_id, term, raw,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY raw DESC, term ASC) AS rn
+    FROM scored)
+SELECT doc_id, term, round(raw, 4) AS score
+FROM ranked WHERE rn <= {TFIDF_K}
+"""
+
+
 def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub (textops.pii_columns): count + redact emails, phones,
     IPv4s. The fixture corpus is clean, so PII is planted
@@ -2476,6 +2516,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_pii_redact": q_text_pii_redact,
     "text_entropy": q_text_entropy,
     "text_unigram_nll": q_text_unigram_nll,
+    "text_tfidf_topk": q_text_tfidf_topk,
     "text_lang_id": q_text_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     # similarity search
@@ -2543,6 +2584,7 @@ ORACLE_SQL: dict[str, str] = {
     "text_pii_redact": SQL_TEXT_PII_REDACT,
     "text_entropy": SQL_TEXT_ENTROPY,
     "text_unigram_nll": SQL_TEXT_UNIGRAM_NLL,
+    "text_tfidf_topk": SQL_TEXT_TFIDF_TOPK,
     "text_lang_id": SQL_TEXT_LANG_ID,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "embed_cosine_topk": SQL_EMBED_COSINE_TOPK,

@@ -191,3 +191,32 @@ def test_unigram_nll_matches_hand_computation(spark):
     assert rows[2]["n_tokens"] == 2 and rows[2]["nll"] == round(want2, 4)
     # the stereotyped all-'a' doc scores lower nll than a rare-word doc
     assert rows[1]["nll"] < rows[2]["nll"]
+
+
+def test_tfidf_topk_picks_distinctive_terms(spark):
+    """tfidf_topk_terms: a term unique to one doc outranks corpus-wide
+    terms; scores match the hand formula; ties break by term asc."""
+    import math
+
+    from pholcus_spark import pipeline
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common rare common unique"),
+            (2, "common common common common"),
+            (3, "common rare zz aa"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = pipeline.tfidf_topk_terms(docs, k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["term"], r["score"]))
+    # doc 1: unique (df=1) wins over rare (df=2); common (df=3 = N) scores 0
+    assert by_doc[1][0][0] == "unique"
+    assert by_doc[1][0][1] == round(0.25 * math.log(3 / 1), 4)
+    assert by_doc[1][1] == ("rare", round(0.25 * math.log(3 / 2), 4))
+    # doc 2: only 'common' exists; ln(3/3)=0 -> one row, score 0
+    assert by_doc[2] == [("common", 0.0)]
+    # doc 3: aa and zz tie on (c=1, df=1) -> term asc breaks the tie
+    assert [t for t, _ in by_doc[3]] == ["aa", "zz"]
