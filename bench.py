@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "dedup_minhash_verified",
     "dedup_components",
     "training_select",
+    "training_curate",
     "training_pack_shards",
     "training_decontaminate",
     "training_sample_mix",

@@ -276,6 +276,53 @@ def unigram_nll(docs: DataFrame) -> DataFrame:
     )
 
 
+def curate_corpus(
+    docs: DataFrame,
+    shingle_k: int = 5,
+    min_words: int = 20,
+    min_entropy: float = 2.6,
+    max_top_word_frac: float = 0.15,
+) -> DataFrame:
+    """End-to-end text curation — the cleaning chain run BEFORE the
+    near-dup/selection stages of ``select_training_docs``:
+
+    1. cut duplicated substrings (``dedup.strip_duplicate_spans``);
+    2. gate the CLEANED text on length, unigram entropy, and top-word
+       fraction — all per-row column expressions, no shuffle (gating
+       after the cut matters: a doc that was mostly boilerplate fails
+       here even though its raw form passed);
+    3. exact-dup canonicalization of the cleaned text (stripping can
+       collapse formerly-distinct docs onto identical text):
+       groupBy(min) + semi join, keep-min policy.
+
+    Gates compare on values rounded to 4 so engine and oracle make
+    identical boundary decisions. Returns ``(doc_id, clean_text,
+    n_tokens)`` for kept docs.
+    """
+    stripped = dedup.strip_duplicate_spans(docs, shingle_k=shingle_k)
+    ct = F.col("clean_text")
+    n = textops.n_tokens_ws(ct).cast("long")
+    rep = textops.repetition_stats(ct)
+    gated = stripped.select(
+        "doc_id", "clean_text", n.alias("n_tokens"),
+        textops.word_entropy(ct).alias("_h"),
+        rep["top_word_frac"].alias("_topw"),
+    ).filter(
+        (F.col("n_tokens") >= min_words)
+        & (F.col("_h") >= min_entropy)
+        & (F.col("_topw") <= max_top_word_frac)
+    ).drop("_h", "_topw")
+    keep = (
+        gated.select(
+            textops.fingerprint_md5(ct).alias("fp"), "doc_id"
+        )
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return gated.join(keep, "doc_id", "left_semi")
+
+
 def tfidf_topk_terms(docs: DataFrame, k: int = 5) -> DataFrame:
     """Per-doc top-k distinctive terms by tf-idf — the corpus-audit /
     keyword-extraction pass (``score = (c/dl) · ln(N/df)``, ties broken

@@ -1627,6 +1627,53 @@ FROM k
 """
 
 
+CURATE_MIN_WORDS = 20
+CURATE_MIN_ENTROPY = 2.6
+CURATE_MAX_TOPW = 0.15
+
+
+def q_training_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation chain (pipeline.curate_corpus): strip
+    duplicated spans -> per-row gates on the CLEANED text (length,
+    entropy, top-word fraction) -> exact-dup canonicalization of the
+    cleaned text. The oracle recomputes the full chain."""
+    from . import pipeline
+
+    return pipeline.curate_corpus(
+        _t(spark, sf_dir, "documents"),
+        shingle_k=DUP_SPAN_K,
+        min_words=CURATE_MIN_WORDS,
+        min_entropy=CURATE_MIN_ENTROPY,
+        max_top_word_frac=CURATE_MAX_TOPW,
+    )
+
+
+SQL_TRAINING_CURATE = f"""
+WITH stripped AS ({SQL_DEDUP_STRIP_SPANS}),
+  ok AS (SELECT doc_id, clean_text, string_split(clean_text, ' ') AS ws
+         FROM stripped),
+  u AS (SELECT doc_id, unnest(ws) AS w FROM ok),
+  c AS (SELECT doc_id, w, count(*) AS c FROM u GROUP BY 1, 2),
+  s AS (SELECT doc_id,
+               sum(CASE WHEN c >= 2 THEN c * ln(c) ELSE 0 END) AS clnc,
+               sum(c) AS n, max(c) AS mx
+        FROM c GROUP BY 1),
+  gated AS (
+    SELECT ok.doc_id, ok.clean_text, s.n
+    FROM ok JOIN s USING (doc_id)
+    WHERE s.n >= {CURATE_MIN_WORDS}
+      AND round(ln(s.n) - s.clnc / s.n, 4) >= {CURATE_MIN_ENTROPY}
+      AND round(CAST(s.mx AS DOUBLE) / s.n, 4) <= {CURATE_MAX_TOPW}),
+  keep AS (SELECT min(doc_id) AS doc_id
+           FROM gated
+           GROUP BY md5(regexp_replace(lower(clean_text), ' +', ' ', 'g')))
+SELECT g.doc_id, g.clean_text, CAST(g.n AS BIGINT) AS n_tokens
+FROM gated g JOIN keep USING (doc_id)
+"""
+
+
+
+
 MINHASH_VERIFY_THRESHOLD = 0.2
 
 
@@ -2500,6 +2547,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_verified": q_dedup_minhash_verified,
     "dedup_components": q_dedup_components,
     "training_select": q_training_select,
+    "training_curate": q_training_curate,
     "training_pack_shards": q_training_pack_shards,
     "training_decontaminate": q_training_decontaminate,
     "training_sample_mix": q_training_sample_mix,
@@ -2568,6 +2616,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_minhash_verified": SQL_DEDUP_MINHASH_VERIFIED,
     "dedup_components": SQL_DEDUP_COMPONENTS,
     "training_select": SQL_TRAINING_SELECT,
+    "training_curate": SQL_TRAINING_CURATE,
     "training_pack_shards": SQL_TRAINING_PACK_SHARDS,
     "training_decontaminate": SQL_TRAINING_DECONTAMINATE,
     "training_sample_mix": SQL_TRAINING_SAMPLE_MIX,

@@ -220,3 +220,39 @@ def test_tfidf_topk_picks_distinctive_terms(spark):
     assert by_doc[2] == [("common", 0.0)]
     # doc 3: aa and zz tie on (c=1, df=1) -> term asc breaks the tie
     assert [t for t, _ in by_doc[3]] == ["aa", "zz"]
+
+
+def test_curate_corpus_strip_gate_dedup_chain(spark):
+    """curate_corpus end-to-end: duplicated blocks strip out, a doc
+    that was ALL duplicated text drops on the length gate, and two docs
+    whose cleaned remainders become identical collapse to the min
+    doc_id (dedup bites only after the strip)."""
+    from pholcus_spark import pipeline
+
+    block_a = " ".join(f"a{i}" for i in range(30))
+    block_b = " ".join(f"b{i}" for i in range(30))
+    pad90 = " ".join(f"p{i}" for i in range(6))
+    pad91 = " ".join(f"q{i}" for i in range(6))
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha bravo charlie delta echo foxtrot golf hotel"),
+            (2, block_a + " tail z"),   # cleans to 'tail z'
+            (3, block_b + " tail z"),   # cleans to 'tail z' too -> dup of 2
+            (4, block_a),               # fully duplicated -> '' -> dropped
+            (90, block_a + " " + pad90),
+            (91, block_b + " " + pad91),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in pipeline.curate_corpus(
+            docs, shingle_k=3, min_words=2,
+            min_entropy=0.5, max_top_word_frac=0.6,
+        ).collect()
+    }
+    assert set(rows) == {1, 2, 90, 91}
+    assert rows[1]["clean_text"] == "alpha bravo charlie delta echo foxtrot golf hotel"
+    assert rows[2]["clean_text"] == "tail z"  # doc 3 deduped away
+    assert rows[90]["clean_text"] == pad90
+    assert rows[91]["clean_text"] == pad91
