@@ -28,7 +28,7 @@ from functools import lru_cache
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from . import ann, dedup, multimodal, textops
+from . import ann, dedup, hostrank, multimodal, textops
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -202,6 +202,72 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 """
+
+
+def q_crawl_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Authority-ordered crawling (hostrank.host_rank): damped
+    power-iteration rank over the deterministic host link graph
+    derived from events — src = requesting host (user_id % 16), dst
+    skewed toward h0–h3 (every third link) so the scores separate.
+    Three unrolled iterations, mirrored term-for-term by the DuckDB
+    oracle (same damping literal, same dangling completion)."""
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 16).cast("string")).alias(
+            "src"
+        ),
+        F.concat(
+            F.lit("h"),
+            F.when(F.col("event_id") % 3 == 0, F.col("event_id") % 4)
+            .otherwise(F.col("event_id") % 16)
+            .cast("string"),
+        ).alias("dst"),
+    )
+    return hostrank.host_rank(edges, iterations=3)
+
+
+def _sql_crawl_host_rank(
+    iterations: int = 3, damping: float = hostrank.DAMPING
+) -> str:
+    """Unrolled power-iteration twin: r0 → c1/d1/r1 → … — each round a
+    plain GROUP BY, so DuckDB needs no aggregate-in-recursion. The
+    damping terms are injected via repr() so both engines evaluate the
+    identical double literals ((1 - 0.85) != 0.15 exactly)."""
+    parts = [
+        """e AS (SELECT 'h' || CAST(user_id % 16 AS VARCHAR) AS src,
+             'h' || CAST(CASE WHEN event_id % 3 = 0 THEN event_id % 4
+                              ELSE event_id % 16 END AS VARCHAR) AS dst
+      FROM events),
+w AS (SELECT src, dst, count(*) AS cnt FROM e GROUP BY src, dst),
+outdeg AS (SELECT src, sum(cnt) AS out FROM w GROUP BY src),
+hosts AS (SELECT src AS host FROM w UNION SELECT dst FROM w),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM hosts),
+we AS (SELECT w.src, w.dst, CAST(w.cnt AS DOUBLE) / o.out AS share
+       FROM w JOIN outdeg o ON o.src = w.src),
+r0 AS (SELECT host, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM hosts, nn)"""
+    ]
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""c{i} AS (SELECT we.dst, sum({prev}.rank * we.share) AS c
+       FROM we JOIN {prev} ON {prev}.host = we.src GROUP BY we.dst),
+d{i} AS (SELECT coalesce(sum(rank), CAST(0.0 AS DOUBLE)) AS dm
+       FROM {prev} WHERE host NOT IN (SELECT src FROM outdeg)),
+r{i} AS (SELECT h.host,
+             {1.0 - damping!r} / nn.n
+             + {damping!r} * (coalesce(c{i}.c, CAST(0.0 AS DOUBLE))
+                              + d{i}.dm / nn.n) AS rank
+       FROM hosts h LEFT JOIN c{i} ON c{i}.dst = h.host, nn, d{i})"""
+        )
+        prev = f"r{i}"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT host, round(rank, 6) AS rank FROM {prev}"
+    )
+
+
+SQL_CRAWL_HOST_RANK = _sql_crawl_host_rank()
 
 
 def q_rule_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2519,6 +2585,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frontier_page_budget": q_frontier_page_budget,
     "frontier_status_rollup": q_frontier_status_rollup,
     "frontier_host_skew": q_frontier_host_skew,
+    "crawl_host_rank": q_crawl_host_rank,
     "rule_broadcast_join": q_rule_broadcast_join,
     "url_canonicalize": q_url_canonicalize,
     "retry_split": q_retry_split,
@@ -2589,6 +2656,7 @@ ORACLE_SQL: dict[str, str] = {
     "frontier_page_budget": SQL_FRONTIER_PAGE_BUDGET,
     "frontier_status_rollup": SQL_FRONTIER_STATUS_ROLLUP,
     "frontier_host_skew": SQL_FRONTIER_HOST_SKEW,
+    "crawl_host_rank": SQL_CRAWL_HOST_RANK,
     "rule_broadcast_join": SQL_RULE_BROADCAST_JOIN,
     "url_canonicalize": SQL_URL_CANONICALIZE,
     "retry_split": SQL_RETRY_SPLIT,
