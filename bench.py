@@ -32,6 +32,7 @@ BENCH_QUERIES = [
     "frontier_priority_batch",
     "rule_broadcast_join",
     "frontier_anti_join_seen",
+    "crawl_host_rank",
     "events_tumbling_window",
     "dedup_exact",
     "dedup_minhash_lsh",

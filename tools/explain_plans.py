@@ -260,6 +260,20 @@ def main() -> int:
              p, probs)
         )
 
+    # 12. host_rank: weighted-graph collapse then host-sized iteration
+    # joins; the 1-row n/dangling aggregates must ride as broadcast
+    # nested loops, and nothing may fall back to a real cartesian
+    q = QUERIES["crawl_host_rank"](spark, sf_dir)
+    p, probs = audit(
+        "crawl_host_rank", q,
+        expect=["BroadcastNestedLoopJoin", "HashAggregate"],
+        forbid=["CartesianProduct"],
+    )
+    sections.append(
+        ("crawl_host_rank (weighted host graph, 1-row broadcast "
+         "n/dangling, one host-sized shuffle per iteration)", p, probs)
+    )
+
     all_problems = []
     out = ["# PLANS — physical-plan audit of the hot paths\n"]
     out.append(
