@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "rule_broadcast_join",
     "frontier_anti_join_seen",
     "crawl_host_rank",
+    "frontier_trap_guard",
     "events_tumbling_window",
     "dedup_exact",
     "dedup_minhash_lsh",

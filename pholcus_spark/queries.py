@@ -28,7 +28,7 @@ from functools import lru_cache
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from . import ann, dedup, hostrank, multimodal, textops
+from . import ann, dedup, hostrank, multimodal, textops, traps
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -268,6 +268,73 @@ r{i} AS (SELECT h.host,
 
 
 SQL_CRAWL_HOST_RANK = _sql_crawl_host_rank()
+
+
+def q_frontier_trap_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawler-trap guard (traps.detect_traps → cap_traps): URLs
+    derived from orders with an explosive /cal/day/<orderkey> space
+    (every third order, unique page per order) against a benign
+    bounded /item/<n>/view space. Returns the per-prefix before/after
+    profile; the oracle recomputes detection and states the cap as
+    least(n, keep)."""
+    orders = _t(spark, sf_dir, "orders")
+    host = F.concat(F.lit("h"), (F.col("o_custkey") % 8).cast("string"))
+    url = F.concat(
+        F.lit("http://"),
+        host,
+        F.lit(".test"),
+        F.when(
+            F.col("o_orderkey") % 3 == 0,
+            F.concat(F.lit("/cal/day/"), F.col("o_orderkey").cast("string")),
+        ).otherwise(
+            F.concat(
+                F.lit("/item/"),
+                (F.col("o_orderkey") % 40).cast("string"),
+                F.lit("/view"),
+            )
+        ),
+    )
+    fr = orders.select(host.alias("host"), url.alias("url"))
+    trap_list = traps.detect_traps(fr, min_urls=60, min_share=0.25)
+    capped = traps.cap_traps(fr, trap_list, keep=50)
+    before = traps.prefix_counts(fr).withColumnRenamed("n_urls", "n_before")
+    after = traps.prefix_counts(capped).withColumnRenamed("n_urls", "n_after")
+    flags = trap_list.select("host", "prefix", F.lit(True).alias("is_trap"))
+    return (
+        before.join(after, ["host", "prefix"])
+        .join(flags, ["host", "prefix"], "left")
+        .select(
+            "host",
+            "prefix",
+            "n_before",
+            "n_after",
+            F.coalesce(F.col("is_trap"), F.lit(False)).alias("is_trap"),
+        )
+    )
+
+
+SQL_FRONTIER_TRAP_GUARD = """
+WITH f AS (SELECT 'h' || CAST(o_custkey % 8 AS VARCHAR) AS host,
+                  'http://h' || CAST(o_custkey % 8 AS VARCHAR) || '.test' ||
+                  CASE WHEN o_orderkey % 3 = 0
+                       THEN '/cal/day/' || CAST(o_orderkey AS VARCHAR)
+                       ELSE '/item/' || CAST(o_orderkey % 40 AS VARCHAR)
+                            || '/view'
+                  END AS url
+           FROM orders),
+p AS (SELECT host,
+             regexp_extract(url, '^[a-z]+://[^/]+((?:/[^/?]+){2})', 1)
+               AS prefix
+      FROM f),
+agg AS (SELECT host, prefix, count(*) AS n_before
+        FROM p GROUP BY host, prefix),
+tot AS (SELECT host, sum(n_before) AS n_host FROM agg GROUP BY host)
+SELECT a.host, a.prefix, a.n_before,
+       CASE WHEN a.n_before >= 60 AND a.n_before >= 0.25 * t.n_host
+            THEN least(a.n_before, 50) ELSE a.n_before END AS n_after,
+       (a.n_before >= 60 AND a.n_before >= 0.25 * t.n_host) AS is_trap
+FROM agg a JOIN tot t ON t.host = a.host
+"""
 
 
 def q_rule_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2586,6 +2653,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frontier_status_rollup": q_frontier_status_rollup,
     "frontier_host_skew": q_frontier_host_skew,
     "crawl_host_rank": q_crawl_host_rank,
+    "frontier_trap_guard": q_frontier_trap_guard,
     "rule_broadcast_join": q_rule_broadcast_join,
     "url_canonicalize": q_url_canonicalize,
     "retry_split": q_retry_split,
@@ -2657,6 +2725,7 @@ ORACLE_SQL: dict[str, str] = {
     "frontier_status_rollup": SQL_FRONTIER_STATUS_ROLLUP,
     "frontier_host_skew": SQL_FRONTIER_HOST_SKEW,
     "crawl_host_rank": SQL_CRAWL_HOST_RANK,
+    "frontier_trap_guard": SQL_FRONTIER_TRAP_GUARD,
     "rule_broadcast_join": SQL_RULE_BROADCAST_JOIN,
     "url_canonicalize": SQL_URL_CANONICALIZE,
     "retry_split": SQL_RETRY_SPLIT,

@@ -274,6 +274,19 @@ def main() -> int:
          "n/dangling, one host-sized shuffle per iteration)", p, probs)
     )
 
+    # 13. trap guard: trap list must broadcast back (semi/anti split),
+    # the rank window only over the trapped subset; no cartesian
+    q = QUERIES["frontier_trap_guard"](spark, sf_dir)
+    p, probs = audit(
+        "frontier_trap_guard", q,
+        expect=["BroadcastExchange", "Window"],
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin"],
+    )
+    sections.append(
+        ("frontier_trap_guard (dimension-sized trap list broadcast, "
+         "rank window only over trapped rows)", p, probs)
+    )
+
     all_problems = []
     out = ["# PLANS — physical-plan audit of the hot paths\n"]
     out.append(
