@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "corpus_stats",
     "embed_cosine_neardup",
     "images_phash_neardup",
+    "images_dual_neardup",
     "dedup_ngram_jaccard",
     "dedup_duplicate_spans",
     "dedup_strip_spans",

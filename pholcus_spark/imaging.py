@@ -193,5 +193,24 @@ def phash64(arr: np.ndarray) -> int:
     return iv - (1 << 64) if iv >= (1 << 63) else iv
 
 
+def dhash64(arr: np.ndarray) -> int:
+    """Difference hash: gray -> 8x9 grid -> sign of each horizontal
+    gradient -> signed 64-bit int. The standard second family next to
+    phash — independent failure modes (dhash keys on local gradient
+    structure, phash on global spectrum), so ANDing the two verifies
+    near-dups at much higher precision than either alone."""
+    gray = arr.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    h, w = gray.shape
+    yi = (np.arange(8) * h // 8).clip(0, h - 1)
+    xi = (np.arange(9) * w // 9).clip(0, w - 1)
+    small = gray[np.ix_(yi, xi)]
+    bits = (small[:, 1:] > small[:, :-1]).astype(np.uint64).flatten()
+    val = np.uint64(0)
+    for b in bits:
+        val = (val << np.uint64(1)) | b
+    iv = int(val)
+    return iv - (1 << 64) if iv >= (1 << 63) else iv
+
+
 def hamming64(a: int, b: int) -> int:
     return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .imaging import decode_image, encode_image, phash64, psnr
+from .imaging import decode_image, dhash64, encode_image, phash64, psnr
 
 IMAGE_META_SCHEMA = T.StructType(
     [
@@ -208,6 +208,109 @@ def phash_neardup(meta: DataFrame, band_bits: int = 16) -> DataFrame:
                 F.col("l.band_idx") == F.col("r.band_idx"),
                 F.col("l.band_key") == F.col("r.band_key"),
                 F.col("l.image_id") < F.col("r.image_id"),
+            ],
+        )
+        .select(
+            F.col("l.image_id").alias("image_a"),
+            F.col("r.image_id").alias("image_b"),
+        )
+        .distinct()
+    )
+
+
+HASHES_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("phash", T.LongType(), True),
+        T.StructField("dhash", T.LongType(), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+    ]
+)
+
+
+def perceptual_hashes(images: DataFrame) -> DataFrame:
+    """Both hash families per image in one decode pass: DCT phash
+    (global spectrum) + difference hash (local gradients). Narrow
+    Arrow-batched map — the binary column never shuffles; downstream
+    joins see only (id, two longs)."""
+
+    def _hash(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdf_iter:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    arr = decode_image(bytes(r.bytes), r.fmt)
+                    rows.append(
+                        {
+                            "image_id": r.image_id,
+                            "phash": phash64(arr),
+                            "dhash": dhash64(arr),
+                            "decode_ok": True,
+                        }
+                    )
+                except (ValueError, NotImplementedError):
+                    rows.append(
+                        {
+                            "image_id": r.image_id,
+                            "phash": None,
+                            "dhash": None,
+                            "decode_ok": False,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in HASHES_SCHEMA])
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        _hash, HASHES_SCHEMA
+    )
+
+
+def dual_hash_verified_pairs(
+    hashes: DataFrame,
+    max_hamming_p: int = 10,
+    max_hamming_d: int = 10,
+    band_bits: int = 16,
+) -> DataFrame:
+    """phash-banded candidates verified by BOTH families: hamming(phash)
+    AND hamming(dhash) within threshold. Independent failure modes make
+    the conjunction far more precise than either hash alone (a flat
+    gradient fools dhash, a busy texture fools phash — rarely both).
+    Same scale shape as ``phash_verified_pairs``: recall comes from the
+    phash bands (one band-key shuffle), the dhash rides along as a
+    second long, and both verifies are codegen predicates of the band
+    join itself — never all-pairs."""
+    n_bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    bands = []
+    for b in range(n_bands):
+        key = F.shiftright(F.col("phash"), b * band_bits).bitwiseAND(
+            F.lit(mask)
+        )
+        bands.append(
+            hashes.select(
+                "image_id",
+                "phash",
+                "dhash",
+                F.lit(b).cast("int").alias("band_idx"),
+                key.cast("long").alias("band_key"),
+            )
+        )
+    all_bands = bands[0]
+    for x in bands[1:]:
+        all_bands = all_bands.unionByName(x)
+    l, r = all_bands.alias("l"), all_bands.alias("r")
+    return (
+        l.join(
+            r,
+            [
+                F.col("l.band_idx") == F.col("r.band_idx"),
+                F.col("l.band_key") == F.col("r.band_key"),
+                F.col("l.image_id") < F.col("r.image_id"),
+                F.bit_count(
+                    F.col("l.phash").bitwiseXOR(F.col("r.phash"))
+                ) <= max_hamming_p,
+                F.bit_count(
+                    F.col("l.dhash").bitwiseXOR(F.col("r.dhash"))
+                ) <= max_hamming_d,
             ],
         )
         .select(

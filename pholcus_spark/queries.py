@@ -2297,12 +2297,15 @@ def _synthetic_images(
     sf_dir: str,
     max_docs: int | None = None,
     payload_mod: int | None = None,
+    neardup: bool = False,
 ) -> DataFrame:
     """Deterministic image payloads keyed by doc_id — the documents
     table standing in for a crawled image corpus. With ``payload_mod``
     the payload is keyed by ``doc_id % payload_mod`` instead, planting
     genuine byte-identical duplicates (image_id stays unique) for the
-    exact-dedup operators."""
+    exact-dedup operators. With ``neardup`` the generator plants
+    perceptual near-duplicates instead
+    (synthetic.neardup_image_for_doc)."""
     from typing import Iterator
 
     import pandas as pd
@@ -2316,7 +2319,12 @@ def _synthetic_images(
             rows = []
             for doc_id in pdf["doc_id"]:
                 key = int(doc_id) if payload_mod is None else int(doc_id) % payload_mod
-                arr, fmt = synthetic.image_for_doc(key)
+                gen = (
+                    synthetic.neardup_image_for_doc
+                    if neardup
+                    else synthetic.image_for_doc
+                )
+                arr, fmt = gen(key)
                 rows.append(
                     {
                         "image_id": f"doc-{int(doc_id)}",
@@ -2432,6 +2440,22 @@ def _phash_values() -> str:
 
 
 @lru_cache(maxsize=1)
+def _dual_hash_values() -> str:
+    """(doc_id, phash, dhash) VALUES body — the two-family twin of
+    ``_phash_values``, recomputed through the identical
+    encode→decode→hash path."""
+    from . import synthetic
+    from .imaging import decode_image, dhash64, encode_image, phash64
+
+    vals = []
+    for doc_id in range(PHASH_ORACLE_DOCS):
+        arr, fmt = synthetic.neardup_image_for_doc(doc_id)
+        decoded = decode_image(encode_image(arr, fmt), fmt)
+        vals.append(f"({doc_id}, {phash64(decoded)}, {dhash64(decoded)})")
+    return ", ".join(vals)
+
+
+@lru_cache(maxsize=1)
 def _sql_images_phash_neardup() -> str:
     return f"""
 WITH ph(doc_id, phash) AS (VALUES {_phash_values()}),
@@ -2444,6 +2468,43 @@ SELECT DISTINCT l.image_id AS image_a, r.image_id AS image_b
 FROM b l JOIN b r ON l.band_idx = r.band_idx
                  AND l.band_key = r.band_key
                  AND l.image_id < r.image_id
+"""
+
+
+def q_images_dual_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-family verified image near-dup: REAL bytes → one decode
+    pass computing phash AND dhash (multimodal.perceptual_hashes) →
+    phash-banded candidates verified by both hamming distances
+    (dual_hash_verified_pairs). The corpus PLANTS genuine perceptual
+    near-duplicates (synthetic.neardup_image_for_doc: every 5th doc a
+    +3-luminance nudge of its predecessor) so the pair set is
+    non-vacuous by construction; the oracle recomputes both hashes
+    driver-side through the identical codec path and mirrors the band
+    join + double bit_count verify."""
+    imgs = _synthetic_images(
+        spark, sf_dir, max_docs=PHASH_ORACLE_DOCS, neardup=True
+    )
+    hashes = multimodal.perceptual_hashes(imgs)
+    return multimodal.dual_hash_verified_pairs(
+        hashes.filter(F.col("decode_ok"))
+    )
+
+
+@lru_cache(maxsize=1)
+def _sql_images_dual_neardup() -> str:
+    return f"""
+WITH ph(doc_id, phash, dhash) AS (VALUES {_dual_hash_values()}),
+d AS (SELECT p.doc_id, p.phash, p.dhash
+      FROM ph p JOIN documents t ON t.doc_id = p.doc_id),
+b AS (SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS image_id, phash, dhash,
+             band_idx, (phash >> (band_idx * 16)) & 65535 AS band_key
+      FROM d, (VALUES (0), (1), (2), (3)) bands(band_idx))
+SELECT DISTINCT l.image_id AS image_a, r.image_id AS image_b
+FROM b l JOIN b r ON l.band_idx = r.band_idx
+                 AND l.band_key = r.band_key
+                 AND l.image_id < r.image_id
+                 AND bit_count(xor(l.phash, r.phash)) <= 10
+                 AND bit_count(xor(l.dhash, r.dhash)) <= 10
 """
 
 
@@ -2711,6 +2772,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "images_decode_meta": q_images_decode_meta,
     "images_resize": q_images_resize,
     "images_phash_neardup": q_images_phash_neardup,
+    "images_dual_neardup": q_images_dual_neardup,
     "images_exact_dedup": q_images_exact_dedup,
     "images_select_corpus": q_images_select_corpus,
     "video_frame_sample": q_video_frame_sample,
@@ -2788,6 +2850,7 @@ ORACLE_SQL: dict[str, str] = {
 # first use — e.g. the phash list costs ~0.5 s of codec work)
 LAZY_ORACLE_SQL: dict[str, Callable[[], str]] = {
     "images_phash_neardup": _sql_images_phash_neardup,
+    "images_dual_neardup": _sql_images_dual_neardup,
     "images_select_corpus": _sql_images_select_corpus,
     "video_frame_sample": _sql_video_frame_sample,
     "audio_features": _sql_audio_features,

@@ -200,6 +200,24 @@ def image_for_doc(doc_id: int) -> tuple[np.ndarray, str]:
     return _image_pixels(r, w, h), fmt
 
 
+def neardup_image_for_doc(doc_id: int) -> tuple[np.ndarray, str]:
+    """Image corpus with PLANTED near-duplicates: every ``doc_id % 5
+    == 1`` is a mildly perturbed copy of ``doc_id - 1``'s image (a +3
+    luminance nudge on one corner block) — bytes differ, but both
+    perceptual hash families land within a small hamming distance, so
+    near-dup operators verified against this corpus return genuinely
+    non-vacuous pair sets. Deterministic, shared by the engine's
+    mapInPandas generator and the oracle's driver-side recompute."""
+    if doc_id % 5 == 1 and doc_id > 0:
+        arr, fmt = image_for_doc(doc_id - 1)
+        arr = arr.copy()
+        arr[:2, :2] = np.clip(
+            arr[:2, :2].astype(np.int16) + 3, 0, 255
+        ).astype(arr.dtype)
+        return arr, fmt
+    return image_for_doc(doc_id)
+
+
 def audio_params_for_doc(doc_id: int) -> tuple[int, int, int]:
     """(n_samples, freq_hz, amplitude) for the doc-keyed PCM fixture —
     same Knuth-hash arithmetic as ``image_params_for_doc`` so oracles

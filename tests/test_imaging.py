@@ -79,3 +79,55 @@ def test_exact_image_dupes_groups_by_bytes(spark):
         for r in multimodal.exact_image_dupes(df).collect()
     }
     assert got == {"img-a": 3, "img-d": 1}
+
+
+def test_dhash_stable_under_lossy():
+    from pholcus_spark.imaging import dhash64
+
+    for seed in range(5):
+        arr, _ = image_for(f"http://h000.example.com/p/{seed}")
+        back = decode_image(encode_lossy(arr), "jpeg")
+        assert hamming64(dhash64(arr), dhash64(back)) <= 8
+
+
+def test_dhash_differs_across_images():
+    from pholcus_spark.imaging import dhash64
+
+    a, _ = image_for("http://h000.example.com/p/1")
+    b, _ = image_for("http://h001.example.com/q/2")
+    assert hamming64(dhash64(a), dhash64(b)) >= 12
+
+
+def test_neardup_generator_plants_close_pairs():
+    from pholcus_spark.imaging import dhash64
+    from pholcus_spark.synthetic import neardup_image_for_doc
+
+    for d in (1, 6, 11):
+        a, fa = neardup_image_for_doc(d - 1)
+        b, fb = neardup_image_for_doc(d)
+        assert fa == fb and a.shape == b.shape
+        assert not np.array_equal(a, b)  # near-dup, not exact dup
+        assert hamming64(phash64(a), phash64(b)) <= 4
+        assert hamming64(dhash64(a), dhash64(b)) <= 4
+
+
+def test_dual_hash_verified_pairs_conjunction(spark):
+    """A pair close in phash but far in dhash must NOT survive."""
+    from pholcus_spark import multimodal
+
+    rows = [
+        ("a", 0x0F0F0F0F0F0F0F0F, 0x0000000000000000),
+        ("b", 0x0F0F0F0F0F0F0F0E, 0xFFFFFFFFFFFFFFF0 - (1 << 63)),  # dhash far
+        ("c", 0x0F0F0F0F0F0F0F0D, 0x0000000000000003),  # both close to a
+    ]
+    hashes = spark.createDataFrame(
+        [(i, p, d, True) for i, p, d in rows],
+        "image_id string, phash long, dhash long, decode_ok boolean",
+    )
+    got = {
+        (r["image_a"], r["image_b"])
+        for r in multimodal.dual_hash_verified_pairs(
+            hashes, max_hamming_p=10, max_hamming_d=10
+        ).collect()
+    }
+    assert got == {("a", "c")}
