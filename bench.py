@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "frontier_anti_join_seen",
     "crawl_host_rank",
     "frontier_trap_guard",
+    "sitemap_ingest",
     "events_tumbling_window",
     "dedup_exact",
     "dedup_minhash_lsh",

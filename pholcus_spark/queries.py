@@ -28,7 +28,7 @@ from functools import lru_cache
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from . import ann, dedup, hostrank, multimodal, textops, traps
+from . import ann, dedup, hostrank, multimodal, sitemaps, textops, traps
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -311,6 +311,65 @@ def q_frontier_trap_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("is_trap"), F.lit(False)).alias("is_trap"),
         )
     )
+
+
+def q_sitemap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap seed discovery (sitemaps.parse_sitemaps): one urlset
+    document per host is BUILT from orders arithmetic (applyInPandas
+    fixture stage), then parsed back through the real XML entry parser
+    — the oracle predicts the parsed rows from the same arithmetic, so
+    any drift in the XML round-trip (escaping, namespace handling,
+    priority parsing, date formatting) breaks the hash."""
+    import pandas as pd
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    o = orders.withColumn(
+        "host", F.concat(F.lit("h"), (F.col("o_custkey") % 8).cast("string"))
+    )
+
+    def _build(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        h = key[0]
+        freq = ["daily", "weekly", "monthly"]
+        entries = []
+        for r in pdf.sort_values("o_orderkey").itertuples(index=False):
+            k = int(r.o_orderkey)
+            entries.append(
+                f"<url><loc>http://{h}.test/o/{k}</loc>"
+                f"<lastmod>{r.o_orderdate}</lastmod>"
+                f"<changefreq>{freq[k % 3]}</changefreq>"
+                f"<priority>{(k % 10) / 10:.1f}</priority></url>"
+            )
+        xml = (
+            '<?xml version="1.0" encoding="UTF-8"?>'
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            + "".join(entries)
+            + "</urlset>"
+        )
+        return pd.DataFrame(
+            [{"host": h, "url": f"http://{h}.test/sitemap.xml", "body": xml}]
+        )
+
+    fetched = o.groupBy("host").applyInPandas(
+        _build, "host string, url string, body string"
+    )
+    return sitemaps.parse_sitemaps(fetched).select(
+        "host", "kind", "loc", "lastmod", "changefreq", "priority"
+    )
+
+
+SQL_SITEMAP_INGEST = """
+SELECT 'h' || CAST(o_custkey % 8 AS VARCHAR) AS host,
+       'url' AS kind,
+       'http://h' || CAST(o_custkey % 8 AS VARCHAR) || '.test/o/'
+         || CAST(o_orderkey AS VARCHAR) AS loc,
+       CAST(o_orderdate AS VARCHAR) AS lastmod,
+       CASE o_orderkey % 3 WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly'
+            ELSE 'monthly' END AS changefreq,
+       CAST(o_orderkey % 10 AS DOUBLE) / 10 AS priority
+FROM orders
+"""
 
 
 SQL_FRONTIER_TRAP_GUARD = """
@@ -2715,6 +2774,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frontier_host_skew": q_frontier_host_skew,
     "crawl_host_rank": q_crawl_host_rank,
     "frontier_trap_guard": q_frontier_trap_guard,
+    "sitemap_ingest": q_sitemap_ingest,
     "rule_broadcast_join": q_rule_broadcast_join,
     "url_canonicalize": q_url_canonicalize,
     "retry_split": q_retry_split,
@@ -2788,6 +2848,7 @@ ORACLE_SQL: dict[str, str] = {
     "frontier_host_skew": SQL_FRONTIER_HOST_SKEW,
     "crawl_host_rank": SQL_CRAWL_HOST_RANK,
     "frontier_trap_guard": SQL_FRONTIER_TRAP_GUARD,
+    "sitemap_ingest": SQL_SITEMAP_INGEST,
     "rule_broadcast_join": SQL_RULE_BROADCAST_JOIN,
     "url_canonicalize": SQL_URL_CANONICALIZE,
     "retry_split": SQL_RETRY_SPLIT,

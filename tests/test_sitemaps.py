@@ -1,0 +1,62 @@
+"""Sitemap parsing: urlset / sitemapindex, namespaces, malformed input."""
+
+from __future__ import annotations
+
+from pholcus_spark import sitemaps
+
+NS = 'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"'
+
+
+def _parse(spark, body):
+    df = spark.createDataFrame(
+        [("h.test", "http://h.test/sitemap.xml", body)],
+        ["host", "url", "body"],
+    )
+    return sitemaps.parse_sitemaps(df).collect()
+
+
+def test_urlset_with_namespace_and_escaping(spark):
+    body = (
+        f'<?xml version="1.0"?><urlset {NS}>'
+        "<url><loc>http://h.test/a?x=1&amp;y=2</loc>"
+        "<lastmod>2024-05-01</lastmod><changefreq>daily</changefreq>"
+        "<priority>0.8</priority></url>"
+        "<url><loc>http://h.test/b</loc></url>"
+        "</urlset>"
+    )
+    rows = sorted(_parse(spark, body), key=lambda r: r["loc"])
+    assert [r["kind"] for r in rows] == ["url", "url"]
+    assert rows[0]["loc"] == "http://h.test/a?x=1&y=2"  # entity unescaped
+    assert rows[0]["priority"] == 0.8
+    assert rows[1]["lastmod"] is None and rows[1]["priority"] is None
+
+
+def test_sitemapindex_rows_are_kind_sitemap(spark):
+    body = (
+        f"<sitemapindex {NS}>"
+        "<sitemap><loc>http://h.test/sm1.xml</loc>"
+        "<lastmod>2024-01-01</lastmod></sitemap>"
+        "<sitemap><loc>http://h.test/sm2.xml</loc></sitemap>"
+        "</sitemapindex>"
+    )
+    rows = _parse(spark, body)
+    assert {r["kind"] for r in rows} == {"sitemap"}
+    assert {r["loc"] for r in rows} == {
+        "http://h.test/sm1.xml",
+        "http://h.test/sm2.xml",
+    }
+
+
+def test_malformed_and_irrelevant_inputs_drop(spark):
+    assert _parse(spark, "<urlset><url><loc>u</loc>") == []  # truncated
+    assert _parse(spark, "<html><body>404</body></html>") == []  # not a sitemap
+    # entry without loc drops; bad priority becomes NULL, row survives
+    body = (
+        "<urlset><url><lastmod>2024-01-01</lastmod></url>"
+        "<url><loc>http://h.test/x</loc><priority>soon</priority></url>"
+        "</urlset>"
+    )
+    rows = _parse(spark, body)
+    assert len(rows) == 1
+    assert rows[0]["loc"] == "http://h.test/x"
+    assert rows[0]["priority"] is None
