@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "crawl_host_rank",
     "frontier_trap_guard",
     "sitemap_ingest",
+    "recrawl_schedule",
     "events_tumbling_window",
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -28,7 +28,16 @@ from functools import lru_cache
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from . import ann, dedup, hostrank, multimodal, sitemaps, textops, traps
+from . import (
+    ann,
+    dedup,
+    hostrank,
+    multimodal,
+    recrawl,
+    sitemaps,
+    textops,
+    traps,
+)
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -357,6 +366,69 @@ def q_sitemap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sitemaps.parse_sitemaps(fetched).select(
         "host", "kind", "loc", "lastmod", "changefreq", "priority"
     )
+
+
+def q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness scheduling (recrawl.revisit_schedule): visit history
+    derived from events — every user a URL, every event a visit, the
+    fingerprint stable for user_id % 3 == 0 and value-keyed otherwise,
+    so change rates span never-changes → changes-most-visits. event_id
+    breaks timestamp ties deterministically. The oracle recomputes the
+    lag-transition count and the integer interval arithmetic."""
+    ev = _t(spark, sf_dir, "events")
+    hist = ev.select(
+        F.concat(
+            F.lit("http://h"),
+            (F.col("user_id") % 20).cast("string"),
+            F.lit(".test/u/"),
+            F.col("user_id").cast("string"),
+        ).alias("url"),
+        F.concat(F.lit("h"), (F.col("user_id") % 20).cast("string")).alias(
+            "host"
+        ),
+        "ts",
+        F.when(F.col("user_id") % 3 == 0, F.lit("stable"))
+        .otherwise((F.floor("value") % 5).cast("string"))
+        .alias("content_fp"),
+        F.col("event_id").alias("seq"),
+    )
+    return recrawl.revisit_schedule(hist, order_cols=("ts", "seq"))
+
+
+SQL_RECRAWL_SCHEDULE = """
+WITH h AS (SELECT 'http://h' || CAST(user_id % 20 AS VARCHAR) || '.test/u/'
+                    || CAST(user_id AS VARCHAR) AS url,
+                  'h' || CAST(user_id % 20 AS VARCHAR) AS host,
+                  ts,
+                  CASE WHEN user_id % 3 = 0 THEN 'stable'
+                       ELSE CAST(CAST(floor(value) AS BIGINT) % 5 AS VARCHAR)
+                  END AS content_fp,
+                  event_id AS seq
+           FROM events),
+c AS (SELECT url, host, ts,
+             CASE WHEN content_fp !=
+                       lag(content_fp) OVER (PARTITION BY url
+                                             ORDER BY ts, seq)
+                  THEN 1 ELSE 0 END AS changed
+      FROM h),
+agg AS (SELECT url, host, count(*) AS n_visits,
+               CAST(sum(changed) AS BIGINT) AS n_changes,
+               max(epoch_us(ts)) AS last_us
+        FROM c GROUP BY url, host)
+SELECT url, host, n_visits, n_changes,
+       CASE WHEN n_visits <= 1 THEN 3600
+            ELSE 3600 + CAST(floor((30 * 86400 - 3600)
+                 * (n_visits - 1 - n_changes)
+                 / (n_visits - 1)) AS BIGINT)
+       END AS interval_s,
+       last_us + 1000000 *
+       CASE WHEN n_visits <= 1 THEN 3600
+            ELSE 3600 + CAST(floor((30 * 86400 - 3600)
+                 * (n_visits - 1 - n_changes)
+                 / (n_visits - 1)) AS BIGINT)
+       END AS next_due_us
+FROM agg
+"""
 
 
 SQL_SITEMAP_INGEST = """
@@ -2775,6 +2847,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "crawl_host_rank": q_crawl_host_rank,
     "frontier_trap_guard": q_frontier_trap_guard,
     "sitemap_ingest": q_sitemap_ingest,
+    "recrawl_schedule": q_recrawl_schedule,
     "rule_broadcast_join": q_rule_broadcast_join,
     "url_canonicalize": q_url_canonicalize,
     "retry_split": q_retry_split,
@@ -2849,6 +2922,7 @@ ORACLE_SQL: dict[str, str] = {
     "crawl_host_rank": SQL_CRAWL_HOST_RANK,
     "frontier_trap_guard": SQL_FRONTIER_TRAP_GUARD,
     "sitemap_ingest": SQL_SITEMAP_INGEST,
+    "recrawl_schedule": SQL_RECRAWL_SCHEDULE,
     "rule_broadcast_join": SQL_RULE_BROADCAST_JOIN,
     "url_canonicalize": SQL_URL_CANONICALIZE,
     "retry_split": SQL_RETRY_SPLIT,

@@ -1,0 +1,84 @@
+"""Freshness-driven recrawl scheduling.
+
+The reference crawls each URL once per run (success history only
+dedups; history.go keeps no change signal). An incremental crawler at
+web scale instead schedules REVISITS from each page's observed change
+rate (Cho & Garcia-Molina, "Effective Page Refresh Policies for Web
+Crawlers"): pages that changed on every past visit get the minimum
+interval, pages that never changed drift to the maximum, and the next
+due time feeds straight back into the frontier as ordinary enqueues.
+
+Scale shape: one lag-window over (url, ts) detects content-fingerprint
+transitions, then a per-url aggregate folds them — both keyed by url,
+so the aggregate reuses the window's hash partitioning and the whole
+schedule costs a single shuffle of (url, fp, ts) triples. All
+arithmetic is integer (seconds scaled from transition counts), exactly
+mirrorable in the SQL oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MIN_INTERVAL_S = 3600
+MAX_INTERVAL_S = 30 * 86400
+
+
+def revisit_schedule(
+    history: DataFrame,
+    min_interval_s: int = MIN_INTERVAL_S,
+    max_interval_s: int = MAX_INTERVAL_S,
+    order_cols: Sequence[str] = ("ts",),
+) -> DataFrame:
+    """Per-URL revisit schedule from visit history.
+
+    ``history`` carries (url, host, ts, content_fp) — one row per past
+    visit; ``order_cols`` must order visits deterministically within a
+    url (pass a tiebreaker alongside ``ts`` if timestamps can collide).
+
+    interval_s = min + (max - min) · stable_transitions / transitions
+    (floored; single-visit URLs get the minimum — one observation says
+    nothing, so probe soon). next_due_us = last visit + interval.
+    """
+    w = Window.partitionBy("url").orderBy(*order_cols)
+    changed = (
+        F.col("content_fp") != F.lag("content_fp").over(w)
+    ).cast("int")
+    h = history.withColumn("_changed", changed)
+    agg = h.groupBy("url", "host").agg(
+        F.count("*").alias("n_visits"),
+        F.coalesce(F.sum("_changed"), F.lit(0)).alias("n_changes"),
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias(
+            "_last_us"
+        ),
+    )
+    transitions = F.col("n_visits") - 1
+    stable = transitions - F.col("n_changes")
+    interval_s = F.when(
+        F.col("n_visits") <= 1, F.lit(min_interval_s).cast("long")
+    ).otherwise(
+        F.lit(min_interval_s)
+        + F.floor(
+            F.lit(max_interval_s - min_interval_s) * stable / transitions
+        ).cast("long")
+    )
+    return agg.select(
+        "url",
+        "host",
+        "n_visits",
+        "n_changes",
+        interval_s.alias("interval_s"),
+        (F.col("_last_us") + interval_s * F.lit(1_000_000)).alias(
+            "next_due_us"
+        ),
+    )
+
+
+def due_now(schedule: DataFrame, now_us: int) -> DataFrame:
+    """The slice of the schedule ready to re-enqueue — a codegen
+    filter, so partition pruning applies when the schedule table is
+    stored partitioned/sorted by due time."""
+    return schedule.filter(F.col("next_due_us") <= now_us)
