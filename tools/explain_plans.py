@@ -287,6 +287,25 @@ def main() -> int:
          "rank window only over trapped rows)", p, probs)
     )
 
+    # 14. recrawl schedule: the per-url aggregate must reuse the lag
+    # window's url hash partitioning — exactly ONE shuffle end-to-end
+    q = QUERIES["recrawl_schedule"](spark, sf_dir)
+    p, probs = audit(
+        "recrawl_schedule", q,
+        expect=["Window", "HashAggregate"],
+        forbid=["CartesianProduct"],
+    )
+    n_exch = p.count("Exchange (")
+    if n_exch != 1:
+        probs.append(
+            f"EXPECTED exactly one Exchange (url key, shared by window "
+            f"and aggregate), saw {n_exch}"
+        )
+    sections.append(
+        ("recrawl_schedule (lag window + per-url aggregate on one "
+         "shared url shuffle)", p, probs)
+    )
+
     all_problems = []
     out = ["# PLANS — physical-plan audit of the hot paths\n"]
     out.append(
