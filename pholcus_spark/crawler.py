@@ -38,6 +38,7 @@ from pyspark.sql import types as T
 from . import frontier as FR
 from . import seen as SEEN
 from . import synthetic
+from . import traps as TRAPS
 from .fetch import fetch_batch, links_to_candidates
 from .oracle import (
     CrawlConfig,
@@ -658,6 +659,23 @@ class CrawlEngine:
         )
 
         cands = links_to_candidates(results)
+        if cfg.trap_guard is not None:
+            tg = cfg.trap_guard
+            depth = tg.get("depth", TRAPS.PREFIX_DEPTH)
+            # profile the accumulated picture (already-pending + this
+            # round's discoveries), cap only the new discoveries
+            profile = pending.select("host", "url").unionByName(
+                cands.select("host", "url")
+            )
+            trap_list = TRAPS.detect_traps(
+                profile,
+                depth=depth,
+                min_urls=tg.get("min_urls", TRAPS.MIN_TRAP_URLS),
+                min_share=tg.get("min_share", TRAPS.MIN_TRAP_SHARE),
+            )
+            cands = TRAPS.cap_traps(
+                cands, trap_list, depth=depth, keep=tg.get("keep", 0)
+            )
         url_seen = self._url_seen_frames()
         sketch = (
             self._load_sketch(self._url_seen_df()) if cfg.use_bloom else None

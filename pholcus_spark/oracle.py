@@ -104,6 +104,16 @@ class CrawlConfig:
     # recorded per fetch row. Empty pool = direct fetch (NULL proxy).
     proxy_pool: tuple = ()
     proxy_max_latency_ms: int = 300
+    # Crawler-trap guard (traps.py, engine extension beyond the
+    # reference): when set, each round profiles pending ∪ discovered
+    # links per (host, path-prefix) and newly-discovered links under an
+    # explosive prefix are capped (default keep=0: a saturated prefix
+    # admits nothing more). Keys: depth (default 2), min_urls (100),
+    # min_share (0.25), keep (0). Seeds are never guarded — the guard
+    # targets link discovery, not operator intent. Changes the visit
+    # set by design, so the Matrix fidelity oracle only applies when
+    # this is None.
+    trap_guard: dict | None = None
 
 
 def spider_instances(cfg: "CrawlConfig") -> list[str]:

@@ -70,3 +70,35 @@ def test_path_prefix_edge_cases(spark):
         ).collect()
     ]
     assert got == ["/a/b", "/a/b", "", "", ""]
+
+
+def test_engine_trap_guard_bounds_explosive_prefix(spark, tmp_store_dir):
+    """Opt-in cfg.trap_guard: the synthetic link space is explosive
+    under the depth-1 '/page' prefix (unique 9-digit pages) and small
+    under '/pop'; the guarded crawl must admit no new /page URLs after
+    detection, visiting a strict subset of the unguarded run."""
+    import tempfile
+
+    from pholcus_spark.crawler import CrawlEngine
+    from pholcus_spark.oracle import CrawlConfig
+    from pholcus_spark.tables import SnapshotStore
+    from pholcus_spark import synthetic
+
+    seeds = synthetic.seed_urls(20, 4)
+
+    def run(trap_guard):
+        cfg = CrawlConfig(n_hosts=4, batch_size=64, trap_guard=trap_guard)
+        store = SnapshotStore(tempfile.mkdtemp(dir=tmp_store_dir))
+        eng = CrawlEngine(spark, store, cfg)
+        eng.run(seeds)
+        return {r["url"] for r in eng.items_df().select("url").collect()}
+
+    free = run(None)
+    guarded = run({"depth": 1, "min_urls": 20, "min_share": 0.5, "keep": 0})
+
+    assert guarded <= free
+    n_page_free = sum("/page/" in u for u in free)
+    n_page_guarded = sum("/page/" in u for u in guarded)
+    assert n_page_guarded < n_page_free
+    # the benign /pop pool must survive the guard
+    assert any("/pop/" in u for u in guarded)
