@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "embed_cosine_neardup",
     "images_phash_neardup",
     "images_dual_neardup",
+    "images_stats",
     "dedup_ngram_jaccard",
     "dedup_duplicate_spans",
     "dedup_strip_spans",

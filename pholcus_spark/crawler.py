@@ -1192,6 +1192,29 @@ class CrawlEngine:
             .drop("_rn")
         )
 
+    def host_authority(
+        self, iterations: int = 3, damping: float = 0.85
+    ) -> DataFrame:
+        """Host-authority scores from THIS crawl's observed link graph
+        (hostrank.host_rank over parent_host → host edges of every
+        fetched row with a parent). Feed the result into
+        hostrank.apply_authority on the next run's seeds/candidates to
+        order the politeness budget by importance — the OPIC-style
+        frontier prioritization loop, closed over the engine's own
+        output tables."""
+        from . import hostrank
+
+        f = self.fetched_df().filter(F.col("parent_url").isNotNull())
+        edges = f.select(
+            F.regexp_extract("parent_url", r"^[a-z]+://([^/:]+)", 1).alias(
+                "src"
+            ),
+            F.col("host").alias("dst"),
+        )
+        return hostrank.host_rank(
+            edges, iterations=iterations, damping=damping
+        )
+
     def failures_df(self) -> DataFrame:
         """Final-status failures (the Failure store view,
         failure.go:18-24)."""

@@ -321,6 +321,28 @@ def dual_hash_verified_pairs(
     )
 
 
+def image_stats(meta: DataFrame) -> DataFrame:
+    """Image-corpus composition report: fmt × resolution-bucket ROLLUP
+    of image counts and total pixels — the image twin of
+    ``pipeline.corpus_stats``. One hash aggregate with map-side
+    partials over decoded metadata; output is dimension-sized."""
+    px = F.col("w") * F.col("h")
+    bucket = (
+        F.when(px < 1024, F.lit("small"))
+        .when(px < 2048, F.lit("medium"))
+        .otherwise(F.lit("large"))
+    )
+    return (
+        meta.filter(F.col("decode_ok"))
+        .select("fmt", bucket.alias("px_bucket"), px.cast("long").alias("px"))
+        .rollup("fmt", "px_bucket")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.sum("px").alias("sum_px"),
+        )
+    )
+
+
 def phash_verified_pairs(
     meta: DataFrame, max_hamming: int = 10, band_bits: int = 16
 ) -> DataFrame:

@@ -2497,6 +2497,34 @@ FROM p
 """
 
 
+def q_images_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-corpus composition (multimodal.image_stats): REAL decode
+    → fmt × resolution-bucket ROLLUP; the oracle predicts every bucket
+    from the generator arithmetic, so a drift in decoded dimensions or
+    bucket edges breaks the hash."""
+    meta = multimodal.decode_image_meta(_synthetic_images(spark, sf_dir))
+    return multimodal.image_stats(meta)
+
+
+SQL_IMAGES_STATS = """
+WITH p AS (SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS r
+           FROM documents),
+m AS (SELECT CAST(24 + r % 33 AS INT) AS w,
+             CAST(24 + (r // 33) % 33 AS INT) AS h,
+             CASE WHEN (r // 1089) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt
+      FROM p),
+b AS (SELECT fmt,
+             CASE WHEN w * h < 1024 THEN 'small'
+                  WHEN w * h < 2048 THEN 'medium'
+                  ELSE 'large' END AS px_bucket,
+             CAST(w AS BIGINT) * h AS px
+      FROM m)
+SELECT fmt, px_bucket, count(*) AS n_images,
+       CAST(sum(px) AS BIGINT) AS sum_px
+FROM b GROUP BY ROLLUP(fmt, px_bucket)
+"""
+
+
 def q_images_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     imgs = _synthetic_images(spark, sf_dir)
     resized = multimodal.resize_images(imgs, 16, 16)
@@ -2906,6 +2934,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "images_resize": q_images_resize,
     "images_phash_neardup": q_images_phash_neardup,
     "images_dual_neardup": q_images_dual_neardup,
+    "images_stats": q_images_stats,
     "images_exact_dedup": q_images_exact_dedup,
     "images_select_corpus": q_images_select_corpus,
     "video_frame_sample": q_video_frame_sample,
@@ -2979,6 +3008,7 @@ ORACLE_SQL: dict[str, str] = {
     "images_decode_meta": SQL_IMAGES_DECODE_META,
     "images_resize": SQL_IMAGES_RESIZE,
     "images_exact_dedup": SQL_IMAGES_EXACT_DEDUP,
+    "images_stats": SQL_IMAGES_STATS,
 }
 
 # oracles whose SQL embeds values recomputed driver-side (built on

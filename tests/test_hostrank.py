@@ -85,3 +85,38 @@ def test_apply_authority_bumps_priority(spark):
         "cold.com": 20,
         "unknown.com": 10,
     }
+
+
+def test_engine_host_authority_from_crawl(spark, tmp_store_dir):
+    """host_authority over a finished crawl's own link graph: ranks
+    sum to 1, every linked host scored, reusable via apply_authority."""
+    import tempfile
+
+    from pholcus_spark import synthetic
+    from pholcus_spark.crawler import CrawlEngine
+    from pholcus_spark.oracle import CrawlConfig
+    from pholcus_spark.tables import SnapshotStore
+
+    cfg = CrawlConfig(n_hosts=6, batch_size=32, limit=60)
+    eng = CrawlEngine(
+        spark, SnapshotStore(tempfile.mkdtemp(dir=tmp_store_dir)), cfg
+    )
+    eng.run(synthetic.seed_urls(8, cfg.n_hosts))
+
+    ranks = eng.host_authority().collect()
+    assert len(ranks) > 0
+    total = sum(r["rank"] for r in ranks)
+    assert abs(total - 1.0) < 1e-4
+    assert all(r["rank"] > 0 for r in ranks)
+
+    # the intended loop: next run's seeds get priority bumps from the
+    # previous crawl's authority scores
+    seeds = spark.createDataFrame(
+        [(r["host"], f"http://{r['host']}/", 1) for r in ranks],
+        ["host", "url", "priority"],
+    )
+    boosted = hostrank.apply_authority(seeds, eng.host_authority())
+    by_host = {r["host"]: r["priority"] for r in boosted.collect()}
+    top = max(ranks, key=lambda r: r["rank"])["host"]
+    assert by_host[top] == 1 + 100  # top host gets the full weight
+    assert all(p >= 1 for p in by_host.values())
