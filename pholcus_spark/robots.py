@@ -98,6 +98,44 @@ def parse_robots(text: str, agent: str = "pholcus") -> RobotsPolicy:
     return groups.get("*", RobotsPolicy())
 
 
+def sitemap_urls(text: str) -> list[str]:
+    """``Sitemap:`` directives from a robots.txt body — site-wide per
+    the spec (independent of any User-agent group), duplicates
+    dropped, order preserved. These seed ``sitemaps.parse_sitemaps``:
+    robots fetch → sitemap URLs → sitemap fetch → frontier entries."""
+    if not text:
+        return []
+    out: list[str] = []
+    seen: set[str] = set()
+    for raw in text.splitlines():
+        line = raw.lstrip("﻿").split("#", 1)[0].strip()
+        key, _, val = line.partition(":")
+        if key.strip().lower() == "sitemap":
+            val = val.strip()
+            if val and val not in seen:
+                seen.add(val)
+                out.append(val)
+    return out
+
+
+def sitemaps_from_robots(robots_bodies: DataFrame) -> DataFrame:
+    """(host, robots_txt) → (host, sitemap_url) rows, vectorized —
+    the discovery hop between the politeness fetch and sitemap
+    ingestion. Narrow Arrow map; one output row per directive."""
+
+    def _extract(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdf_iter:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                for u in sitemap_urls(r.robots_txt):
+                    rows.append({"host": r.host, "sitemap_url": u})
+            yield pd.DataFrame(rows, columns=["host", "sitemap_url"])
+
+    return robots_bodies.select("host", "robots_txt").mapInPandas(
+        _extract, "host string, sitemap_url string"
+    )
+
+
 def host_budget(crawl_delay_ms: int, round_duration_ms: int) -> int:
     return max(1, round_duration_ms // max(1, crawl_delay_ms))
 

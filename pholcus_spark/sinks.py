@@ -359,3 +359,91 @@ def write_excel(
         for i, n in enumerate(names):
             z.writestr(f"xl/worksheets/sheet{i + 1}.xml", sheet_xml(sheets[n]))
     return n_rows
+
+
+def warc_records(
+    items: DataFrame,
+    url_col: str = "url",
+    bytes_col: str = "bytes",
+    time_col: str = "download_time",
+) -> DataFrame:
+    """Crawl-archive records in WARC/1.0 framing (ISO 28500) — the
+    interchange format real crawl pipelines (Common Crawl, Heritrix)
+    archive into. One ``resource`` record per fetched row: headers +
+    payload as a single binary column, record id derived from
+    xxhash64(url) so re-exports are byte-identical (idempotent
+    archives, same philosophy as the content-hashed mongo ``_id``).
+
+    Pure column expressions — framing is concat/length arithmetic in
+    codegen, no Python in the loop; pair with ``export_files`` or
+    ``write_warc`` to land segment files executor-side.
+    """
+    payload = F.coalesce(F.col(bytes_col), F.lit(b""))
+    crlf = F.lit("\r\n")
+    header = F.concat(
+        F.lit("WARC/1.0"), crlf,
+        F.lit("WARC-Type: resource"), crlf,
+        F.lit("WARC-Record-ID: <urn:pholcus:"),
+        F.lower(F.hex(F.xxhash64(F.col(url_col)))), F.lit(">"), crlf,
+        F.lit("WARC-Date: "),
+        F.date_format(
+            F.to_timestamp(F.col(time_col)), "yyyy-MM-dd'T'HH:mm:ss'Z'"
+        ), crlf,
+        F.lit("WARC-Target-URI: "), F.col(url_col), crlf,
+        F.lit("Content-Type: application/octet-stream"), crlf,
+        F.lit("Content-Length: "),
+        F.length(payload).cast("string"), crlf, crlf,
+    )
+    record = F.concat(
+        F.encode(header, "UTF-8"), payload, F.encode(F.concat(crlf, crlf), "UTF-8")
+    )
+    return items.select(
+        F.col(url_col).alias("url"),
+        F.length(record).alias("record_len"),
+        record.alias("record"),
+    )
+
+
+def write_warc(items: DataFrame, out_dir: str, **kw) -> None:
+    """Land WARC records as one segment file per partition,
+    executor-side (S8 shape: foreachPartition, no driver collect).
+    Segment names are content-addressed from the partition's first
+    record id, so retried tasks overwrite their own output
+    (idempotent against speculative execution)."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _write(rows) -> None:
+        buf = []
+        first = None
+        for r in rows:
+            if first is None:
+                first = r["url"]
+            buf.append(bytes(r["record"]))
+        if not buf:
+            return
+        import hashlib
+
+        name = hashlib.md5(first.encode()).hexdigest()[:16]
+        with open(os.path.join(out_dir, f"seg-{name}.warc"), "wb") as f:
+            f.write(b"".join(buf))
+
+    warc_records(items, **kw).foreachPartition(_write)
+
+
+def read_warc_file(path: str) -> list[dict]:
+    """Parse one WARC segment back into records (the verification
+    twin of ``warc_records``; driver-side, test/audit-sized)."""
+    out = []
+    data = open(path, "rb").read()
+    pos = 0
+    while pos < len(data):
+        head_end = data.index(b"\r\n\r\n", pos)
+        headers = {}
+        for line in data[pos:head_end].decode("utf-8").splitlines()[1:]:
+            k, _, v = line.partition(":")
+            headers[k.strip()] = v.strip()
+        n = int(headers["Content-Length"])
+        body = data[head_end + 4 : head_end + 4 + n]
+        out.append({"headers": headers, "body": body})
+        pos = head_end + 4 + n + 4  # trailing CRLFCRLF
+    return out

@@ -75,3 +75,40 @@ def test_politeness_from_robots_df(spark):
     assert pol["h2.example.com"]["crawl_delay_ms"] == 300  # missing → default
     assert pol["h3.example.com"]["max_per_round"] == 1  # 10s delay, 1s round
     assert list(pol["h3.example.com"]["robots_disallow"]) == ["/x"]
+
+
+def test_sitemap_urls_extraction():
+    from pholcus_spark.robots import sitemap_urls
+
+    txt = (
+        "User-agent: *\nDisallow: /private\n"
+        "Sitemap: https://h.test/sitemap.xml\n"
+        "sitemap: https://h.test/sitemap2.xml  # comment\n"
+        "Sitemap: https://h.test/sitemap.xml\n"  # duplicate drops
+        "Sitemap:\n"  # empty drops
+    )
+    assert sitemap_urls(txt) == [
+        "https://h.test/sitemap.xml",
+        "https://h.test/sitemap2.xml",
+    ]
+    assert sitemap_urls("") == []
+    assert sitemap_urls("User-agent: *\nDisallow: /") == []
+
+
+def test_sitemaps_from_robots_df(spark):
+    from pholcus_spark.robots import sitemaps_from_robots
+
+    bodies = spark.createDataFrame(
+        [
+            ("a.test", "Sitemap: http://a.test/s1.xml\nSitemap: http://a.test/s2.xml"),
+            ("b.test", "User-agent: *\nDisallow: /"),
+        ],
+        ["host", "robots_txt"],
+    )
+    rows = sorted(
+        (r["host"], r["sitemap_url"]) for r in sitemaps_from_robots(bodies).collect()
+    )
+    assert rows == [
+        ("a.test", "http://a.test/s1.xml"),
+        ("a.test", "http://a.test/s2.xml"),
+    ]

@@ -247,3 +247,54 @@ def test_jdbc_history_inherit_roundtrip(spark, tmp_store_dir):
     eng_c.start_new_run(seeds, success_inherit=False)
     eng_c.run()
     assert url_seen_set(eng_c) >= seen_a
+
+
+def test_warc_roundtrip(spark, tmp_store_dir):
+    import glob
+    import os
+
+    from pholcus_spark.sinks import read_warc_file, write_warc
+
+    rows = [
+        ("http://h.test/a", bytearray(b"\x89PNG-payload"), "2024-05-01 10:00:00"),
+        ("http://h.test/b", bytearray(b""), "2024-05-01 10:00:01"),
+        ("http://h.test/c", None, "2024-05-01 10:00:02"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, bytes binary, download_time string"
+    ).coalesce(1)
+    out = os.path.join(tmp_store_dir, "warc")
+    write_warc(df, out)
+
+    segs = glob.glob(os.path.join(out, "seg-*.warc"))
+    assert len(segs) == 1
+    recs = read_warc_file(segs[0])
+    assert len(recs) == 3
+    by_uri = {r["headers"]["WARC-Target-URI"]: r for r in recs}
+    assert by_uri["http://h.test/a"]["body"] == b"\x89PNG-payload"
+    assert by_uri["http://h.test/b"]["body"] == b""
+    assert by_uri["http://h.test/c"]["body"] == b""  # NULL payload coalesces
+    a = by_uri["http://h.test/a"]["headers"]
+    assert a["WARC-Type"] == "resource"
+    assert a["WARC-Date"] == "2024-05-01T10:00:00Z"
+    assert a["WARC-Record-ID"].startswith("<urn:pholcus:")
+    assert int(a["Content-Length"]) == len(b"\x89PNG-payload")
+
+
+def test_warc_export_is_idempotent(spark, tmp_store_dir):
+    import glob
+    import os
+
+    from pholcus_spark.sinks import write_warc
+
+    df = spark.createDataFrame(
+        [("http://h.test/x", bytearray(b"abc"), "2024-01-01 00:00:00")],
+        "url string, bytes binary, download_time string",
+    ).coalesce(1)
+    out = os.path.join(tmp_store_dir, "warc2")
+    write_warc(df, out)
+    seg = glob.glob(os.path.join(out, "seg-*.warc"))[0]
+    first = open(seg, "rb").read()
+    write_warc(df, out)  # re-export overwrites the same segment
+    assert glob.glob(os.path.join(out, "seg-*.warc")) == [seg]
+    assert open(seg, "rb").read() == first
