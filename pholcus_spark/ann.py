@@ -333,6 +333,31 @@ def ivf_topk(
     )
 
 
+def alignment_filter(
+    pairs: DataFrame,
+    id_col: str = "vec_id",
+    a_col: str = "embedding",
+    b_col: str = "caption_vec",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """CLIP-score-style image–caption alignment gate: cosine between a
+    row's image embedding and its caption embedding, keep rows at or
+    above the threshold — the standard curation filter for crawled
+    image+caption corpora (LAION-style), where a low score means the
+    caption does not describe the image.
+
+    Both vectors live on the SAME row, so this is a pure codegen
+    projection over the scan — zero shuffle, zero Python; at 10^10
+    pairs it is a map-only stage that runs at scan speed and prunes
+    to the two needed columns."""
+    score = F.round(cosine(F.col(a_col), F.col(b_col)), 4)
+    return (
+        pairs.withColumn("align_score", score)
+        .filter(F.col("align_score") >= threshold)
+        .select(id_col, "align_score")
+    )
+
+
 def cosine_neardup_pairs(
     embeds: DataFrame, threshold: float = 0.95, n_planes: int = N_PLANES
 ) -> DataFrame:

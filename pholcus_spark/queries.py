@@ -444,6 +444,42 @@ FROM orders
 """
 
 
+def q_robots_sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The discovery hop robots.sitemaps_from_robots implements:
+    robots.txt bodies → site-wide ``Sitemap:`` directives. 50 synthetic
+    bodies exercise the parser's quirks — leading comments, User-agent
+    groups the directive is independent of, lower/upper-case keys,
+    inline ``#`` comments, duplicate directives (dropped), and hosts
+    with none. The oracle predicts the surviving (host, sitemap_url)
+    rows from the same i/j arithmetic, so any parser drift (comment
+    stripping, case folding, dedup) breaks the hash."""
+    from . import robots as robots_mod
+
+    rows = []
+    for i in range(50):
+        host = f"h{i}.test"
+        lines = ["# generated robots", "User-agent: *", "Disallow: /private"]
+        for j in range(i % 4):
+            key = "SITEMAP" if j == 2 else ("sitemap" if j == 1 else "Sitemap")
+            comment = "  # mirror" if j == 1 else ""
+            lines.append(f"{key}: http://{host}/s-{j}.xml{comment}")
+        if i % 5 == 0 and i % 4 > 0:  # duplicate directive → dropped
+            lines.append(f"Sitemap: http://{host}/s-0.xml")
+        rows.append((host, "\n".join(lines)))
+    bodies = spark.createDataFrame(rows, "host string, robots_txt string")
+    return robots_mod.sitemaps_from_robots(bodies)
+
+
+SQL_ROBOTS_SITEMAP_DISCOVERY = """
+WITH h AS (SELECT i FROM range(0, 50) t(i)),
+  s AS (SELECT i, j FROM h CROSS JOIN range(0, 4) r(j) WHERE j < i % 4)
+SELECT 'h' || CAST(i AS VARCHAR) || '.test' AS host,
+       'http://h' || CAST(i AS VARCHAR) || '.test/s-' || CAST(j AS VARCHAR)
+         || '.xml' AS sitemap_url
+FROM s
+"""
+
+
 SQL_FRONTIER_TRAP_GUARD = """
 WITH f AS (SELECT 'h' || CAST(o_custkey % 8 AS VARCHAR) AS host,
                   'http://h' || CAST(o_custkey % 8 AS VARCHAR) || '.test' ||
@@ -1397,6 +1433,38 @@ SELECT concat('pholcus__', event_type) AS tube,
        CAST(60 AS BIGINT) AS ttr_s,
        to_json(struct_pack(event_id := event_id, user_id := user_id)) AS job
 FROM events WHERE event_id < 1000
+"""
+
+
+def q_sink_warc_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC/1.0 framing arithmetic (sinks.warc_records): every header
+    the record carries is either fixed-width (version, type, the
+    lpad-16 record id, the 20-char date) or a function of (url,
+    payload), so the oracle can predict the exact record length
+    without xxhash64 — 195 fixed bytes + url + the Content-Length
+    digits + the payload itself. Byte-level content is covered by the
+    write/read round-trip in tests/test_sinks.py."""
+    from . import sinks
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("http://corpus.test/doc-"), F.col("doc_id").cast("string")
+        ).alias("url"),
+        F.encode("text", "UTF-8").alias("bytes"),
+        F.lit("2024-01-01 00:00:00").alias("download_time"),
+    )
+    return sinks.warc_records(docs).select(
+        "url", F.col("record_len").cast("long").alias("record_len")
+    )
+
+
+SQL_SINK_WARC_SHAPE = """
+SELECT 'http://corpus.test/doc-' || CAST(doc_id AS VARCHAR) AS url,
+       CAST(195
+            + length('http://corpus.test/doc-' || CAST(doc_id AS VARCHAR))
+            + length(CAST(octet_length(encode(text)) AS VARCHAR))
+            + octet_length(encode(text)) AS BIGINT) AS record_len
+FROM documents
 """
 
 
@@ -2420,6 +2488,44 @@ WHERE cos_sim >= 0.9
 """
 
 
+def q_images_caption_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIP-score-style image–caption alignment gate
+    (ann.alignment_filter): each image embedding is paired with a
+    deterministic caption embedding — a small perturbation (scale .02)
+    for 70% of rows, a large one (scale .5) for the rest, emulating
+    captions that do / don't describe their image — and rows survive
+    at cosine ≥ 0.9. Zero-shuffle codegen projection; the oracle
+    recomputes the perturbation and the cosine in DuckDB."""
+    emb = _t(spark, sf_dir, "embeddings")
+    vid = F.col("vec_id")
+    scale = F.when(vid % 10 < 3, F.lit(0.5)).otherwise(F.lit(0.02))
+    cap = F.transform(
+        F.col("embedding"),
+        lambda x, i: x.cast("double")
+        + (((vid * 1009 + i * 7919) % 7).cast("double") - 3.0) * scale,
+    )
+    pairs = emb.withColumn("caption_vec", cap)
+    return ann.alignment_filter(pairs, threshold=0.9)
+
+
+SQL_IMAGES_CAPTION_ALIGN = f"""
+WITH p AS (
+  SELECT vec_id, embedding,
+         list_transform(range(0, len(embedding)),
+           i -> CAST(embedding[i+1] AS DOUBLE)
+                + (CAST((vec_id * 1009 + i * 7919) % 7 AS DOUBLE) - 3.0)
+                  * (CASE WHEN vec_id % 10 < 3 THEN 0.5 ELSE 0.02 END))
+           AS caption_vec
+  FROM embeddings)
+SELECT vec_id, align_score FROM (
+  SELECT vec_id,
+         round({_COS_SQL.format(a='embedding', b='caption_vec')}, 4)
+           AS align_score
+  FROM p) t
+WHERE align_score >= 0.9
+"""
+
+
 # ---------------------------------------------------------------------------
 # multimodal (rows-only: binary pipelines have no SQL twin)
 
@@ -2875,6 +2981,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "crawl_host_rank": q_crawl_host_rank,
     "frontier_trap_guard": q_frontier_trap_guard,
     "sitemap_ingest": q_sitemap_ingest,
+    "robots_sitemap_discovery": q_robots_sitemap_discovery,
     "recrawl_schedule": q_recrawl_schedule,
     "rule_broadcast_join": q_rule_broadcast_join,
     "url_canonicalize": q_url_canonicalize,
@@ -2898,6 +3005,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sink_kafka_shape": q_sink_kafka_shape,
     "sink_mongo_shape": q_sink_mongo_shape,
     "sink_beanstalk_shape": q_sink_beanstalk_shape,
+    "sink_warc_shape": q_sink_warc_shape,
     # training-data pipeline: dedup + text analysis
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -2929,6 +3037,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_lsh_ann": q_embed_lsh_ann,
     "embed_ivf_ann": q_embed_ivf_ann,
     "embed_cosine_neardup": q_embed_cosine_neardup,
+    "images_caption_align": q_images_caption_align,
     # multimodal (rows-only)
     "images_decode_meta": q_images_decode_meta,
     "images_resize": q_images_resize,
@@ -2951,6 +3060,7 @@ ORACLE_SQL: dict[str, str] = {
     "crawl_host_rank": SQL_CRAWL_HOST_RANK,
     "frontier_trap_guard": SQL_FRONTIER_TRAP_GUARD,
     "sitemap_ingest": SQL_SITEMAP_INGEST,
+    "robots_sitemap_discovery": SQL_ROBOTS_SITEMAP_DISCOVERY,
     "recrawl_schedule": SQL_RECRAWL_SCHEDULE,
     "rule_broadcast_join": SQL_RULE_BROADCAST_JOIN,
     "url_canonicalize": SQL_URL_CANONICALIZE,
@@ -2974,6 +3084,7 @@ ORACLE_SQL: dict[str, str] = {
     "sink_kafka_shape": SQL_SINK_KAFKA_SHAPE,
     "sink_mongo_shape": SQL_SINK_MONGO_SHAPE,
     "sink_beanstalk_shape": SQL_SINK_BEANSTALK_SHAPE,
+    "sink_warc_shape": SQL_SINK_WARC_SHAPE,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
     "dedup_minhash_verified": SQL_DEDUP_MINHASH_VERIFIED,
@@ -3003,6 +3114,7 @@ ORACLE_SQL: dict[str, str] = {
     "embed_lsh_ann": SQL_EMBED_LSH_ANN,
     "embed_ivf_ann": SQL_EMBED_IVF_ANN,
     "embed_cosine_neardup": SQL_EMBED_COSINE_NEARDUP,
+    "images_caption_align": SQL_IMAGES_CAPTION_ALIGN,
     # partial multimodal oracles: decode/resize metadata predicted from
     # doc_id (generator arithmetic mirrored in SQL)
     "images_decode_meta": SQL_IMAGES_DECODE_META,

@@ -384,7 +384,11 @@ def warc_records(
         F.lit("WARC/1.0"), crlf,
         F.lit("WARC-Type: resource"), crlf,
         F.lit("WARC-Record-ID: <urn:pholcus:"),
-        F.lower(F.hex(F.xxhash64(F.col(url_col)))), F.lit(">"), crlf,
+        # lpad to 16 nibbles: fixed-width ids make the whole header
+        # length a function of (url, payload) alone, so the framing
+        # arithmetic is oracle-checkable without xxhash64 in DuckDB
+        F.lpad(F.lower(F.hex(F.xxhash64(F.col(url_col)))), 16, "0"),
+        F.lit(">"), crlf,
         F.lit("WARC-Date: "),
         F.date_format(
             F.to_timestamp(F.col(time_col)), "yyyy-MM-dd'T'HH:mm:ss'Z'"
