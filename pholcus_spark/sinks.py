@@ -434,11 +434,50 @@ def write_warc(items: DataFrame, out_dir: str, **kw) -> None:
     warc_records(items, **kw).foreachPartition(_write)
 
 
-def read_warc_file(path: str) -> list[dict]:
-    """Parse one WARC segment back into records (the verification
-    twin of ``warc_records``; driver-side, test/audit-sized)."""
+def read_warc(spark, path_glob: str) -> "DataFrame":
+    """Distributed WARC ingest — the reprocessing path real corpora
+    arrive through (Common Crawl ships ~90k WARC segments per crawl).
+    ``binaryFile`` gives one row per segment (Spark assigns whole
+    files to tasks, so parallelism = segment count — the same layout
+    Common Crawl jobs exploit), and an Arrow-batched ``mapInPandas``
+    explodes each segment into records. At 100 TB the scan parallelizes
+    across executors with no shuffle; record parsing is CPU-local.
+
+    Returns (url, warc_date, record_id, n_bytes, body).
+    """
+    import pandas as pd
+
+    segs = spark.read.format("binaryFile").load(path_glob)
+
+    def _parse(pdf_iter):
+        for pdf in pdf_iter:
+            rows = []
+            for blob in pdf["content"]:
+                for rec in _parse_warc_bytes(bytes(blob)):
+                    h = rec["headers"]
+                    rows.append(
+                        {
+                            "url": h.get("WARC-Target-URI", ""),
+                            "warc_date": h.get("WARC-Date", ""),
+                            "record_id": h.get("WARC-Record-ID", ""),
+                            "n_bytes": len(rec["body"]),
+                            "body": rec["body"],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["url", "warc_date", "record_id", "n_bytes", "body"],
+            )
+
+    return segs.select("content").mapInPandas(
+        _parse,
+        "url string, warc_date string, record_id string, "
+        "n_bytes long, body binary",
+    )
+
+
+def _parse_warc_bytes(data: bytes) -> list[dict]:
     out = []
-    data = open(path, "rb").read()
     pos = 0
     while pos < len(data):
         head_end = data.index(b"\r\n\r\n", pos)
@@ -451,3 +490,9 @@ def read_warc_file(path: str) -> list[dict]:
         out.append({"headers": headers, "body": body})
         pos = head_end + 4 + n + 4  # trailing CRLFCRLF
     return out
+
+
+def read_warc_file(path: str) -> list[dict]:
+    """Parse one WARC segment back into records (the verification
+    twin of ``warc_records``; driver-side, test/audit-sized)."""
+    return _parse_warc_bytes(open(path, "rb").read())

@@ -298,3 +298,32 @@ def test_warc_export_is_idempotent(spark, tmp_store_dir):
     write_warc(df, out)  # re-export overwrites the same segment
     assert glob.glob(os.path.join(out, "seg-*.warc")) == [seg]
     assert open(seg, "rb").read() == first
+
+
+def test_read_warc_distributed_roundtrip(spark, tmp_store_dir):
+    import os
+
+    from pholcus_spark.sinks import read_warc, write_warc
+
+    rows = [
+        (f"http://h{i % 4}.test/p{i}", bytearray(f"payload-{i}".encode()),
+         "2024-03-01 00:00:00")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, bytes binary, download_time string"
+    ).repartition(4)
+    out = os.path.join(tmp_store_dir, "warc_rt")
+    write_warc(df, out)
+
+    back = read_warc(spark, os.path.join(out, "seg-*.warc"))
+    got = {r["url"]: r for r in back.collect()}
+    assert len(got) == 40
+    for i in range(40):
+        url = f"http://h{i % 4}.test/p{i}"
+        assert bytes(got[url]["body"]) == f"payload-{i}".encode()
+        assert got[url]["n_bytes"] == len(f"payload-{i}")
+        assert got[url]["warc_date"] == "2024-03-01T00:00:00Z"
+        assert got[url]["record_id"].startswith("<urn:pholcus:")
+    # the read is distributed: one input partition per segment file
+    assert back.rdd.getNumPartitions() >= 1
