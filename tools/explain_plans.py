@@ -306,6 +306,20 @@ def main() -> int:
          "shared url shuffle)", p, probs)
     )
 
+    # 15. caption alignment and WARC framing: pure map-only stages —
+    # the scan feeds codegen projections/filters, nothing shuffles
+    for qname, desc in (
+        ("images_caption_align",
+         "CLIP-style alignment gate: scan → codegen cosine filter, "
+         "zero Exchange"),
+        ("sink_warc_shape",
+         "WARC framing arithmetic: scan → concat/length projection, "
+         "zero Exchange"),
+    ):
+        q = QUERIES[qname](spark, sf_dir)
+        p, probs = audit(qname, q, expect=[], forbid=["Exchange"])
+        sections.append((f"{qname} ({desc})", p, probs))
+
     all_problems = []
     out = ["# PLANS — physical-plan audit of the hot paths\n"]
     out.append(
