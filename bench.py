@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "embed_cosine_topk",
     "embed_lsh_ann",
     "embed_ivf_ann",
+    "embed_semantic_dedup",
     "images_decode_meta",
     "method_dispatch",
     "html_helpers",

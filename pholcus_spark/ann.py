@@ -460,3 +460,121 @@ def banded_cosine_neardup(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def kmeans_centroids(
+    embeds: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    round_to: int = 6,
+) -> list[tuple[int, list]]:
+    """Lloyd's k-means over the embedding corpus, the training step
+    SemDeDup-style semantic dedup needs (and the offline trainer an
+    IVF codebook drops in from).
+
+    Spark-first shape, mirroring ``ivf_topk``'s codebook discipline:
+
+    - INIT: the deterministic md5-ranked sample (``ivf_centroids``) —
+      a seeded pseudo-random pick both engines reproduce.
+    - ASSIGN: nearest centroid by cosine as a PURE codegen projection
+      against the constant-folded codebook literal (``ivf_list_ids``)
+      — the corpus is scanned, never shuffled, and no Python runs.
+    - UPDATE: per-cluster per-dimension means via ONE
+      ``groupBy(cluster)`` hash aggregate with map-side partials; the
+      shuffle moves only k×dim partial sums per map task, and the
+      k-row result is collected driver-side like any trained model.
+      Coordinates are rounded to ``round_to`` decimals so the next
+      iteration's assignment (and any cross-engine twin) compares
+      against identical literal values.
+
+    Empty clusters keep their previous centroid (deterministic, and
+    the md5-sampled init makes them vanishingly rare). At 10^10
+    vectors each iteration is a scan + one bounded aggregate — the
+    textbook distributed-Lloyd's plan; k grows with the corpus
+    (SemDeDup uses ~1e5 clusters at 1e9 docs) and the codebook stays
+    driver-sized."""
+    cents = ivf_centroids(embeds, k)
+    if not cents:
+        return []
+    dim = len(cents[0][1])
+    for _ in range(iters):
+        assigned = embeds.select(
+            ivf_list_ids(F.col("embedding"), cents, 1)[0].alias("cluster"),
+            "embedding",
+        )
+        aggs = [
+            F.round(
+                F.avg(F.col("embedding")[i].cast("double")), round_to
+            ).alias("c%d" % i)
+            for i in range(dim)
+        ]
+        rows = assigned.groupBy("cluster").agg(*aggs).collect()
+        new = {
+            int(r["cluster"]): [float(r["c%d" % i]) for i in range(dim)]
+            for r in rows
+        }
+        cents = [(cid, new.get(cid, vec)) for cid, vec in cents]
+    return cents
+
+
+def kmeans_assign(
+    embeds: DataFrame, centroids: list[tuple[int, list]]
+) -> DataFrame:
+    """(vec_id, embedding, cluster): nearest-centroid-by-cosine label
+    as a zero-shuffle codegen projection over the scan."""
+    return embeds.select(
+        "vec_id",
+        "embedding",
+        ivf_list_ids(F.col("embedding"), centroids, 1)[0].alias("cluster"),
+    )
+
+
+def semantic_dedup(
+    embeds: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    tau: float = 0.95,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): drop documents
+    whose embeddings are semantic near-duplicates, found WITHIN
+    k-means clusters so the pairwise stage never goes corpus-quadratic.
+
+    1. Cluster: ``kmeans_centroids`` + zero-shuffle assignment.
+    2. Within each cluster, exact pairwise cosine (self-join keyed on
+       the cluster id — one shuffle; per-cluster work is (N/k)², so k
+       scales with the corpus exactly as in the paper: ~1e5 clusters
+       at 1e9 docs keeps clusters ~1e4 wide).
+    3. Keep-lowest-id convention (same canonical rule as the exact and
+       minhash dedups): a vector is dropped iff SOME lower-id vector
+       in its cluster has round(cosine, 4) ≥ tau.
+
+    Returns every corpus row as (vec_id, cluster, kept) — the
+    downstream selection filter is ``kept``. Cross-cluster near-dups
+    are invisible by design (the paper's recall trade); the banded
+    near-dup operator covers the threshold-recall use case."""
+    cents = kmeans_centroids(embeds, k=k, iters=iters)
+    assigned = kmeans_assign(embeds, cents)
+    l, r = assigned.alias("l"), assigned.alias("r")
+    dropped = (
+        l.join(
+            r,
+            [
+                F.col("l.cluster") == F.col("r.cluster"),
+                F.col("l.vec_id") > F.col("r.vec_id"),
+            ],
+        )
+        .filter(
+            F.round(cosine(F.col("l.embedding"), F.col("r.embedding")), 4)
+            >= tau
+        )
+        .select(F.col("l.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped.withColumn("_d", F.lit(1)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.col("_d").isNull().alias("kept"),
+        )
+    )

@@ -2526,6 +2526,114 @@ WHERE align_score >= 0.9
 """
 
 
+SEMDEDUP_K = 8
+SEMDEDUP_ITERS = 2
+SEMDEDUP_TAU = 0.95
+SEMDEDUP_PLANT_MOD = 17
+
+
+def q_embed_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (ann.semantic_dedup): k-means clusters
+    (md5-ranked deterministic init, 2 Lloyd iterations, centroids
+    rounded to 6 decimals for cross-engine parity), then within-cluster
+    pairwise cosine with the keep-lowest-id rule at tau=0.95. The
+    corpus is augmented with the same exact-in-float planted clones as
+    embed_cosine_neardup (first component negated, cosine ≈ 0.97) at
+    mod 17, so real drops occur. The oracle recomputes the FULL
+    pipeline — init ranking, every assignment argmax, every rounded
+    per-dimension centroid mean, and the final drop rule — so cluster
+    membership across iterations, not just the kept set, must agree."""
+    base = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = base.filter(
+        F.col("vec_id") % SEMDEDUP_PLANT_MOD == 0
+    ).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: F.when(i == 0, -x).otherwise(x)
+        ).alias("embedding"),
+    )
+    out = ann.semantic_dedup(
+        base.unionByName(planted),
+        k=SEMDEDUP_K,
+        iters=SEMDEDUP_ITERS,
+        tau=SEMDEDUP_TAU,
+    )
+    return out.withColumn("cluster", F.col("cluster").cast("long"))
+
+
+def _sql_embed_semantic_dedup(
+    k: int = SEMDEDUP_K,
+    iters: int = SEMDEDUP_ITERS,
+    tau: float = SEMDEDUP_TAU,
+    plant_mod: int = SEMDEDUP_PLANT_MOD,
+) -> str:
+    """DuckDB twin of q_embed_semantic_dedup with the Lloyd iterations
+    unrolled as CTE chains (the host_rank oracle pattern). Each
+    centroid mean is rounded to 6 decimals exactly as the Spark side
+    rounds before re-folding the codebook literal, so both engines
+    assign against identical centroid values."""
+
+    def assign(name: str, cents: str) -> str:
+        cos = _COS_SQL.format(a="g.embedding", b="c.cvec")
+        return f"""{name} AS (
+  SELECT vec_id, embedding, cluster FROM (
+    SELECT g.vec_id, g.embedding, c.cluster,
+           row_number() OVER (PARTITION BY g.vec_id
+                              ORDER BY {cos} DESC, c.cluster) AS rr
+    FROM aug g CROSS JOIN {cents} c) s
+  WHERE rr = 1)"""
+
+    parts = [
+        f"""aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(range(0, len(embedding)),
+           i -> CAST(CASE WHEN i = 0 THEN -embedding[1]
+                     ELSE embedding[i+1] END AS FLOAT)) AS embedding
+  FROM embeddings WHERE vec_id % {plant_mod} = 0)""",
+        """dims AS (
+  SELECT UNNEST(range(0, (SELECT max(len(embedding)) FROM aug))) AS i)""",
+        f"""ranked AS (
+  SELECT vec_id, embedding,
+         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+           AS r
+  FROM aug)""",
+        f"""c0 AS (
+  SELECT r - 1 AS cluster,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+  FROM ranked WHERE r <= {k})""",
+    ]
+    for it in range(1, iters + 1):
+        parts.append(assign(f"a{it}", f"c{it - 1}"))
+        parts.append(f"""m{it} AS (
+  SELECT cluster, dims.i AS i,
+         round(avg(CAST(embedding[dims.i + 1] AS DOUBLE)), 6) AS v
+  FROM a{it} CROSS JOIN dims
+  GROUP BY cluster, dims.i)""")
+        parts.append(f"""c{it} AS (
+  SELECT cluster, list(v ORDER BY i) AS cvec FROM m{it} GROUP BY cluster
+  UNION ALL
+  SELECT c.cluster, c.cvec FROM c{it - 1} c
+  WHERE c.cluster NOT IN (SELECT DISTINCT cluster FROM a{it}))""")
+    parts.append(assign("afin", f"c{iters}"))
+    pair_cos = _COS_SQL.format(a="l.embedding", b="r.embedding")
+    parts.append(f"""drop_ids AS (
+  SELECT DISTINCT l.vec_id FROM afin l JOIN afin r
+    ON l.cluster = r.cluster AND l.vec_id > r.vec_id
+  WHERE round({pair_cos}, 4) >= {tau})""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT a.vec_id, a.cluster, (d.vec_id IS NULL) AS kept
+FROM afin a LEFT JOIN drop_ids d ON a.vec_id = d.vec_id"""
+    )
+
+
+SQL_EMBED_SEMANTIC_DEDUP = _sql_embed_semantic_dedup()
+
+
 # ---------------------------------------------------------------------------
 # multimodal (rows-only: binary pipelines have no SQL twin)
 
@@ -3037,6 +3145,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_lsh_ann": q_embed_lsh_ann,
     "embed_ivf_ann": q_embed_ivf_ann,
     "embed_cosine_neardup": q_embed_cosine_neardup,
+    "embed_semantic_dedup": q_embed_semantic_dedup,
     "images_caption_align": q_images_caption_align,
     # multimodal (rows-only)
     "images_decode_meta": q_images_decode_meta,
@@ -3114,6 +3223,7 @@ ORACLE_SQL: dict[str, str] = {
     "embed_lsh_ann": SQL_EMBED_LSH_ANN,
     "embed_ivf_ann": SQL_EMBED_IVF_ANN,
     "embed_cosine_neardup": SQL_EMBED_COSINE_NEARDUP,
+    "embed_semantic_dedup": SQL_EMBED_SEMANTIC_DEDUP,
     "images_caption_align": SQL_IMAGES_CAPTION_ALIGN,
     # partial multimodal oracles: decode/resize metadata predicted from
     # doc_id (generator arithmetic mirrored in SQL)

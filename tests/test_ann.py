@@ -125,3 +125,53 @@ def test_fixed_dim_queries_take_literal_sign_path(spark):
         with redirect_stdout(buf):
             df.explain(True)
         assert "md5" not in buf.getvalue(), "signature fell back to md5 path"
+
+
+def test_kmeans_separates_planted_clusters(spark):
+    """Three well-separated blobs must come out as three distinct
+    k-means labels, and semantic_dedup must drop exactly the planted
+    in-cluster near-duplicates."""
+    import random
+
+    rng = random.Random(11)
+    anchors = {
+        0: [5.0 if d == 0 else 0.1 for d in range(8)],
+        1: [5.0 if d == 3 else 0.1 for d in range(8)],
+        2: [5.0 if d == 6 else 0.1 for d in range(8)],
+    }
+    rows = []
+    for i in range(90):
+        a = anchors[i % 3]
+        rows.append((i, [x + rng.uniform(-0.2, 0.2) for x in a]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = ann.kmeans_centroids(df, k=3, iters=2)
+    assert len(cents) == 3
+    assigned = ann.kmeans_assign(df, cents).collect()
+    # every blob maps to one label and the labels are distinct
+    by_blob = {}
+    for r in assigned:
+        by_blob.setdefault(r["vec_id"] % 3, set()).add(r["cluster"])
+    assert all(len(s) == 1 for s in by_blob.values())
+    assert len({next(iter(s)) for s in by_blob.values()}) == 3
+
+
+def test_semantic_dedup_drops_only_near_duplicates(spark):
+    """Exact clones with a higher id are dropped; the lowest id of each
+    clone group and all singletons are kept."""
+    import random
+
+    rng = random.Random(23)
+    rows = []
+    for i in range(60):
+        rows.append((i, [rng.uniform(-1, 1) for _ in range(8)]))
+    # ids 1000/1001 clone vec 0; id 2000 clones vec 5
+    rows.append((1000, list(rows[0][1])))
+    rows.append((1001, list(rows[0][1])))
+    rows.append((2000, list(rows[5][1])))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r["kept"] for r in
+           ann.semantic_dedup(df, k=2, iters=1, tau=0.999).collect()}
+    assert out[0] and out[5]
+    assert not out[1000] and not out[1001] and not out[2000]
+    # nothing else in this random corpus clears tau=0.999
+    assert sum(1 for v in out.values() if not v) == 3

@@ -320,6 +320,22 @@ def main() -> int:
         p, probs = audit(qname, q, expect=[], forbid=["Exchange"])
         sections.append((f"{qname} ({desc})", p, probs))
 
+    # 16. semantic dedup: k-means assignment is a codegen projection
+    # (the Lloyd iterations already ran as bounded aggregates during
+    # construction); the pairwise stage is an EQUI-join keyed on the
+    # cluster id — per-cluster quadratic by design (k scales with the
+    # corpus), but never a cartesian/nested-loop over the corpus
+    q = QUERIES["embed_semantic_dedup"](spark, sf_dir)
+    p, probs = audit(
+        "embed_semantic_dedup", q,
+        expect=["Join"],
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin"],
+    )
+    sections.append(
+        ("embed_semantic_dedup (codegen k-means assignment, "
+         "cluster-keyed pairwise equi-join)", p, probs)
+    )
+
     all_problems = []
     out = ["# PLANS — physical-plan audit of the hot paths\n"]
     out.append(
