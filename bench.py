@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "text_unigram_nll",
     "text_tfidf_topk",
     "text_pii_redact",
+    "text_domain_filter",
     "images_exact_dedup",
     "text_quality",
     "doc_fingerprint",

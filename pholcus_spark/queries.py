@@ -1533,6 +1533,54 @@ FROM m
 """
 
 
+def q_text_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed-linear domain/quality classifier gate
+    (textops.hashed_linear_score): every doc scored by a hashed
+    bag-of-words linear model (deterministic stand-in weights — a
+    trained model drops in), kept when the EXACT integer milliweight
+    sum is ≥ 0; the reported score is the mean truncated at 1e-6
+    (integer arithmetic end to end — see hashed_linear_score). A
+    zero-shuffle per-row projection; the oracle recomputes bucket
+    hashing, the weight formula, the truncation, and the gate in
+    DuckDB. Threshold 0 splits the fixture ~54/46, so both branches
+    are exercised non-vacuously."""
+    docs = _t(spark, sf_dir, "documents")
+    score, total_milli = textops.hashed_linear_score(F.col("text"))
+    return docs.select(
+        "doc_id",
+        score.alias("domain_score"),
+        (total_milli >= 0).alias("kept"),
+    )
+
+
+def _sql_text_domain_filter() -> str:
+    from .textops import CLASSIFIER_BUCKETS
+
+    tok = "concat('dom0|', t)"
+    w = (
+        f"CAST((({_h60_sql(tok)} % {CLASSIFIER_BUCKETS}) * 2654435761) "
+        "% 2001 - 1000 AS BIGINT)"
+    )
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(string_split(text, ' '),
+                                      t -> {w})) AS BIGINT) AS milli,
+         len(string_split(text, ' ')) AS n
+  FROM documents)
+SELECT doc_id,
+       (CASE WHEN milli < 0
+             THEN -floor(CAST(-milli * 1000 AS DOUBLE) / n)
+             ELSE floor(CAST(milli * 1000 AS DOUBLE) / n) END)
+         / 1000000.0 AS domain_score,
+       milli >= 0 AS kept
+FROM s
+"""
+
+
+SQL_TEXT_DOMAIN_FILTER = _sql_text_domain_filter()
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition gates (textops.repetition_stats): per-doc
     top-gram and duplicated-gram fractions for unigrams and bigrams,
@@ -3132,6 +3180,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "text_tokens": q_text_tokens,
     "text_quality": q_text_quality,
+    "text_domain_filter": q_text_domain_filter,
     "text_repetition": q_text_repetition,
     "text_bm25": q_text_bm25,
     "text_pii_redact": q_text_pii_redact,
@@ -3211,6 +3260,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "text_tokens": SQL_TEXT_TOKENS,
     "text_quality": SQL_TEXT_QUALITY,
+    "text_domain_filter": SQL_TEXT_DOMAIN_FILTER,
     "text_repetition": SQL_TEXT_REPETITION,
     "text_bm25": SQL_TEXT_BM25,
     "text_pii_redact": SQL_TEXT_PII_REDACT,

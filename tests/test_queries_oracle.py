@@ -33,6 +33,8 @@ SAMPLED = [
     "doc_fingerprint",
     "embed_cosine_topk",
     "embed_ivf_ann",
+    "embed_semantic_dedup",
+    "text_domain_filter",
     "training_pack_shards",
     "training_source_cap",
     # multimodal: the oracles recompute codec-bound values driver-side

@@ -252,7 +252,8 @@ def main() -> int:
     )
 
     # 11. per-row text gates must be pure scan+project: ZERO Exchanges
-    for qname in ("text_repetition", "text_entropy", "text_pii_redact"):
+    for qname in ("text_repetition", "text_entropy", "text_pii_redact",
+                  "text_domain_filter"):
         q = QUERIES[qname](spark, sf_dir)
         p, probs = audit(qname, q, expect=[], forbid=["Exchange"])
         sections.append(
