@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "training_pack_shards",
     "training_decontaminate",
     "training_sample_mix",
+    "training_calibrate_gates",
     "training_source_cap",
     "corpus_stats",
     "embed_cosine_neardup",

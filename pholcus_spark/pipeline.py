@@ -386,3 +386,58 @@ def cap_per_source(docs: DataFrame, k: int = 10) -> DataFrame:
         .filter(F.col("source_rank") <= k)
         .select("doc_id", "source", "source_rank")
     )
+
+
+def calibrate_gates(
+    docs: DataFrame,
+    ps: tuple[float, ...] = (0.1, 0.25, 0.5, 0.75, 0.9),
+    exact: bool = True,
+    round_to: int = 6,
+) -> DataFrame:
+    """Data-derived gate thresholds: percentiles of the integer quality
+    metrics (chars, words, unique words, stopword hits) over the
+    corpus, the step that replaces hand-picked filter constants with
+    calibrated ones (Gopher and its descendants pick gate values off
+    corpus distributions exactly like this).
+
+    One aggregate pass: every percentile array is computed in a single
+    1-row aggregation over one scan, then unpacked into
+    (metric, p, threshold) rows driver-lightly (the explode runs over a
+    1-row frame — no data moves). ``exact=True`` uses Spark's exact
+    ``percentile`` (sort-based buffer — right for oracle parity and
+    anything up to ~1e8 rows per group); at 10^10 rows flip
+    ``exact=False`` for ``approx_percentile`` (t-digest sketch, fixed
+    memory, same single-aggregate plan shape, rank error ≤ 1/accuracy).
+
+    Metrics are INTEGERS and ``ps`` have two decimals, so the
+    interpolated percentile is a short exact decimal and round(·,
+    round_to) snaps both engines' float noise to the same value (the
+    domain-filter lesson: never round a long rational)."""
+    q = textops.quality_columns(F.col("text"))
+    metrics = {
+        "n_chars": q["n_chars_m"].cast("long"),
+        "n_words": q["n_words"].cast("long"),
+        "n_uniq": q["n_uniq"].cast("long"),
+        "n_stop": q["n_stop"].cast("long"),
+    }
+    base = docs.select(*[c.alias(n) for n, c in metrics.items()])
+    parr = "array(" + ",".join(f"{p!r}D" for p in ps) + ")"
+    fn = "percentile" if exact else "approx_percentile"
+    aggs = [
+        F.expr(f"{fn}({n}, {parr})").alias(f"{n}_q") for n in metrics
+    ]
+    one = base.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(n).alias("metric"),
+                F.lit(p).alias("p"),
+                F.round(F.col(f"{n}_q")[i], round_to).alias("threshold"),
+            )
+            for n in metrics
+            for i, p in enumerate(ps)
+        ]
+    )
+    return one.select(F.explode(entries).alias("e")).select(
+        "e.metric", "e.p", "e.threshold"
+    )

@@ -1581,6 +1581,44 @@ FROM s
 SQL_TEXT_DOMAIN_FILTER = _sql_text_domain_filter()
 
 
+CALIBRATE_PS = (0.1, 0.25, 0.5, 0.75, 0.9)
+
+
+def q_training_calibrate_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate-threshold calibration (pipeline.calibrate_gates): exact
+    percentiles of the integer quality metrics in ONE aggregate pass,
+    unpacked to (metric, p, threshold) rows. The oracle recomputes
+    every quantile with DuckDB's quantile_cont (same p·(n−1) linear
+    interpolation as Spark's exact percentile)."""
+    from . import pipeline
+
+    return pipeline.calibrate_gates(
+        _t(spark, sf_dir, "documents"), ps=CALIBRATE_PS
+    )
+
+
+def _sql_training_calibrate_gates() -> str:
+    metric_sql = {
+        "n_chars": "length(text)",
+        "n_words": "len(string_split(text, ' '))",
+        "n_uniq": "len(list_distinct(string_split(text, ' ')))",
+        "n_stop": "len(list_filter(string_split(text, ' '), "
+                  "w -> w IN " + _STOP_SQL + "))",
+    }
+    parts = []
+    for name, expr in metric_sql.items():
+        for p in CALIBRATE_PS:
+            parts.append(
+                f"SELECT '{name}' AS metric, {p!r} AS p,\n"
+                f"       round(quantile_cont({expr}, {p!r}), 6) AS threshold\n"
+                f"FROM documents"
+            )
+    return "\nUNION ALL\n".join(parts)
+
+
+SQL_TRAINING_CALIBRATE_GATES = _sql_training_calibrate_gates()
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition gates (textops.repetition_stats): per-doc
     top-gram and duplicated-gram fractions for unigrams and bigrams,
@@ -3181,6 +3219,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_tokens": q_text_tokens,
     "text_quality": q_text_quality,
     "text_domain_filter": q_text_domain_filter,
+    "training_calibrate_gates": q_training_calibrate_gates,
     "text_repetition": q_text_repetition,
     "text_bm25": q_text_bm25,
     "text_pii_redact": q_text_pii_redact,
@@ -3261,6 +3300,7 @@ ORACLE_SQL: dict[str, str] = {
     "text_tokens": SQL_TEXT_TOKENS,
     "text_quality": SQL_TEXT_QUALITY,
     "text_domain_filter": SQL_TEXT_DOMAIN_FILTER,
+    "training_calibrate_gates": SQL_TRAINING_CALIBRATE_GATES,
     "text_repetition": SQL_TEXT_REPETITION,
     "text_bm25": SQL_TEXT_BM25,
     "text_pii_redact": SQL_TEXT_PII_REDACT,

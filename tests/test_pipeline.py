@@ -256,3 +256,32 @@ def test_curate_corpus_strip_gate_dedup_chain(spark):
     assert rows[2]["clean_text"] == "tail z"  # doc 3 deduped away
     assert rows[90]["clean_text"] == pad90
     assert rows[91]["clean_text"] == pad91
+
+
+def test_calibrate_gates_exact_and_approx(spark):
+    """20 (metric, p, threshold) rows; thresholds monotone in p; the
+    t-digest scale path lands within rank noise of the exact one."""
+    from pholcus_spark import pipeline
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(5 + i % 40)))
+         for i in range(400)],
+        "doc_id long, text string",
+    )
+    exact = pipeline.calibrate_gates(docs).collect()
+    assert len(exact) == 20
+    by_metric = {}
+    for r in exact:
+        by_metric.setdefault(r["metric"], []).append((r["p"], r["threshold"]))
+    assert set(by_metric) == {"n_chars", "n_words", "n_uniq", "n_stop"}
+    for rows in by_metric.values():
+        rows.sort()
+        ts = [t for _, t in rows]
+        assert ts == sorted(ts)  # monotone in p
+    approx = {(r["metric"], r["p"]): r["threshold"]
+              for r in pipeline.calibrate_gates(docs, exact=False).collect()}
+    for r in exact:
+        a = approx[(r["metric"], r["p"])]
+        # t-digest default accuracy: within a few rank positions; the
+        # word counts step by 1, so a loose absolute bound suffices
+        assert abs(a - r["threshold"]) <= max(3.0, 0.05 * r["threshold"])
