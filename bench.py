@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "training_curate",
     "training_pack_shards",
     "training_decontaminate",
+    "training_decontaminate_bloom",
     "training_sample_mix",
     "training_calibrate_gates",
     "training_source_cap",

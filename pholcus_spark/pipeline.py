@@ -441,3 +441,100 @@ def calibrate_gates(
     return one.select(F.explode(entries).alias("e")).select(
         "e.metric", "e.p", "e.threshold"
     )
+
+
+def _pow2() -> F.Column:
+    """shiftleft() takes only a literal bit count, so dynamic bit masks
+    come from a 64-entry power-of-two literal (bit 63 is the sign bit).
+    Built lazily — F.expr needs an active session."""
+    return F.expr(
+        "array("
+        + ",".join(
+            (str(1 << b) if b < 63 else str(-(1 << 63))) + "L"
+            for b in range(64)
+        )
+        + ")"
+    )
+
+
+def decontaminate_bloom(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    k: int = 5,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 2,
+) -> DataFrame:
+    """Decontamination for eval sets too big to broadcast-join cheaply:
+    a bloom prefilter over eval k-gram hashes, exact-verified.
+
+    The plain ``decontaminate`` explodes EVERY corpus doc into its
+    ~n_words shingles to feed the semi-join — at 10^10 docs that is a
+    corpus×k-gram blow-up even though almost every doc is clean. Here:
+
+    1. Eval shingles hash into a SPARSE bloom bitmap — (word, or-mask)
+       rows folded into one ``map<long,long>`` row (one bounded
+       aggregate; the map is eval-sized at worst, ~n_bits/64 entries),
+       broadcast as a 1-row frame.
+    2. The corpus probe is ``F.exists`` over each doc's shingle array
+       testing all ``n_hashes`` bits — a pure projection over the
+       scan against the broadcast row: clean docs are dismissed
+       WITHOUT exploding, shuffling, or joining anything.
+    3. Bloom positives (true hits + false positives) — a tiny slice —
+       explode and exact-verify against the eval shingle relation; no
+       false negatives exist, so the result is BIT-IDENTICAL to the
+       exact operator, independent of bloom sizing.
+
+    Returns the clean subset of ``docs`` (all columns)."""
+    shingles = textops.word_shingles(textops.words(F.col("text")), k)
+    eval_sh = eval_docs.select(F.explode(shingles).alias("sh")).distinct()
+
+    def _positions(sh):
+        return [
+            F.pmod(
+                F.xxhash64(F.concat(F.lit("%d|" % i), sh)), F.lit(n_bits)
+            )
+            for i in range(n_hashes)
+        ]
+
+    bitmap = (
+        eval_sh.select(
+            F.explode(F.array(*_positions(F.col("sh")))).alias("pos")
+        )
+        .select(
+            F.expr("pos div 64").alias("w"),
+            F.element_at(
+                _pow2(), (F.col("pos") % 64).cast("int") + 1
+            ).alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(m)").alias("m"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("w", "m"))
+            ).alias("_bloom")
+        )
+    )
+
+    def _hit(sh):
+        cond = F.lit(True)
+        for pos in _positions(sh):
+            word = ((pos - pos % 64) / 64).cast("long")
+            mask = F.element_at(_pow2(), (pos % 64).cast("int") + 1)
+            loaded = F.coalesce(
+                F.element_at(F.col("_bloom"), word),
+                F.lit(0).cast("long"),
+            )
+            cond = cond & (loaded.bitwiseAND(mask) == mask)
+        return cond
+
+    probed = docs.crossJoin(F.broadcast(bitmap)).withColumn(
+        "_hit", F.exists(shingles, _hit)
+    )
+    positives = probed.filter(F.col("_hit"))
+    contaminated = (
+        positives.select("doc_id", F.explode(shingles).alias("sh"))
+        .join(eval_sh, "sh", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return docs.join(contaminated, "doc_id", "left_anti")

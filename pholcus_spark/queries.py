@@ -2242,6 +2242,48 @@ WHERE d.doc_id NOT IN (SELECT doc_id FROM bad)
 """
 
 
+def q_training_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination (pipeline.decontaminate_bloom):
+    the scale path when the eval shingle relation is too large to
+    broadcast-join cheaply — a sparse bloom bitmap over eval 4-gram
+    hashes probed as a pure projection (F.exists over each doc's
+    shingle array; clean docs never explode), bloom positives
+    exact-verified. No false negatives exist, so the result is
+    bit-identical to the exact operator and the oracle is the plain
+    exact-decontamination SQL (bloom internals are an optimization,
+    invisible to semantics). Eval slice doc_id % 71, k=4 — distinct
+    from training_decontaminate's 83/5 so both paths stay exercised."""
+    from . import pipeline
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 71 == 0)
+    return pipeline.decontaminate_bloom(docs, eval_docs, k=4).select(
+        "doc_id", "lang", "source"
+    )
+
+
+SQL_TRAINING_DECONTAMINATE_BLOOM = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), s AS (
+  SELECT doc_id,
+         list_transform(range(0, greatest(len(ws) - 3, 0)),
+                        i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+                             || ' ' || ws[i+4]) AS sh
+  FROM w
+), ev AS (
+  SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 71 = 0
+), bad AS (
+  SELECT DISTINCT s.doc_id
+  FROM s, unnest(s.sh) AS u(g)
+  WHERE u.g IN (SELECT g FROM ev)
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM bad)
+"""
+
+
 MIX_RATES = {"en": 100, "de": 50, "fr": 50, "es": 25, "zh": 25}
 
 
@@ -3209,6 +3251,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "training_curate": q_training_curate,
     "training_pack_shards": q_training_pack_shards,
     "training_decontaminate": q_training_decontaminate,
+    "training_decontaminate_bloom": q_training_decontaminate_bloom,
     "training_sample_mix": q_training_sample_mix,
     "training_source_cap": q_training_source_cap,
     "corpus_stats": q_corpus_stats,
@@ -3290,6 +3333,7 @@ ORACLE_SQL: dict[str, str] = {
     "training_curate": SQL_TRAINING_CURATE,
     "training_pack_shards": SQL_TRAINING_PACK_SHARDS,
     "training_decontaminate": SQL_TRAINING_DECONTAMINATE,
+    "training_decontaminate_bloom": SQL_TRAINING_DECONTAMINATE_BLOOM,
     "training_sample_mix": SQL_TRAINING_SAMPLE_MIX,
     "training_source_cap": SQL_TRAINING_SOURCE_CAP,
     "corpus_stats": SQL_CORPUS_STATS,

@@ -285,3 +285,26 @@ def test_calibrate_gates_exact_and_approx(spark):
         # t-digest default accuracy: within a few rank positions; the
         # word counts step by 1, so a loose absolute bound suffices
         assert abs(a - r["threshold"]) <= max(3.0, 0.05 * r["threshold"])
+
+
+def test_decontaminate_bloom_matches_exact(spark):
+    """The bloom prefilter is semantics-invisible: result sets equal the
+    exact operator even with a deliberately tiny false-positive-heavy
+    bitmap; an eval-free corpus passes through untouched."""
+    from pholcus_spark import pipeline
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{(i * 7 + j) % 50}" for j in range(12)))
+         for i in range(120)],
+        "doc_id long, text string",
+    )
+    ev = docs.filter("doc_id % 13 = 0")
+    exact = {r["doc_id"]
+             for r in pipeline.decontaminate(docs, ev, k=4).collect()}
+    for n_bits in (1 << 16, 128):  # honest and FP-saturated sizings
+        got = {r["doc_id"] for r in
+               pipeline.decontaminate_bloom(docs, ev, k=4,
+                                            n_bits=n_bits).collect()}
+        assert got == exact
+    empty = ev.filter("doc_id < 0")
+    assert pipeline.decontaminate_bloom(docs, empty, k=4).count() == 120

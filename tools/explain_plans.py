@@ -337,6 +337,21 @@ def main() -> int:
          "cluster-keyed pairwise equi-join)", p, probs)
     )
 
+    # 17. bloom decontamination: the bitmap rides as a 1-row broadcast
+    # (nested-loop by construction, input is ONE row), the corpus probe
+    # is a projection (F.exists over the shingle array), and only bloom
+    # positives reach the exploding verify join; never a real cartesian
+    q = QUERIES["training_decontaminate_bloom"](spark, sf_dir)
+    p, probs = audit(
+        "training_decontaminate_bloom", q,
+        expect=["BroadcastNestedLoopJoin", "LeftAnti"],
+        forbid=["CartesianProduct"],
+    )
+    sections.append(
+        ("training_decontaminate_bloom (1-row bitmap broadcast, "
+         "projection probe, explode only for bloom positives)", p, probs)
+    )
+
     all_problems = []
     out = ["# PLANS — physical-plan audit of the hot paths\n"]
     out.append(
