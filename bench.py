@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_minhash_verified",
+    "dedup_incremental",
     "dedup_components",
     "training_select",
     "training_curate",

@@ -469,6 +469,131 @@ def neardup_components(
     return labels
 
 
+def incremental_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    k: int = 8,
+    band_rows: int = 2,
+    shingle_k: int = 3,
+    threshold: float = 0.2,
+    corpus_bands: DataFrame | None = None,
+) -> DataFrame:
+    """Admit a NEW crawl increment against an accumulated corpus — the
+    production dedup mode at 100 TB. A growing corpus is never
+    re-paired against itself; each increment pays O(|batch| +
+    |candidates|) work against the corpus's PERSISTED band index:
+
+    - the corpus appears ONLY as its band table (``corpus_bands``;
+      derived on the fly here when not supplied). In production that
+      relation is a bucketed catalog table keyed by band_key — the
+      ``seen_catalog`` layout — so the corpus side of the candidate
+      join is an in-place scan and only batch-sized band rows shuffle;
+      each admitted increment appends its own bands to the index.
+    - candidates = batch bands ⋈ corpus bands on (band_idx, band_key)
+      ∪ within-batch band self-pairs (the increment must also dedup
+      against itself);
+    - exact hashed-shingle Jaccard verifies candidates only — the
+      corpus shingle relation is touched just for candidate doc_ids
+      (semi-join pruned), never scanned whole;
+    - drop rule: a batch doc goes if it verifies ≥ threshold against
+      ANY corpus doc, or against a LOWER-id batch doc (keep-min applied
+      pairwise). Within one increment this is pair-local — transitive
+      chains inside a batch resolve across successive increments (each
+      survivor joins the corpus index and blocks its own near-dups next
+      round), mirroring how the reference admits history one crawl
+      round at a time (``app/aid/history/success.go:16-45``).
+
+    Returns the kept batch rows (all ``batch`` columns)."""
+    b_bands = minhash_bands(batch, k, band_rows, shingle_k)
+    c_bands = (
+        corpus_bands
+        if corpus_bands is not None
+        else minhash_bands(corpus, k, band_rows, shingle_k)
+    )
+    # candidate pairs, both kinds keyed (doc_a = older/lower, doc_b =
+    # the batch doc whose admission is in question)
+    cross = (
+        b_bands.select(
+            "band_idx", "band_key", F.col("doc_id").alias("doc_b")
+        )
+        .join(
+            c_bands.select(
+                "band_idx", "band_key", F.col("doc_id").alias("doc_a")
+            ),
+            ["band_idx", "band_key"],
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    within = (
+        b_bands.select(
+            "band_idx", "band_key", F.col("doc_id").alias("doc_a")
+        )
+        .join(
+            b_bands.select(
+                "band_idx", "band_key", F.col("doc_id").alias("doc_b")
+            ),
+            ["band_idx", "band_key"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+    def _sh(docs: DataFrame) -> DataFrame:
+        return docs.select(
+            "doc_id", words(F.col("text")).alias("_ws")
+        ).select(
+            "doc_id",
+            F.array_distinct(
+                hashed_word_shingles(F.col("_ws"), shingle_k)
+            ).alias("shh"),
+        )
+
+    sh_b = _sh(batch)
+    # corpus shingles only for docs that banded with the batch
+    sh_c = _sh(
+        corpus.join(
+            cross.select(F.col("doc_a").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_semi",
+        )
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    jac = inter / (
+        F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    )
+
+    def _verify(cand: DataFrame, sh_a_side: DataFrame) -> DataFrame:
+        return (
+            cand.join(
+                sh_a_side.select(
+                    F.col("doc_id").alias("doc_a"),
+                    F.col("shh").alias("sh_a"),
+                ),
+                "doc_a",
+            )
+            .join(
+                sh_b.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("shh").alias("sh_b"),
+                ),
+                "doc_b",
+            )
+            .filter(F.round(jac, 4) >= threshold)
+            .select("doc_b")
+        )
+
+    dropped = _verify(cross, sh_c).unionByName(
+        _verify(within, sh_b)
+    ).distinct()
+    return batch.join(
+        dropped.select(F.col("doc_b").alias("doc_id")),
+        "doc_id",
+        "left_anti",
+    )
+
+
 def duplicate_spans(
     docs: DataFrame,
     shingle_k: int = 5,

@@ -2126,6 +2126,64 @@ WHERE jaccard >= {MINHASH_VERIFY_THRESHOLD}
 SQL_DEDUP_MINHASH_VERIFIED = _minhash_verified_sql()
 
 
+INCR_BATCH_MOD = 10
+INCR_BATCH_REM = 7
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-corpus dedup (dedup.incremental_dedup): admit
+    a new crawl increment (doc_id % 10 = 7) against the accumulated
+    corpus (the rest) — the corpus is touched only through its band
+    index (bucketed catalog table in production) plus a semi-join-
+    pruned shingle lookup for candidates; the increment also dedups
+    against its own lower-id members. The production mode at 100 TB:
+    per-increment cost is O(batch + candidates), never O(corpus²)."""
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % INCR_BATCH_MOD == INCR_BATCH_REM)
+    corpus = docs.filter(F.col("doc_id") % INCR_BATCH_MOD != INCR_BATCH_REM)
+    return dedup.incremental_dedup(
+        corpus,
+        batch,
+        MINHASH_K,
+        MINHASH_BAND_ROWS,
+        threshold=MINHASH_VERIFY_THRESHOLD,
+    ).select("doc_id", "lang", "source")
+
+
+def _incremental_dedup_sql() -> str:
+    base = _minhash_sql().rstrip()
+    # reuse the band CTEs: candidates are corpus→batch band collisions
+    # plus within-batch collisions; drop rule mirrors the operator
+    bands_body = base[: base.rindex("SELECT DISTINCT")].rstrip().rstrip(",")
+    pred_b = f"doc_id % {INCR_BATCH_MOD} = {INCR_BATCH_REM}"
+    return f"""
+{bands_body},
+  cand AS (
+    SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+    FROM bands l JOIN bands r USING (band_idx, band_key)
+    WHERE r.{pred_b}
+      AND (NOT l.{pred_b} OR l.doc_id < r.doc_id)),
+  d AS (SELECT doc_id, list_distinct(sh) AS sh FROM (
+          SELECT doc_id,
+                 list_transform(range(0, greatest(len(ws) - 2, 0)),
+                                i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]) AS sh
+          FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) w) s),
+  dropped AS (
+    SELECT DISTINCT doc_b
+    FROM cand JOIN d a ON a.doc_id = cand.doc_a
+              JOIN d b ON b.doc_id = cand.doc_b
+    WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.sh, b.sh))), 4)
+          >= {MINHASH_VERIFY_THRESHOLD})
+SELECT doc_id, lang, source
+FROM documents
+WHERE {pred_b} AND doc_id NOT IN (SELECT doc_b FROM dropped)
+"""
+
+
+SQL_DEDUP_INCREMENTAL = _incremental_dedup_sql()
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster resolution (dedup.neardup_components): connected
     components over the LSH-verified pair graph via min-label
@@ -3246,6 +3304,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_verified": q_dedup_minhash_verified,
+    "dedup_incremental": q_dedup_incremental,
     "dedup_components": q_dedup_components,
     "training_select": q_training_select,
     "training_curate": q_training_curate,
@@ -3328,6 +3387,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
     "dedup_minhash_verified": SQL_DEDUP_MINHASH_VERIFIED,
+    "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "dedup_components": SQL_DEDUP_COMPONENTS,
     "training_select": SQL_TRAINING_SELECT,
     "training_curate": SQL_TRAINING_CURATE,

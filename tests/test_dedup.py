@@ -306,3 +306,55 @@ def test_strip_duplicate_spans_cuts_and_passes_through(spark):
     assert rows[3]["clean_text"] == "" and rows[3]["n_removed_tokens"] == 4
     assert rows[4]["clean_text"] == "totally unique words everywhere now"
     assert rows[4]["n_removed_tokens"] == 0
+
+
+def test_incremental_dedup_admits_against_corpus_and_self(spark):
+    """A batch doc duplicating a corpus doc is dropped; a batch doc
+    duplicating a LOWER-id batch doc is dropped (keep-min pairwise);
+    unique batch docs survive; the corpus is never filtered. A
+    precomputed band index (the production path) gives the same
+    answer, and a survivor admitted to the index blocks its own
+    near-dup in the NEXT increment."""
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    uniq = "totally different words about another topic entirely"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "iota kappa lambda mu nu xi omicron pi")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, base),            # exact dup of corpus doc 1 -> drop
+            (11, uniq),            # unique -> keep
+            (12, uniq),            # dup of batch doc 11 -> drop
+            (13, "rho sigma tau upsilon phi chi psi omega"),  # keep
+        ],
+        "doc_id long, text string",
+    )
+    kept = {
+        r["doc_id"]
+        for r in dedup.incremental_dedup(corpus, batch).collect()
+    }
+    assert kept == {11, 13}
+
+    # production path: corpus bands precomputed once, reused
+    bands = dedup.minhash_bands(corpus, 8, 2, 3)
+    kept2 = {
+        r["doc_id"]
+        for r in dedup.incremental_dedup(
+            corpus, batch, corpus_bands=bands
+        ).collect()
+    }
+    assert kept2 == kept
+
+    # next increment: 11 survived, so its near-dup arriving later is
+    # blocked once the survivor's bands join the index
+    corpus2 = corpus.unionByName(batch.filter("doc_id in (11, 13)"))
+    batch2 = spark.createDataFrame(
+        [(20, uniq), (21, "fresh content never seen before anywhere")],
+        "doc_id long, text string",
+    )
+    kept3 = {
+        r["doc_id"]
+        for r in dedup.incremental_dedup(corpus2, batch2).collect()
+    }
+    assert kept3 == {21}
