@@ -538,3 +538,97 @@ def decontaminate_bloom(
         .distinct()
     )
     return docs.join(contaminated, "doc_id", "left_anti")
+
+
+def dsir_score(
+    docs: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 1 << 10,
+) -> DataFrame:
+    """DSIR-style data selection (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", arXiv:2302.03169):
+    score every doc by the log importance weight of its hashed-bigram
+    features under Laplace-smoothed target vs raw unigram bucket
+    models; positive score = looks more like the target distribution
+    than the raw corpus.
+
+    Plan shape at 10^10 docs:
+    - model building: raw ∪ target bigram occurrences explode into md5
+      buckets feeding ONE map-side-combined conditional-count aggregate
+      — output bounded by ``n_buckets`` (use ~2^20 at full scale; the
+      broadcast weight map is then ~16 MB);
+    - the per-bucket weight ln(ct+1) − ln(cr+1) AND the corpus-total
+      normalizer fold into a single map<long,double>-plus-scalar row in
+      one terminal aggregate, broadcast to every task (the
+      ``decontaminate_bloom`` shape);
+    - scoring is a ZERO-SHUFFLE projection: ``F.aggregate`` over each
+      doc's bigram-bucket array against the broadcast map, plus the
+      n·(ln(R+B) − ln(T+B)) normalizer — the corpus is scanned once
+      and never shuffled.
+
+    Scores are rounded to 4 decimals for cross-engine float parity
+    (the bm25/jaccard precedent). Docs with < 2 words have no bigrams
+    and score 0.0 (never kept). ``target`` must be a subset relation
+    of ``docs``-like rows with a ``text`` column.
+
+    Returns ``docs`` plus (dsir_score, kept)."""
+    B = int(n_buckets)
+
+    def _buckets(col: F.Column) -> F.Column:
+        ws = textops.words(col)
+        return F.transform(
+            textops.word_shingles(ws, 2),
+            lambda g: F.pmod(textops.md5_long(g), F.lit(B)),
+        )
+
+    # one B-bounded count aggregate over raw ∪ target occurrences, then
+    # ONE terminal single-partition aggregate producing the weight map
+    # AND the normalizer in the same 1-row frame — no separate totals
+    # subplan, no corpus re-scan (every doc bucket appears in the raw
+    # counts since docs ⊇ the scored rows; absent target buckets smooth
+    # to ln(1)=0)
+    occ = docs.select(
+        F.explode(_buckets(F.col("text"))).alias("bkt"),
+        F.lit(0).alias("t"),
+    ).unionByName(
+        target.select(
+            F.explode(_buckets(F.col("text"))).alias("bkt"),
+            F.lit(1).alias("t"),
+        )
+    )
+    cnt = occ.groupBy("bkt").agg(
+        F.count(F.when(F.col("t") == 0, 1)).alias("cr"),
+        F.count(F.when(F.col("t") == 1, 1)).alias("ct"),
+    )
+    model = F.broadcast(
+        cnt.select(
+            "bkt",
+            "cr",
+            "ct",
+            (
+                F.log(F.col("ct") + F.lit(1.0))
+                - F.log(F.col("cr") + F.lit(1.0))
+            ).alias("d"),
+        ).agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("bkt", "d"))
+            ).alias("_w"),
+            (
+                F.log(F.coalesce(F.sum("cr"), F.lit(0)) + F.lit(float(B)))
+                - F.log(F.coalesce(F.sum("ct"), F.lit(0)) + F.lit(float(B)))
+            ).alias("_norm"),
+        )
+    )
+    bk = _buckets(F.col("text"))
+    score = F.round(
+        F.aggregate(
+            bk,
+            F.lit(0.0),
+            lambda acc, b: acc + F.element_at(F.col("_w"), b),
+        )
+        + F.size(bk) * F.col("_norm"),
+        4,
+    )
+    return docs.crossJoin(model).withColumn(
+        "dsir_score", F.coalesce(score, F.lit(0.0))
+    ).withColumn("kept", F.col("dsir_score") > 0).drop("_w", "_norm")

@@ -2342,6 +2342,68 @@ WHERE d.doc_id NOT IN (SELECT doc_id FROM bad)
 """
 
 
+DSIR_BUCKETS = 1 << 10
+DSIR_TARGET_LANG = "en"
+
+
+def q_training_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance-resampling selection (pipeline.dsir_score,
+    arXiv:2302.03169): hashed-bigram bucket models of the target
+    (lang='en') vs the raw corpus; per-doc log importance weight
+    computed as a zero-shuffle aggregate() projection against the
+    1-row broadcast weight map. kept = score > 0 — en docs should
+    dominate the positive side, so both branches are non-vacuous."""
+    from . import pipeline
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == DSIR_TARGET_LANG)
+    return pipeline.dsir_score(docs, target, DSIR_BUCKETS).select(
+        "doc_id", "lang", "source", "dsir_score", "kept"
+    )
+
+
+def _dsir_sql() -> str:
+    bkt = _h60_sql("g") + f" % {DSIR_BUCKETS}"
+    return f"""
+WITH w AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents
+), bg AS (
+  SELECT doc_id, lang,
+         list_transform(range(0, greatest(len(ws) - 1, 0)),
+                        i -> ws[i+1] || ' ' || ws[i+2]) AS gs
+  FROM w
+), b AS (
+  SELECT doc_id, lang, {bkt} AS bkt
+  FROM (SELECT doc_id, lang, unnest(gs) AS g FROM bg)
+), cr AS (
+  SELECT bkt, count(*) AS cr FROM b GROUP BY 1
+), ct AS (
+  SELECT bkt, count(*) AS ct
+  FROM b WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY 1
+), tot AS (
+  SELECT (SELECT count(*) FROM b) AS r,
+         (SELECT count(*) FROM b WHERE lang = '{DSIR_TARGET_LANG}') AS t
+), d AS (
+  SELECT cr.bkt, ln(coalesce(ct.ct, 0) + 1.0) - ln(cr.cr + 1.0) AS d
+  FROM cr LEFT JOIN ct USING (bkt)
+), sc AS (
+  SELECT b.doc_id, sum(d.d) AS s, count(*) AS n
+  FROM b JOIN d USING (bkt) GROUP BY 1
+)
+SELECT doc_id, lang, source,
+       coalesce(round(sc.s + sc.n * (ln(tot.r + {float(DSIR_BUCKETS)!r})
+                                     - ln(tot.t + {float(DSIR_BUCKETS)!r})),
+                      4), 0.0) AS dsir_score,
+       coalesce(round(sc.s + sc.n * (ln(tot.r + {float(DSIR_BUCKETS)!r})
+                                     - ln(tot.t + {float(DSIR_BUCKETS)!r})),
+                      4) > 0, FALSE) AS kept
+FROM documents LEFT JOIN sc USING (doc_id), tot
+"""
+
+
+SQL_TRAINING_DSIR_SELECT = _dsir_sql()
+
+
 MIX_RATES = {"en": 100, "de": 50, "fr": 50, "es": 25, "zh": 25}
 
 
@@ -3311,6 +3373,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "training_pack_shards": q_training_pack_shards,
     "training_decontaminate": q_training_decontaminate,
     "training_decontaminate_bloom": q_training_decontaminate_bloom,
+    "training_dsir_select": q_training_dsir_select,
     "training_sample_mix": q_training_sample_mix,
     "training_source_cap": q_training_source_cap,
     "corpus_stats": q_corpus_stats,
@@ -3394,6 +3457,7 @@ ORACLE_SQL: dict[str, str] = {
     "training_pack_shards": SQL_TRAINING_PACK_SHARDS,
     "training_decontaminate": SQL_TRAINING_DECONTAMINATE,
     "training_decontaminate_bloom": SQL_TRAINING_DECONTAMINATE_BLOOM,
+    "training_dsir_select": SQL_TRAINING_DSIR_SELECT,
     "training_sample_mix": SQL_TRAINING_SAMPLE_MIX,
     "training_source_cap": SQL_TRAINING_SOURCE_CAP,
     "corpus_stats": SQL_CORPUS_STATS,

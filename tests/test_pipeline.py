@@ -308,3 +308,37 @@ def test_decontaminate_bloom_matches_exact(spark):
         assert got == exact
     empty = ev.filter("doc_id < 0")
     assert pipeline.decontaminate_bloom(docs, empty, k=4).count() == 120
+
+
+def test_dsir_score_discriminates_and_handles_edges(spark):
+    """Docs written in the target's vocabulary outscore docs in a
+    disjoint vocabulary (and gate positive once counts dominate the
+    Laplace smoothing); a doc with < 2 words has no bigram features and
+    scores exactly 0.0 / not kept; an empty target still evaluates
+    (pure smoothing, no crash)."""
+    from pholcus_spark import pipeline
+
+    # long texts so bucket counts are comparable to B and the
+    # normalizer isn't washed out by the +B smoothing term
+    tgtish = "the quick brown fox jumps over the lazy dog again " * 40
+    rawish = "lorem ipsum dolor sit amet consectetur adipiscing elit " * 40
+    docs = spark.createDataFrame(
+        [(1, tgtish), (2, rawish), (3, tgtish + " extra"),
+         (4, "single"), (5, rawish + " more")],
+        "doc_id long, text string",
+    )
+    target = docs.filter("doc_id = 1")
+    rows = {r["doc_id"]: r for r in
+            pipeline.dsir_score(docs, target, n_buckets=256).collect()}
+    # ordering is the core property: target-vocabulary docs above
+    # raw-vocabulary docs
+    assert rows[1]["dsir_score"] > rows[2]["dsir_score"]
+    assert rows[3]["dsir_score"] > rows[5]["dsir_score"]
+    # with counts >> smoothing the gate's sign discriminates too
+    assert rows[1]["kept"] and rows[3]["kept"]
+    assert not rows[2]["kept"] and not rows[5]["kept"]
+    assert rows[4]["dsir_score"] == 0.0 and not rows[4]["kept"]
+
+    empty_target = docs.filter("doc_id < 0")
+    out = pipeline.dsir_score(docs, empty_target).collect()
+    assert len(out) == 5  # smoothing only; every doc still scored
