@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "training_decontaminate",
     "training_decontaminate_bloom",
     "training_dsir_select",
+    "training_budget_select",
     "training_sample_mix",
     "training_calibrate_gates",
     "training_source_cap",

@@ -632,3 +632,63 @@ def dsir_score(
     return docs.crossJoin(model).withColumn(
         "dsir_score", F.coalesce(score, F.lit(0.0))
     ).withColumn("kept", F.col("dsir_score") > 0).drop("_w", "_norm")
+
+
+def budget_select(docs: DataFrame, budgets: dict[str, int]) -> DataFrame:
+    """Token-budget stratified selection: fill each language's token
+    budget best-docs-first — the data-mixing step that turns "we want
+    30% code, 50B tokens of en web, ..." into a concrete kept set.
+    Order within a stratum is (token count DESC, doc_id ASC); a doc is
+    kept while the running token total stays within the budget
+    (inclusive prefix rule, so the first over-budget doc is dropped).
+
+    The naive plan is a cumulative-sum window PARTITION BY lang — one
+    partition per stratum, i.e. a single task streaming 10^10 rows per
+    language. Here the prefix sum is two-level instead (the
+    ``assign_seq`` idea applied to windows):
+
+    1. per (lang, score) group: ONE map-side-combined aggregate of
+       token sums — output bounded by distinct (stratum, score) pairs;
+    2. the EXCLUSIVE prefix over score groups runs on that
+       dimension-sized relation (cheap window over group rows);
+    3. group prefixes broadcast-join back; the residual inclusive
+       cumsum runs PARTITION BY (lang, score) — fine-grained partitions
+       bounded by tie-group size, never a whole stratum in one task.
+
+    Returns kept rows: (doc_id, lang, n_tokens)."""
+    budget = F.create_map(
+        *[F.lit(x) for kv in budgets.items() for x in kv]
+    )
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.size(textops.words(F.col("text"))).cast("long").alias("n_tokens"),
+    ).filter(F.col("lang").isin(*budgets.keys()))
+    groups = d.groupBy("lang", "n_tokens").agg(
+        F.sum("n_tokens").alias("grp_tokens")
+    )
+    w_grp = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("n_tokens"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefixes = groups.select(
+        "lang",
+        "n_tokens",
+        F.coalesce(F.sum("grp_tokens").over(w_grp), F.lit(0)).alias(
+            "prefix_tokens"
+        ),
+    )
+    w_in = (
+        Window.partitionBy("lang", "n_tokens")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        d.join(F.broadcast(prefixes), ["lang", "n_tokens"])
+        .withColumn(
+            "_cum", F.col("prefix_tokens") + F.sum("n_tokens").over(w_in)
+        )
+        .filter(F.col("_cum") <= F.element_at(budget, F.col("lang")))
+        .select("doc_id", "lang", "n_tokens")
+    )

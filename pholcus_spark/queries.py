@@ -2404,6 +2404,52 @@ FROM documents LEFT JOIN sc USING (doc_id), tot
 SQL_TRAINING_DSIR_SELECT = _dsir_sql()
 
 
+TOKEN_BUDGETS = {"en": 5000, "de": 1500, "fr": 1500, "es": 1500, "zh": 1500}
+
+
+def q_training_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget stratified selection (pipeline.budget_select): fill
+    each language's token budget best-docs-first (token count DESC,
+    doc_id ASC; inclusive prefix ≤ budget). The prefix sum is two-level
+    — per-(lang, score) group aggregate, a dimension-sized group-prefix
+    window, broadcast join back, residual cumsum partitioned by the
+    (lang, score) tie group — so no task ever streams a whole stratum
+    (the naive PARTITION BY lang window would at 10^10 rows). Budgets
+    cut mid-stratum at every sf, so kept and dropped are both
+    non-vacuous."""
+    from . import pipeline
+
+    return pipeline.budget_select(
+        _t(spark, sf_dir, "documents"), TOKEN_BUDGETS
+    )
+
+
+def _budget_select_sql() -> str:
+    case = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in TOKEN_BUDGETS.items()
+    )
+    langs = ", ".join(f"'{k}'" for k in TOKEN_BUDGETS)
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents WHERE lang IN ({langs})
+), c AS (
+  SELECT doc_id, lang, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY lang
+                             ORDER BY n_tokens DESC, doc_id ASC
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM d
+)
+SELECT doc_id, lang, n_tokens
+FROM c
+WHERE cum <= CASE lang {case} END
+"""
+
+
+SQL_TRAINING_BUDGET_SELECT = _budget_select_sql()
+
+
 MIX_RATES = {"en": 100, "de": 50, "fr": 50, "es": 25, "zh": 25}
 
 
@@ -3374,6 +3420,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "training_decontaminate": q_training_decontaminate,
     "training_decontaminate_bloom": q_training_decontaminate_bloom,
     "training_dsir_select": q_training_dsir_select,
+    "training_budget_select": q_training_budget_select,
     "training_sample_mix": q_training_sample_mix,
     "training_source_cap": q_training_source_cap,
     "corpus_stats": q_corpus_stats,
@@ -3458,6 +3505,7 @@ ORACLE_SQL: dict[str, str] = {
     "training_decontaminate": SQL_TRAINING_DECONTAMINATE,
     "training_decontaminate_bloom": SQL_TRAINING_DECONTAMINATE_BLOOM,
     "training_dsir_select": SQL_TRAINING_DSIR_SELECT,
+    "training_budget_select": SQL_TRAINING_BUDGET_SELECT,
     "training_sample_mix": SQL_TRAINING_SAMPLE_MIX,
     "training_source_cap": SQL_TRAINING_SOURCE_CAP,
     "corpus_stats": SQL_CORPUS_STATS,

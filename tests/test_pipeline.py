@@ -342,3 +342,57 @@ def test_dsir_score_discriminates_and_handles_edges(spark):
     empty_target = docs.filter("doc_id < 0")
     out = pipeline.dsir_score(docs, empty_target).collect()
     assert len(out) == 5  # smoothing only; every doc still scored
+
+
+def test_budget_select_two_level_prefix_matches_naive_window(spark):
+    """The two-level prefix (group aggregate + broadcast prefix +
+    residual tie-group cumsum) must equal the naive single-window
+    cumsum, including when a TIE GROUP spans the budget boundary (the
+    residual window's doc_id order decides who fits)."""
+    from pholcus_spark import pipeline
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from pholcus_spark import textops
+
+    rows = []
+    # en: sizes 10,10,10,10 (tie group), budget 25 -> first two fit
+    for i, n in enumerate([10, 10, 10, 10]):
+        rows.append((i, "en", "x " * n))
+    # de: descending sizes 8,5,3 budget 13 -> 8+5 fit, 3 over
+    for i, n in enumerate([8, 5, 3]):
+        rows.append((100 + i, "de", "y " * n))
+    # fr present in docs but NOT budgeted -> excluded entirely
+    rows.append((200, "fr", "z " * 9))
+    docs = spark.createDataFrame(
+        [(i, t.strip()) for i, _l, t in rows], "doc_id long, text string"
+    ).join(
+        spark.createDataFrame(
+            [(i, l) for i, l, _t in rows], "doc_id long, lang string"
+        ),
+        "doc_id",
+    )
+    budgets = {"en": 25, "de": 13}
+    got = {
+        r["doc_id"]
+        for r in pipeline.budget_select(docs, budgets).collect()
+    }
+    assert got == {0, 1, 100, 101}
+
+    # naive reference: one window per stratum
+    d = docs.filter(F.col("lang").isin(*budgets)).select(
+        "doc_id", "lang",
+        F.size(textops.words(F.col("text"))).cast("long").alias("n"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("n"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    bmap = F.create_map(*[F.lit(x) for kv in budgets.items() for x in kv])
+    naive = {
+        r["doc_id"]
+        for r in d.withColumn("cum", F.sum("n").over(w))
+        .filter(F.col("cum") <= F.element_at(bmap, F.col("lang")))
+        .collect()
+    }
+    assert got == naive
