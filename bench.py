@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "images_phash_neardup",
     "images_dual_neardup",
     "images_stats",
+    "images_aspect_bucket",
     "dedup_ngram_jaccard",
     "dedup_duplicate_spans",
     "dedup_strip_spans",

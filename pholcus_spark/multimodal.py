@@ -343,6 +343,60 @@ def image_stats(meta: DataFrame) -> DataFrame:
     )
 
 
+ASPECT_BUCKETS: tuple[tuple[int, int], ...] = (
+    (1, 1), (4, 3), (3, 4), (3, 2), (2, 3), (16, 9), (9, 16),
+    (2, 1), (1, 2),
+)
+
+
+def aspect_buckets(
+    meta: DataFrame,
+    buckets: tuple[tuple[int, int], ...] = ASPECT_BUCKETS,
+) -> DataFrame:
+    """Aspect-ratio bucketing for image training (the SDXL-style
+    bucketed-batching step: group images whose aspect ratios are close
+    so a batch can share one crop geometry instead of square-cropping
+    everything). Each image goes to the bucket minimizing
+    ``|ln(w·hb) − ln(h·wb)|`` (= |log aspect difference|), distance
+    rounded to 6 decimals for cross-engine parity, ties broken by the
+    lower bucket index.
+
+    A ZERO-SHUFFLE projection: the bucket list is a literal
+    struct-array per row and ``array_min`` picks the lexicographic
+    (distance, index) minimum inside codegen — at 10^10 images this is
+    a map-only pass at scan speed. Downstream batch formation groups by
+    ``bucket_idx`` (one dimension-bounded shuffle, not done here).
+
+    Requires (image_id, w, h); returns (image_id, w, h, bucket_idx,
+    bucket_w, bucket_h)."""
+    cand = F.array(
+        *[
+            F.struct(
+                F.round(
+                    F.abs(
+                        F.log(F.col("w").cast("double") * F.lit(float(bh)))
+                        - F.log(F.col("h").cast("double") * F.lit(float(bw)))
+                    ),
+                    6,
+                ).alias("d"),
+                F.lit(i).cast("int").alias("i"),
+            )
+            for i, (bw, bh) in enumerate(buckets)
+        ]
+    )
+    best = F.array_min(cand)
+    bw_arr = F.array(*[F.lit(bw) for bw, _bh in buckets])
+    bh_arr = F.array(*[F.lit(bh) for _bw, bh in buckets])
+    return meta.select(
+        "image_id",
+        "w",
+        "h",
+        best["i"].alias("bucket_idx"),
+        F.element_at(bw_arr, best["i"] + 1).alias("bucket_w"),
+        F.element_at(bh_arr, best["i"] + 1).alias("bucket_h"),
+    )
+
+
 def phash_verified_pairs(
     meta: DataFrame, max_hamming: int = 10, band_bits: int = 16
 ) -> DataFrame:

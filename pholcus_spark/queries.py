@@ -3033,6 +3033,45 @@ FROM b GROUP BY ROLLUP(fmt, px_bucket)
 """
 
 
+def q_images_aspect_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio bucketing (multimodal.aspect_buckets): REAL decode
+    → zero-shuffle argmin over the literal bucket list (SDXL-style
+    bucketed batching). The oracle mirrors the decoded dims from the
+    generator arithmetic and recomputes every distance + the
+    (dist, idx) argmin, so a drift in decode, bucket table, rounding,
+    or tie-break breaks the hash."""
+    meta = multimodal.decode_image_meta(_synthetic_images(spark, sf_dir))
+    return multimodal.aspect_buckets(meta)
+
+
+def _aspect_bucket_sql() -> str:
+    vals = ", ".join(
+        f"({i}, {bw}, {bh})"
+        for i, (bw, bh) in enumerate(multimodal.ASPECT_BUCKETS)
+    )
+    return f"""
+WITH p AS (SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS r
+           FROM documents),
+m AS (SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS image_id,
+             CAST(24 + r % 33 AS INT) AS w,
+             CAST(24 + (r // 33) % 33 AS INT) AS h
+      FROM p),
+b(i, bw, bh) AS (SELECT * FROM (VALUES {vals})),
+d AS (SELECT image_id, w, h, b.i, b.bw, b.bh,
+             round(abs(ln(CAST(w AS DOUBLE) * bh)
+                       - ln(CAST(h AS DOUBLE) * bw)), 6) AS dist
+      FROM m CROSS JOIN b),
+r AS (SELECT *, row_number() OVER (PARTITION BY image_id
+                                   ORDER BY dist, i) AS rk FROM d)
+SELECT image_id, w, h, CAST(i AS INT) AS bucket_idx,
+       CAST(bw AS INT) AS bucket_w, CAST(bh AS INT) AS bucket_h
+FROM r WHERE rk = 1
+"""
+
+
+SQL_IMAGES_ASPECT_BUCKET = _aspect_bucket_sql()
+
+
 def q_images_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     imgs = _synthetic_images(spark, sf_dir)
     resized = multimodal.resize_images(imgs, 16, 16)
@@ -3421,6 +3460,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "training_decontaminate_bloom": q_training_decontaminate_bloom,
     "training_dsir_select": q_training_dsir_select,
     "training_budget_select": q_training_budget_select,
+    "images_aspect_bucket": q_images_aspect_bucket,
     "training_sample_mix": q_training_sample_mix,
     "training_source_cap": q_training_source_cap,
     "corpus_stats": q_corpus_stats,
@@ -3506,6 +3546,7 @@ ORACLE_SQL: dict[str, str] = {
     "training_decontaminate_bloom": SQL_TRAINING_DECONTAMINATE_BLOOM,
     "training_dsir_select": SQL_TRAINING_DSIR_SELECT,
     "training_budget_select": SQL_TRAINING_BUDGET_SELECT,
+    "images_aspect_bucket": SQL_IMAGES_ASPECT_BUCKET,
     "training_sample_mix": SQL_TRAINING_SAMPLE_MIX,
     "training_source_cap": SQL_TRAINING_SOURCE_CAP,
     "corpus_stats": SQL_CORPUS_STATS,

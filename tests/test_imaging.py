@@ -131,3 +131,29 @@ def test_dual_hash_verified_pairs_conjunction(spark):
         ).collect()
     }
     assert got == {("a", "c")}
+
+
+def test_aspect_buckets_argmin_and_tiebreak(spark):
+    """Known assignments land in the expected buckets; an exact
+    distance tie (duplicate bucket entries) resolves to the LOWER
+    bucket index; output carries the bucket's target dims."""
+    from pholcus_spark import multimodal
+
+    meta = spark.createDataFrame(
+        [("sq", 100, 100), ("wide", 160, 90), ("tall", 90, 160),
+         ("landscape", 150, 100)],
+        "image_id string, w int, h int",
+    )
+    rows = {r["image_id"]: r
+            for r in multimodal.aspect_buckets(meta).collect()}
+    assert (rows["sq"]["bucket_w"], rows["sq"]["bucket_h"]) == (1, 1)
+    assert (rows["wide"]["bucket_w"], rows["wide"]["bucket_h"]) == (16, 9)
+    assert (rows["tall"]["bucket_w"], rows["tall"]["bucket_h"]) == (9, 16)
+    assert (rows["landscape"]["bucket_w"],
+            rows["landscape"]["bucket_h"]) == (3, 2)
+
+    dup = ((1, 1), (1, 1), (2, 1))
+    tied = multimodal.aspect_buckets(
+        meta.filter("image_id = 'sq'"), buckets=dup
+    ).collect()[0]
+    assert tied["bucket_idx"] == 0
