@@ -352,6 +352,66 @@ def main() -> int:
          "projection probe, explode only for bloom positives)", p, probs)
     )
 
+    # 18. DSIR scoring: the model (weight map + normalizer) is a 1-row
+    # broadcast; the corpus scoring side is a projection over the scan
+    # — no exchange between the docs scan and the final project
+    q = QUERIES["training_dsir_select"](spark, sf_dir)
+    p, probs = audit(
+        "training_dsir_select", q,
+        expect=["BroadcastNestedLoopJoin"],
+        forbid=["CartesianProduct", "SortMergeJoin"],
+    )
+    sections.append(
+        ("training_dsir_select (1-row model broadcast, zero-shuffle "
+         "scoring projection; 2 data exchanges, both B-bounded)",
+         p, probs)
+    )
+
+    # 19. budget selection: the group-prefix relation broadcasts back;
+    # the residual window partitions by the (lang, n_tokens) tie group
+    # — a naive whole-stratum window would show
+    # 'Window [...partitionBy lang]' with no n_tokens key
+    q = QUERIES["training_budget_select"](spark, sf_dir)
+    p, probs = audit(
+        "training_budget_select", q,
+        expect=["BroadcastHashJoin", "lang#", "n_tokens#"],
+        forbid=["CartesianProduct"],
+    )
+    if "partitionBy" in p and "n_tokens" not in p.split("Window")[1][:400]:
+        probs.append("residual window not keyed by tie group")
+    sections.append(
+        ("training_budget_select (two-level prefix: broadcast group "
+         "prefixes + residual tie-group window, no whole-stratum task)",
+         p, probs)
+    )
+
+    # 20. incremental dedup: candidate joins key on (band_idx,
+    # band_key); the corpus shingle relation is semi-join pruned before
+    # the verify; the final admit is a left-anti join
+    q = QUERIES["dedup_incremental"](spark, sf_dir)
+    p, probs = audit(
+        "dedup_incremental", q,
+        expect=["LeftAnti", "LeftSemi", "band_key"],
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin"],
+    )
+    sections.append(
+        ("dedup_incremental (band-index candidate join, semi-pruned "
+         "corpus shingles, anti-join admit)", p, probs)
+    )
+
+    # 21. aspect bucketing: pure map — a single stage, no exchange of
+    # any kind anywhere in the plan
+    q = QUERIES["images_aspect_bucket"](spark, sf_dir)
+    p, probs = audit(
+        "images_aspect_bucket", q,
+        expect=["Project"],
+        forbid=["Exchange", "Join", "Sort"],
+    )
+    sections.append(
+        ("images_aspect_bucket (zero-shuffle argmin projection — "
+         "no Exchange in the whole plan)", p, probs)
+    )
+
     all_problems = []
     out = ["# PLANS — physical-plan audit of the hot paths\n"]
     out.append(
