@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "images_dual_neardup",
     "images_stats",
     "images_aspect_bucket",
+    "images_bucket_geometry",
     "dedup_ngram_jaccard",
     "dedup_duplicate_spans",
     "dedup_strip_spans",

@@ -397,6 +397,71 @@ def aspect_buckets(
     )
 
 
+def bucket_target_dims(
+    buckets: tuple[tuple[int, int], ...] = ASPECT_BUCKETS,
+    pixel_budget: int = 4096,
+    multiple: int = 8,
+) -> list[tuple[int, int]]:
+    """Per-bucket target box: the bucket's aspect scaled to
+    ~``pixel_budget`` pixels, each side rounded to a ``multiple`` (the
+    model's patch/latent granularity), floored at one multiple.
+    Driver-side integer constants — computed once, baked into the plan
+    as literals."""
+    out = []
+    for bw, bh in buckets:
+        tw = ((pixel_budget * bw / bh) ** 0.5 / multiple + 0.5).__floor__()
+        th = ((pixel_budget * bh / bw) ** 0.5 / multiple + 0.5).__floor__()
+        out.append((max(int(tw), 1) * multiple, max(int(th), 1) * multiple))
+    return out
+
+
+def bucket_geometry(
+    assigned: DataFrame,
+    buckets: tuple[tuple[int, int], ...] = ASPECT_BUCKETS,
+    pixel_budget: int = 4096,
+    multiple: int = 8,
+) -> DataFrame:
+    """Crop geometry for bucketed batching — the second half of the
+    SDXL-style pipeline after ``aspect_buckets``: every image in a
+    bucket resizes (aspect-preserving, COVER the target box) and
+    center-crops to the bucket's target dims, so one batch shares one
+    tensor shape. All integer arithmetic (ceil-division scale, floor
+    centering), so the oracle reproduces it exactly:
+
+        if target_w·h ≥ target_h·w:   scaled = (target_w, ⌈h·tw/w⌉)
+        else:                          scaled = (⌈w·th/h⌉, target_h)
+        crop = ((scaled_w − target_w) div 2, (scaled_h − target_h) div 2)
+
+    Zero-shuffle projection over the ``aspect_buckets`` output (needs
+    image_id, w, h, bucket_idx). Returns (image_id, bucket_idx,
+    target_w, target_h, scaled_w, scaled_h, crop_x, crop_y)."""
+    dims = bucket_target_dims(buckets, pixel_budget, multiple)
+    tw = F.element_at(
+        F.array(*[F.lit(a) for a, _b in dims]), F.col("bucket_idx") + 1
+    )
+    th = F.element_at(
+        F.array(*[F.lit(b) for _a, b in dims]), F.col("bucket_idx") + 1
+    )
+    w, h = F.col("w").cast("long"), F.col("h").cast("long")
+    wide = tw * h >= th * w  # width-constrained: scale so width == tw
+    sw = F.when(wide, tw).otherwise(
+        F.floor((w * th + h - 1) / h).cast("int")
+    )
+    sh = F.when(wide, F.floor((h * tw + w - 1) / w).cast("int")).otherwise(
+        th
+    )
+    return assigned.select(
+        "image_id",
+        "bucket_idx",
+        tw.cast("int").alias("target_w"),
+        th.cast("int").alias("target_h"),
+        sw.cast("int").alias("scaled_w"),
+        sh.cast("int").alias("scaled_h"),
+        F.floor((sw - tw) / 2).cast("int").alias("crop_x"),
+        F.floor((sh - th) / 2).cast("int").alias("crop_y"),
+    )
+
+
 def phash_verified_pairs(
     meta: DataFrame, max_hamming: int = 10, band_bits: int = 16
 ) -> DataFrame:

@@ -3072,6 +3072,51 @@ FROM r WHERE rk = 1
 SQL_IMAGES_ASPECT_BUCKET = _aspect_bucket_sql()
 
 
+def q_images_bucket_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-batching crop geometry (multimodal.bucket_geometry):
+    aspect assignment composed with the integer cover-resize +
+    center-crop arithmetic — every batch shares one tensor shape. The
+    oracle recomputes the argmin AND every ceil-division/centering
+    step, so the integer geometry is bit-checked end to end."""
+    meta = multimodal.decode_image_meta(_synthetic_images(spark, sf_dir))
+    return multimodal.bucket_geometry(multimodal.aspect_buckets(meta))
+
+
+def _bucket_geometry_sql() -> str:
+    dims = multimodal.bucket_target_dims()
+    tw_case = " ".join(
+        f"WHEN {i} THEN {a}" for i, (a, _b) in enumerate(dims)
+    )
+    th_case = " ".join(
+        f"WHEN {i} THEN {b}" for i, (_a, b) in enumerate(dims)
+    )
+    return f"""
+WITH a AS ({SQL_IMAGES_ASPECT_BUCKET}),
+g AS (
+  SELECT image_id, bucket_idx,
+         CAST(CASE bucket_idx {tw_case} END AS BIGINT) AS tw,
+         CAST(CASE bucket_idx {th_case} END AS BIGINT) AS th,
+         CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h
+  FROM a),
+s AS (
+  SELECT image_id, bucket_idx, tw, th,
+         CASE WHEN tw * h >= th * w THEN tw
+              ELSE (w * th + h - 1) // h END AS sw,
+         CASE WHEN tw * h >= th * w THEN (h * tw + w - 1) // w
+              ELSE th END AS sh
+  FROM g)
+SELECT image_id, bucket_idx,
+       CAST(tw AS INT) AS target_w, CAST(th AS INT) AS target_h,
+       CAST(sw AS INT) AS scaled_w, CAST(sh AS INT) AS scaled_h,
+       CAST((sw - tw) // 2 AS INT) AS crop_x,
+       CAST((sh - th) // 2 AS INT) AS crop_y
+FROM s
+"""
+
+
+SQL_IMAGES_BUCKET_GEOMETRY = _bucket_geometry_sql()
+
+
 def q_images_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     imgs = _synthetic_images(spark, sf_dir)
     resized = multimodal.resize_images(imgs, 16, 16)
@@ -3461,6 +3506,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "training_dsir_select": q_training_dsir_select,
     "training_budget_select": q_training_budget_select,
     "images_aspect_bucket": q_images_aspect_bucket,
+    "images_bucket_geometry": q_images_bucket_geometry,
     "training_sample_mix": q_training_sample_mix,
     "training_source_cap": q_training_source_cap,
     "corpus_stats": q_corpus_stats,
@@ -3547,6 +3593,7 @@ ORACLE_SQL: dict[str, str] = {
     "training_dsir_select": SQL_TRAINING_DSIR_SELECT,
     "training_budget_select": SQL_TRAINING_BUDGET_SELECT,
     "images_aspect_bucket": SQL_IMAGES_ASPECT_BUCKET,
+    "images_bucket_geometry": SQL_IMAGES_BUCKET_GEOMETRY,
     "training_sample_mix": SQL_TRAINING_SAMPLE_MIX,
     "training_source_cap": SQL_TRAINING_SOURCE_CAP,
     "corpus_stats": SQL_CORPUS_STATS,

@@ -157,3 +157,31 @@ def test_aspect_buckets_argmin_and_tiebreak(spark):
         meta.filter("image_id = 'sq'"), buckets=dup
     ).collect()[0]
     assert tied["bucket_idx"] == 0
+
+
+def test_bucket_geometry_cover_and_center(spark):
+    """The scaled image always COVERS the target box (scaled ≥ target on
+    both sides), the constrained side equals the target exactly, and
+    the crop is centered with the leftover split floor/ceil."""
+    from pholcus_spark import multimodal
+
+    meta = spark.createDataFrame(
+        [("a", 100, 100), ("b", 160, 90), ("c", 37, 61)],
+        "image_id string, w int, h int",
+    )
+    assigned = multimodal.aspect_buckets(meta)
+    rows = {r["image_id"]: r
+            for r in multimodal.bucket_geometry(assigned).collect()}
+    for r in rows.values():
+        assert r["scaled_w"] >= r["target_w"]
+        assert r["scaled_h"] >= r["target_h"]
+        assert (r["scaled_w"] == r["target_w"]
+                or r["scaled_h"] == r["target_h"])
+        assert r["crop_x"] == (r["scaled_w"] - r["target_w"]) // 2
+        assert r["crop_y"] == (r["scaled_h"] - r["target_h"]) // 2
+        # target dims honor the multiple-of-8 granularity
+        assert r["target_w"] % 8 == 0 and r["target_h"] % 8 == 0
+    # square image into the square bucket: no crop at all
+    a = rows["a"]
+    assert (a["scaled_w"], a["scaled_h"]) == (a["target_w"], a["target_h"])
+    assert a["crop_x"] == 0 and a["crop_y"] == 0
