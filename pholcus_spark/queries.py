@@ -534,6 +534,69 @@ GROUP BY n_name
 """
 
 
+def q_url_surt_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURT sort key (urlnorm.surt_key_col): reversed-host)/path as a
+    pure codegen projection — the CDX-index partitioning key that gives
+    per-domain locality in a 10^10-row URL index. The synthetic corpus
+    exercises www-stripping, multi-label reversal, port dropping, the
+    empty-path default, and query-string exclusion."""
+    from .urlnorm import surt_key_col
+
+    docs = _t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("http://"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("sub"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".Host"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit(".Example.COM"),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(":8080")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0, F.lit("")
+        ).otherwise(
+            F.concat(F.lit("/"), F.col("source"), F.lit("/p/"),
+                     F.col("doc_id").cast("string"))
+        ),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("?q=1&x=2")).otherwise(F.lit("")),
+    )
+    d = docs.select("doc_id", raw.alias("raw_url"))
+    return d.select("doc_id", "raw_url",
+                    surt_key_col(F.col("raw_url")).alias("surt_key"))
+
+
+SQL_URL_SURT_KEY = """
+WITH d AS (
+  SELECT doc_id,
+         concat('http://',
+                CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END,
+                'sub', CAST(doc_id % 7 AS VARCHAR),
+                '.Host', CAST(doc_id % 50 AS VARCHAR), '.Example.COM',
+                CASE WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END,
+                CASE WHEN doc_id % 5 = 0 THEN ''
+                     ELSE concat('/', source, '/p/',
+                                 CAST(doc_id AS VARCHAR)) END,
+                CASE WHEN doc_id % 4 = 0 THEN '?q=1&x=2' ELSE '' END
+         ) AS raw_url
+  FROM documents),
+h AS (
+  SELECT doc_id, raw_url,
+         regexp_replace(
+           regexp_replace(
+             lower(regexp_extract(raw_url, '^[A-Za-z]+://([^/?#]+)', 1)),
+             ':[0-9]+$', ''),
+           '^www\\.', '') AS host,
+         regexp_extract(raw_url, '^[A-Za-z]+://[^/?#]*([^?#]*)', 1) AS p
+  FROM d)
+SELECT doc_id, raw_url,
+       CASE WHEN host = '' THEN ''
+            ELSE concat(array_to_string(list_reverse(string_split(host, '.')), ','),
+                        ')', CASE WHEN p = '' THEN '/' ELSE p END)
+       END AS surt_key
+FROM h
+"""
+
+
 def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6/P7 URL canonicalization + portable key (request.go:139-145
     analog): lowercase scheme+host, strip default port and fragment."""
@@ -3471,6 +3534,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "recrawl_schedule": q_recrawl_schedule,
     "rule_broadcast_join": q_rule_broadcast_join,
     "url_canonicalize": q_url_canonicalize,
+    "url_surt_key": q_url_surt_key,
     "retry_split": q_retry_split,
     "resolved_latest_wins": q_resolved_latest_wins,
     "temp_json_passthrough": q_temp_json_passthrough,
@@ -3559,6 +3623,7 @@ ORACLE_SQL: dict[str, str] = {
     "recrawl_schedule": SQL_RECRAWL_SCHEDULE,
     "rule_broadcast_join": SQL_RULE_BROADCAST_JOIN,
     "url_canonicalize": SQL_URL_CANONICALIZE,
+    "url_surt_key": SQL_URL_SURT_KEY,
     "retry_split": SQL_RETRY_SPLIT,
     "resolved_latest_wins": SQL_RESOLVED_LATEST_WINS,
     "temp_json_passthrough": SQL_TEMP_JSON_PASSTHROUGH,

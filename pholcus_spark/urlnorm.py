@@ -71,3 +71,28 @@ def canonicalize_series(urls: pd.Series) -> pd.Series:
 
 def host_series(urls: pd.Series) -> pd.Series:
     return urls.map(host_of)
+
+
+def surt_key_col(url):
+    """SURT-style sort key as a pure JVM codegen expression (no Python):
+    ``com,example,sub)/path`` — host lowercased, port and leading
+    ``www.`` dropped, labels REVERSED so one registrable domain's URLs
+    share a key prefix (the Common Crawl / Wayback CDX index layout;
+    ISO 28500-adjacent convention). Sorting or range-partitioning a
+    10^10-row URL index by this key gives per-domain locality — range
+    scans of a site touch contiguous partitions — where raw-URL order
+    scatters a domain across the keyspace. Query strings are excluded
+    (key = authority + path), '' for unparseable input.
+
+    Accepts/returns ``pyspark.sql.Column``."""
+    from pyspark.sql import functions as F
+
+    host = F.lower(F.regexp_extract(url, r"^[A-Za-z]+://([^/?#]+)", 1))
+    host = F.regexp_replace(host, r":\d+$", "")
+    host = F.regexp_replace(host, r"^www\.", "")
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    path = F.regexp_extract(url, r"^[A-Za-z]+://[^/?#]*([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    return F.when(host == "", F.lit("")).otherwise(
+        F.concat(rev, F.lit(")"), path)
+    )

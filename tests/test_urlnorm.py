@@ -45,3 +45,28 @@ def test_series_vectorized():
     s = pd.Series(["http://A.com/x", "bad"])
     out = canonicalize_series(s)
     assert list(out) == ["http://a.com/x", ""]
+
+
+def test_surt_key_reversal_strip_and_locality(spark):
+    """Label reversal, www/port stripping, empty-path default, query
+    exclusion; and the locality property the key exists for — one
+    registrable domain's URLs share a key prefix."""
+    from pyspark.sql import functions as F
+
+    from pholcus_spark.urlnorm import surt_key_col
+
+    urls = [
+        ("http://www.Example.COM/a/b", "com,example)/a/b"),
+        ("https://sub.example.com:8443/x?q=1", "com,example,sub)/x"),
+        ("http://example.com", "com,example)/"),
+        ("http://deep.sub.example.com/p", "com,example,sub,deep)/p"),
+        ("not a url", ""),
+    ]
+    df = spark.createDataFrame(urls, "url string, want string").select(
+        "url", "want", surt_key_col(F.col("url")).alias("got")
+    )
+    for r in df.collect():
+        assert r["got"] == r["want"], (r["url"], r["got"])
+    # locality: every example.com key starts with the domain prefix
+    keys = [r["got"] for r in df.collect() if r["got"]]
+    assert all(k.startswith("com,example") for k in keys)
