@@ -301,7 +301,9 @@ def test_decontaminate_bloom_matches_exact(spark):
     ev = docs.filter("doc_id % 13 = 0")
     exact = {r["doc_id"]
              for r in pipeline.decontaminate(docs, ev, k=4).collect()}
-    for n_bits in (1 << 16, 128):  # honest and FP-saturated sizings
+    # honest, FP-saturated, and past-the-literal-threshold sizings —
+    # the last takes the broadcast-joined dense-array path
+    for n_bits in (1 << 16, 128, 1 << 25):
         got = {r["doc_id"] for r in
                pipeline.decontaminate_bloom(docs, ev, k=4,
                                             n_bits=n_bits).collect()}
