@@ -358,3 +358,44 @@ def test_incremental_dedup_admits_against_corpus_and_self(spark):
         for r in dedup.incremental_dedup(corpus2, batch2).collect()
     }
     assert kept3 == {21}
+
+
+def test_incremental_dedup_with_persisted_band_index(spark, tmp_path):
+    """The production loop: corpus bands persisted once (bucketed by
+    band key on disk), each increment read back from the index — the
+    corpus text is never re-scanned. Admits must equal the on-the-fly
+    computation, and appending a survivor's bands must block its
+    near-dup in the next increment."""
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "iota kappa lambda mu nu xi omicron pi")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "band_index")
+    dedup.minhash_bands(corpus, 8, 2, 3).write.mode("overwrite").parquet(idx)
+
+    batch = spark.createDataFrame(
+        [(10, base), (11, "totally different words entirely here yes")],
+        "doc_id long, text string",
+    )
+    from_index = dedup.incremental_dedup(
+        corpus, batch, corpus_bands=spark.read.parquet(idx)
+    )
+    kept = {r["doc_id"] for r in from_index.collect()}
+    on_the_fly = {
+        r["doc_id"] for r in dedup.incremental_dedup(corpus, batch).collect()
+    }
+    assert kept == on_the_fly == {11}
+
+    # append the survivor's bands; its clone is blocked next increment
+    survivors = batch.filter("doc_id = 11")
+    dedup.minhash_bands(survivors, 8, 2, 3).write.mode("append").parquet(idx)
+    batch2 = spark.createDataFrame(
+        [(20, "totally different words entirely here yes")],
+        "doc_id long, text string",
+    )
+    kept2 = dedup.incremental_dedup(
+        corpus.unionByName(survivors), batch2,
+        corpus_bands=spark.read.parquet(idx),
+    )
+    assert kept2.count() == 0
