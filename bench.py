@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "images_stats",
     "images_aspect_bucket",
     "images_bucket_geometry",
+    "images_bucket_batches",
     "dedup_ngram_jaccard",
     "dedup_duplicate_spans",
     "dedup_strip_spans",

@@ -25,7 +25,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -459,6 +459,36 @@ def bucket_geometry(
         sh.cast("int").alias("scaled_h"),
         F.floor((sw - tw) / 2).cast("int").alias("crop_x"),
         F.floor((sh - th) / 2).cast("int").alias("crop_y"),
+    )
+
+
+def bucket_batches(
+    geo: DataFrame,
+    batch_size: int = 8,
+) -> DataFrame:
+    """Batch assembly for bucketed training: images sharing an aspect
+    bucket (and therefore one tensor shape, ``bucket_geometry``) are
+    grouped into fixed-size batches in deterministic image_id order —
+    the last step before a training dataloader reads the corpus.
+
+    One shuffle (window PARTITION BY bucket_idx); at 10^10 images use
+    the ``pack_shards`` trick of sub-salting each bucket into
+    independent pack groups if a single bucket outgrows one task's
+    sort. A batch never mixes buckets, slots are dense from 0, and the
+    final partial batch per bucket is kept (the loader drops or pads
+    it — a policy choice, not data).
+
+    Input: ``bucket_geometry`` output. Returns (image_id, bucket_idx,
+    target_w, target_h, batch_idx, slot)."""
+    w = Window.partitionBy("bucket_idx").orderBy("image_id")
+    rn = F.row_number().over(w) - 1
+    return geo.select(
+        "image_id",
+        "bucket_idx",
+        "target_w",
+        "target_h",
+        F.floor(rn / batch_size).cast("long").alias("batch_idx"),
+        F.pmod(rn, F.lit(batch_size)).cast("int").alias("slot"),
     )
 
 

@@ -3180,6 +3180,34 @@ FROM s
 SQL_IMAGES_BUCKET_GEOMETRY = _bucket_geometry_sql()
 
 
+IMAGE_BATCH_SIZE = 8
+
+
+def q_images_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed batch assembly (multimodal.bucket_batches): decode →
+    aspect bucket → geometry → fixed-size batches per bucket in
+    image_id order — the full image-training dataloader layout as one
+    plan. The oracle recomputes the argmin, the geometry, and the
+    row_number batching, so batch boundaries and slots are bit-checked."""
+    meta = multimodal.decode_image_meta(_synthetic_images(spark, sf_dir))
+    geo = multimodal.bucket_geometry(multimodal.aspect_buckets(meta))
+    return multimodal.bucket_batches(geo, IMAGE_BATCH_SIZE)
+
+
+SQL_IMAGES_BUCKET_BATCHES = f"""
+WITH g AS ({SQL_IMAGES_BUCKET_GEOMETRY}),
+r AS (
+  SELECT image_id, bucket_idx, target_w, target_h,
+         row_number() OVER (PARTITION BY bucket_idx
+                            ORDER BY image_id) - 1 AS rn
+  FROM g)
+SELECT image_id, bucket_idx, target_w, target_h,
+       CAST(rn // {IMAGE_BATCH_SIZE} AS BIGINT) AS batch_idx,
+       CAST(rn % {IMAGE_BATCH_SIZE} AS INT) AS slot
+FROM r
+"""
+
+
 def q_images_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     imgs = _synthetic_images(spark, sf_dir)
     resized = multimodal.resize_images(imgs, 16, 16)
@@ -3571,6 +3599,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "training_budget_select": q_training_budget_select,
     "images_aspect_bucket": q_images_aspect_bucket,
     "images_bucket_geometry": q_images_bucket_geometry,
+    "images_bucket_batches": q_images_bucket_batches,
     "training_sample_mix": q_training_sample_mix,
     "training_source_cap": q_training_source_cap,
     "corpus_stats": q_corpus_stats,
@@ -3659,6 +3688,7 @@ ORACLE_SQL: dict[str, str] = {
     "training_budget_select": SQL_TRAINING_BUDGET_SELECT,
     "images_aspect_bucket": SQL_IMAGES_ASPECT_BUCKET,
     "images_bucket_geometry": SQL_IMAGES_BUCKET_GEOMETRY,
+    "images_bucket_batches": SQL_IMAGES_BUCKET_BATCHES,
     "training_sample_mix": SQL_TRAINING_SAMPLE_MIX,
     "training_source_cap": SQL_TRAINING_SOURCE_CAP,
     "corpus_stats": SQL_CORPUS_STATS,

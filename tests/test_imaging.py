@@ -185,3 +185,32 @@ def test_bucket_geometry_cover_and_center(spark):
     a = rows["a"]
     assert (a["scaled_w"], a["scaled_h"]) == (a["target_w"], a["target_h"])
     assert a["crop_x"] == 0 and a["crop_y"] == 0
+
+
+def test_bucket_batches_dense_and_unmixed(spark):
+    """Slots are dense 0..batch_size-1 in image_id order, batches never
+    mix buckets, batch_idx is contiguous from 0 per bucket, and only
+    the LAST batch of a bucket may be partial."""
+    from pholcus_spark import multimodal
+
+    meta = spark.createDataFrame(
+        [(f"img{i:03d}", 100 + (i % 3), 100) for i in range(20)],
+        "image_id string, w int, h int",
+    )
+    geo = multimodal.bucket_geometry(multimodal.aspect_buckets(meta))
+    rows = multimodal.bucket_batches(geo, batch_size=4).collect()
+    by_bucket: dict[int, list] = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket_idx"], []).append(r)
+    assert len(rows) == 20
+    for b, rs in by_bucket.items():
+        rs.sort(key=lambda r: r["image_id"])
+        # dense slots/batches in id order
+        for i, r in enumerate(rs):
+            assert r["batch_idx"] == i // 4 and r["slot"] == i % 4
+        # at most one partial batch, and it is the last one
+        sizes = {}
+        for r in rs:
+            sizes[r["batch_idx"]] = sizes.get(r["batch_idx"], 0) + 1
+        full = sorted(sizes)
+        assert all(sizes[i] == 4 for i in full[:-1])
