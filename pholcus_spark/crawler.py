@@ -576,6 +576,7 @@ class CrawlEngine:
             FR.select_batch(
                 pending, self._politeness, cfg.batch_size,
                 fair_share_spiders=self._multi, scope=scope,
+                age_ramp=cfg.age_ramp, now_seq=next_seq,
             )
         )
         # cookie jar as of the round start (EnableCookie,

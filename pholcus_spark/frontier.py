@@ -350,6 +350,8 @@ def select_batch(
     salt_k: int = SALT_K,
     fair_share_spiders: bool = False,
     scope: CacheScope | None = None,
+    age_ramp: int | None = None,
+    now_seq: int = 0,
 ) -> DataFrame:
     """Matrix.Pull × batch: the per-round dispatch set.
 
@@ -359,19 +361,34 @@ def select_batch(
     by two-phase ranking — phase 1 ranks within (host, salt) so no
     single task sees a whole hot host; phase 2 re-ranks the pruned
     survivors exactly. Output is identical to a direct per-host rank.
+
+    ``age_ramp`` (an EXTENSION beyond the reference, off by default):
+    starvation guard — a row's effective priority for THIS selection is
+    ``priority + (now_seq − seq) div age_ramp``, i.e. it climbs one
+    level per ``age_ramp`` enqueue ticks spent waiting, so a hot host's
+    endless high-priority stream cannot starve an old low-priority URL
+    forever. A pure codegen expression used only for ordering — stored
+    priorities never change, and ties still break FIFO.
     """
+    if age_ramp:
+        eff = (
+            F.col("priority")
+            + F.floor((F.lit(int(now_seq)) - F.col("seq")) / F.lit(int(age_ramp)))
+        ).cast("long")
+    else:
+        eff = F.col("priority")
     pol = F.broadcast(politeness.select("host", "max_per_round"))
     p = pending.join(pol, "host", "left").withColumn(
         "max_per_round", F.coalesce("max_per_round", F.lit(1))
-    )
+    ).withColumn("_ep", eff)
     salt = (F.pmod(F.col("url_key"), F.lit(salt_k))).cast("int")
     w1 = Window.partitionBy("host", salt).orderBy(
-        F.desc("priority"), F.asc("seq")
+        F.desc("_ep"), F.asc("seq")
     )
     p = p.withColumn("_r1", F.row_number().over(w1)).filter(
         F.col("_r1") <= F.col("max_per_round")
     )
-    w2 = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("seq"))
+    w2 = Window.partitionBy("host").orderBy(F.desc("_ep"), F.asc("seq"))
     p = p.withColumn("_r2", F.row_number().over(w2)).filter(
         F.col("_r2") <= F.col("max_per_round")
     )
@@ -382,7 +399,7 @@ def select_batch(
     # skip it and keep the batch partitioned end-to-end; the count is a
     # cheap JVM-only agg on the cached capped set.
     if p.count() <= batch_size:
-        return p
+        return p.drop("_ep")
     if fair_share_spiders:
         # F4 fair share (scheduler avgRes, matrix.go:73-79): when the
         # cap binds, each spider is guaranteed batch//n_spiders slots
@@ -390,7 +407,7 @@ def select_batch(
         n_spiders = p.select("spider").distinct().count()
         quota = max(1, batch_size // max(n_spiders, 1))
         ws = Window.partitionBy("spider").orderBy(
-            F.desc("priority"), F.asc("seq")
+            F.desc("_ep"), F.asc("seq")
         )
         ranked = _cache(p.withColumn("_rs", F.row_number().over(ws)), scope)
         guaranteed = ranked.filter(F.col("_rs") <= quota)
@@ -402,21 +419,21 @@ def select_batch(
             # n_spiders > batch_size: even one row per spider overflows
             # the batch — fall back to the global order cap
             out = guaranteed.orderBy(
-                F.desc("priority"), F.asc("seq")
+                F.desc("_ep"), F.asc("seq")
             ).limit(batch_size)
-            return out.drop("_rs")
+            return out.drop("_rs", "_ep")
         leftover_slots = batch_size - n_guaranteed
         if leftover_slots > 0:
             extra = (
                 ranked.filter(F.col("_rs") > quota)
-                .orderBy(F.desc("priority"), F.asc("seq"))
+                .orderBy(F.desc("_ep"), F.asc("seq"))
                 .limit(leftover_slots)
             )
             out = guaranteed.unionByName(extra)
         else:
             out = guaranteed
-        return out.drop("_rs")
-    return p.orderBy(F.desc("priority"), F.asc("seq")).limit(batch_size)
+        return out.drop("_rs", "_ep")
+    return p.orderBy(F.desc("_ep"), F.asc("seq")).limit(batch_size).drop("_ep")
 
 
 def assign_proxies(

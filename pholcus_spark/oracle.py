@@ -61,6 +61,11 @@ class CrawlConfig:
     round_duration_ms: int = 1000
     seed_priority: int = 1
     max_rounds: int = 10_000
+    # EXTENSION knob (semantic effect on dispatch ORDER only, default
+    # off so reference-fidelity ordering holds): starvation guard —
+    # effective dispatch priority climbs one level per `age_ramp`
+    # enqueue ticks a URL has waited (frontier.select_batch)
+    age_ramp: int | None = None
     # engine-only knob (no semantic effect): bloom-prefilter the seen
     # check via the seen_sketch table — identical results, smaller
     # exact-join probe side (north-rule 10^10-frontier path)

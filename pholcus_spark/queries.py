@@ -147,6 +147,58 @@ LIMIT 100
 """
 
 
+AGING_RAMP = 40
+AGING_BATCH = 60
+AGING_PER_HOST = 2
+
+
+def q_frontier_priority_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Starvation-guarded dispatch (frontier.select_batch(age_ramp=…)):
+    effective priority = priority + (now − seq) div ramp, so old
+    low-priority URLs climb past a hot host's endless high-priority
+    stream. Synthetic frontier from events (host = event_type, FIFO
+    seq = event_id); the oracle recomputes the aged rank and the
+    per-host cap + global cap with the same order contract."""
+    from . import frontier as FR
+
+    ev = _t(spark, sf_dir, "events")
+    pending = ev.select(
+        F.col("event_id").alias("url_key"),
+        F.concat(F.lit("h"), F.col("event_type")).alias("host"),
+        (F.floor("value").cast("long") % 3).alias("priority"),
+        F.col("event_id").alias("seq"),
+    )
+    politeness = pending.select("host").distinct().select(
+        "host", F.lit(AGING_PER_HOST).alias("max_per_round")
+    )
+    now = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    return FR.select_batch(
+        pending, politeness, AGING_BATCH,
+        age_ramp=AGING_RAMP, now_seq=int(now),
+    ).select("url_key", "host", "priority", "seq")
+
+
+SQL_FRONTIER_PRIORITY_AGING = f"""
+WITH p AS (
+  SELECT event_id AS url_key,
+         concat('h', event_type) AS host,
+         CAST(floor(value) AS BIGINT) % 3 AS priority,
+         event_id AS seq,
+         CAST(floor(value) AS BIGINT) % 3
+           + ((SELECT max(event_id) + 1 FROM events) - event_id)
+             // {AGING_RAMP} AS ep
+  FROM events),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY host
+                               ORDER BY ep DESC, seq ASC) AS rk
+  FROM p)
+SELECT url_key, host, priority, seq
+FROM r WHERE rk <= {AGING_PER_HOST}
+ORDER BY ep DESC, seq ASC
+LIMIT {AGING_BATCH}
+"""
+
+
 def q_frontier_page_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F6 page budget: FIFO/top-k admission (matrix.go:59-61)."""
     orders = _t(spark, sf_dir, "orders")
@@ -3552,6 +3604,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frontier_enqueue_dedup": q_frontier_enqueue_dedup,
     "frontier_anti_join_seen": q_frontier_anti_join_seen,
     "frontier_priority_batch": q_frontier_priority_batch,
+    "frontier_priority_aging": q_frontier_priority_aging,
     "frontier_page_budget": q_frontier_page_budget,
     "frontier_status_rollup": q_frontier_status_rollup,
     "frontier_host_skew": q_frontier_host_skew,
@@ -3642,6 +3695,7 @@ ORACLE_SQL: dict[str, str] = {
     "frontier_enqueue_dedup": SQL_FRONTIER_ENQUEUE_DEDUP,
     "frontier_anti_join_seen": SQL_FRONTIER_ANTI_JOIN_SEEN,
     "frontier_priority_batch": SQL_FRONTIER_PRIORITY_BATCH,
+    "frontier_priority_aging": SQL_FRONTIER_PRIORITY_AGING,
     "frontier_page_budget": SQL_FRONTIER_PAGE_BUDGET,
     "frontier_status_rollup": SQL_FRONTIER_STATUS_ROLLUP,
     "frontier_host_skew": SQL_FRONTIER_HOST_SKEW,

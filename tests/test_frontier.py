@@ -318,3 +318,32 @@ def test_budget_missing_spider_gets_fresh_budget(spark):
         by.setdefault(r["spider"], []).append(r["url"])
     assert len(by["sp"]) == 2          # its mapped remaining budget
     assert len(by["other"]) == 3       # fresh budget = default_remaining
+
+
+def test_select_batch_age_ramp_rescues_starved_url(spark):
+    """One host, one politeness slot per round: an old low-priority URL
+    loses to a stream of newer high-priority URLs forever with aging
+    off, but with age_ramp it climbs to the stream's level and FIFO
+    breaks the tie in its favor."""
+    from pholcus_spark import frontier as FR
+
+    rows = [(0, "h0.example.com", 0, 0)]  # the starved old URL
+    rows += [(100 + i, "h0.example.com", 5, 100 + i) for i in range(10)]
+    pending = spark.createDataFrame(
+        rows, "url_key long, host string, priority long, seq long"
+    )
+    pol = spark.createDataFrame(
+        [("h0.example.com", 1)], "host string, max_per_round int"
+    )
+    now = 111
+    plain = FR.select_batch(pending, pol, 1).collect()
+    assert [r["seq"] for r in plain] == [100]  # aging off: newest wave wins
+
+    # ramp 20: ep(old) = 0 + (111-0)//20 = 5 ties the wave, FIFO wins
+    aged = FR.select_batch(
+        pending, pol, 1, age_ramp=20, now_seq=now
+    ).collect()
+    assert [r["seq"] for r in aged] == [0]
+    # stored priority is untouched and _ep never leaks into the output
+    assert aged[0]["priority"] == 0
+    assert "_ep" not in aged[0].asDict()
