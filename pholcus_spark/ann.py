@@ -462,6 +462,151 @@ def banded_cosine_neardup(
     )
 
 
+def _l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance as a position-ordered fold (deterministic
+    float sum — the oracle's list_sum over an index range adds in the
+    same order, and ``0.0 + x == x`` exactly, so both engines produce
+    bit-identical doubles)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_codebooks(
+    embeds: DataFrame, m: int = 4, ks: int = 16
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks: the embedding space is split
+    into ``m`` contiguous subspaces and each gets its own ``ks``-entry
+    codeword table. Codewords come from the deterministic md5-ranked
+    sample (``ivf_centroids``) sliced per subspace — the same
+    seeded-sample convention as the IVF codebook, so the oracle
+    reproduces them; a k-means-trained codebook (``kmeans_centroids``
+    per subspace) drops in as the same nested list. Returns
+    ``cbs[mm][j] = codeword`` — m × ks × (dim/m) floats, driver-sized
+    shared state like any trained model."""
+    rows = ivf_centroids(embeds, ks)
+    if not rows:
+        return []
+    dim = len(rows[0][1])
+    sub = dim // m
+    return [
+        [
+            [float(x) for x in vec[mm * sub : (mm + 1) * sub]]
+            for _cid, vec in rows
+        ]
+        for mm in range(m)
+    ]
+
+
+def _pq_codebook_lit(cbs: list[list[list[float]]]) -> Column:
+    """The PQ codebook as ONE generated-SQL literal
+    ``array<array<array<double>>>`` (m × ks × sub) — same
+    one-parse/one-py4j-call discipline as ``_codebook_lit``."""
+    subs = []
+    for sub_cb in cbs:
+        words = ",".join(
+            "array(" + ",".join(f"{x!r}D" for x in cw) + ")" for cw in sub_cb
+        )
+        subs.append(f"array({words})")
+    return F.expr("array(" + ",".join(subs) + ")")
+
+
+def pq_codes(vec: Column, cb_lit: Column, sub: int) -> Column:
+    """PQ encode: per subspace, the index of the nearest codeword by
+    squared L2 (ties → lower code). A PURE codegen projection over the
+    constant-folded codebook — the corpus is scanned once, never
+    shuffled, and each 10^10-row vector compresses from dim floats to
+    m small ints (the entire point of PQ: the code table fits where
+    raw vectors cannot)."""
+    return F.transform(
+        cb_lit,
+        lambda sub_cb, mm: F.array_sort(
+            F.transform(
+                sub_cb,
+                lambda cw, j: F.struct(
+                    _l2sq(F.slice(vec, mm * sub + 1, sub), cw).alias("d"),
+                    j.cast("int").alias("j"),
+                ),
+            )
+        )[0]["j"],
+    )
+
+
+def pq_adc_topk(
+    embeds: DataFrame,
+    n_queries: int = 8,
+    k: int = 3,
+    m: int = 4,
+    ks: int = 16,
+) -> DataFrame:
+    """PQ ANN with asymmetric distance computation (ADC — Jégou et
+    al., "Product Quantization for Nearest Neighbor Search", TPAMI
+    2011): corpus vectors are stored only as ``m`` codes; each query
+    precomputes a distance table dtab[mm][j] = l2²(query subvector,
+    codeword) ONCE (m·ks subspace distances, done in the tiny
+    broadcast query projection), and a candidate's approximate
+    distance is then ``Σ_mm dtab[mm][code_mm]`` — m array lookups per
+    pair instead of a dim-wide scan.
+
+    Spark-first shape: encode = zero-shuffle codegen projection
+    (``pq_codes``); the query side (id + its dtab) is broadcast, so
+    the corpus never shuffles; the only shuffle is the final per-query
+    top-k window over scored candidates. At 10^10 vectors this is THE
+    memory shape that works: 4 × int codes/row instead of 64 floats
+    (16× smaller scan), with the codes table persisted once and
+    reused across query batches. Recall follows the PQ quantization
+    error; production pairs it with an IVF coarse stage (IVFADC) —
+    ``ivf_list_ids`` composes in front of this unchanged."""
+    cbs = pq_codebooks(embeds, m=m, ks=ks)
+    cb = _pq_codebook_lit(cbs)
+    sub = len(cbs[0][0])
+    coded = embeds.select(
+        "vec_id", pq_codes(F.col("embedding"), cb, sub).alias("codes")
+    )
+    q = embeds.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.transform(
+            cb,
+            lambda sub_cb, mm: F.transform(
+                sub_cb,
+                lambda cw: _l2sq(
+                    F.slice(F.col("embedding"), mm * sub + 1, sub), cw
+                ),
+            ),
+        ).alias("dtab"),
+    )
+    cand = coded.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    parts = F.transform(
+        F.col("codes"),
+        lambda c, mm: F.element_at(
+            F.element_at(F.col("dtab"), (mm + 1).cast("int")), c + 1
+        ),
+    )
+    adist = F.round(
+        F.aggregate(parts, F.lit(0.0), lambda a, v: a + v), 4
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        adist.alias("adc_dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_dist")
+    )
+
+
 def kmeans_centroids(
     embeds: DataFrame,
     k: int = 8,

@@ -2829,6 +2829,114 @@ WHERE rank <= 3
 """
 
 
+PQ_M = 4
+PQ_KS = 16
+PQ_SUB = 16  # dim 64 / m 4
+PQ_NQ = 8
+PQ_K = 3
+
+
+def q_embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encoding (ann.pq_codes): every corpus vector compressed to
+    m=4 nearest-codeword indices over md5-sampled per-subspace
+    codebooks — the 10^10-scale storage shape (4 ints vs 64 floats).
+    The oracle recomputes codebook selection, subspace slicing, and
+    the argmin (ties → lower code), so the exact code assignment —
+    not just counts — must agree."""
+    embeds = _t(spark, sf_dir, "embeddings")
+    cbs = ann.pq_codebooks(embeds, m=PQ_M, ks=PQ_KS)
+    cb = ann._pq_codebook_lit(cbs)
+    coded = embeds.select(
+        "vec_id", ann.pq_codes(F.col("embedding"), cb, PQ_SUB).alias("codes")
+    )
+    return coded.select(
+        "vec_id", F.posexplode("codes").alias("mm", "code")
+    ).select(
+        "vec_id",
+        F.col("mm").cast("long").alias("mm"),
+        F.col("code").cast("long").alias("code"),
+    )
+
+
+_PQ_CODES_CTE = f"""
+ranked AS (
+  SELECT vec_id, embedding,
+         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+           AS r
+  FROM embeddings),
+cw AS (
+  SELECT t.mm, r - 1 AS j,
+         list_transform(range(t.mm * {PQ_SUB}, (t.mm + 1) * {PQ_SUB}),
+                        i -> CAST(embedding[i+1] AS DOUBLE)) AS cvec
+  FROM ranked CROSS JOIN range(0, {PQ_M}) t(mm)
+  WHERE r <= {PQ_KS}),
+dist AS (
+  SELECT e.vec_id, c.mm, c.j,
+         list_sum(list_transform(range(0, {PQ_SUB}),
+           i -> (CAST(e.embedding[c.mm * {PQ_SUB} + i + 1] AS DOUBLE)
+                   - c.cvec[i+1])
+              * (CAST(e.embedding[c.mm * {PQ_SUB} + i + 1] AS DOUBLE)
+                   - c.cvec[i+1]))) AS d
+  FROM embeddings e CROSS JOIN cw c),
+codes AS (
+  SELECT vec_id, mm, j AS code
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, mm
+                                     ORDER BY d, j) AS rk
+        FROM dist) t
+  WHERE rk = 1)
+"""
+
+
+SQL_EMBED_PQ_CODES = f"""
+WITH {_PQ_CODES_CTE}
+SELECT vec_id, mm, code FROM codes
+"""
+
+
+def q_embed_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC ANN (ann.pq_adc_topk): queries precompute an m × ks
+    distance table; candidates are scored by m table lookups over
+    their codes. The oracle mirrors encoding, the distance tables, the
+    mm-ordered float sum, and the (adc_dist, neighbor_id) rank."""
+    df = ann.pq_adc_topk(
+        _t(spark, sf_dir, "embeddings"),
+        n_queries=PQ_NQ, k=PQ_K, m=PQ_M, ks=PQ_KS,
+    )
+    return df.withColumn("rank", F.col("rank").cast("long"))
+
+
+SQL_EMBED_PQ_ANN = f"""
+WITH {_PQ_CODES_CTE},
+qd AS (
+  SELECT e.vec_id AS query_id, c.mm, c.j,
+         list_sum(list_transform(range(0, {PQ_SUB}),
+           i -> (CAST(e.embedding[c.mm * {PQ_SUB} + i + 1] AS DOUBLE)
+                   - c.cvec[i+1])
+              * (CAST(e.embedding[c.mm * {PQ_SUB} + i + 1] AS DOUBLE)
+                   - c.cvec[i+1]))) AS d
+  FROM embeddings e CROSS JOIN cw c
+  WHERE e.vec_id < {PQ_NQ}),
+dtab AS (
+  SELECT query_id, mm, list(d ORDER BY j) AS ds
+  FROM qd GROUP BY query_id, mm),
+parts AS (
+  SELECT d.query_id, c.vec_id AS neighbor_id, d.mm,
+         d.ds[c.code + 1] AS pd
+  FROM codes c JOIN dtab d ON c.mm = d.mm
+  WHERE c.vec_id <> d.query_id),
+adist AS (
+  SELECT query_id, neighbor_id,
+         round(list_sum(list(pd ORDER BY mm)), 4) AS adc_dist
+  FROM parts GROUP BY query_id, neighbor_id)
+SELECT query_id, neighbor_id, rank, adc_dist
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_dist ASC, neighbor_id)
+                  AS rank
+      FROM adist) t
+WHERE rank <= {PQ_K}
+"""
+
+
 NEARDUP_BAND_BITS = 8
 NEARDUP_BANDS = 4
 NEARDUP_PLANT_MOD = 29
@@ -3676,6 +3784,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_cosine_topk": q_embed_cosine_topk,
     "embed_lsh_ann": q_embed_lsh_ann,
     "embed_ivf_ann": q_embed_ivf_ann,
+    "embed_pq_codes": q_embed_pq_codes,
+    "embed_pq_ann": q_embed_pq_ann,
     "embed_cosine_neardup": q_embed_cosine_neardup,
     "embed_semantic_dedup": q_embed_semantic_dedup,
     "images_caption_align": q_images_caption_align,
@@ -3765,6 +3875,8 @@ ORACLE_SQL: dict[str, str] = {
     "embed_cosine_topk": SQL_EMBED_COSINE_TOPK,
     "embed_lsh_ann": SQL_EMBED_LSH_ANN,
     "embed_ivf_ann": SQL_EMBED_IVF_ANN,
+    "embed_pq_codes": SQL_EMBED_PQ_CODES,
+    "embed_pq_ann": SQL_EMBED_PQ_ANN,
     "embed_cosine_neardup": SQL_EMBED_COSINE_NEARDUP,
     "embed_semantic_dedup": SQL_EMBED_SEMANTIC_DEDUP,
     "images_caption_align": SQL_IMAGES_CAPTION_ALIGN,

@@ -175,3 +175,69 @@ def test_semantic_dedup_drops_only_near_duplicates(spark):
     assert not out[1000] and not out[1001] and not out[2000]
     # nothing else in this random corpus clears tau=0.999
     assert sum(1 for v in out.values() if not v) == 3
+
+
+def test_pq_codes_and_adc_recall(spark):
+    """PQ encode + ADC search: codes are valid codeword indices, exact
+    clones encode identically, the ADC distance matches a numpy
+    recompute, and a planted clone scores the minimum possible ADC
+    distance for its query."""
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(200)
+    ]
+    # exact clones of the first 4 vectors (the query set)
+    rows += [(1000 + i, list(rows[i][1])) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    m, ks = 4, 8
+    cbs = ann.pq_codebooks(df, m=m, ks=ks)
+    assert len(cbs) == m and all(len(s) == ks for s in cbs)
+    sub = len(cbs[0][0])
+    assert sub == 4
+
+    from pyspark.sql import functions as F
+
+    coded = {
+        r["vec_id"]: r["codes"]
+        for r in df.select(
+            "vec_id",
+            ann.pq_codes(F.col("embedding"), ann._pq_codebook_lit(cbs), sub)
+            .alias("codes"),
+        ).collect()
+    }
+    assert all(
+        len(c) == m and all(0 <= x < ks for x in c) for c in coded.values()
+    )
+    for i in range(4):  # exact clone -> identical codes
+        assert coded[i] == coded[1000 + i]
+
+    out = ann.pq_adc_topk(df, n_queries=4, k=5, m=m, ks=ks).collect()
+    by_q: dict[int, list] = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    vecs = {i: [float(x) for x in v] for i, v in rows}
+    for qid, hits in by_q.items():
+        assert [r["rank"] for r in sorted(hits, key=lambda r: r["rank"])] == [
+            1, 2, 3, 4, 5
+        ]
+        # numpy-free recompute: adist = sum_mm l2sq(q_sub, cw[code_mm])
+        q = vecs[qid]
+
+        def adc(nid):
+            s = 0.0
+            for mm in range(m):
+                cw = cbs[mm][coded[nid][mm]]
+                s += sum(
+                    (q[mm * sub + t] - cw[t]) ** 2 for t in range(sub)
+                )
+            return round(s, 4)
+
+        for r in hits:
+            assert abs(r["adc_dist"] - adc(r["neighbor_id"])) < 1e-9
+        # the exact clone's codes equal the query's own, so its ADC
+        # distance is the minimum achievable for this query
+        clone_d = adc(1000 + qid)
+        assert min(r["adc_dist"] for r in hits) == clone_d
