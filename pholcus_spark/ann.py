@@ -607,6 +607,152 @@ def pq_adc_topk(
     )
 
 
+def _vecs_lit(vecs: list[list[float]]) -> Column:
+    """A list of vectors as ONE generated-SQL literal
+    ``array<array<double>>`` indexed by position (element_at is
+    1-based: vector i lives at i+1)."""
+    rows = ",".join(
+        "array(" + ",".join(f"{float(x)!r}D" for x in v) + ")" for v in vecs
+    )
+    return F.expr(f"array({rows})")
+
+
+def _cos_py(a: list[float], b: list[float]) -> float:
+    """Driver-side twin of ``cosine``: identical fold order (0.0-seeded
+    position-ordered sums), so Python doubles match the JVM's bits."""
+    import math
+
+    d = 0.0
+    for x, y in zip(a, b):
+        d += x * y
+    na = 0.0
+    for x in a:
+        na += x * x
+    nb = 0.0
+    for y in b:
+        nb += y * y
+    return d / (math.sqrt(na) * math.sqrt(nb))
+
+
+def _assign_py(vec: list[float], cvecs: list[list[float]]) -> int:
+    """Driver-side twin of ``ivf_list_ids(vec, ..., 1)[0]``: nearest
+    centroid by cosine, ties → lower centroid id."""
+    return max(
+        range(len(cvecs)),
+        key=lambda j: (_cos_py(vec, cvecs[j]), -j),
+    )
+
+
+def ivfadc_topk(
+    embeds: DataFrame,
+    n_queries: int = 8,
+    k: int = 3,
+    n_lists: int = 8,
+    n_probe: int = 2,
+    m: int = 4,
+    ks: int = 16,
+) -> DataFrame:
+    """IVFADC (Jégou et al. 2011, §IV): the IVF coarse stage composed
+    with RESIDUAL product quantization — the production ANN shape for
+    10^9–10^10 vectors (FAISS's IndexIVFPQ).
+
+    - COARSE: every vector is assigned to its nearest coarse centroid
+      (``ivf_list_ids`` — codegen against the folded codebook, zero
+      shuffle) and represented by the RESIDUAL vec − centroid, which
+      has far less energy than the raw vector, so the same PQ code
+      budget quantizes it much more accurately than ``pq_adc_topk``'s
+      direct encoding.
+    - ENCODE: the residual is PQ-encoded in the same scan projection —
+      stored state per vector is (list_id, m codes), still 16× smaller
+      than raw floats.
+    - SEARCH: a query probes its ``n_probe`` nearest lists; for EACH
+      probed list it builds the ADC table from its OWN residual against
+      that list's centroid (m·ks subspace distances, computed in the
+      tiny broadcast probe projection). Candidates join on list_id — a
+      broadcast HASH join (equi, unlike the flat-PQ nested loop) — and
+      score as m table lookups.
+
+    Residual PQ codebooks come from the md5-ranked sample's residuals
+    (the same seeded-sample convention; k-means-trained codebooks drop
+    in). The only shuffle is the final per-query top-k window, with
+    map-side WindowGroupLimit pruning first."""
+    coarse = ivf_centroids(embeds, n_lists)
+    cvecs = [v for _cid, v in coarse]
+    cvecs_lit = _vecs_lit(cvecs)
+    dim = len(cvecs[0])
+    sub = dim // m
+    # residual PQ codebooks: md5-ranked sample rows minus their own
+    # coarse centroid, sliced per subspace
+    res_sample = []
+    for _cid, v in ivf_centroids(embeds, ks):
+        j = _assign_py(v, cvecs)
+        res_sample.append([float(x) - c for x, c in zip(v, cvecs[j])])
+    cbs = [
+        [res[mm * sub : (mm + 1) * sub] for res in res_sample]
+        for mm in range(m)
+    ]
+    cb = _pq_codebook_lit(cbs)
+
+    lid = ivf_list_ids(F.col("embedding"), coarse, 1)[0]
+    resid = F.zip_with(
+        F.col("embedding"),
+        F.element_at(cvecs_lit, lid + 1),
+        lambda x, c: x.cast("double") - c,
+    )
+    coded = embeds.select(
+        "vec_id",
+        lid.alias("list_id"),
+        pq_codes(resid, cb, sub).alias("codes"),
+    )
+
+    probes = embeds.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(
+            ivf_list_ids(F.col("embedding"), coarse, n_probe)
+        ).alias("list_id"),
+        "embedding",
+    )
+    qres = F.zip_with(
+        F.col("embedding"),
+        F.element_at(cvecs_lit, F.col("list_id") + 1),
+        lambda x, c: x.cast("double") - c,
+    )
+    q = probes.select(
+        "query_id",
+        "list_id",
+        F.transform(
+            cb,
+            lambda sub_cb, mm: F.transform(
+                sub_cb,
+                lambda cw: _l2sq(F.slice(qres, mm * sub + 1, sub), cw),
+            ),
+        ).alias("dtab"),
+    )
+    cand = coded.join(F.broadcast(q), "list_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    parts = F.transform(
+        F.col("codes"),
+        lambda c, mm: F.element_at(
+            F.element_at(F.col("dtab"), (mm + 1).cast("int")), c + 1
+        ),
+    )
+    adist = F.round(F.aggregate(parts, F.lit(0.0), lambda a, v: a + v), 4)
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        adist.alias("adc_dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_dist")
+    )
+
+
 def kmeans_centroids(
     embeds: DataFrame,
     k: int = 8,

@@ -2937,6 +2937,103 @@ WHERE rank <= {PQ_K}
 """
 
 
+IVFADC_LISTS = 8
+IVFADC_PROBE = 2
+
+
+def q_embed_ivfadc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC (ann.ivfadc_topk): coarse IVF assignment, residual PQ
+    encoding, per-(query, probed-list) ADC tables, hash-join candidate
+    generation. The oracle recomputes coarse assignment, residuals,
+    the residual codebooks (sample rows minus their own centroid),
+    code argmins, and the mm-ordered ADC sums — list membership, code
+    assignment, and final ranks must all agree bit-for-bit."""
+    df = ann.ivfadc_topk(
+        _t(spark, sf_dir, "embeddings"),
+        n_queries=PQ_NQ, k=PQ_K,
+        n_lists=IVFADC_LISTS, n_probe=IVFADC_PROBE,
+        m=PQ_M, ks=PQ_KS,
+    )
+    return df.withColumn("rank", F.col("rank").cast("long"))
+
+
+SQL_EMBED_IVFADC_ANN = f"""
+WITH ranked AS (
+  SELECT vec_id, embedding,
+         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+           AS r
+  FROM embeddings),
+c AS (SELECT r - 1 AS centroid_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+      FROM ranked WHERE r <= {IVFADC_LISTS}),
+cos_all AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+         {_COS_SQL.format(a='e.embedding', b='c.cvec')} AS ccos
+  FROM embeddings e CROSS JOIN c),
+assigned AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY ccos DESC, centroid_id) AS cr
+  FROM cos_all),
+avec AS (
+  SELECT a.vec_id, a.centroid_id AS list_id,
+         list_transform(range(0, len(a.embedding)),
+           i -> CAST(a.embedding[i+1] AS DOUBLE) - c.cvec[i+1]) AS res
+  FROM assigned a JOIN c ON a.centroid_id = c.centroid_id
+  WHERE a.cr = 1),
+cw AS (
+  SELECT t.mm, k.r - 1 AS j,
+         list_transform(range(t.mm * {PQ_SUB}, (t.mm + 1) * {PQ_SUB}),
+                        i -> v.res[i+1]) AS cvec
+  FROM ranked k JOIN avec v ON k.vec_id = v.vec_id
+  CROSS JOIN range(0, {PQ_M}) t(mm)
+  WHERE k.r <= {PQ_KS}),
+dist AS (
+  SELECT v.vec_id, c.mm, c.j,
+         list_sum(list_transform(range(0, {PQ_SUB}),
+           i -> (v.res[c.mm * {PQ_SUB} + i + 1] - c.cvec[i+1])
+              * (v.res[c.mm * {PQ_SUB} + i + 1] - c.cvec[i+1]))) AS d
+  FROM avec v CROSS JOIN cw c),
+codes AS (
+  SELECT vec_id, mm, j AS code
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, mm
+                                     ORDER BY d, j) AS rk
+        FROM dist) t
+  WHERE rk = 1),
+probes AS (
+  SELECT a.vec_id AS query_id, a.centroid_id AS list_id,
+         list_transform(range(0, len(a.embedding)),
+           i -> CAST(a.embedding[i+1] AS DOUBLE) - c.cvec[i+1]) AS qres
+  FROM assigned a JOIN c ON a.centroid_id = c.centroid_id
+  WHERE a.vec_id < {PQ_NQ} AND a.cr <= {IVFADC_PROBE}),
+qd AS (
+  SELECT p.query_id, p.list_id, c.mm, c.j,
+         list_sum(list_transform(range(0, {PQ_SUB}),
+           i -> (p.qres[c.mm * {PQ_SUB} + i + 1] - c.cvec[i+1])
+              * (p.qres[c.mm * {PQ_SUB} + i + 1] - c.cvec[i+1]))) AS d
+  FROM probes p CROSS JOIN cw c),
+dtab AS (
+  SELECT query_id, list_id, mm, list(d ORDER BY j) AS ds
+  FROM qd GROUP BY query_id, list_id, mm),
+parts AS (
+  SELECT d.query_id, cd.vec_id AS neighbor_id, d.mm,
+         d.ds[cd.code + 1] AS pd
+  FROM codes cd
+  JOIN (SELECT vec_id, list_id FROM avec) v ON cd.vec_id = v.vec_id
+  JOIN dtab d ON d.mm = cd.mm AND d.list_id = v.list_id
+  WHERE cd.vec_id <> d.query_id),
+adist AS (
+  SELECT query_id, neighbor_id,
+         round(list_sum(list(pd ORDER BY mm)), 4) AS adc_dist
+  FROM parts GROUP BY query_id, neighbor_id)
+SELECT query_id, neighbor_id, rank, adc_dist
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_dist ASC, neighbor_id)
+                  AS rank
+      FROM adist) t
+WHERE rank <= {PQ_K}
+"""
+
+
 NEARDUP_BAND_BITS = 8
 NEARDUP_BANDS = 4
 NEARDUP_PLANT_MOD = 29
@@ -3786,6 +3883,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_ivf_ann": q_embed_ivf_ann,
     "embed_pq_codes": q_embed_pq_codes,
     "embed_pq_ann": q_embed_pq_ann,
+    "embed_ivfadc_ann": q_embed_ivfadc_ann,
     "embed_cosine_neardup": q_embed_cosine_neardup,
     "embed_semantic_dedup": q_embed_semantic_dedup,
     "images_caption_align": q_images_caption_align,
@@ -3877,6 +3975,7 @@ ORACLE_SQL: dict[str, str] = {
     "embed_ivf_ann": SQL_EMBED_IVF_ANN,
     "embed_pq_codes": SQL_EMBED_PQ_CODES,
     "embed_pq_ann": SQL_EMBED_PQ_ANN,
+    "embed_ivfadc_ann": SQL_EMBED_IVFADC_ANN,
     "embed_cosine_neardup": SQL_EMBED_COSINE_NEARDUP,
     "embed_semantic_dedup": SQL_EMBED_SEMANTIC_DEDUP,
     "images_caption_align": SQL_IMAGES_CAPTION_ALIGN,

@@ -241,3 +241,76 @@ def test_pq_codes_and_adc_recall(spark):
         # distance is the minimum achievable for this query
         clone_d = adc(1000 + qid)
         assert min(r["adc_dist"] for r in hits) == clone_d
+
+
+def test_ivfadc_residual_encoding_and_recall(spark):
+    """IVFADC: clones land in the same list with identical residual
+    codes, scores match a driver recompute, and the planted clone
+    scores the per-query minimum ADC distance."""
+    import random
+
+    rng = random.Random(13)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(200)
+    ]
+    rows += [(1000 + i, list(rows[i][1])) for i in range(3)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    out = ann.ivfadc_topk(
+        df, n_queries=3, k=4, n_lists=4, n_probe=2, m=4, ks=8
+    ).collect()
+    by_q: dict[int, list] = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2}
+
+    # driver recompute of the whole IVFADC pipeline
+    vecs = {i: [float(x) for x in v] for i, v in rows}
+    coarse = ann.ivf_centroids(df, 4)
+    cvecs = [v for _c, v in coarse]
+    assign = {i: ann._assign_py(v, cvecs) for i, v in vecs.items()}
+    res = {
+        i: [x - c for x, c in zip(v, cvecs[assign[i]])]
+        for i, v in vecs.items()
+    }
+    sample = ann.ivf_centroids(df, 8)
+    res_sample = [
+        [float(x) - c for x, c in zip(v, cvecs[ann._assign_py(v, cvecs)])]
+        for _c, v in sample
+    ]
+    sub = 4
+    cbs = [
+        [r_[mm * sub : (mm + 1) * sub] for r_ in res_sample]
+        for mm in range(4)
+    ]
+
+    def code_of(i):
+        out_ = []
+        for mm in range(4):
+            rsub = res[i][mm * sub : (mm + 1) * sub]
+            best = min(
+                range(8),
+                key=lambda j: (
+                    sum((a - b) ** 2 for a, b in zip(rsub, cbs[mm][j])),
+                    j,
+                ),
+            )
+            out_.append(best)
+        return out_
+
+    def adc(qid, nid):
+        qres = res[qid]  # probing the clone's own list: same centroid
+        s = 0.0
+        for mm in range(4):
+            cw = cbs[mm][code_of(nid)[mm]]
+            s += sum(
+                (qres[mm * sub + t] - cw[t]) ** 2 for t in range(sub)
+            )
+        return round(s, 4)
+
+    for qid, hits in by_q.items():
+        clone = 1000 + qid
+        assert assign[clone] == assign[qid]  # same coarse list
+        assert code_of(clone) == code_of(qid)  # identical residual codes
+        got_min = min(r["adc_dist"] for r in hits)
+        assert abs(got_min - adc(qid, clone)) < 1e-9
