@@ -77,6 +77,8 @@ BENCH_QUERIES = [
     "embed_cosine_topk",
     "embed_lsh_ann",
     "embed_ivf_ann",
+    "embed_pq_ann",
+    "embed_ivfadc_ann",
     "embed_semantic_dedup",
     "images_decode_meta",
     "method_dispatch",

@@ -203,6 +203,7 @@ def politeness_gate(
     candidates: DataFrame,
     max_per_trigger: int = 2,
     budget_total: int | None = None,
+    drain_interval_ms: int = 1000,
 ) -> DataFrame:
     """Continuous per-host politeness — the batch engine's
     ``select_batch`` host cap (F11, reference crawl-delay pacing) as a
@@ -211,9 +212,14 @@ def politeness_gate(
     Per micro-batch each host emits at most ``max_per_trigger`` rows in
     cand_order; rows over the cap are NOT dropped — they persist in the
     host's state and drain in later triggers (the reference re-scans
-    its queue next round, ``matrix.go:101-124``). ``budget_total``
-    additionally caps a host's lifetime emissions (page-budget analog);
-    once exhausted, arrivals stop accumulating.
+    its queue next round, ``matrix.go:101-124``). A host holding a
+    backlog arms a PROCESSING-TIME TIMEOUT (``drain_interval_ms``), so
+    it keeps draining even when no new candidates for it ever arrive —
+    with NoTimeout the state function only runs for keys present in
+    the batch, and a quiet host's backlog would sit in the checkpoint
+    forever. ``budget_total`` additionally caps a host's lifetime
+    emissions (page-budget analog); once exhausted, arrivals stop
+    accumulating.
 
     State shards by host across executors via the state store; a hot
     host costs only its own group. Per-batch work is vectorized pandas
@@ -234,7 +240,11 @@ def politeness_gate(
         else:
             emitted, backlog = 0, None
         parts = [] if backlog is None else [backlog]
+        # on a timeout invocation pdf_iter is empty: the pool is just
+        # the checkpointed backlog, draining another cap's worth
         parts.extend(pdf[cols] for pdf in pdf_iter)
+        if not parts:
+            return
         pool = (
             pd.concat(parts, ignore_index=True)
             .sort_values("cand_order", kind="mergesort")
@@ -253,6 +263,10 @@ def politeness_gate(
             int(emitted + len(allow)),
             pickle.dumps(rest) if len(rest) else None,
         ))
+        if len(rest):
+            # re-arm: timeouts reset every invocation, so a standing
+            # backlog must keep scheduling its own next drain tick
+            state.setTimeoutDuration(drain_interval_ms)
         if len(allow):
             yield allow
 
@@ -261,7 +275,7 @@ def politeness_gate(
         outputStructType=GATE_OUT_SCHEMA,
         stateStructType=GATE_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
 
 
@@ -272,10 +286,18 @@ def run_politeness_gate_stream(
     out_dir: str,
     max_per_trigger: int = 2,
     budget_total: int | None = None,
+    processing_time: str | None = None,
 ):
     """Drive the politeness gate over a file-source candidate stream
     (one file per trigger) into a parquet sink; the checkpoint persists
-    per-host emitted counts AND the deferred backlog across restarts."""
+    per-host emitted counts AND the deferred backlog across restarts.
+
+    Default trigger is availableNow (drain what exists, then stop —
+    the batch-oriented test/CLI mode; timeout-driven backlog drain then
+    continues on the NEXT run from the checkpoint). Pass
+    ``processing_time`` (e.g. ``"500 milliseconds"``) for a continuous
+    query whose backlog timeouts fire in-process — the deployment
+    shape, where quiet hosts drain with no new arrivals."""
     src = (
         spark.readStream.schema(
             "host string, url_key long, url string, cand_order long"
@@ -283,12 +305,15 @@ def run_politeness_gate_stream(
         .option("maxFilesPerTrigger", 1)
         .parquet(cand_dir)
     )
-    return (
+    writer = (
         politeness_gate(src, max_per_trigger, budget_total)
         .writeStream.outputMode("append")
         .format("parquet")
         .option("path", out_dir)
         .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
     )
+    if processing_time is None:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

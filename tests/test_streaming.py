@@ -134,13 +134,24 @@ def test_politeness_gate_paces_and_drains(spark, tmp_store_dir):
         spark, cand_dir, ckpt, out_dir, max_per_trigger=2
     )
     q.awaitTermination(180)
-    rows = spark.read.parquet(out_dir).collect()
+    from pyspark.sql import functions as F
+
+    rows = (
+        spark.read.parquet(out_dir)
+        .withColumn("_f", F.input_file_name())
+        .collect()
+    )
     by_host = {}
+    per_batch: dict[tuple, int] = {}
     for r in rows:
         by_host.setdefault(r["host"], set()).add(r["cand_order"])
-    # two triggers: the hot host emitted 2 per trigger (1 deferred to
-    # state), the cold host everything
-    assert len(by_host["h"]) == 4
+        key = (r["host"], r["_f"])
+        per_batch[key] = per_batch.get(key, 0) + 1
+    # pacing: no micro-batch file carries more than the per-trigger cap
+    assert all(n <= 2 for n in per_batch.values())
+    # two data triggers emit 2+2; the backlog timeout may drain the 5th
+    # before availableNow stops (timing-dependent), never fewer than 4
+    assert len(by_host["h"]) in (4, 5)
     assert by_host["c"] == {0}
 
     # restart: the checkpointed backlog drains alongside the new file
@@ -177,3 +188,44 @@ def test_politeness_gate_budget_total(spark, tmp_store_dir):
         r["cand_order"] for r in spark.read.parquet(out_dir).collect()
     )
     assert got == [0, 1]  # lowest cand_order first, hard stop at budget
+
+
+def test_politeness_gate_drains_without_new_arrivals(spark, tmp_store_dir):
+    """The review-found starvation case: a host whose candidates all
+    arrive in ONE batch must still fully drain — the backlog's
+    processing-time timeout re-invokes the state function with no new
+    data for the key."""
+    import os
+    import time
+
+    from pholcus_spark import streaming as st
+
+    cand_dir = os.path.join(tmp_store_dir, "drain_cands")
+    spark.createDataFrame(
+        [("d", i, f"http://d/{i}", i) for i in range(3)],
+        "host string, url_key long, url string, cand_order long",
+    ).coalesce(1).write.parquet(cand_dir)
+
+    out_dir = os.path.join(tmp_store_dir, "drain_out")
+    q = st.run_politeness_gate_stream(
+        spark, cand_dir, os.path.join(tmp_store_dir, "ckpt_drain"),
+        out_dir, max_per_trigger=1,
+        processing_time="500 milliseconds",
+    )
+    try:
+        deadline = time.time() + 120
+        got: list[int] = []
+        while time.time() < deadline:
+            try:
+                got = sorted(
+                    r["cand_order"]
+                    for r in spark.read.parquet(out_dir).collect()
+                )
+            except Exception:
+                got = []
+            if len(got) == 3:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert got == [0, 1, 2]  # one per tick, drained with no new files
