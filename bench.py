@@ -72,6 +72,9 @@ BENCH_QUERIES = [
     "text_pii_redact",
     "text_domain_filter",
     "images_exact_dedup",
+    "images_caption_harvest",
+    "anchor_text_graph",
+    "canonical_collapse",
     "text_quality",
     "doc_fingerprint",
     "embed_cosine_topk",

@@ -1,0 +1,272 @@
+"""Corpus harvesting: turn raw crawled HTML into training-data rows.
+
+Two first-stage extractors a web-scale image+caption pipeline runs over
+every fetched page (the LAION/WebLI recipe; in the reference the analog
+is the per-rule ParseFunc scraping fields out of GetDom() —
+/root/reference/app/spider/context.go:612-627 — except here the "rule"
+is fixed and the output is the corpus itself, not crawl items):
+
+- ``harvest_image_captions``: every ``<img>`` tag's (src, alt/title)
+  pair, absolutized against the page URL, with the standard junk
+  filters (data: URIs, 1x1 tracking pixels, missing/too-short
+  captions) applied inline.
+- ``harvest_anchors``: every ``<a href>anchor text</a>`` pair,
+  aggregated per link TARGET — inbound anchor text is the classic
+  external-caption / relevance signal (it describes the target, not
+  the page it sits on).
+
+Both are pure column expressions: strip non-rendered regions
+(script/style/comments), ``regexp_extract_all`` the tags, ``explode``,
+then per-tag attribute extracts — the whole plan is whole-stage
+codegen over the page scan, no Python anywhere, no shuffle until the
+caller's own aggregation. At 100 TB of HTML this stage is
+scan-bandwidth-bound, exactly as it should be; the explode multiplies
+rows ~10-50x but only with the few projected columns, never the page
+body (Catalyst prunes ``html`` after the extract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .htmlops import make_url
+
+__all__ = [
+    "harvest_image_captions",
+    "harvest_anchors",
+    "anchor_graph",
+    "harvest_canonicals",
+    "canonical_collapse",
+]
+
+
+def _strip_nonrendered(col: Column) -> Column:
+    """Remove the regions a browser never renders as content — script
+    and style bodies and HTML comments — so tags quoted inside them
+    (the classic harvest false positives) can't match."""
+    c = F.regexp_replace(col, r"(?is)<script[^>]*>.*?</script>", "")
+    c = F.regexp_replace(c, r"(?is)<style[^>]*>.*?</style>", "")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", "")
+    return c
+
+
+def _attr(tag: Column, name: str) -> Column:
+    """``name="v"`` or ``name='v'`` attribute value out of a single
+    tag string; NULL when absent or empty."""
+    dq = F.regexp_extract(tag, rf"""(?i)\b{name}\s*=\s*"([^"]*)\"""", 1)
+    sq = F.regexp_extract(tag, rf"(?i)\b{name}\s*=\s*'([^']*)'", 1)
+    return F.nullif(F.coalesce(F.nullif(dq, F.lit("")), sq), F.lit(""))
+
+
+def _int_attr(tag: Column, name: str) -> Column:
+    return F.regexp_extract(
+        tag, rf"(?i)\b{name}\s*=\s*[\"']?(\d+)", 1
+    ).try_cast("int")
+
+
+def harvest_image_captions(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    min_caption_chars: int = 5,
+) -> DataFrame:
+    """(page_url, img_url, caption, width, height) for every kept
+    ``<img>`` on every page.
+
+    Caption priority is ``alt`` then ``title`` (the alt text IS the
+    author's caption; title is the hover fallback). Kept rows must
+    have a non-data: src and a caption of at least
+    ``min_caption_chars`` characters, and must not declare 1x1
+    geometry (tracking pixels). ``width``/``height`` are the declared
+    attributes when present (NULL otherwise) — the decode stage
+    re-measures real pixels later."""
+    tags = F.explode(
+        F.regexp_extract_all(
+            _strip_nonrendered(F.col(html_col)), F.lit(r"(?i)<img\b[^>]*>"), 0
+        )
+    )
+    d = pages.select(F.col(url_col).alias("page_url"), tags.alias("tag"))
+    t = F.col("tag")
+    d = d.select(
+        "page_url",
+        _attr(t, "src").alias("src"),
+        F.coalesce(_attr(t, "alt"), _attr(t, "title")).alias("caption"),
+        _int_attr(t, "width").alias("width"),
+        _int_attr(t, "height").alias("height"),
+    )
+    return (
+        d.filter(
+            F.col("src").isNotNull()
+            & ~F.col("src").startswith("data:")
+            & (F.length(F.trim(F.col("caption"))) >= min_caption_chars)
+            & ~(
+                (F.col("width") == 1) & (F.col("height") == 1)
+            ).eqNullSafe(F.lit(True))
+        )
+        .select(
+            "page_url",
+            make_url(F.col("page_url"), F.col("src")).alias("img_url"),
+            F.trim(F.col("caption")).alias("caption"),
+            "width",
+            "height",
+        )
+    )
+
+
+def harvest_anchors(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(page_url, target_url, anchor) for every ``<a href>`` with
+    non-empty rendered anchor text. Nested markup inside the anchor
+    (``<a><b>bold</b> text</a>``) is flattened to its text."""
+    tags = F.explode(
+        F.regexp_extract_all(
+            _strip_nonrendered(F.col(html_col)),
+            F.lit(r"(?is)<a\b[^>]*>.*?</a>"),
+            0,
+        )
+    )
+    d = pages.select(F.col(url_col).alias("page_url"), tags.alias("tag"))
+    t = F.col("tag")
+    anchor = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_extract(t, r"(?is)<a\b[^>]*>(.*)</a>", 1),
+                r"<[^>]+>",
+                " ",
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+    d = d.select(
+        "page_url", _attr(t, "href").alias("href"), anchor.alias("anchor")
+    )
+    return d.filter(
+        F.col("href").isNotNull() & (F.length("anchor") > 0)
+    ).select(
+        "page_url",
+        make_url(F.col("page_url"), F.col("href")).alias("target_url"),
+        "anchor",
+    )
+
+
+def harvest_canonicals(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(page_url, canonical_url, source) — each page's declared
+    canonical URL, the signal CommonCrawl/LAION pipelines use to
+    collapse URL-level duplicates (mobile/AMP/tracking variants of
+    the same document) BEFORE content dedup ever runs.
+
+    Priority follows the de-facto web standard: the FIRST
+    ``<link rel=canonical href>`` in document order wins (``rel`` is
+    a space-separated token list, matched case-insensitively); else
+    the first ``<meta property="og:url" content>``; else the page is
+    its own canonical. ``source`` says which rule fired
+    (``link``/``og``/``self``). Hrefs are absolutized against the
+    page URL.
+
+    Zero shuffle and zero explode: the candidate tags are
+    ``regexp_extract_all`` arrays FILTERED with a higher-order lambda
+    and collapsed with ``element_at(…, 1)`` (first in document
+    order), so the whole operator is one whole-stage-codegen
+    projection per page — at 10^10 pages it rides the same scan as
+    the other harvest passes."""
+    stripped = _strip_nonrendered(F.col(html_col))
+
+    links = F.filter(
+        F.regexp_extract_all(stripped, F.lit(r"(?i)<link\b[^>]*>"), 0),
+        lambda t: F.array_contains(
+            F.split(F.lower(_attr(t, "rel")), r"\s+"), "canonical"
+        )
+        & _attr(t, "href").isNotNull(),
+    )
+    metas = F.filter(
+        F.regexp_extract_all(stripped, F.lit(r"(?i)<meta\b[^>]*>"), 0),
+        lambda t: (
+            F.lower(F.coalesce(_attr(t, "property"), _attr(t, "name")))
+            == "og:url"
+        )
+        & _attr(t, "content").isNotNull(),
+    )
+    d = pages.select(
+        F.col(url_col).alias("page_url"),
+        _attr(F.try_element_at(links, F.lit(1)), "href").alias("link_href"),
+        _attr(F.try_element_at(metas, F.lit(1)), "content").alias("og_url"),
+    )
+    page = F.col("page_url")
+    return d.select(
+        "page_url",
+        F.coalesce(
+            make_url(page, F.col("link_href")),
+            make_url(page, F.col("og_url")),
+            page,
+        ).alias("canonical_url"),
+        F.when(F.col("link_href").isNotNull(), F.lit("link"))
+        .when(F.col("og_url").isNotNull(), F.lit("og"))
+        .otherwise(F.lit("self"))
+        .alias("source"),
+    )
+
+
+def canonical_collapse(canon: DataFrame) -> DataFrame:
+    """Collapse crawled pages into canonical-URL groups:
+    (canonical_url, n_aliases, representative, has_canonical_page).
+
+    The representative is the canonical page itself whenever it was
+    crawled (its own URL equals the group key), else the
+    lexicographically-first alias — deterministic either way, so the
+    kept-set is reproducible across runs. One hash aggregation on
+    ``canonical_url`` (map-side partial, single Exchange of
+    (canonical_url, page_url) pairs — never page bodies); downstream
+    content dedup then runs once per group instead of once per
+    alias."""
+    is_self = F.col("page_url") == F.col("canonical_url")
+    return canon.groupBy("canonical_url").agg(
+        F.count("*").alias("n_aliases"),
+        F.coalesce(
+            F.min(F.when(is_self, F.col("page_url"))),
+            F.min("page_url"),
+        ).alias("representative"),
+        F.max(is_self.cast("int")).cast("boolean").alias(
+            "has_canonical_page"
+        ),
+    )
+
+
+def anchor_graph(pages: DataFrame, url_col: str = "url",
+                 html_col: str = "html", approx: bool = False) -> DataFrame:
+    """Inbound-anchor rollup per link target: how many pages point at
+    it, from how many distinct sources, with how many distinct anchor
+    texts (and a deterministic sample anchor), over (target, source,
+    anchor) triples that are tiny compared to the page bodies they
+    came from.
+
+    The two EXACT count-distincts make Catalyst plan the standard
+    Expand rewrite — each triple is replicated 3x and the aggregation
+    runs in two Exchange stages. That is the correct exact plan, and
+    the expanded relation is still triple-sized, not page-sized; but
+    at 10^10 pages the doubled shuffle is real money, so
+    ``approx=True`` swaps both distincts for HyperLogLog
+    ``approx_count_distinct`` — single Exchange, map-side partial
+    sketches, ~2% relative error — which is what a production
+    link-graph rollup runs."""
+    a = harvest_anchors(pages, url_col=url_col, html_col=html_col)
+    n_sources = (
+        F.approx_count_distinct("page_url")
+        if approx
+        else F.countDistinct("page_url")
+    )
+    n_anchors = (
+        F.approx_count_distinct("anchor")
+        if approx
+        else F.countDistinct("anchor")
+    )
+    return a.groupBy("target_url").agg(
+        F.count("*").alias("n_inlinks"),
+        n_sources.alias("n_sources"),
+        n_anchors.alias("n_anchors"),
+        F.min("anchor").alias("first_anchor"),
+    )

@@ -3801,6 +3801,291 @@ FROM n JOIN af ON af.doc_id = n.doc_id
 """
 
 
+def _harvest_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HTML-page fixture for the harvest operators: per
+    document a page whose <img> and <a> population is pure doc_id
+    arithmetic, salted with every false-positive class the extractors
+    must reject — tags quoted inside <script> text and comments, data:
+    URIs, 1x1 tracking pixels, missing/too-short captions, hrefless
+    anchors, empty anchor text — plus a single-quoted and a
+    title-attribute variant so both attribute syntaxes are exercised.
+    The oracles predict the kept rows straight from the arithmetic, so
+    hash equality proves the extraction (a naive regex without the
+    non-rendered strip admits the decoys)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    did = F.col("doc_id").cast("string")
+    imgs = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.pmod(F.col("doc_id"), F.lit(3))),
+            lambda i: F.when(
+                i == 0,
+                F.concat(
+                    F.lit("<img src='/img/"), did,
+                    F.lit("/0.jpg' alt='photo number 0 of doc "), did,
+                    F.lit("' width='640' height='480'>"),
+                ),
+            )
+            .when(
+                i == 1,
+                F.concat(
+                    F.lit('<img src="/img/'), did,
+                    F.lit('/1.jpg" title="photo number 1 of doc '), did,
+                    F.lit('" width="641" height="480">'),
+                ),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit('<img src="/img/'), did,
+                    F.lit('/2.jpg" alt="photo number 2 of doc '), did,
+                    F.lit('">'),
+                )
+            ),
+        ),
+        "",
+    )
+    tgt = lambda i: F.pmod(  # noqa: E731
+        F.col("doc_id") * 7 + i * 13, F.lit(500)
+    ).cast("string")
+    links = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.pmod(F.col("doc_id"), F.lit(4))),
+            lambda i: F.when(
+                F.pmod(F.col("doc_id"), F.lit(2)) == 0,
+                F.concat(
+                    F.lit('<a class="r" href="http://site.example.com/doc/'),
+                    tgt(i), F.lit('"><b>about</b> doc '), tgt(i),
+                    F.lit("</a>"),
+                ),
+            ).otherwise(
+                F.concat(
+                    F.lit("<a href='http://site.example.com/doc/"),
+                    tgt(i), F.lit("'>visit doc "), tgt(i), F.lit("</a>"),
+                )
+            ),
+        ),
+        "",
+    )
+    mod5 = F.pmod(F.col("doc_id"), F.lit(5))
+    canon = lambda: F.concat(  # noqa: E731
+        F.lit("http://canon.example.com/c/"),
+        F.pmod(F.col("doc_id"), F.lit(40)).cast("string"),
+    )
+    og = F.concat(
+        F.lit("http://canon.example.com/og/"),
+        F.pmod(F.col("doc_id"), F.lit(40)).cast("string"),
+    )
+    canon_head = (
+        # every page carries the non-canonical link/meta decoys
+        F.when(
+            mod5 == 0,
+            # two canonical links: the FIRST must win
+            F.concat(
+                F.lit('<link rel="canonical" href="'), canon(),
+                F.lit('"><link rel="canonical" '
+                      'href="http://canon.example.com/second/'),
+                did, F.lit('">'),
+            ),
+        )
+        .when(
+            mod5 == 1,
+            # single quotes, mixed-case multi-token rel, RELATIVE href
+            F.concat(
+                F.lit("<link rel='Canonical alternate' href='/c/"),
+                F.pmod(F.col("doc_id"), F.lit(40)).cast("string"),
+                F.lit("'>"),
+            ),
+        )
+        .when(
+            mod5 == 2,
+            F.concat(
+                F.lit('<meta property="og:url" content="'), og,
+                F.lit('">'),
+            ),
+        )
+        .when(
+            mod5 == 3,
+            # og:url appears FIRST but the canonical link still wins
+            F.concat(
+                F.lit('<meta property="og:url" '
+                      'content="http://canon.example.com/ogdecoy/'),
+                did,
+                F.lit('"><link rel="canonical" href="'), canon(),
+                F.lit('">'),
+            ),
+        )
+        .otherwise(F.lit(""))  # mod5 == 4: self-canonical
+    )
+    html = F.concat(
+        F.lit("<html><head><script>var x = '<img src=\"/decoy-js.png\" "
+              'alt="decoy javascript image"> <a href="/decoy-js">decoy '
+              "link</a> <link rel=\"canonical\" "
+              'href="http://decoy.example.com/js">\';</script>'
+              '<link rel="stylesheet" href="/style.css">'
+              '<meta name="description" content="not a canonical">'),
+        canon_head,
+        F.lit("</head><body>"
+              '<!-- <img src="/decoy-comment.png" alt="commented out '
+              'image"> <a href="/decoy-comment">dead</a> '
+              '<link rel="canonical" href="http://decoy.example.com/c"> '
+              "-->"),
+        imgs,
+        F.lit('<img src="data:image/gif;base64,R0l" alt="inline data '
+              'uri image">'
+              '<img src="/pixel.gif" alt="tracking pixel image" '
+              'width="1" height="1">'
+              '<img src="/noalt-'), did, F.lit('.png">'
+              '<img src="/short-'), did, F.lit('.png" alt="tiny">'
+              '<a href="/home">home</a><a href="/empty"></a>'
+              '<a name="x">no href here</a>'),
+        links,
+        F.lit("</body></html>"),
+    )
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://h"),
+            F.lpad(F.pmod("doc_id", F.lit(50)).cast("string"), 3, "0"),
+            F.lit(".example.com/p/"), did, F.lit(".html"),
+        ).alias("url"),
+        html.alias("html"),
+    )
+
+
+def q_images_caption_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAION-stage-1 image+caption pair harvest over the page fixture
+    (see ``harvest.harvest_image_captions``): all-codegen
+    strip→regexp_extract_all→explode→attribute-extract with the junk
+    filters inline; src absolutized against the page URL."""
+    from . import harvest
+
+    return harvest.harvest_image_captions(_harvest_pages(spark, sf_dir))
+
+
+SQL_IMAGES_CAPTION_HARVEST = """
+WITH e AS (
+  SELECT doc_id AS d,
+         unnest(generate_series(0, doc_id % 3)) AS i
+  FROM documents WHERE doc_id < 500)
+SELECT 'http://h' || lpad(CAST(d % 50 AS VARCHAR), 3, '0')
+         || '.example.com/p/' || CAST(d AS VARCHAR) || '.html' AS page_url,
+       'http://h' || lpad(CAST(d % 50 AS VARCHAR), 3, '0')
+         || '.example.com/img/' || CAST(d AS VARCHAR) || '/'
+         || CAST(i AS VARCHAR) || '.jpg' AS img_url,
+       'photo number ' || CAST(i AS VARCHAR) || ' of doc '
+         || CAST(d AS VARCHAR) AS caption,
+       CAST(CASE i WHEN 0 THEN 640 WHEN 1 THEN 641 END AS INTEGER) AS width,
+       CAST(CASE WHEN i <= 1 THEN 480 END AS INTEGER) AS height
+FROM e
+"""
+
+
+def q_anchor_text_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inbound anchor-text rollup per link target over the page
+    fixture (see ``harvest.anchor_graph``): the external-caption /
+    relevance signal, one groupBy(target_url) shuffle over harvested
+    triples."""
+    from . import harvest
+
+    return harvest.anchor_graph(_harvest_pages(spark, sf_dir))
+
+
+SQL_ANCHOR_TEXT_GRAPH = """
+WITH pages AS (SELECT doc_id AS d FROM documents WHERE doc_id < 500),
+links AS (SELECT d, unnest(generate_series(0, d % 4)) AS i FROM pages),
+triples AS (
+  SELECT 'http://h' || lpad(CAST(d % 50 AS VARCHAR), 3, '0')
+           || '.example.com/p/' || CAST(d AS VARCHAR) || '.html' AS page_url,
+         'http://site.example.com/doc/'
+           || CAST((d * 7 + i * 13) % 500 AS VARCHAR) AS target_url,
+         (CASE WHEN d % 2 = 0 THEN 'about' ELSE 'visit' END)
+           || ' doc ' || CAST((d * 7 + i * 13) % 500 AS VARCHAR) AS anchor
+  FROM links
+  UNION ALL
+  SELECT 'http://h' || lpad(CAST(d % 50 AS VARCHAR), 3, '0')
+           || '.example.com/p/' || CAST(d AS VARCHAR) || '.html',
+         'http://h' || lpad(CAST(d % 50 AS VARCHAR), 3, '0')
+           || '.example.com/home',
+         'home'
+  FROM pages)
+SELECT target_url,
+       count(*) AS n_inlinks,
+       count(DISTINCT page_url) AS n_sources,
+       count(DISTINCT anchor) AS n_anchors,
+       min(anchor) AS first_anchor
+FROM triples
+GROUP BY target_url
+"""
+
+
+def q_canonical_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page canonical-URL extraction over the page fixture (see
+    ``harvest.harvest_canonicals``): first link-rel=canonical, else
+    og:url, else self — all array-filter codegen, zero shuffle. The
+    fixture plants decoys (canonical links inside script text and
+    comments, a stylesheet link, a description meta, a SECOND
+    canonical that must lose, an og:url that must lose to a later
+    link) so hash equality proves the priority rules."""
+    from . import harvest
+
+    return harvest.harvest_canonicals(_harvest_pages(spark, sf_dir))
+
+
+_SQL_CANON_PAGES = """
+WITH p AS (
+  SELECT doc_id AS d,
+         'http://h' || lpad(CAST(doc_id % 50 AS VARCHAR), 3, '0')
+           || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+           || '.html' AS page_url
+  FROM documents WHERE doc_id < 500),
+c AS (
+  SELECT page_url,
+         CASE d % 5
+           WHEN 0 THEN 'http://canon.example.com/c/'
+                         || CAST(d % 40 AS VARCHAR)
+           WHEN 1 THEN 'http://h' || lpad(CAST(d % 50 AS VARCHAR), 3, '0')
+                         || '.example.com/c/' || CAST(d % 40 AS VARCHAR)
+           WHEN 2 THEN 'http://canon.example.com/og/'
+                         || CAST(d % 40 AS VARCHAR)
+           WHEN 3 THEN 'http://canon.example.com/c/'
+                         || CAST(d % 40 AS VARCHAR)
+           ELSE page_url
+         END AS canonical_url,
+         CASE d % 5 WHEN 2 THEN 'og' WHEN 4 THEN 'self'
+                    ELSE 'link' END AS source
+  FROM p)
+"""
+
+SQL_CANONICAL_HARVEST = (
+    _SQL_CANON_PAGES
+    + "SELECT page_url, canonical_url, source FROM c"
+)
+
+
+def q_canonical_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL duplicate collapse over the harvested canonicals
+    (see ``harvest.canonical_collapse``): one hash agg on
+    canonical_url; the representative is the canonical page itself
+    when crawled, else the lexicographically-first alias."""
+    from . import harvest
+
+    return harvest.canonical_collapse(
+        harvest.harvest_canonicals(_harvest_pages(spark, sf_dir))
+    )
+
+
+SQL_CANONICAL_COLLAPSE = _SQL_CANON_PAGES + """
+SELECT canonical_url,
+       count(*) AS n_aliases,
+       coalesce(min(CASE WHEN page_url = canonical_url
+                         THEN page_url END),
+                min(page_url)) AS representative,
+       max(CASE WHEN page_url = canonical_url THEN 1 ELSE 0 END) = 1
+         AS has_canonical_page
+FROM c
+GROUP BY canonical_url
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3894,6 +4179,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "images_dual_neardup": q_images_dual_neardup,
     "images_stats": q_images_stats,
     "images_exact_dedup": q_images_exact_dedup,
+    "images_caption_harvest": q_images_caption_harvest,
+    "anchor_text_graph": q_anchor_text_graph,
+    "canonical_harvest": q_canonical_harvest,
+    "canonical_collapse": q_canonical_collapse,
     "images_select_corpus": q_images_select_corpus,
     "video_frame_sample": q_video_frame_sample,
     "audio_features": q_audio_features,
@@ -3984,6 +4273,10 @@ ORACLE_SQL: dict[str, str] = {
     "images_decode_meta": SQL_IMAGES_DECODE_META,
     "images_resize": SQL_IMAGES_RESIZE,
     "images_exact_dedup": SQL_IMAGES_EXACT_DEDUP,
+    "images_caption_harvest": SQL_IMAGES_CAPTION_HARVEST,
+    "anchor_text_graph": SQL_ANCHOR_TEXT_GRAPH,
+    "canonical_harvest": SQL_CANONICAL_HARVEST,
+    "canonical_collapse": SQL_CANONICAL_COLLAPSE,
     "images_stats": SQL_IMAGES_STATS,
 }
 

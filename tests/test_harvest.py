@@ -1,0 +1,178 @@
+"""Harvest extractors: image+caption pairs and anchor-text rollups
+out of raw HTML, all-codegen (harvest.py)."""
+
+from __future__ import annotations
+
+from pholcus_spark import harvest
+
+PAGE = """
+<html><head>
+<script>var t = '<img src="/js.png" alt="decoy inside script body">';
+var u = '<a href="/js">script link</a>';</script>
+<style>.x { background: url('/css.png'); }</style>
+</head><body>
+<!-- <img src="/c.png" alt="commented out entirely"> <a href="/c">c</a> -->
+<img src="/a.jpg" alt="a fine caption" width="800" height="600">
+<IMG SRC='/b.jpg' ALT='single quoted caption' width='10'>
+<img src="/t.jpg" title="title fallback caption">
+<img src="/both.jpg" alt="alt wins over title" title="loser title">
+<img src="data:image/gif;base64,R0l" alt="data uri must drop">
+<img src="/px.gif" alt="tracking pixel drops" width="1" height="1">
+<img src="/noalt.png">
+<img src="/short.png" alt="tiny">
+<img alt="no src at all">
+<a href="/rel">relative link</a>
+<a href="http://other.example.com/x"><b>nested</b>   markup
+   flattens</a>
+<a href="/empty"></a>
+<a name="anchor-only">not a link</a>
+</body></html>
+"""
+
+
+def _rows(spark, html=PAGE, url="http://h.example.com/dir/page.html"):
+    return spark.createDataFrame([(url, html)], "url string, html string")
+
+
+def test_image_caption_harvest_filters_and_absolutizes(spark):
+    got = {
+        r["img_url"]: r
+        for r in harvest.harvest_image_captions(_rows(spark)).collect()
+    }
+    assert set(got) == {
+        "http://h.example.com/a.jpg",
+        "http://h.example.com/b.jpg",
+        "http://h.example.com/t.jpg",
+        "http://h.example.com/both.jpg",
+    }
+    a = got["http://h.example.com/a.jpg"]
+    assert (a["caption"], a["width"], a["height"]) == ("a fine caption", 800, 600)
+    b = got["http://h.example.com/b.jpg"]  # single-quoted attrs, upper tag
+    assert (b["caption"], b["width"], b["height"]) == (
+        "single quoted caption", 10, None)
+    assert got["http://h.example.com/t.jpg"]["caption"] == "title fallback caption"
+    assert got["http://h.example.com/both.jpg"]["caption"] == "alt wins over title"
+    assert all(r["page_url"] == "http://h.example.com/dir/page.html"
+               for r in got.values())
+
+
+def test_anchor_harvest_flattens_and_drops_decoys(spark):
+    got = {r["target_url"]: r["anchor"]
+           for r in harvest.harvest_anchors(_rows(spark)).collect()}
+    assert got == {
+        "http://h.example.com/rel": "relative link",
+        "http://other.example.com/x": "nested markup flattens",
+    }
+
+
+def test_anchor_graph_rollup(spark):
+    pages = spark.createDataFrame(
+        [
+            ("http://s1.example.com/p1",
+             '<a href="http://t.example.com/d">good doc</a>'
+             '<a href="http://t.example.com/d">good doc</a>'),
+            ("http://s2.example.com/p2",
+             '<a href="http://t.example.com/d">a bad doc</a>'),
+        ],
+        "url string, html string",
+    )
+    [r] = harvest.anchor_graph(pages).collect()
+    assert r["target_url"] == "http://t.example.com/d"
+    assert r["n_inlinks"] == 3
+    assert r["n_sources"] == 2
+    assert r["n_anchors"] == 2
+    assert r["first_anchor"] == "a bad doc"
+
+
+def test_min_caption_chars_knob(spark):
+    html = '<img src="/x.png" alt="okay">'
+    assert harvest.harvest_image_captions(_rows(spark, html)).count() == 0
+    got = harvest.harvest_image_captions(
+        _rows(spark, html), min_caption_chars=4).collect()
+    assert [r["caption"] for r in got] == ["okay"]
+
+
+CANON_PAGES = [
+    # first canonical link wins over both the second link and og:url
+    ("http://h.example.com/a?utm=x",
+     '<head><meta property="og:url" content="http://h.example.com/og-loser">'
+     '<link rel="canonical" href="http://h.example.com/a">'
+     '<link rel="canonical" href="http://h.example.com/second-loser">'
+     "</head>"),
+    # mixed-case multi-token rel, single quotes, relative href
+    ("http://h.example.com/dir/b.html",
+     "<link rel='Canonical alternate' href='/a'>"),
+    # og:url fallback when no canonical link exists
+    ("http://m.example.com/c",
+     '<link rel="stylesheet" href="/style.css">'
+     '<meta name="og:url" content="http://h.example.com/a">'),
+    # decoys only -> self-canonical
+    ("http://h.example.com/self",
+     '<script>var x = \'<link rel="canonical" href="/js-decoy">\';</script>'
+     '<!-- <link rel="canonical" href="/comment-decoy"> -->'
+     '<meta name="description" content="not a canonical">'
+     '<link rel="alternate" href="/feed.xml">'
+     '<link rel="canonical">'),  # hrefless canonical must not crash
+]
+
+
+def test_canonical_priority_and_absolutize(spark):
+    df = spark.createDataFrame(CANON_PAGES, "url string, html string")
+    got = {r["page_url"]: (r["canonical_url"], r["source"])
+           for r in harvest.harvest_canonicals(df).collect()}
+    assert got == {
+        "http://h.example.com/a?utm=x": ("http://h.example.com/a", "link"),
+        "http://h.example.com/dir/b.html": ("http://h.example.com/a", "link"),
+        "http://m.example.com/c": ("http://h.example.com/a", "og"),
+        "http://h.example.com/self": ("http://h.example.com/self", "self"),
+    }
+
+
+def test_canonical_collapse_groups_and_representative(spark):
+    df = spark.createDataFrame(CANON_PAGES, "url string, html string")
+    rows = {r["canonical_url"]: r for r in harvest.canonical_collapse(
+        harvest.harvest_canonicals(df)).collect()}
+    g = rows["http://h.example.com/a"]
+    assert g["n_aliases"] == 3
+    # no alias IS the canonical page -> lexicographically-first alias
+    assert g["representative"] == "http://h.example.com/a?utm=x"
+    assert not g["has_canonical_page"]
+    s = rows["http://h.example.com/self"]
+    assert (s["n_aliases"], s["representative"], s["has_canonical_page"]) \
+        == (1, "http://h.example.com/self", True)
+    # when the canonical page itself was crawled it beats the
+    # lexicographic order
+    df2 = spark.createDataFrame(
+        CANON_PAGES + [("http://h.example.com/a",
+                        '<link rel="canonical" href="/a">')],
+        "url string, html string")
+    g2 = {r["canonical_url"]: r for r in harvest.canonical_collapse(
+        harvest.harvest_canonicals(df2)).collect()}["http://h.example.com/a"]
+    assert g2["representative"] == "http://h.example.com/a"
+    assert g2["has_canonical_page"] and g2["n_aliases"] == 4
+
+
+def test_canonical_extraction_is_zero_exchange(spark):
+    df = spark.createDataFrame(CANON_PAGES, "url string, html string")
+    plan = harvest.harvest_canonicals(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "Exchange" not in plan
+
+
+def test_whole_plan_is_codegen(spark):
+    """The harvest plan must stay JVM-side: no BatchEvalPython /
+    ArrowEvalPython nodes; the exact rollup pays the standard
+    two-Exchange Expand for its two exact distincts, the approx
+    (HyperLogLog) variant exactly one Exchange, and the flat
+    extraction none at all."""
+    exact = harvest.anchor_graph(_rows(spark))._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in exact
+    assert exact.count("Exchange") == 2
+    approx = harvest.anchor_graph(_rows(spark), approx=True)._jdf.queryExecution().executedPlan().toString()
+    assert approx.count("Exchange") == 1
+    assert "Expand" not in approx
+    flat = harvest.harvest_image_captions(_rows(spark))
+    fplan = flat._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in fplan
+    assert "Exchange" not in fplan

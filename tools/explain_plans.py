@@ -337,19 +337,21 @@ def main() -> int:
          "cluster-keyed pairwise equi-join)", p, probs)
     )
 
-    # 17. bloom decontamination: the bitmap rides as a 1-row broadcast
-    # (nested-loop by construction, input is ONE row), the corpus probe
-    # is a projection (F.exists over the shingle array), and only bloom
-    # positives reach the exploding verify join; never a real cartesian
+    # 17. bloom decontamination: the bitmap is CONSTANT-FOLDED into
+    # the probe as a generated array literal (the IVF-codebook
+    # pattern), so no broadcast of any kind carries it — the corpus
+    # probe is a pure projection; only bloom positives reach the
+    # exploding verify semi-join, and the admit is a left-anti join
     q = QUERIES["training_decontaminate_bloom"](spark, sf_dir)
     p, probs = audit(
         "training_decontaminate_bloom", q,
-        expect=["BroadcastNestedLoopJoin", "LeftAnti"],
-        forbid=["CartesianProduct"],
+        expect=["LeftAnti", "LeftSemi"],
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin"],
     )
     sections.append(
-        ("training_decontaminate_bloom (1-row bitmap broadcast, "
-         "projection probe, explode only for bloom positives)", p, probs)
+        ("training_decontaminate_bloom (bitmap constant-folded into "
+         "the probe projection, explode only for bloom positives, "
+         "anti-join admit)", p, probs)
     )
 
     # 18. DSIR scoring: the model (weight map + normalizer) is a 1-row
@@ -410,6 +412,73 @@ def main() -> int:
     sections.append(
         ("images_aspect_bucket (zero-shuffle argmin projection — "
          "no Exchange in the whole plan)", p, probs)
+    )
+
+    # 22. harvest: the flat image+caption extraction must be pure
+    # scan → codegen (strip/extract_all/explode/attr projections), no
+    # Exchange, no Python eval; the exact anchor rollup pays exactly
+    # the two-Exchange Expand for its two exact distincts, and the
+    # approx (HyperLogLog) variant exactly one Exchange with no Expand
+    from pholcus_spark import harvest as HV
+    from pholcus_spark.queries import _harvest_pages
+
+    q = QUERIES["images_caption_harvest"](spark, sf_dir)
+    p, probs = audit(
+        "images_caption_harvest", q,
+        expect=["Generate", "Project"],
+        forbid=["Exchange", "EvalPython", "Join"],
+    )
+    sections.append(
+        ("images_caption_harvest (strip→extract_all→explode→attr, "
+         "all codegen, zero Exchange)", p, probs)
+    )
+    q = HV.anchor_graph(_harvest_pages(spark, sf_dir), approx=True)
+    p, probs = audit(
+        "anchor_text_graph[approx]", q,
+        expect=["Aggregate"],
+        forbid=["Expand", "EvalPython"],
+    )
+    n_exch = p.count("Exchange (")
+    if n_exch != 1:
+        probs.append(
+            f"EXPECTED one Exchange for the HLL rollup, saw {n_exch}")
+    sections.append(
+        ("anchor_text_graph approx=True (HyperLogLog rollup: one "
+         "Exchange, map-side partial sketches, no Expand)", p, probs)
+    )
+
+    # 23. canonical-URL collapse: extraction must be a pure zero-
+    # Exchange projection (array-filter + try_element_at, no explode,
+    # no Generate); the collapse pays exactly one Exchange for its
+    # canonical_url hash agg
+    q = QUERIES["canonical_harvest"](spark, sf_dir)
+    p, probs = audit(
+        "canonical_harvest", q,
+        expect=["Project"],
+        forbid=["Exchange", "EvalPython", "Generate", "Join"],
+    )
+    sections.append(
+        ("canonical_harvest (array-filter + try_element_at: zero "
+         "Exchange, zero explode, pure codegen)", p, probs)
+    )
+    # min(page_url)'s string agg buffer is not HashAggregate-mutable,
+    # so Spark plans the (correct) partial+final SortAggregate pair —
+    # still map-side combined, still exactly one Exchange of
+    # (canonical_url, page_url) pairs
+    q = QUERIES["canonical_collapse"](spark, sf_dir)
+    p, probs = audit(
+        "canonical_collapse", q,
+        expect=["SortAggregate"],
+        forbid=["EvalPython", "Generate", "Join", "Expand"],
+    )
+    n_exch = p.count("Exchange (")
+    if n_exch != 1:
+        probs.append(
+            f"EXPECTED one Exchange for the alias grouping, saw {n_exch}")
+    sections.append(
+        ("canonical_collapse (partial+final SortAggregate on "
+         "canonical_url — string min buffers can't hash-agg — single "
+         "Exchange of (canonical_url, page_url) pairs)", p, probs)
     )
 
     all_problems = []
