@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "images_caption_harvest",
     "anchor_text_graph",
     "canonical_collapse",
+    "sink_webdataset_shape",
     "text_quality",
     "doc_fingerprint",
     "embed_cosine_topk",

@@ -4073,6 +4073,49 @@ def q_canonical_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sink_webdataset_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ustar framing arithmetic (webdataset.tar_entry — the WebDataset
+    shard sink's codegen tar writer): each document's text framed as a
+    ``doc-<id>.txt`` entry; the query PARSES the checksum back out of
+    the generated header bytes (offset 148, 6 octal digits) and the
+    oracle recomputes it independently — fixed-field byte sum 2509 +
+    per-char sums of the name and octal-size fields — plus the
+    512-padded entry length. Hash equality proves the framing a
+    stdlib ``tarfile`` round-trip proves executor-side in
+    test_webdataset."""
+    from . import webdataset as W
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    name = F.concat(F.lit("doc-"), F.col("doc_id").cast("string"),
+                    F.lit(".txt"))
+    entry = W.tar_entry(name, F.encode(F.col("text"), "UTF-8"))
+    return docs.select(
+        name.alias("name"),
+        F.octet_length(F.encode(F.col("text"), "UTF-8")).alias(
+            "payload_len"),
+        F.length(entry).alias("entry_len"),
+        F.conv(
+            F.decode(F.substring(entry, 149, 6), "UTF-8"), 8, 10
+        ).cast("bigint").alias("header_chksum"),
+    )
+
+
+SQL_SINK_WEBDATASET_SHAPE = """
+WITH d AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) || '.txt' AS name,
+         octet_length(CAST(text AS BLOB)) AS payload_len
+  FROM documents)
+SELECT name, payload_len,
+       512 + ((payload_len + 511) // 512) * 512 AS entry_len,
+       2509
+         + list_sum([ord(c) FOR c IN regexp_split_to_array(name, '')])
+         + list_sum([ord(c) FOR c IN regexp_split_to_array(
+               lpad(printf('%o', payload_len), 11, '0'), '')])
+         AS header_chksum
+FROM d
+"""
+
+
 SQL_CANONICAL_COLLAPSE = _SQL_CANON_PAGES + """
 SELECT canonical_url,
        count(*) AS n_aliases,
@@ -4183,6 +4226,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anchor_text_graph": q_anchor_text_graph,
     "canonical_harvest": q_canonical_harvest,
     "canonical_collapse": q_canonical_collapse,
+    "sink_webdataset_shape": q_sink_webdataset_shape,
     "images_select_corpus": q_images_select_corpus,
     "video_frame_sample": q_video_frame_sample,
     "audio_features": q_audio_features,
@@ -4277,6 +4321,7 @@ ORACLE_SQL: dict[str, str] = {
     "anchor_text_graph": SQL_ANCHOR_TEXT_GRAPH,
     "canonical_harvest": SQL_CANONICAL_HARVEST,
     "canonical_collapse": SQL_CANONICAL_COLLAPSE,
+    "sink_webdataset_shape": SQL_SINK_WEBDATASET_SHAPE,
     "images_stats": SQL_IMAGES_STATS,
 }
 

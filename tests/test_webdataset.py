@@ -1,0 +1,117 @@
+"""WebDataset tar-shard sink: codegen ustar framing, executor-side
+shard writes, distributed read-back (webdataset.py)."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import tarfile
+
+import pytest
+
+from pholcus_spark import webdataset as W
+from pholcus_spark.imaging import encode_image, phash64
+from pholcus_spark.synthetic import image_for_doc
+
+
+def _images(spark, n=10):
+    rows = []
+    for d in range(n):
+        arr, fmt = image_for_doc(d)
+        b = encode_image(arr, fmt)
+        rows.append((f"doc-{d}", b, arr.shape[1], arr.shape[0], fmt,
+                     f"caption for doc {d}", phash64(arr)))
+    return spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long",
+    )
+
+
+def test_shards_are_valid_tar_and_sorted(spark, tmp_path):
+    src = _images(spark)
+    out = str(tmp_path / "wds")
+    W.write_webdataset(src, out, n_shards=3)
+    shards = sorted(glob.glob(os.path.join(out, "shard-*.tar")))
+    assert shards  # at least one non-empty shard landed
+    seen = []
+    for s in shards:
+        with tarfile.open(s) as tf:  # tarfile VERIFIES header checksums
+            names = [m.name for m in tf.getmembers()]
+        stems = [n.rsplit(".", 1)[0] for n in names[::3]]
+        assert stems == sorted(stems)  # in-shard sort by key
+        assert all(
+            names[i + 1] == stems[i // 3] + ".txt"
+            and names[i + 2] == stems[i // 3] + ".json"
+            for i in range(0, len(names), 3)
+        )
+        seen += stems
+    assert sorted(seen) == [f"doc-{d}" for d in range(10)]
+
+
+def test_round_trip_exact(spark, tmp_path):
+    src = _images(spark)
+    out = str(tmp_path / "wds")
+    W.write_webdataset(src, out, n_shards=3)
+    got = {
+        r["image_id"]: r
+        for r in W.read_webdataset(spark, out + "/shard-*.tar").collect()
+    }
+    for s in src.collect():
+        g = got[s["image_id"]]
+        assert bytes(g["bytes"]) == bytes(s["bytes"])  # byte-exact payload
+        assert g["fmt"] == s["fmt"]
+        assert g["caption"] == s["caption"]
+        meta = json.loads(g["meta_json"])
+        assert (meta["w"], meta["h"], meta["fmt"], meta["phash"]) == (
+            s["w"], s["h"], s["fmt"], s["phash"])
+
+
+def test_reexport_is_byte_identical(spark, tmp_path):
+    src = _images(spark, n=6)
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    W.write_webdataset(src, a, n_shards=2)
+    W.write_webdataset(src, b, n_shards=2)
+    fa = {os.path.basename(p): open(p, "rb").read()
+          for p in glob.glob(a + "/*.tar")}
+    fb = {os.path.basename(p): open(p, "rb").read()
+          for p in glob.glob(b + "/*.tar")}
+    assert fa == fb and fa
+
+
+def test_framing_is_pure_codegen(spark):
+    recs = W.webdataset_records(_images(spark, n=3))
+    plan = recs._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "Exchange" not in plan
+
+
+def test_non_ascii_key_fails_loud(spark):
+    df = spark.createDataFrame(
+        [("döc-1", b"x", 1, 1, "png", "c", 0)],
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long",
+    )
+    with pytest.raises(Exception, match="non-ASCII webdataset key"):
+        W.webdataset_records(df).collect()
+
+
+def test_multi_block_payload_padding(spark):
+    """Payloads straddling 512-byte boundaries (0, exactly 512, 512+1)
+    frame to the right entry lengths and read back exactly."""
+    rows = [("k0", b"", 1, 1, "bin", "", 0),
+            ("k1", b"a" * 512, 1, 1, "bin", "", 0),
+            ("k2", b"b" * 513, 1, 1, "bin", "", 0)]
+    df = spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long",
+    )
+    got = {r["key"]: r for r in W.webdataset_records(df).collect()}
+    import io
+
+    for k, payload in [("k0", b""), ("k1", b"a" * 512), ("k2", b"b" * 513)]:
+        blob = bytes(got[k]["record"]) + b"\0" * 1024
+        with tarfile.open(fileobj=io.BytesIO(blob)) as tf:
+            assert tf.extractfile(f"{k}.bin").read() == payload

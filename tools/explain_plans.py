@@ -481,6 +481,20 @@ def main() -> int:
          "Exchange of (canonical_url, page_url) pairs)", p, probs)
     )
 
+    # 24. webdataset tar framing: the whole ustar record (header +
+    # checksum + padding) must be a single codegen projection — no
+    # Exchange, no Python, no Generate
+    q = QUERIES["sink_webdataset_shape"](spark, sf_dir)
+    p, probs = audit(
+        "sink_webdataset_shape", q,
+        expect=["Project"],
+        forbid=["Exchange", "EvalPython", "Generate", "Join"],
+    )
+    sections.append(
+        ("sink_webdataset_shape (ustar framing incl. checksum as one "
+         "codegen projection: zero Exchange, zero Python)", p, probs)
+    )
+
     all_problems = []
     out = ["# PLANS — physical-plan audit of the hot paths\n"]
     out.append(
