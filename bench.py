@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "anchor_text_graph",
     "canonical_collapse",
     "sink_webdataset_shape",
+    "links_followable",
     "text_quality",
     "doc_fingerprint",
     "embed_cosine_topk",

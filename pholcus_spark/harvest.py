@@ -38,6 +38,8 @@ __all__ = [
     "anchor_graph",
     "harvest_canonicals",
     "canonical_collapse",
+    "robots_meta",
+    "followable_links",
 ]
 
 
@@ -145,6 +147,115 @@ def harvest_anchors(
     )
     return d.filter(
         F.col("href").isNotNull() & (F.length("anchor") > 0)
+    ).select(
+        "page_url",
+        make_url(F.col("page_url"), F.col("href")).alias("target_url"),
+        "anchor",
+    )
+
+
+def robots_meta(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(page_url, noindex, nofollow) — page-level robots META
+    directives, the in-document half of the robots protocol (the
+    robots.txt half lives in ``robots.py``). A real crawler MUST
+    honor these: ``noindex`` pages are fetched but excluded from the
+    corpus, ``nofollow`` pages contribute no child links.
+
+    Every ``<meta name=robots content=...>`` is considered and the
+    directives UNION (the restrictive reading search engines apply
+    when tags conflict); ``none`` means both. Token lists split on
+    commas/whitespace, matched case-insensitively. Zero shuffle —
+    array filter + ``exists`` over the meta tags, one codegen
+    projection."""
+    metas = F.filter(
+        F.regexp_extract_all(
+            _strip_nonrendered(F.col(html_col)),
+            F.lit(r"(?i)<meta\b[^>]*>"), 0,
+        ),
+        lambda t: (F.lower(_attr(t, "name")) == "robots")
+        & _attr(t, "content").isNotNull(),
+    )
+
+    def _has(*tokens: str) -> Column:
+        toks = F.array(*[F.lit(t) for t in tokens])
+        return F.exists(
+            metas,
+            lambda t: F.arrays_overlap(
+                F.split(F.lower(_attr(t, "content")), r"[,\s]+"), toks
+            ),
+        )
+
+    return pages.select(
+        F.col(url_col).alias("page_url"),
+        _has("noindex", "none").alias("noindex"),
+        _has("nofollow", "none").alias("nofollow"),
+    )
+
+
+def followable_links(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """The child links a polite crawler may actually enqueue:
+    ``harvest_anchors`` minus links carrying ``rel`` nofollow
+    semantics (``nofollow``/``sponsored``/``ugc`` tokens) and minus
+    EVERY link on a page whose robots meta says ``nofollow``.
+
+    The page-level flag is computed as a scalar expression IN THE
+    SAME projection that explodes the anchors — never a self-join of
+    the page scan against itself — so the plan stays one pass over
+    the HTML with no Exchange; this feeds frontier enqueue directly
+    (``frontier.enqueue`` dedups downstream)."""
+    stripped = _strip_nonrendered(F.col(html_col))
+    page_nofollow = F.exists(
+        F.filter(
+            F.regexp_extract_all(stripped, F.lit(r"(?i)<meta\b[^>]*>"), 0),
+            lambda t: (F.lower(_attr(t, "name")) == "robots")
+            & _attr(t, "content").isNotNull(),
+        ),
+        lambda t: F.arrays_overlap(
+            F.split(F.lower(_attr(t, "content")), r"[,\s]+"),
+            F.array(F.lit("nofollow"), F.lit("none")),
+        ),
+    )
+    tags = F.explode(
+        F.regexp_extract_all(stripped, F.lit(r"(?is)<a\b[^>]*>.*?</a>"), 0)
+    )
+    d = pages.select(
+        F.col(url_col).alias("page_url"),
+        page_nofollow.alias("_page_nofollow"),
+        tags.alias("tag"),
+    )
+    t = F.col("tag")
+    anchor = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_extract(t, r"(?is)<a\b[^>]*>(.*)</a>", 1),
+                r"<[^>]+>", " ",
+            ),
+            r"\s+", " ",
+        )
+    )
+    rel_nofollow = F.coalesce(
+        F.arrays_overlap(
+            F.split(F.lower(_attr(t, "rel")), r"\s+"),
+            F.array(F.lit("nofollow"), F.lit("sponsored"), F.lit("ugc")),
+        ),
+        F.lit(False),
+    )
+    d = d.select(
+        "page_url",
+        "_page_nofollow",
+        _attr(t, "href").alias("href"),
+        anchor.alias("anchor"),
+        rel_nofollow.alias("_rel_nofollow"),
+    )
+    return d.filter(
+        F.col("href").isNotNull()
+        & (F.length("anchor") > 0)
+        & ~F.col("_page_nofollow")
+        & ~F.col("_rel_nofollow")
     ).select(
         "page_url",
         make_url(F.col("page_url"), F.col("href")).alias("target_url"),

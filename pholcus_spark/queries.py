@@ -3915,6 +3915,28 @@ def _harvest_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.lit(""))  # mod5 == 4: self-canonical
     )
+    mod7 = F.pmod(F.col("doc_id"), F.lit(7))
+    robots_head = (
+        F.when(mod7 == 0,
+               F.lit('<meta name="robots" content="noindex, nofollow">'))
+        .when(mod7 == 1, F.lit("<meta name='robots' content='NOFOLLOW'>"))
+        # noarchive must NOT trip either directive
+        .when(mod7 == 2,
+              F.lit('<meta name="robots" content="noarchive">'))
+        .otherwise(F.lit(""))
+    )
+    nf_link = F.when(
+        F.pmod(F.col("doc_id"), F.lit(2)) == 0,
+        F.concat(
+            F.lit('<a href="http://site.example.com/nf/'), did,
+            F.lit('" rel="nofollow">skip doc '), did, F.lit("</a>"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("<a rel='ugc' href='http://site.example.com/nf/"), did,
+            F.lit("'>skip doc "), did, F.lit("</a>"),
+        )
+    )
     html = F.concat(
         F.lit("<html><head><script>var x = '<img src=\"/decoy-js.png\" "
               'alt="decoy javascript image"> <a href="/decoy-js">decoy '
@@ -3923,6 +3945,7 @@ def _harvest_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
               '<link rel="stylesheet" href="/style.css">'
               '<meta name="description" content="not a canonical">'),
         canon_head,
+        robots_head,
         F.lit("</head><body>"
               '<!-- <img src="/decoy-comment.png" alt="commented out '
               'image"> <a href="/decoy-comment">dead</a> '
@@ -3937,6 +3960,7 @@ def _harvest_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
               '<img src="/short-'), did, F.lit('.png" alt="tiny">'
               '<a href="/home">home</a><a href="/empty"></a>'
               '<a name="x">no href here</a>'),
+        nf_link,
         links,
         F.lit("</body></html>"),
     )
@@ -4006,6 +4030,14 @@ triples AS (
          'http://h' || lpad(CAST(d % 50 AS VARCHAR), 3, '0')
            || '.example.com/home',
          'home'
+  FROM pages
+  UNION ALL
+  -- rel-nofollow/ugc anchors ARE harvested (rel gating is
+  -- followable_links' job, not the raw extraction's)
+  SELECT 'http://h' || lpad(CAST(d % 50 AS VARCHAR), 3, '0')
+           || '.example.com/p/' || CAST(d AS VARCHAR) || '.html',
+         'http://site.example.com/nf/' || CAST(d AS VARCHAR),
+         'skip doc ' || CAST(d AS VARCHAR)
   FROM pages)
 SELECT target_url,
        count(*) AS n_inlinks,
@@ -4071,6 +4103,59 @@ def q_canonical_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return harvest.canonical_collapse(
         harvest.harvest_canonicals(_harvest_pages(spark, sf_dir))
     )
+
+
+def q_robots_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-level robots META directives over the page fixture (see
+    ``harvest.robots_meta``): noindex/nofollow/none token parsing,
+    union across tags, case/quote-insensitive, with a ``noarchive``
+    control that must trip neither flag — all zero-shuffle codegen."""
+    from . import harvest
+
+    return harvest.robots_meta(_harvest_pages(spark, sf_dir))
+
+
+SQL_ROBOTS_META = """
+SELECT 'http://h' || lpad(CAST(doc_id % 50 AS VARCHAR), 3, '0')
+         || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+         || '.html' AS page_url,
+       doc_id % 7 = 0 AS noindex,
+       doc_id % 7 IN (0, 1) AS nofollow
+FROM documents WHERE doc_id < 500
+"""
+
+
+def q_links_followable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enqueue-able child links over the page fixture (see
+    ``harvest.followable_links``): drops rel=nofollow/sponsored/ugc
+    anchors and every link on meta-nofollow pages; the page-level
+    flag rides the same projection as the anchor explode (no
+    self-join)."""
+    from . import harvest
+
+    return harvest.followable_links(_harvest_pages(spark, sf_dir))
+
+
+SQL_LINKS_FOLLOWABLE = """
+WITH pages AS (
+  SELECT doc_id AS d FROM documents
+  WHERE doc_id < 500 AND doc_id % 7 NOT IN (0, 1)),
+links AS (SELECT d, unnest(generate_series(0, d % 4)) AS i FROM pages)
+SELECT 'http://h' || lpad(CAST(d % 50 AS VARCHAR), 3, '0')
+         || '.example.com/p/' || CAST(d AS VARCHAR) || '.html' AS page_url,
+       'http://site.example.com/doc/'
+         || CAST((d * 7 + i * 13) % 500 AS VARCHAR) AS target_url,
+       (CASE WHEN d % 2 = 0 THEN 'about' ELSE 'visit' END)
+         || ' doc ' || CAST((d * 7 + i * 13) % 500 AS VARCHAR) AS anchor
+FROM links
+UNION ALL
+SELECT 'http://h' || lpad(CAST(d % 50 AS VARCHAR), 3, '0')
+         || '.example.com/p/' || CAST(d AS VARCHAR) || '.html',
+       'http://h' || lpad(CAST(d % 50 AS VARCHAR), 3, '0')
+         || '.example.com/home',
+       'home'
+FROM pages
+"""
 
 
 def q_sink_webdataset_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4227,6 +4312,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "canonical_harvest": q_canonical_harvest,
     "canonical_collapse": q_canonical_collapse,
     "sink_webdataset_shape": q_sink_webdataset_shape,
+    "robots_meta_directives": q_robots_meta,
+    "links_followable": q_links_followable,
     "images_select_corpus": q_images_select_corpus,
     "video_frame_sample": q_video_frame_sample,
     "audio_features": q_audio_features,
@@ -4322,6 +4409,8 @@ ORACLE_SQL: dict[str, str] = {
     "canonical_harvest": SQL_CANONICAL_HARVEST,
     "canonical_collapse": SQL_CANONICAL_COLLAPSE,
     "sink_webdataset_shape": SQL_SINK_WEBDATASET_SHAPE,
+    "robots_meta_directives": SQL_ROBOTS_META,
+    "links_followable": SQL_LINKS_FOLLOWABLE,
     "images_stats": SQL_IMAGES_STATS,
 }
 

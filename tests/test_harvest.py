@@ -160,6 +160,57 @@ def test_canonical_extraction_is_zero_exchange(spark):
     assert "Exchange" not in plan
 
 
+ROBOTS_PAGES = [
+    # none == noindex + nofollow; directives UNION across tags
+    ("http://h.example.com/none",
+     '<meta name="robots" content="none">'
+     '<a href="/x">a link that must not be followed</a>'),
+    ("http://h.example.com/multi",
+     '<meta name="robots" content="noarchive">'
+     "<meta name='robots' content='NOINDEX'>"
+     '<a href="/y">still followable: page is only noindex</a>'),
+    ("http://h.example.com/clean",
+     '<meta name="description" content="nofollow noindex">'  # wrong tag
+     '<!-- <meta name="robots" content="none"> -->'           # comment
+     '<a href="/ok">kept</a>'
+     '<a href="/nf" rel="nofollow">dropped by rel</a>'
+     "<a href='/ugc' rel='external UGC'>dropped by ugc token</a>"
+     '<a href="/spon" rel="sponsored">dropped sponsored</a>'),
+]
+
+
+def test_robots_meta_union_and_decoys(spark):
+    df = spark.createDataFrame(ROBOTS_PAGES, "url string, html string")
+    got = {r["page_url"]: (r["noindex"], r["nofollow"])
+           for r in harvest.robots_meta(df).collect()}
+    assert got == {
+        "http://h.example.com/none": (True, True),
+        "http://h.example.com/multi": (True, False),
+        "http://h.example.com/clean": (False, False),
+    }
+
+
+def test_followable_links_gating(spark):
+    df = spark.createDataFrame(ROBOTS_PAGES, "url string, html string")
+    got = {(r["page_url"], r["target_url"])
+           for r in harvest.followable_links(df).collect()}
+    assert got == {
+        ("http://h.example.com/multi", "http://h.example.com/y"),
+        ("http://h.example.com/clean", "http://h.example.com/ok"),
+    }
+
+
+def test_followable_links_single_pass(spark):
+    """The page-level nofollow flag must ride the anchor explode's own
+    projection — one scan, no self-join, no Exchange."""
+    df = spark.createDataFrame(ROBOTS_PAGES, "url string, html string")
+    plan = harvest.followable_links(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
 def test_whole_plan_is_codegen(spark):
     """The harvest plan must stay JVM-side: no BatchEvalPython /
     ArrowEvalPython nodes; the exact rollup pays the standard

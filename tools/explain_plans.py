@@ -495,6 +495,20 @@ def main() -> int:
          "codegen projection: zero Exchange, zero Python)", p, probs)
     )
 
+    # 25. followable links: the page-level nofollow flag must ride the
+    # anchor explode's own projection — one scan, never a self-join of
+    # the page table against itself
+    q = QUERIES["links_followable"](spark, sf_dir)
+    p, probs = audit(
+        "links_followable", q,
+        expect=["Generate"],
+        forbid=["Exchange", "EvalPython", "Join"],
+    )
+    sections.append(
+        ("links_followable (robots-meta flag + anchor explode in one "
+         "pass: zero Exchange, no self-join)", p, probs)
+    )
+
     all_problems = []
     out = ["# PLANS — physical-plan audit of the hot paths\n"]
     out.append(
