@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "canonical_collapse",
     "sink_webdataset_shape",
     "links_followable",
+    "caption_quality",
     "text_quality",
     "doc_fingerprint",
     "embed_cosine_topk",

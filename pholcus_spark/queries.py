@@ -4158,6 +4158,68 @@ FROM pages
 """
 
 
+def q_caption_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAION-style caption junk gates (textops.caption_flags): the
+    engine runs the REAL regex/ratio expressions over planted captions
+    — one junk class per doc_id%8 residue (camera filename, bare URL,
+    punctuation run, digit dump, boilerplate, too-short, two clean
+    shapes) — and the oracle predicts every flag from the residue
+    arithmetic, so a regex drift flips a boolean and breaks the
+    hash."""
+    d = F.col("doc_id")
+    did = d.cast("string")
+    caption = (
+        F.when(F.pmod(d, 8) == 0,
+               F.concat(F.lit("IMG_"), (d + 1000).cast("string"),
+                        F.lit(".JPG")))
+        .when(F.pmod(d, 8) == 1,
+              F.concat(F.lit("http://junk.example.com/"), did))
+        .when(F.pmod(d, 8) == 2, F.lit("!!! ??? ***"))
+        .when(F.pmod(d, 8) == 3,
+              F.concat(did, F.lit(" 12345 67 890")))
+        .when(F.pmod(d, 8) == 4,
+              F.lit("Stock Photo: sunset over rolling hills"))
+        .when(F.pmod(d, 8) == 5, F.lit("cat"))
+        .when(F.pmod(d, 8) == 6,
+              F.concat(F.lit("a photo of item number "), did))
+        .otherwise(
+            F.concat(F.lit("A scenic view of landscape "), did,
+                     F.lit(" at dawn")))
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", caption.alias("caption"))
+    flags = textops.caption_flags(F.col("caption"))
+    return docs.select(
+        "doc_id",
+        "caption",
+        *[c.alias(name) for name, c in flags.items()],
+        textops.caption_keep(F.col("caption")).alias("keep"),
+    )
+
+
+SQL_CAPTION_QUALITY = """
+SELECT doc_id,
+       CASE doc_id % 8
+         WHEN 0 THEN 'IMG_' || CAST(doc_id + 1000 AS VARCHAR) || '.JPG'
+         WHEN 1 THEN 'http://junk.example.com/' || CAST(doc_id AS VARCHAR)
+         WHEN 2 THEN '!!! ??? ***'
+         WHEN 3 THEN CAST(doc_id AS VARCHAR) || ' 12345 67 890'
+         WHEN 4 THEN 'Stock Photo: sunset over rolling hills'
+         WHEN 5 THEN 'cat'
+         WHEN 6 THEN 'a photo of item number ' || CAST(doc_id AS VARCHAR)
+         ELSE 'A scenic view of landscape ' || CAST(doc_id AS VARCHAR)
+           || ' at dawn'
+       END AS caption,
+       doc_id % 8 = 5 AS bad_length,
+       doc_id % 8 = 0 AS is_filename,
+       doc_id % 8 = 1 AS is_url,
+       doc_id % 8 IN (2, 3) AS low_alpha,
+       doc_id % 8 = 4 AS boilerplate,
+       doc_id % 8 IN (6, 7) AS keep
+FROM documents
+"""
+
+
 def q_sink_webdataset_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ustar framing arithmetic (webdataset.tar_entry — the WebDataset
     shard sink's codegen tar writer): each document's text framed as a
@@ -4314,6 +4376,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sink_webdataset_shape": q_sink_webdataset_shape,
     "robots_meta_directives": q_robots_meta,
     "links_followable": q_links_followable,
+    "caption_quality": q_caption_quality,
     "images_select_corpus": q_images_select_corpus,
     "video_frame_sample": q_video_frame_sample,
     "audio_features": q_audio_features,
@@ -4411,6 +4474,7 @@ ORACLE_SQL: dict[str, str] = {
     "sink_webdataset_shape": SQL_SINK_WEBDATASET_SHAPE,
     "robots_meta_directives": SQL_ROBOTS_META,
     "links_followable": SQL_LINKS_FOLLOWABLE,
+    "caption_quality": SQL_CAPTION_QUALITY,
     "images_stats": SQL_IMAGES_STATS,
 }
 

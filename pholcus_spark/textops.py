@@ -316,3 +316,59 @@ def hashed_linear_score(
     ).otherwise(F.floor(num.cast("double") / n))
     score = units.cast("double") / float(10 ** round_to)
     return score, total
+
+
+# -- caption quality (the image-pair text gate) ------------------------------
+
+_CAPTION_BOILERPLATE = (
+    "click to enlarge", "stock photo", "getty images", "no caption",
+    "royalty free", "image may contain", "click here", "thumbnail",
+)
+
+
+def caption_flags(caption: Column, min_chars: int = 5,
+                  max_chars: int = 512) -> dict[str, Column]:
+    """LAION-style caption junk flags for harvested image+caption
+    pairs — each a pure boolean expression over the caption string:
+
+    - ``bad_length``: trimmed length outside [min_chars, max_chars]
+    - ``is_filename``: camera/file-name captions (``IMG_1234.JPG``,
+      ``DSC0001``, ``screenshot-3.png`` …) — the single most common
+      alt-text junk class
+    - ``is_url``: the caption is a bare URL
+    - ``low_alpha``: letters make up less than half of the
+      non-space characters (digit dumps, punctuation runs, emoji
+      soup)
+    - ``boilerplate``: CMS filler ("click to enlarge",
+      "stock photo", "getty images", …)
+
+    ``caption_keep`` ANDs them. All codegen; at harvest scale this
+    rides the extraction scan with zero extra passes."""
+    c = F.trim(caption)
+    n = F.length(c)
+    letters = F.length(F.regexp_replace(c, r"[^\p{L}]", ""))
+    nonspace = F.length(F.regexp_replace(c, r"\s", ""))
+    low = F.lower(c)
+    flags = {
+        "bad_length": (n < min_chars) | (n > max_chars),
+        "is_filename": c.rlike(
+            r"(?i)^(img|dsc|dcim|image|photo|pic|screenshot|untitled)"
+            r"[-_ ]?\d*(\.(jpe?g|png|gif|webp|bmp|tiff?))?$"
+        ),
+        "is_url": c.rlike(r"(?i)^https?://\S+$"),
+        "low_alpha": (nonspace > 0) & (letters * 2 < nonspace),
+        "boilerplate": F.lower(
+            F.concat(F.lit(" "), low, F.lit(" "))
+        ).rlike("|".join(_CAPTION_BOILERPLATE)),
+    }
+    return flags
+
+
+def caption_keep(caption: Column, **kw) -> Column:
+    """True iff no junk flag fires — the pair survives into the
+    training corpus."""
+    flags = caption_flags(caption, **kw)
+    out = F.lit(True)
+    for f in flags.values():
+        out = out & ~f
+    return out

@@ -227,3 +227,29 @@ def test_whole_plan_is_codegen(spark):
     fplan = flat._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in fplan
     assert "Exchange" not in fplan
+
+
+def test_caption_flags_edge_cases(spark):
+    from pholcus_spark.textops import caption_flags, caption_keep
+    from pyspark.sql import functions as F
+
+    cases = [
+        ("IMG_1234.JPG", False),          # camera filename
+        ("IMG 1234", False),              # filename without extension
+        ("screenshot-42.png", False),     # other camera/file prefix
+        ("imgres query result page", True),   # prefix alone isn't junk
+        ("https://x.example.com/a?b=1", False),  # bare URL
+        ("see https://x.example.com for info", True),  # URL inside text
+        ("12345 - 67890!", False),        # digits/punct dominate
+        ("Photo of 12 red apples", True), # digits fine when text leads
+        ("getty images watermark", False),
+        ("a" * 513, False),               # too long
+        ("four", False),                  # under min_chars=5
+        ("fives", True),                  # exactly min_chars
+    ]
+    df = spark.createDataFrame([(c,) for c, _ in cases], "caption string")
+    got = df.select(
+        "caption", caption_keep(F.col("caption")).alias("keep")).collect()
+    want = dict(cases)
+    for r in got:
+        assert r["keep"] == want[r["caption"]], r["caption"]
