@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "sink_webdataset_shape",
     "links_followable",
     "caption_quality",
+    "revalidate_304",
     "text_quality",
     "doc_fingerprint",
     "embed_cosine_topk",

@@ -4220,6 +4220,118 @@ FROM documents
 """
 
 
+def _revalidate_parts(spark: SparkSession, sf_dir: str):
+    """Fixture for the conditional-revisit operators: candidates are
+    doc_id<400, the validator store covers doc_id%3!=0 over the full
+    table (so rows ≥400 exercise the untouched-store path), a page
+    "changed" iff doc_id%4==0. Every derived value is residue
+    arithmetic, so the oracles recompute the joins exactly."""
+    from . import revalidate
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    k = F.col("doc_id").cast("long")
+    did = k.cast("string")
+    url = F.concat(F.lit("http://h"), F.pmod(k, F.lit(50)).cast("string"),
+                   F.lit(".example.com/p/"), did)
+    candidates = docs.filter(k < 400).select(
+        k.alias("url_key"), url.alias("url"))
+    validators = docs.filter(F.pmod(k, F.lit(3)) != 0).select(
+        k.alias("url_key"),
+        F.concat(F.lit("et-"), did).alias("etag"),
+        F.concat(F.lit("lm-"), did).alias("last_modified"),
+        (k * 31).alias("fingerprint"),
+    )
+    cond = revalidate.conditional_headers(candidates, validators)
+    kk = F.col("url_key")
+    changed = F.pmod(kk, F.lit(4)) == 0
+    status = F.when(
+        F.col("is_conditional") & ~changed, F.lit(304)
+    ).otherwise(F.lit(200))
+    sid = kk.cast("string")
+    ver = F.when(F.col("is_conditional"), F.lit("-v2")).otherwise(
+        F.lit("-v1"))
+    responses = cond.select(
+        "url_key",
+        "url",
+        status.alias("status"),
+        F.when(status == 200,
+               F.concat(F.lit("et-"), sid, ver)).alias("etag"),
+        F.when(status == 200,
+               F.concat(F.lit("lm-"), sid, ver)).alias("last_modified"),
+        F.when(status == 200, kk * 31 + 7).alias("fingerprint"),
+    )
+    return revalidate.merge_revalidated(responses, validators)
+
+
+def q_revalidate_304(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-fetch merge (revalidate.merge_revalidated): 304
+    rows recover fingerprint/validators from the store via a
+    304-slice-only join; 200 and first-visit rows pass through with
+    network values."""
+    merged, _ = _revalidate_parts(spark, sf_dir)
+    return merged.select("url_key", "url", "status", "etag",
+                         "last_modified", "fingerprint", "from_cache")
+
+
+SQL_REVALIDATE_304 = """
+WITH c AS (SELECT doc_id AS k FROM documents WHERE doc_id < 400),
+m AS (
+  SELECT k,
+         k % 3 <> 0 AS cond,
+         k % 3 <> 0 AND k % 4 <> 0 AS not_modified
+  FROM c)
+SELECT k AS url_key,
+       'http://h' || CAST(k % 50 AS VARCHAR) || '.example.com/p/'
+         || CAST(k AS VARCHAR) AS url,
+       CASE WHEN not_modified THEN 304 ELSE 200 END AS status,
+       CASE WHEN not_modified THEN 'et-' || CAST(k AS VARCHAR)
+            WHEN cond THEN 'et-' || CAST(k AS VARCHAR) || '-v2'
+            ELSE 'et-' || CAST(k AS VARCHAR) || '-v1' END AS etag,
+       CASE WHEN not_modified THEN 'lm-' || CAST(k AS VARCHAR)
+            WHEN cond THEN 'lm-' || CAST(k AS VARCHAR) || '-v2'
+            ELSE 'lm-' || CAST(k AS VARCHAR) || '-v1' END
+         AS last_modified,
+       CASE WHEN not_modified THEN k * 31 ELSE k * 31 + 7 END
+         AS fingerprint,
+       not_modified AS from_cache
+FROM m
+"""
+
+
+def q_revalidate_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validator-store refresh after a conditional round: 200 rows
+    overwrite, 304 rows carry stored validators forward, first visits
+    enter, store rows outside the batch persist untouched."""
+    _, store = _revalidate_parts(spark, sf_dir)
+    return store
+
+
+SQL_REVALIDATE_STORE = """
+WITH c AS (SELECT doc_id AS k FROM documents WHERE doc_id < 400),
+fresh AS (
+  SELECT k AS url_key,
+         CASE WHEN k % 3 <> 0 AND k % 4 <> 0
+                THEN 'et-' || CAST(k AS VARCHAR)
+              WHEN k % 3 <> 0 THEN 'et-' || CAST(k AS VARCHAR) || '-v2'
+              ELSE 'et-' || CAST(k AS VARCHAR) || '-v1' END AS etag,
+         CASE WHEN k % 3 <> 0 AND k % 4 <> 0
+                THEN 'lm-' || CAST(k AS VARCHAR)
+              WHEN k % 3 <> 0 THEN 'lm-' || CAST(k AS VARCHAR) || '-v2'
+              ELSE 'lm-' || CAST(k AS VARCHAR) || '-v1' END
+           AS last_modified,
+         CASE WHEN k % 3 <> 0 AND k % 4 <> 0 THEN k * 31
+              ELSE k * 31 + 7 END AS fingerprint
+  FROM c),
+untouched AS (
+  SELECT doc_id AS url_key,
+         'et-' || CAST(doc_id AS VARCHAR) AS etag,
+         'lm-' || CAST(doc_id AS VARCHAR) AS last_modified,
+         doc_id * 31 AS fingerprint
+  FROM documents WHERE doc_id % 3 <> 0 AND doc_id >= 400)
+SELECT * FROM fresh UNION ALL SELECT * FROM untouched
+"""
+
+
 def q_sink_webdataset_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ustar framing arithmetic (webdataset.tar_entry — the WebDataset
     shard sink's codegen tar writer): each document's text framed as a
@@ -4377,6 +4489,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "robots_meta_directives": q_robots_meta,
     "links_followable": q_links_followable,
     "caption_quality": q_caption_quality,
+    "revalidate_304": q_revalidate_304,
+    "revalidate_store": q_revalidate_store,
     "images_select_corpus": q_images_select_corpus,
     "video_frame_sample": q_video_frame_sample,
     "audio_features": q_audio_features,
@@ -4475,6 +4589,8 @@ ORACLE_SQL: dict[str, str] = {
     "robots_meta_directives": SQL_ROBOTS_META,
     "links_followable": SQL_LINKS_FOLLOWABLE,
     "caption_quality": SQL_CAPTION_QUALITY,
+    "revalidate_304": SQL_REVALIDATE_304,
+    "revalidate_store": SQL_REVALIDATE_STORE,
     "images_stats": SQL_IMAGES_STATS,
 }
 
