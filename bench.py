@@ -79,6 +79,9 @@ BENCH_QUERIES = [
     "links_followable",
     "caption_quality",
     "revalidate_304",
+    "images_srcset_harvest",
+    "training_split_assign",
+    "politeness_adapt",
     "text_quality",
     "doc_fingerprint",
     "embed_cosine_topk",

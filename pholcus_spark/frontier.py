@@ -504,3 +504,46 @@ def split_results(results: DataFrame, max_requeue_attempt: int = 1):
         .select(*frontier_cols)
     )
     return done, requeued, failed
+
+
+def adapt_politeness(
+    politeness: DataFrame,
+    observations: DataFrame,
+    cap: int = 64,
+    floor: int = 1,
+    failed_col: str = "failed",
+) -> DataFrame:
+    """AIMD budget adaptation: tune each host's ``max_per_round`` from
+    the round it just served, TCP-style — multiplicative decrease
+    (halve, floored) the moment a host shows ANY failure, additive
+    increase (+1, capped) after a clean round, untouched when the host
+    was not visited. robots.txt gives the static budget
+    (``robots.host_budget``); this is the dynamic half a live crawler
+    needs — hosts that start timing out shed load geometrically fast,
+    recovered hosts win it back one slot per round, so an outage never
+    oscillates.
+
+    ``observations`` is round-sized (the fetch results); the aggregate
+    shuffles only (host, failed) pairs and the result stays a
+    dimension table (bounded by distinct hosts), so the whole update
+    is one hash agg + one dimension-sized outer join per round.
+    Unknown-but-observed hosts enter at the floor (conservative
+    first contact)."""
+    obs = observations.groupBy("host").agg(
+        F.sum(F.col(failed_col).cast("int")).alias("_n_fail"),
+        F.count("*").alias("_n"),
+    )
+    j = politeness.join(obs, "host", "full_outer")
+    b = F.coalesce(F.col("max_per_round"), F.lit(floor))
+    new_budget = (
+        F.when(F.col("_n_fail") > 0,
+               F.greatest(F.floor(b / 2).cast("int"), F.lit(floor)))
+        .when(F.col("_n") > 0, F.least(b + 1, F.lit(cap)))
+        .otherwise(b)
+    )
+    return j.select(
+        "host",
+        F.coalesce("crawl_delay_ms", F.lit(0)).alias("crawl_delay_ms"),
+        "robots_disallow",
+        new_budget.cast("int").alias("max_per_round"),
+    )

@@ -40,6 +40,7 @@ __all__ = [
     "canonical_collapse",
     "robots_meta",
     "followable_links",
+    "srcset_best",
 ]
 
 
@@ -72,6 +73,7 @@ def harvest_image_captions(
     url_col: str = "url",
     html_col: str = "html",
     min_caption_chars: int = 5,
+    prefer_srcset: bool = False,
 ) -> DataFrame:
     """(page_url, img_url, caption, width, height) for every kept
     ``<img>`` on every page.
@@ -82,7 +84,9 @@ def harvest_image_captions(
     ``min_caption_chars`` characters, and must not declare 1x1
     geometry (tracking pixels). ``width``/``height`` are the declared
     attributes when present (NULL otherwise) — the decode stage
-    re-measures real pixels later."""
+    re-measures real pixels later. With ``prefer_srcset`` the
+    highest-resolution ``srcset`` candidate replaces ``src`` (see
+    ``srcset_best``) — thumbnails poison training resolution."""
     tags = F.explode(
         F.regexp_extract_all(
             _strip_nonrendered(F.col(html_col)), F.lit(r"(?i)<img\b[^>]*>"), 0
@@ -90,9 +94,14 @@ def harvest_image_captions(
     )
     d = pages.select(F.col(url_col).alias("page_url"), tags.alias("tag"))
     t = F.col("tag")
+    src = (
+        F.coalesce(srcset_best(t), _attr(t, "src"))
+        if prefer_srcset
+        else _attr(t, "src")
+    )
     d = d.select(
         "page_url",
-        _attr(t, "src").alias("src"),
+        src.alias("src"),
         F.coalesce(_attr(t, "alt"), _attr(t, "title")).alias("caption"),
         _int_attr(t, "width").alias("width"),
         _int_attr(t, "height").alias("height"),
@@ -152,6 +161,41 @@ def harvest_anchors(
         make_url(F.col("page_url"), F.col("href")).alias("target_url"),
         "anchor",
     )
+
+
+def srcset_best(tag: Column) -> Column:
+    """The highest-resolution candidate URL out of an ``<img>`` tag's
+    ``srcset`` attribute (NULL when there is none).
+
+    ``srcset`` lists candidates as ``url [descriptor]`` separated by
+    commas, descriptors being width (``640w``) or density (``2x``,
+    default ``1x`` when absent). Harvest pipelines want the LARGEST
+    image behind the tag (thumbnails poison training resolution), so:
+    any width descriptor outranks every density descriptor (the spec
+    forbids mixing them, and an explicit pixel width is the real
+    signal), widths rank by pixel value, densities by the multiplier;
+    ties keep the first candidate. One ``aggregate`` over the split
+    attribute — codegen, no explode."""
+    cands = F.transform(
+        F.split(F.coalesce(_attr(tag, "srcset"), F.lit("")), r"\s*,\s*"),
+        lambda c: F.struct(
+            F.regexp_extract(F.trim(c), r"^(\S+)", 1).alias("url"),
+            F.coalesce(
+                F.regexp_extract(F.trim(c), r"\s(\d+)w$", 1)
+                .try_cast("double") + 10_000_000.0,
+                F.regexp_extract(F.trim(c), r"\s([\d.]+)x$", 1)
+                .try_cast("double") * 1000.0,
+                F.when(F.trim(c) != "", F.lit(1000.0)),
+            ).alias("score"),
+        ),
+    )
+    best = F.aggregate(
+        F.filter(cands, lambda s: s["url"] != ""),
+        F.struct(F.lit(None).cast("string").alias("url"),
+                 F.lit(-1.0).alias("score")),
+        lambda acc, s: F.when(s["score"] > acc["score"], s).otherwise(acc),
+    )
+    return best["url"]
 
 
 def robots_meta(

@@ -729,3 +729,38 @@ def budget_select(docs: DataFrame, budgets: dict[str, int]) -> DataFrame:
         .filter(F.col("_cum") <= F.element_at(budget, F.col("lang")))
         .select("doc_id", "lang", "n_tokens")
     )
+
+
+def split_assign(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    splits: tuple[tuple[str, int], ...] = (
+        ("train", 98), ("val", 1), ("test", 1)),
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: hash the sample KEY,
+    never randomness — the same key lands in the same split on every
+    machine, every rerun, and every incremental re-crawl (a sample
+    that once entered val can never leak into train when the corpus
+    grows; per-run RNG splits cannot promise that).
+
+    ``splits`` are integer weights; the bucket is the 60-bit md5 of
+    ``salt|key`` mod their sum, carved into cumulative ranges. Pure
+    projection — zero shuffle; the salt versions the split so a
+    deliberate re-deal is a config change, not a code edit."""
+    from .textops import md5_long
+
+    total = sum(w for _, w in splits)
+    bucket = F.pmod(
+        md5_long(F.concat(F.lit(salt + "|"),
+                          F.col(key_col).cast("string"))),
+        F.lit(total),
+    )
+    expr = None
+    cum = 0
+    for name, w in splits:
+        cond = bucket < F.lit(cum + w)
+        expr = F.when(cond, F.lit(name)) if expr is None \
+            else expr.when(cond, F.lit(name))
+        cum += w
+    return df.withColumn("split", expr)

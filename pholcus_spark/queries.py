@@ -4158,6 +4158,159 @@ FROM pages
 """
 
 
+def q_images_srcset_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """srcset-aware image harvest (harvest.srcset_best via
+    ``prefer_srcset=True``): the highest-resolution candidate replaces
+    src — widths beat densities, largest wins, first wins ties,
+    descriptor-less candidates default to 1x, no-srcset falls back to
+    src. One planted variant per doc_id%4 residue."""
+    from . import harvest
+
+    d = F.col("doc_id")
+    did = d.cast("string")
+    mod4 = F.pmod(d, F.lit(4))
+    tag = (
+        # widths: 1280w must beat both neighbors regardless of order
+        F.when(mod4 == 0, F.concat(
+            F.lit('<img src="/i/'), did,
+            F.lit('-src.jpg" srcset="/i/'), did,
+            F.lit("-a.jpg 320w, /i/"), did,
+            F.lit("-b.jpg 1280w, /i/"), did,
+            F.lit('-c.jpg 640w" alt="srcset photo '), did, F.lit('">')))
+        # densities: 2x beats the descriptor-less (1x) candidate
+        .when(mod4 == 1, F.concat(
+            F.lit('<img srcset="/i/'), did,
+            F.lit("-x.jpg 2x, /i/"), did,
+            F.lit('-y.jpg" alt="srcset photo '), did, F.lit('">')))
+        # a width candidate beats ANY density, even a larger-looking 3x
+        .when(mod4 == 2, F.concat(
+            F.lit('<img src="/i/'), did,
+            F.lit('-src.jpg" srcset="/i/'), did,
+            F.lit("-w.jpg 800w, /i/"), did,
+            F.lit('-d.jpg 3x" alt="srcset photo '), did, F.lit('">')))
+        # no srcset: plain src fallback
+        .otherwise(F.concat(
+            F.lit('<img src="/i/'), did,
+            F.lit('.jpg" alt="srcset photo '), did, F.lit('">')))
+    )
+    pages = _t(spark, sf_dir, "documents").filter(d < 500).select(
+        F.concat(F.lit("http://h"),
+                 F.pmod(d, F.lit(50)).cast("string"),
+                 F.lit(".example.com/g/"), did,
+                 F.lit(".html")).alias("url"),
+        F.concat(F.lit("<html><body>"), tag,
+                 F.lit("</body></html>")).alias("html"),
+    )
+    return harvest.harvest_image_captions(pages, prefer_srcset=True)
+
+
+SQL_IMAGES_SRCSET_HARVEST = """
+WITH p AS (SELECT doc_id AS d FROM documents WHERE doc_id < 500)
+SELECT 'http://h' || CAST(d % 50 AS VARCHAR) || '.example.com/g/'
+         || CAST(d AS VARCHAR) || '.html' AS page_url,
+       'http://h' || CAST(d % 50 AS VARCHAR) || '.example.com/i/'
+         || CAST(d AS VARCHAR)
+         || CASE d % 4 WHEN 0 THEN '-b' WHEN 1 THEN '-x'
+                       WHEN 2 THEN '-w' ELSE '' END
+         || '.jpg' AS img_url,
+       'srcset photo ' || CAST(d AS VARCHAR) AS caption,
+       CAST(NULL AS INTEGER) AS width,
+       CAST(NULL AS INTEGER) AS height
+FROM p
+"""
+
+
+def q_politeness_adapt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AIMD politeness adaptation (frontier.adapt_politeness): hosts
+    with any failed fetch this round halve their budget (floored),
+    clean hosts gain one slot (capped), unvisited hosts keep theirs,
+    observed-but-unknown hosts enter at the floor. The fixture drives
+    all four paths from residue arithmetic: dims exist for hosts 0-39
+    (budget 1+h%7), observations cover hosts 20-59 (one row per doc,
+    failed iff doc_id%13==0)."""
+    from . import frontier
+
+    h = lambda c: F.concat(  # noqa: E731
+        F.lit("h"), c.cast("string"), F.lit(".example.com"))
+    hosts = _t(spark, sf_dir, "documents").select(
+        F.pmod(F.col("doc_id"), F.lit(40)).alias("hn")).distinct()
+    dims = hosts.select(
+        h(F.col("hn")).alias("host"),
+        (F.col("hn") * 100).cast("long").alias("crawl_delay_ms"),
+        F.array(F.lit("/private")).alias("robots_disallow"),
+        (1 + F.pmod(F.col("hn"), F.lit(7))).cast("int").alias(
+            "max_per_round"),
+    )
+    obs = _t(spark, sf_dir, "documents").select(
+        h(20 + F.pmod(F.col("doc_id"), F.lit(40))).alias("host"),
+        (F.pmod(F.col("doc_id"), F.lit(13)) == 0).alias("failed"),
+    )
+    out = frontier.adapt_politeness(dims, obs, cap=6, floor=1)
+    return out.select("host", "crawl_delay_ms", "max_per_round")
+
+
+SQL_POLITENESS_ADAPT = """
+WITH hn AS (SELECT DISTINCT doc_id % 40 AS n FROM documents),
+dims AS (
+  SELECT 'h' || CAST(n AS VARCHAR) || '.example.com' AS host,
+         n * 100 AS crawl_delay_ms,
+         1 + n % 7 AS budget
+  FROM hn),
+obs AS (
+  SELECT 'h' || CAST(20 + doc_id % 40 AS VARCHAR)
+           || '.example.com' AS host,
+         sum(CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END) AS n_fail,
+         count(*) AS n
+  FROM documents GROUP BY 1)
+SELECT coalesce(d.host, o.host) AS host,
+       coalesce(d.crawl_delay_ms, 0) AS crawl_delay_ms,
+       CASE WHEN o.n_fail > 0
+              THEN greatest(CAST(floor(coalesce(d.budget, 1) / 2)
+                                 AS INTEGER), 1)
+            WHEN o.n > 0 THEN least(coalesce(d.budget, 1) + 1, 6)
+            ELSE d.budget END AS max_per_round
+FROM dims d FULL OUTER JOIN obs o ON d.host = o.host
+"""
+
+
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash split (pipeline.split_assign): 90/5/5 over
+    doc_id keys; the oracle recomputes the 60-bit md5 bucket and the
+    cumulative ranges, so split drift (hash, salt, or boundary) breaks
+    the hash equality. Rollup included so proportions are visible."""
+    from . import pipeline
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    out = pipeline.split_assign(
+        docs, "doc_id",
+        splits=(("train", 90), ("val", 5), ("test", 5)),
+    )
+    return out.groupBy("split").agg(
+        F.count("*").alias("n"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+        F.sum("doc_id").alias("sum_id"),
+    )
+
+
+SQL_SPLIT_ASSIGN = f"""
+WITH b AS (
+  SELECT doc_id,
+         {_h60_sql("concat('split-v1|', CAST(doc_id AS VARCHAR))")}
+         % 100 AS bucket
+  FROM documents),
+s AS (
+  SELECT doc_id,
+         CASE WHEN bucket < 90 THEN 'train'
+              WHEN bucket < 95 THEN 'val'
+              ELSE 'test' END AS split
+  FROM b)
+SELECT split, count(*) AS n, min(doc_id) AS min_id,
+       max(doc_id) AS max_id, sum(doc_id) AS sum_id
+FROM s GROUP BY split
+"""
+
+
 def q_caption_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LAION-style caption junk gates (textops.caption_flags): the
     engine runs the REAL regex/ratio expressions over planted captions
@@ -4489,6 +4642,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "robots_meta_directives": q_robots_meta,
     "links_followable": q_links_followable,
     "caption_quality": q_caption_quality,
+    "images_srcset_harvest": q_images_srcset_harvest,
+    "training_split_assign": q_split_assign,
+    "politeness_adapt": q_politeness_adapt,
     "revalidate_304": q_revalidate_304,
     "revalidate_store": q_revalidate_store,
     "images_select_corpus": q_images_select_corpus,
@@ -4589,6 +4745,9 @@ ORACLE_SQL: dict[str, str] = {
     "robots_meta_directives": SQL_ROBOTS_META,
     "links_followable": SQL_LINKS_FOLLOWABLE,
     "caption_quality": SQL_CAPTION_QUALITY,
+    "images_srcset_harvest": SQL_IMAGES_SRCSET_HARVEST,
+    "training_split_assign": SQL_SPLIT_ASSIGN,
+    "politeness_adapt": SQL_POLITENESS_ADAPT,
     "revalidate_304": SQL_REVALIDATE_304,
     "revalidate_store": SQL_REVALIDATE_STORE,
     "images_stats": SQL_IMAGES_STATS,

@@ -347,3 +347,34 @@ def test_select_batch_age_ramp_rescues_starved_url(spark):
     # stored priority is untouched and _ep never leaks into the output
     assert aged[0]["priority"] == 0
     assert "_ep" not in aged[0].asDict()
+
+
+def test_adapt_politeness_aimd(spark):
+    from pholcus_spark.frontier import adapt_politeness
+    dims = spark.createDataFrame(
+        [("fail.example.com", 100, ["/p"], 8),
+         ("clean.example.com", 200, ["/p"], 8),
+         ("capped.example.com", 0, ["/p"], 10),
+         ("idle.example.com", 300, ["/p"], 5),
+         ("floored.example.com", 0, ["/p"], 1)],
+        "host string, crawl_delay_ms long, robots_disallow array<string>,"
+        " max_per_round int",
+    )
+    obs = spark.createDataFrame(
+        [("fail.example.com", False), ("fail.example.com", True),
+         ("clean.example.com", False), ("clean.example.com", False),
+         ("capped.example.com", False),
+         ("floored.example.com", True),
+         ("new.example.com", False)],
+        "host string, failed boolean",
+    )
+    got = {r["host"]: r for r in
+           adapt_politeness(dims, obs, cap=10, floor=1).collect()}
+    assert got["fail.example.com"]["max_per_round"] == 4    # halved
+    assert got["clean.example.com"]["max_per_round"] == 9   # +1 on clean
+    assert got["capped.example.com"]["max_per_round"] == 10  # stays capped
+    assert got["idle.example.com"]["max_per_round"] == 5    # unvisited
+    assert got["floored.example.com"]["max_per_round"] == 1  # floor holds
+    assert got["new.example.com"]["max_per_round"] == 2     # floor+1, clean
+    assert got["new.example.com"]["crawl_delay_ms"] == 0
+    assert len(got) == 6

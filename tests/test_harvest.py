@@ -253,3 +253,38 @@ def test_caption_flags_edge_cases(spark):
     want = dict(cases)
     for r in got:
         assert r["keep"] == want[r["caption"]], r["caption"]
+
+
+def test_srcset_best_rules(spark):
+    from pyspark.sql import functions as F
+
+    cases = [
+        # widths rank by value, order-independent
+        ('<img srcset="/a.jpg 320w, /b.jpg 1280w, /c.jpg 640w">', "/b.jpg"),
+        # any width beats any density
+        ('<img srcset="/w.jpg 800w, /d.jpg 3x">', "/w.jpg"),
+        # densities rank by multiplier; missing descriptor = 1x
+        ('<img srcset="/x.jpg 2x, /y.jpg">', "/x.jpg"),
+        ('<img srcset="/p.jpg, /q.jpg 1.5x">', "/q.jpg"),
+        # ties keep the first candidate
+        ('<img srcset="/first.jpg 2x, /second.jpg 2x">', "/first.jpg"),
+        # no srcset at all
+        ('<img src="/plain.jpg">', None),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in cases], "tag string")
+    got = dict(
+        df.select("tag", harvest.srcset_best(F.col("tag")).alias("u"))
+        .collect()
+    )
+    for tag, want in cases:
+        assert got[tag] == want, tag
+
+
+def test_harvest_prefers_srcset_when_asked(spark):
+    html = ('<img src="/thumb.jpg" srcset="/big.jpg 1200w, /mid.jpg 600w"'
+            ' alt="a proper caption">')
+    plain = harvest.harvest_image_captions(_rows(spark, html)).collect()
+    assert [r["img_url"] for r in plain] == ["http://h.example.com/thumb.jpg"]
+    pref = harvest.harvest_image_captions(
+        _rows(spark, html), prefer_srcset=True).collect()
+    assert [r["img_url"] for r in pref] == ["http://h.example.com/big.jpg"]
