@@ -285,6 +285,22 @@ class CrawlEngine:
         ]
         return self.spark.createDataFrame(rows, POLITENESS_SCHEMA)
 
+    def _round_politeness(self) -> DataFrame:
+        """The dims `select_batch` paces this round with. Static unless
+        ``cfg.adaptive_politeness`` is on, in which case hosts the AIMD
+        loop has already retuned (persisted table "politeness",
+        written each round, survives resume) override their static
+        rows — both frames are dimension-sized, so the anti-join/union
+        costs nothing at frontier scale."""
+        if self.cfg.adaptive_politeness is None:
+            return self._politeness
+        adapted = self.load("politeness", POLITENESS_SCHEMA)
+        return adapted.unionByName(
+            self._politeness.join(
+                adapted.select("host"), "host", "left_anti"
+            )
+        )
+
     # --- state accessors ---
 
     def _meta(self) -> dict:
@@ -566,6 +582,7 @@ class CrawlEngine:
         admitted_by = self._admitted_by(meta)
 
         pending = self.load("pending", FRONTIER_SCHEMA)
+        politeness = self._round_politeness()
         # No separate drained-frontier count: the batch count below
         # (needed anyway) returns 0 for an empty frontier and exits
         # before the fetch/stage cycle — one job per round instead of
@@ -574,7 +591,7 @@ class CrawlEngine:
         scope = FR.CacheScope()
         batch = scope.add(
             FR.select_batch(
-                pending, self._politeness, cfg.batch_size,
+                pending, politeness, cfg.batch_size,
                 fair_share_spiders=self._multi, scope=scope,
                 age_ramp=cfg.age_ramp, now_seq=next_seq,
             )
@@ -756,6 +773,22 @@ class CrawlEngine:
                 cookies_df.join(
                     new_ck, ["spider", "host", "name"], "left_anti"
                 ).unionByName(new_ck),
+                "overwrite",
+            )
+        if cfg.adaptive_politeness is not None:
+            ap = cfg.adaptive_politeness
+            # retune per-host budgets from this round's outcomes; the
+            # frame re-derives from the scratch parquet + the persisted
+            # dims, so lineage stays one round deep
+            writes["politeness"] = (
+                FR.adapt_politeness(
+                    politeness,
+                    results.select(
+                        "host", (~F.col("ok")).alias("failed")
+                    ),
+                    cap=ap.get("cap", 64),
+                    floor=ap.get("floor", 1),
+                ),
                 "overwrite",
             )
         registered_fn = None

@@ -119,6 +119,15 @@ class CrawlConfig:
     # set by design, so the Matrix fidelity oracle only applies when
     # this is None.
     trap_guard: dict | None = None
+    # AIMD politeness adaptation (frontier.adapt_politeness, engine
+    # extension beyond the reference): when set, each round's fetch
+    # results retune per-host max_per_round — any failure halves the
+    # budget (floored), a clean round adds one slot (capped) — and the
+    # adapted dims persist in the snapshot store (table "politeness"),
+    # surviving resume. Keys: cap (default 64), floor (1). Changes
+    # dispatch pacing over time, so the Matrix fidelity oracle only
+    # applies when this is None (visit SET is unchanged — only order).
+    adaptive_politeness: dict | None = None
 
 
 def spider_instances(cfg: "CrawlConfig") -> list[str]:

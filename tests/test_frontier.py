@@ -378,3 +378,51 @@ def test_adapt_politeness_aimd(spark):
     assert got["new.example.com"]["max_per_round"] == 2     # floor+1, clean
     assert got["new.example.com"]["crawl_delay_ms"] == 0
     assert len(got) == 6
+
+
+def test_engine_adaptive_politeness_retunes_and_persists(
+    spark, tmp_store_dir
+):
+    """Opt-in cfg.adaptive_politeness: budgets move with observed
+    failures (synthetic fetch fails ~FAILURE_PCT% of first attempts),
+    the adapted dims persist in the store across rounds, and the
+    crawl still lands the full visit set."""
+    import tempfile
+
+    from pholcus_spark.crawler import CrawlEngine
+    from pholcus_spark.oracle import CrawlConfig
+    from pholcus_spark.schemas import POLITENESS_SCHEMA
+    from pholcus_spark.tables import SnapshotStore
+    from pholcus_spark import synthetic
+
+    cfg = CrawlConfig(
+        n_hosts=6, batch_size=32, limit=120,
+        adaptive_politeness={"cap": 9, "floor": 1},
+    )
+    seeds = synthetic.seed_urls(12, cfg.n_hosts)
+    store = SnapshotStore(tempfile.mkdtemp(dir=tmp_store_dir))
+    eng = CrawlEngine(spark, store, cfg)
+    eng.run(seeds)
+    assert eng.items_df().count() == cfg.limit
+
+    dims = {r["host"]: r for r in
+            eng.load("politeness", POLITENESS_SCHEMA).collect()}
+    assert dims  # the adapted table was committed
+    budgets = {r["max_per_round"] for r in dims.values()}
+    # clean hosts climbed above the static budget; every budget obeys
+    # the [floor, cap] clamp
+    static = {r["host"]: r["max_per_round"]
+              for r in eng._politeness.collect()}
+    assert all(1 <= b <= 9 for b in budgets)
+    assert any(dims[h]["max_per_round"] > static[h] for h in dims)
+    # robots carry through the adaptation unchanged
+    assert all(r["robots_disallow"] is not None for r in dims.values())
+
+    # default OFF: no politeness table is ever written
+    store2 = SnapshotStore(tempfile.mkdtemp(dir=tmp_store_dir))
+    eng2 = CrawlEngine(
+        spark, store2,
+        CrawlConfig(n_hosts=6, batch_size=32, limit=60),
+    )
+    eng2.run(synthetic.seed_urls(12, 6))
+    assert eng2.load("politeness", POLITENESS_SCHEMA).count() == 0
