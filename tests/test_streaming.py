@@ -229,3 +229,41 @@ def test_politeness_gate_drains_without_new_arrivals(spark, tmp_store_dir):
     finally:
         q.stop()
     assert got == [0, 1, 2]  # one per tick, drained with no new files
+
+
+def test_harvest_runs_as_streaming_stage(spark, tmp_store_dir):
+    """The harvest extractors are stateless projections, so the SAME
+    functions run unmodified over readStream micro-batches — the shape
+    a live crawl uses to harvest pairs as pages land. availableNow
+    drains the backlog; the streamed result must equal the batch run
+    row-for-row."""
+    from pholcus_spark import harvest
+
+    pages_dir = os.path.join(tmp_store_dir, "pages")
+    ckpt = os.path.join(tmp_store_dir, "hckpt")
+    rows = [
+        (f"http://h{i % 3}.example.com/p/{i}",
+         f'<img src="/i/{i}.jpg" alt="caption number {i}">'
+         f'<img src="/skip.gif" alt="px" width="1" height="1">')
+        for i in range(20)
+    ]
+    spark.createDataFrame(rows, "url string, html string").write.mode(
+        "overwrite").parquet(pages_dir)
+
+    stream = spark.readStream.schema("url string, html string").parquet(
+        pages_dir)
+    out: list = []
+    q = (
+        harvest.harvest_image_captions(stream)
+        .writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(lambda df, _bid: out.extend(df.collect()))
+        .start()
+    )
+    q.awaitTermination(120)
+    batch = harvest.harvest_image_captions(
+        spark.read.parquet(pages_dir)).collect()
+    key = lambda r: (r["page_url"], r["img_url"])  # noqa: E731
+    assert sorted(map(key, out)) == sorted(map(key, batch))
+    assert len(out) == 20  # the tracking pixel dropped in-stream too
