@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "images_srcset_harvest",
     "training_split_assign",
     "politeness_adapt",
+    "focused_priority",
     "text_quality",
     "doc_fingerprint",
     "embed_cosine_topk",

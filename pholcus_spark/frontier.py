@@ -547,3 +547,43 @@ def adapt_politeness(
         "robots_disallow",
         new_budget.cast("int").alias("max_per_round"),
     )
+
+
+def focused_priority(
+    links: DataFrame,
+    keywords: tuple[str, ...],
+    anchor_col: str = "anchor",
+    url_col: str = "target_url",
+    anchor_weight: int = 2,
+    url_weight: int = 1,
+) -> DataFrame:
+    """Focused-crawl (Shark-search-family) priority: score each
+    discovered link by keyword overlap with its ANCHOR TEXT (the
+    strongest cheap relevance signal — it describes the target) and
+    its URL path tokens, anchor hits weighted above URL hits. The
+    score drops straight into the frontier's ``priority`` column, so
+    `select_batch`'s existing priority-ordered dispatch turns into
+    best-first topical crawling with no new machinery.
+
+    Pure projection — lowercase/split/`array_intersect` against the
+    literal keyword array; integer weights keep the oracle exact.
+    Rows score 0 when nothing overlaps (breadth-first tail)."""
+    kw = F.array(*[F.lit(k.lower()) for k in keywords])
+
+    def _toks(c) -> F.Column:
+        return F.array_distinct(
+            F.filter(
+                F.split(F.lower(c), r"[^a-z0-9]+"),
+                lambda t: t != "",
+            )
+        )
+
+    a_hits = F.size(F.array_intersect(_toks(F.col(anchor_col)), kw))
+    # path+query only: the host would match navigation keywords on
+    # every single link of a site
+    path = F.regexp_replace(F.col(url_col), r"^[a-z]+://[^/]*", "")
+    u_hits = F.size(F.array_intersect(_toks(path), kw))
+    return links.withColumn(
+        "priority",
+        (a_hits * anchor_weight + u_hits * url_weight).cast("int"),
+    )

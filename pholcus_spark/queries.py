@@ -4220,6 +4220,52 @@ FROM p
 """
 
 
+def q_focused_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Focused-crawl priority (frontier.focused_priority): keyword
+    overlap against anchor text (weight 2) and URL path tokens
+    (weight 1), host part excluded. The fixture plants anchor-only,
+    url-only, both, repeated-token (distinct-counted once), and
+    zero-overlap link classes by doc_id%5."""
+    from . import frontier
+
+    d = F.col("doc_id")
+    did = d.cast("string")
+    mod5 = F.pmod(d, F.lit(5))
+    anchor = (
+        F.when(mod5 == 0, F.lit("vintage camera lens review"))
+        .when(mod5 == 1, F.concat(F.lit("page about item "), did))
+        .when(mod5 == 2, F.lit("camera bodies and camera straps"))
+        .when(mod5 == 3, F.lit("CAMERA Lens deals"))
+        .otherwise(F.concat(F.lit("unrelated text "), did))
+    )
+    target = (
+        F.when(mod5 == 1, F.concat(
+            F.lit("http://shop.example.com/camera/item-"), did))
+        .when(mod5 == 2, F.concat(
+            F.lit("http://camera.example.com/plain/"), did))  # host-only
+        .otherwise(F.concat(F.lit("http://shop.example.com/p/"), did))
+    )
+    links = _t(spark, sf_dir, "documents").select(
+        d.alias("doc_id"), target.alias("target_url"),
+        anchor.alias("anchor"))
+    return frontier.focused_priority(links, ("camera", "lens")).select(
+        "doc_id", "priority")
+
+
+SQL_FOCUSED_PRIORITY = """
+SELECT doc_id,
+       CASE doc_id % 5
+         WHEN 0 THEN 2 * 2      -- anchor: camera + lens
+         WHEN 1 THEN 1          -- url path: camera
+         WHEN 2 THEN 2          -- anchor: camera once (distinct);
+                                -- host-part camera must NOT count
+         WHEN 3 THEN 2 * 2      -- case-insensitive camera + lens
+         ELSE 0
+       END AS priority
+FROM documents
+"""
+
+
 def q_politeness_adapt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AIMD politeness adaptation (frontier.adapt_politeness): hosts
     with any failed fetch this round halve their budget (floored),
@@ -4645,6 +4691,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "images_srcset_harvest": q_images_srcset_harvest,
     "training_split_assign": q_split_assign,
     "politeness_adapt": q_politeness_adapt,
+    "focused_priority": q_focused_priority,
     "revalidate_304": q_revalidate_304,
     "revalidate_store": q_revalidate_store,
     "images_select_corpus": q_images_select_corpus,
@@ -4748,6 +4795,7 @@ ORACLE_SQL: dict[str, str] = {
     "images_srcset_harvest": SQL_IMAGES_SRCSET_HARVEST,
     "training_split_assign": SQL_SPLIT_ASSIGN,
     "politeness_adapt": SQL_POLITENESS_ADAPT,
+    "focused_priority": SQL_FOCUSED_PRIORITY,
     "revalidate_304": SQL_REVALIDATE_304,
     "revalidate_store": SQL_REVALIDATE_STORE,
     "images_stats": SQL_IMAGES_STATS,
