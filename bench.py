@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "training_split_assign",
     "politeness_adapt",
     "focused_priority",
+    "politeness_by_ip",
     "text_quality",
     "doc_fingerprint",
     "embed_cosine_topk",

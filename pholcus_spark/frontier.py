@@ -587,3 +587,40 @@ def focused_priority(
         "priority",
         (a_hits * anchor_weight + u_hits * url_weight).cast("int"),
     )
+
+
+def politeness_by_ip(
+    politeness: DataFrame,
+    host_ips: DataFrame,
+    per_ip_cap: int = 16,
+) -> DataFrame:
+    """Server-level politeness: hosts resolving to the same address
+    (virtual hosting, CDN edges) must SHARE a budget — per-host
+    limits alone let a thousand vhosts hammer one box. Each host's
+    ``max_per_round`` is clamped to an even integer share of its
+    address's cap (``floor(cap / hosts_on_ip)``, min 1); hosts with
+    no resolution keep their own budget (fail-open: politeness by
+    host is still enforced).
+
+    ``host_ips`` is the DNS cache as a dimension table (host, ip) —
+    the same bounded-by-hosts class as the politeness dims, so the
+    whole derivation is two tiny hash aggs + dimension joins; nothing
+    frontier-sized moves."""
+    share = host_ips.groupBy("ip").agg(
+        F.count("*").alias("_n_hosts")
+    ).select(
+        "ip",
+        F.greatest(
+            F.floor(F.lit(per_ip_cap) / F.col("_n_hosts")), F.lit(1)
+        ).cast("int").alias("_ip_share"),
+    )
+    j = politeness.join(host_ips, "host", "left").join(share, "ip", "left")
+    return j.select(
+        "host",
+        "crawl_delay_ms",
+        "robots_disallow",
+        F.least(
+            F.col("max_per_round"),
+            F.coalesce(F.col("_ip_share"), F.col("max_per_round")),
+        ).cast("int").alias("max_per_round"),
+    )

@@ -4220,6 +4220,58 @@ FROM p
 """
 
 
+def q_politeness_by_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-IP budget sharing (frontier.politeness_by_ip): hosts 0-3
+    resolve to singleton addresses (keep their own budget up to the
+    cap), hosts ≥4 pile 6-per-address behind shared ones
+    (floor(12/6)=2 each), and every 9th host has NO resolution
+    (fail-open to its host budget)."""
+    from . import frontier
+
+    hn = _t(spark, sf_dir, "documents").select(
+        F.pmod(F.col("doc_id"), F.lit(40)).alias("n")).distinct()
+    h = F.concat(F.lit("h"), F.col("n").cast("string"),
+                 F.lit(".example.com"))
+    dims = hn.select(
+        h.alias("host"),
+        (F.col("n") * 10).cast("long").alias("crawl_delay_ms"),
+        F.array(F.lit("/private")).alias("robots_disallow"),
+        (1 + F.pmod(F.col("n"), F.lit(9))).cast("int").alias(
+            "max_per_round"),
+    )
+    ips = hn.filter(F.pmod(F.col("n"), F.lit(9)) != 0).select(
+        h.alias("host"),
+        F.concat(
+            F.lit("10.0."),
+            F.when(F.col("n") < 4, F.col("n"))
+            .otherwise(4 + F.pmod(F.col("n"), F.lit(6))).cast("string"),
+            F.lit(".1"),
+        ).alias("ip"),
+    )
+    out = frontier.politeness_by_ip(dims, ips, per_ip_cap=12)
+    return out.select("host", "max_per_round")
+
+
+SQL_POLITENESS_BY_IP = """
+WITH hn AS (SELECT DISTINCT doc_id % 40 AS n FROM documents),
+ips AS (
+  SELECT n,
+         CASE WHEN n < 4 THEN n ELSE 4 + n % 6 END AS ipn
+  FROM hn WHERE n % 9 <> 0),
+share AS (
+  SELECT ipn, greatest(CAST(floor(12.0 / count(*)) AS INTEGER), 1)
+           AS ip_share
+  FROM ips GROUP BY ipn)
+SELECT 'h' || CAST(hn.n AS VARCHAR) || '.example.com' AS host,
+       CAST(least(1 + hn.n % 9,
+                  coalesce(s.ip_share, 1 + hn.n % 9)) AS INTEGER)
+         AS max_per_round
+FROM hn
+LEFT JOIN ips i ON i.n = hn.n
+LEFT JOIN share s ON s.ipn = i.ipn
+"""
+
+
 def q_focused_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Focused-crawl priority (frontier.focused_priority): keyword
     overlap against anchor text (weight 2) and URL path tokens
@@ -4692,6 +4744,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "training_split_assign": q_split_assign,
     "politeness_adapt": q_politeness_adapt,
     "focused_priority": q_focused_priority,
+    "politeness_by_ip": q_politeness_by_ip,
     "revalidate_304": q_revalidate_304,
     "revalidate_store": q_revalidate_store,
     "images_select_corpus": q_images_select_corpus,
@@ -4796,6 +4849,7 @@ ORACLE_SQL: dict[str, str] = {
     "training_split_assign": SQL_SPLIT_ASSIGN,
     "politeness_adapt": SQL_POLITENESS_ADAPT,
     "focused_priority": SQL_FOCUSED_PRIORITY,
+    "politeness_by_ip": SQL_POLITENESS_BY_IP,
     "revalidate_304": SQL_REVALIDATE_304,
     "revalidate_store": SQL_REVALIDATE_STORE,
     "images_stats": SQL_IMAGES_STATS,
