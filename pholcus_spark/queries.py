@@ -4409,6 +4409,51 @@ FROM s GROUP BY split
 """
 
 
+def q_webdataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-manifest arithmetic (webdataset.webdataset_manifest) over
+    a text-payload corpus whose byte sizes ARE SQL-predictable: the
+    oracle recomputes every sample's three 512-padded tar entries
+    (payload, caption, JSON metadata — the exact to_json rendering)
+    plus the end-of-archive marker. n_shards=1 keeps the grouping
+    hash-free so the byte totals are what's being proven."""
+    from . import webdataset as W
+
+    d = F.col("doc_id")
+    did = d.cast("string")
+    images = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("doc-"), did).alias("image_id"),
+        F.encode(F.col("text"), "UTF-8").alias("bytes"),
+        (1 + F.pmod(d, F.lit(5))).cast("int").alias("w"),
+        (2 + F.pmod(d, F.lit(7))).cast("int").alias("h"),
+        F.lit("txt").alias("fmt"),
+        F.concat(F.lit("caption for doc "), did).alias("caption"),
+        (d * 17).alias("phash"),
+    )
+    return W.webdataset_manifest(images, n_shards=1)
+
+
+SQL_WEBDATASET_MANIFEST = """
+WITH s AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS key,
+         3 * 512
+         + ((octet_length(CAST(text AS BLOB)) + 511) // 512) * 512
+         + ((octet_length('caption for doc '
+                          || CAST(doc_id AS VARCHAR)) + 511) // 512) * 512
+         + ((octet_length('{"w":' || CAST(1 + doc_id % 5 AS VARCHAR)
+             || ',"h":' || CAST(2 + doc_id % 7 AS VARCHAR)
+             || ',"fmt":"txt","phash":' || CAST(doc_id * 17 AS VARCHAR)
+             || '}') + 511) // 512) * 512
+           AS rec_bytes
+  FROM documents)
+SELECT CAST(0 AS INTEGER) AS shard,
+       count(*) AS n_samples,
+       sum(rec_bytes) + 1024 AS n_bytes,
+       min(key) AS first_key,
+       max(key) AS last_key
+FROM s
+"""
+
+
 def q_caption_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LAION-style caption junk gates (textops.caption_flags): the
     engine runs the REAL regex/ratio expressions over planted captions

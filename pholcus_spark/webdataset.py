@@ -43,7 +43,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["tar_entry", "webdataset_records", "write_webdataset",
-           "read_webdataset"]
+           "read_webdataset", "webdataset_manifest"]
 
 _NULS = "\0" * 512
 # byte-sum of the fixed header fields (mode/uid/gid/mtime, spaced
@@ -168,12 +168,7 @@ def write_webdataset(
     os.makedirs(out_dir, exist_ok=True)
     recs = webdataset_records(images, n_shards=n_shards, **kw)
 
-    def _write(rows) -> None:
-        buf, first = [], None
-        for r in rows:
-            if first is None:
-                first = r["key"]
-            buf.append(bytes(r["record"]))
+    def _flush(buf: list, first: str) -> None:
         if not buf:
             return
         name = hashlib.md5(first.encode()).hexdigest()[:16]
@@ -181,8 +176,22 @@ def write_webdataset(
             f.write(b"".join(buf))
             f.write(b"\0" * 1024)  # tar end-of-archive marker
 
+    def _write(rows) -> None:
+        # a hash-repartitioned task may hold SEVERAL shard ids — the
+        # shard-major sort makes each id a contiguous run, and every
+        # run lands as its own tar (one file per shard, always)
+        buf: list = []
+        first = None
+        cur = None
+        for r in rows:
+            if r["shard"] != cur:
+                _flush(buf, first)
+                buf, first, cur = [], r["key"], r["shard"]
+            buf.append(bytes(r["record"]))
+        _flush(buf, first)
+
     recs.repartition(n_shards, "shard").sortWithinPartitions(
-        "key"
+        "shard", "key"
     ).foreachPartition(_write)
 
 
@@ -236,4 +245,22 @@ def read_webdataset(spark, path_glob: str) -> DataFrame:
         _parse,
         "image_id string, fmt string, bytes binary, caption string, "
         "meta_json string",
+    )
+
+
+def webdataset_manifest(
+    images: DataFrame, n_shards: int = 64, key_col: str = "image_id"
+) -> DataFrame:
+    """Shard manifest — (shard, n_samples, n_bytes, first_key,
+    last_key) — the index a training loader reads to plan epoch
+    schedules and detect short shards without opening tars. Derived
+    from the same framing expressions the writer uses, so manifest
+    byte counts are exact (incl. the 1 KiB end-of-archive marker
+    per shard). One hash agg on the shard id."""
+    recs = webdataset_records(images, n_shards=n_shards, key_col=key_col)
+    return recs.groupBy("shard").agg(
+        F.count("*").alias("n_samples"),
+        (F.sum("n_bytes") + 1024).alias("n_bytes"),
+        F.min("key").alias("first_key"),
+        F.max("key").alias("last_key"),
     )

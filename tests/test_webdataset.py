@@ -115,3 +115,17 @@ def test_multi_block_payload_padding(spark):
         blob = bytes(got[k]["record"]) + b"\0" * 1024
         with tarfile.open(fileobj=io.BytesIO(blob)) as tf:
             assert tf.extractfile(f"{k}.bin").read() == payload
+
+
+def test_manifest_matches_written_shards(spark, tmp_path):
+    src = _images(spark, n=12)
+    out = str(tmp_path / "wds")
+    W.write_webdataset(src, out, n_shards=3)
+    manifest = {r["shard"]: r for r in
+                W.webdataset_manifest(src, n_shards=3).collect()}
+    disk = sorted(os.path.getsize(p)
+                  for p in glob.glob(out + "/shard-*.tar"))
+    assert sorted(r["n_bytes"] for r in manifest.values()) == disk
+    assert sum(r["n_samples"] for r in manifest.values()) == 12
+    for r in manifest.values():
+        assert r["first_key"] <= r["last_key"]
