@@ -4220,6 +4220,40 @@ FROM p
 """
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-state delta (recrawl.snapshot_diff): old covers
+    doc_id<450, new covers doc_id≥50; fingerprints differ on
+    doc_id%6==0 — yielding added/removed/changed/unchanged rows, all
+    predicted by residue arithmetic. Shuffle carries (key, fp) longs
+    only."""
+    from . import recrawl
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    k = F.col("doc_id").cast("long")
+    old = docs.filter(k < 450).select(
+        k.alias("url_key"), (k * 7).alias("fingerprint"))
+    new = docs.filter(k >= 50).select(
+        k.alias("url_key"),
+        F.when(F.pmod(k, F.lit(6)) == 0, k * 7 + 1)
+        .otherwise(k * 7).alias("fingerprint"),
+    )
+    return recrawl.snapshot_diff(old, new)
+
+
+SQL_SNAPSHOT_DIFF = """
+SELECT doc_id AS url_key,
+       CASE WHEN doc_id < 50 THEN 'removed'
+            WHEN doc_id >= 450 THEN 'added'
+            WHEN doc_id % 6 = 0 THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       CASE WHEN doc_id < 450 THEN doc_id * 7 END AS old_fp,
+       CASE WHEN doc_id >= 50 THEN
+         CASE WHEN doc_id % 6 = 0 THEN doc_id * 7 + 1
+              ELSE doc_id * 7 END END AS new_fp
+FROM documents
+"""
+
+
 def q_politeness_by_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-IP budget sharing (frontier.politeness_by_ip): hosts 0-3
     resolve to singleton addresses (keep their own budget up to the
@@ -4437,12 +4471,12 @@ WITH s AS (
   SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS key,
          3 * 512
          + ((octet_length(CAST(text AS BLOB)) + 511) // 512) * 512
-         + ((octet_length('caption for doc '
-                          || CAST(doc_id AS VARCHAR)) + 511) // 512) * 512
-         + ((octet_length('{"w":' || CAST(1 + doc_id % 5 AS VARCHAR)
+         + ((octet_length(encode('caption for doc '
+                          || CAST(doc_id AS VARCHAR))) + 511) // 512) * 512
+         + ((octet_length(encode('{"w":' || CAST(1 + doc_id % 5 AS VARCHAR)
              || ',"h":' || CAST(2 + doc_id % 7 AS VARCHAR)
              || ',"fmt":"txt","phash":' || CAST(doc_id * 17 AS VARCHAR)
-             || '}') + 511) // 512) * 512
+             || '}')) + 511) // 512) * 512
            AS rec_bytes
   FROM documents)
 SELECT CAST(0 AS INTEGER) AS shard,
@@ -4790,6 +4824,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "politeness_adapt": q_politeness_adapt,
     "focused_priority": q_focused_priority,
     "politeness_by_ip": q_politeness_by_ip,
+    "snapshot_diff": q_snapshot_diff,
+    "webdataset_manifest": q_webdataset_manifest,
     "revalidate_304": q_revalidate_304,
     "revalidate_store": q_revalidate_store,
     "images_select_corpus": q_images_select_corpus,
@@ -4895,6 +4931,8 @@ ORACLE_SQL: dict[str, str] = {
     "politeness_adapt": SQL_POLITENESS_ADAPT,
     "focused_priority": SQL_FOCUSED_PRIORITY,
     "politeness_by_ip": SQL_POLITENESS_BY_IP,
+    "snapshot_diff": SQL_SNAPSHOT_DIFF,
+    "webdataset_manifest": SQL_WEBDATASET_MANIFEST,
     "revalidate_304": SQL_REVALIDATE_304,
     "revalidate_store": SQL_REVALIDATE_STORE,
     "images_stats": SQL_IMAGES_STATS,

@@ -82,3 +82,36 @@ def due_now(schedule: DataFrame, now_us: int) -> DataFrame:
     filter, so partition pruning applies when the schedule table is
     stored partitioned/sorted by due time."""
     return schedule.filter(F.col("next_due_us") <= now_us)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str = "url_key",
+    fp: str = "fingerprint",
+) -> DataFrame:
+    """What changed between two crawl states: per URL, ``added``
+    (new only), ``removed`` (old only), ``changed`` (both, different
+    content fingerprint), or ``unchanged``. The incremental-ops
+    ground truth — downstream consumers (index updates, re-dedup,
+    recrawl-interval updates via ``revisit_schedule``) process the
+    added ∪ changed slice instead of the whole corpus.
+
+    One full-outer equi-join on the key; both inputs project to
+    (key, fp) first, so at 10^10 URLs the shuffle carries two longs
+    per row, never payloads."""
+    o = old.select(F.col(key), F.col(fp).alias("_old_fp"))
+    n = new.select(F.col(key), F.col(fp).alias("_new_fp"))
+    j = o.join(n, key, "full_outer")
+    status = (
+        F.when(F.col("_old_fp").isNull(), F.lit("added"))
+        .when(F.col("_new_fp").isNull(), F.lit("removed"))
+        .when(F.col("_old_fp") != F.col("_new_fp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        key,
+        status.alias("status"),
+        F.col("_old_fp").alias("old_fp"),
+        F.col("_new_fp").alias("new_fp"),
+    )
