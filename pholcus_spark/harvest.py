@@ -36,6 +36,7 @@ __all__ = [
     "harvest_image_captions",
     "harvest_anchors",
     "anchor_graph",
+    "caption_consolidate",
     "harvest_canonicals",
     "canonical_collapse",
     "robots_meta",
@@ -424,4 +425,51 @@ def anchor_graph(pages: DataFrame, url_col: str = "url",
         n_sources.alias("n_sources"),
         n_anchors.alias("n_anchors"),
         F.min("anchor").alias("first_anchor"),
+    )
+
+
+def caption_consolidate(
+    pairs: DataFrame,
+    key_col: str = "phash",
+    caption_col: str = "caption",
+    cap_chars: int = 200,
+    approx: bool = False,
+) -> DataFrame:
+    """Canonical caption per image: the same image surfaces across the
+    crawl under many captions (re-hosts, thumbnails, CMS alt-text
+    churn), and a training corpus wants ONE (image, caption) row per
+    image with the best text. Group pairs on an image identity key
+    (perceptual hash, byte md5, or a canonical URL) and pick the
+    winning caption by a deterministic quality order: captions that
+    pass ``textops.caption_keep`` beat junk, longer (up to
+    ``cap_chars``) beats shorter, lexicographically greatest breaks
+    exact score ties — so reruns and incremental re-crawls elect the
+    same winner.
+
+    The argmax is ``max(struct(score, caption))`` — associative, so it
+    partial-aggregates map-side and the plan is ONE hash aggregation
+    with one Exchange carrying (key, score, caption) triples, never
+    payload bytes; no window, no second pass. The exact
+    ``n_captions`` count-distinct adds the standard Expand rewrite
+    (anchor_graph has the same tradeoff); ``approx=True`` swaps in a
+    HyperLogLog sketch to keep the single-Exchange plan at 10^10
+    pairs."""
+    from . import textops
+
+    c = F.col(caption_col)
+    score = (
+        textops.caption_keep(c).cast("int") * 1000
+        + F.least(F.length(F.trim(c)), F.lit(cap_chars))
+    )
+    n_captions = (
+        F.approx_count_distinct(caption_col)
+        if approx
+        else F.countDistinct(caption_col)
+    )
+    best = F.max(F.struct(score.alias("s"), c.alias("c")))
+    return pairs.groupBy(key_col).agg(
+        F.count("*").alias("n_pairs"),
+        n_captions.alias("n_captions"),
+        best["c"].alias("caption"),
+        best["s"].alias("score"),
     )

@@ -4488,17 +4488,14 @@ FROM s
 """
 
 
-def q_caption_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LAION-style caption junk gates (textops.caption_flags): the
-    engine runs the REAL regex/ratio expressions over planted captions
-    — one junk class per doc_id%8 residue (camera filename, bare URL,
-    punctuation run, digit dump, boilerplate, too-short, two clean
-    shapes) — and the oracle predicts every flag from the residue
-    arithmetic, so a regex drift flips a boolean and breaks the
-    hash."""
-    d = F.col("doc_id")
+def _caption_fixture(d):
+    """One caption class per doc_id%8 residue — camera filename, bare
+    URL, punctuation run, digit dump, boilerplate, too-short, and two
+    clean shapes. Shared by the caption-quality and
+    caption-consolidation fixtures so both oracles predict from the
+    same residue arithmetic."""
     did = d.cast("string")
-    caption = (
+    return (
         F.when(F.pmod(d, 8) == 0,
                F.concat(F.lit("IMG_"), (d + 1000).cast("string"),
                         F.lit(".JPG")))
@@ -4516,6 +4513,15 @@ def q_caption_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("A scenic view of landscape "), did,
                      F.lit(" at dawn")))
     )
+
+
+def q_caption_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAION-style caption junk gates (textops.caption_flags): the
+    engine runs the REAL regex/ratio expressions over planted captions
+    — one junk class per doc_id%8 residue — and the oracle predicts
+    every flag from the residue arithmetic, so a regex drift flips a
+    boolean and breaks the hash."""
+    caption = _caption_fixture(F.col("doc_id"))
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", caption.alias("caption"))
     flags = textops.caption_flags(F.col("caption"))
@@ -4547,6 +4553,71 @@ SELECT doc_id,
        doc_id % 8 = 4 AS boilerplate,
        doc_id % 8 IN (6, 7) AS keep
 FROM documents
+"""
+
+
+def q_caption_consolidate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical caption election (harvest.caption_consolidate): the
+    same image key (doc_id%97 standing in for a perceptual hash)
+    collects ~5 captions drawn from the shared %8 fixture classes; the
+    engine scores with the REAL caption_keep gates + capped length and
+    elects via one map-side-combinable max(struct) — the oracle
+    recomputes keep from the residue arithmetic and elects with a
+    window, so a drift in either the gates or the tie-break order
+    breaks the hash."""
+    from . import harvest
+
+    d = F.col("doc_id")
+    pairs = _t(spark, sf_dir, "documents").select(
+        F.pmod(d, F.lit(97)).alias("img_key"),
+        _caption_fixture(d).alias("caption"),
+    )
+    out = harvest.caption_consolidate(pairs, key_col="img_key")
+    return out.select(
+        "img_key",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("n_captions").cast("long").alias("n_captions"),
+        "caption",
+        F.col("score").cast("long").alias("score"),
+    )
+
+
+SQL_CAPTION_CONSOLIDATE = """
+WITH c AS (
+  SELECT doc_id % 97 AS img_key,
+         CASE doc_id % 8
+           WHEN 0 THEN 'IMG_' || CAST(doc_id + 1000 AS VARCHAR) || '.JPG'
+           WHEN 1 THEN 'http://junk.example.com/' || CAST(doc_id AS VARCHAR)
+           WHEN 2 THEN '!!! ??? ***'
+           WHEN 3 THEN CAST(doc_id AS VARCHAR) || ' 12345 67 890'
+           WHEN 4 THEN 'Stock Photo: sunset over rolling hills'
+           WHEN 5 THEN 'cat'
+           WHEN 6 THEN 'a photo of item number ' || CAST(doc_id AS VARCHAR)
+           ELSE 'A scenic view of landscape ' || CAST(doc_id AS VARCHAR)
+             || ' at dawn'
+         END AS caption,
+         CASE WHEN doc_id % 8 IN (6, 7) THEN 1000 ELSE 0 END AS keep_pts
+  FROM documents),
+s AS (
+  SELECT img_key, caption,
+         keep_pts + least(length(caption), 200) AS score
+  FROM c),
+r AS (
+  SELECT img_key, caption, score,
+         count(*) OVER (PARTITION BY img_key) AS n_pairs,
+         row_number() OVER (PARTITION BY img_key
+                            ORDER BY score DESC, caption DESC) AS rn
+  FROM s),
+d AS (
+  SELECT img_key, count(DISTINCT caption) AS n_captions
+  FROM s GROUP BY img_key)
+SELECT r.img_key,
+       CAST(r.n_pairs AS BIGINT) AS n_pairs,
+       d.n_captions,
+       r.caption,
+       CAST(r.score AS BIGINT) AS score
+FROM r JOIN d USING (img_key)
+WHERE rn = 1
 """
 
 
@@ -4819,6 +4890,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "robots_meta_directives": q_robots_meta,
     "links_followable": q_links_followable,
     "caption_quality": q_caption_quality,
+    "caption_consolidate": q_caption_consolidate,
     "images_srcset_harvest": q_images_srcset_harvest,
     "training_split_assign": q_split_assign,
     "politeness_adapt": q_politeness_adapt,
@@ -4926,6 +4998,7 @@ ORACLE_SQL: dict[str, str] = {
     "robots_meta_directives": SQL_ROBOTS_META,
     "links_followable": SQL_LINKS_FOLLOWABLE,
     "caption_quality": SQL_CAPTION_QUALITY,
+    "caption_consolidate": SQL_CAPTION_CONSOLIDATE,
     "images_srcset_harvest": SQL_IMAGES_SRCSET_HARVEST,
     "training_split_assign": SQL_SPLIT_ASSIGN,
     "politeness_adapt": SQL_POLITENESS_ADAPT,

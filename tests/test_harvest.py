@@ -288,3 +288,57 @@ def test_harvest_prefers_srcset_when_asked(spark):
     pref = harvest.harvest_image_captions(
         _rows(spark, html), prefer_srcset=True).collect()
     assert [r["img_url"] for r in pref] == ["http://h.example.com/big.jpg"]
+
+
+def test_caption_consolidate_election(spark):
+    """Kept beats junk regardless of length; longer kept beats shorter;
+    exact score ties elect the lexicographically greatest caption —
+    deterministic across reruns and input order."""
+    rows = [
+        # key 1: junk URL (long) must lose to a short kept caption
+        (1, "http://example.com/a-very-long-junk-url-caption-here"),
+        (1, "a red bicycle"),
+        # key 2: two kept captions, longer wins
+        (2, "a cat"),
+        (2, "a cat sitting on a warm windowsill"),
+        # key 3: exact tie (same length, both kept) -> lexicographic max
+        (3, "photo of a dog"),
+        (3, "photo of a cow"),
+        # key 4: junk only -> still elects, score < 1000
+        (4, "!!! ??? ***"),
+    ]
+    pairs = spark.createDataFrame(rows, ["img_key", "caption"])
+    out = {
+        r["img_key"]: r
+        for r in harvest.caption_consolidate(pairs, key_col="img_key").collect()
+    }
+    assert out[1]["caption"] == "a red bicycle"
+    assert out[1]["score"] >= 1000
+    assert out[2]["caption"] == "a cat sitting on a warm windowsill"
+    assert out[3]["caption"] == "photo of a dog"
+    assert out[4]["score"] < 1000
+    assert out[1]["n_pairs"] == 2 and out[1]["n_captions"] == 2
+    # reversed input order elects the same winners
+    rev = spark.createDataFrame(list(reversed(rows)), ["img_key", "caption"])
+    out2 = {
+        r["img_key"]: r["caption"]
+        for r in harvest.caption_consolidate(rev, key_col="img_key").collect()
+    }
+    assert out2 == {k: r["caption"] for k, r in out.items()}
+
+
+def test_caption_consolidate_plans(spark):
+    """Exact n_captions pays the standard two-Exchange Expand; the
+    approx (HyperLogLog) variant keeps the single-Exchange
+    map-side-partial plan — the 10^10-pairs mode."""
+    pairs = spark.createDataFrame(
+        [(1, "a"), (1, "b")], ["img_key", "caption"])
+    exact = harvest.caption_consolidate(pairs, key_col="img_key") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in exact
+    assert exact.count("Exchange") == 2
+    approx = harvest.caption_consolidate(
+        pairs, key_col="img_key", approx=True) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert approx.count("Exchange") == 1
+    assert "Expand" not in approx
