@@ -24,7 +24,7 @@ Scale notes (10^10-URL frontier):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .hashing import SPARK_HASH_SEED  # noqa: F401  (documents the seed)
@@ -88,10 +88,28 @@ def dedup_candidates(cands: DataFrame) -> DataFrame:
     )
 
 
+def _robots_rule_match(path: Column, rule: Column) -> Column:
+    """One Disallow rule vs a path, RFC 9309 semantics, as a pure
+    column expression: plain rules stay on the codegen ``startswith``
+    fast path; rules containing ``*`` (any octet run) or a trailing
+    ``$`` (end anchor) are translated to an anchored regex — escape
+    the regex metacharacters, un-escape a trailing ``\\$`` back into
+    an anchor, widen ``*`` to ``.*``. Twin of ``robots.rule_matches``
+    and ``synthetic.robots_allows``."""
+    has_wild = rule.contains("*") | rule.endswith("$")
+    esc = F.regexp_replace(rule, r"([.^$+?(){}\[\]|\\])", r"\\$1")
+    esc = F.regexp_replace(esc, r"\\\$$", r"\$")
+    rx = F.regexp_replace(esc, r"\*", ".*")
+    return F.when(
+        has_wild, F.rlike(path, F.concat(F.lit("^"), rx))
+    ).otherwise(path.startswith(rule))
+
+
 def filter_robots(cands: DataFrame, politeness: DataFrame) -> DataFrame:
     """Drop robots-disallowed URLs (north-rule addition; the reference
     has no robots support). Politeness config is a small dim table →
-    broadcast join, no shuffle of the candidate side."""
+    broadcast join, no shuffle of the candidate side. Disallow rules
+    may use RFC 9309 wildcards (``*``, trailing ``$``)."""
     # inner join: only hosts with a politeness row are crawlable (the
     # oracle enforces the same — unknown hosts are not admitted).
     pol = F.broadcast(politeness.select("host", "robots_disallow"))
@@ -99,7 +117,7 @@ def filter_robots(cands: DataFrame, politeness: DataFrame) -> DataFrame:
     path = F.regexp_replace("url", r"^[a-z]+://[^/]+", "")
     disallowed = F.exists(
         F.coalesce(F.col("robots_disallow"), F.array()),
-        lambda p: path.startswith(p),
+        lambda p: _robots_rule_match(path, p),
     )
     return joined.filter(~disallowed).drop("robots_disallow")
 

@@ -4240,6 +4240,78 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recrawl.snapshot_diff(old, new)
 
 
+def q_robots_wildcard_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 wildcard Disallow rules through the engine's codegen
+    robots filter (`frontier.filter_robots`): plain prefixes stay on
+    the `startswith` fast path, rules with ``*`` / trailing ``$`` take
+    the escaped-regex branch (``frontier._robots_rule_match``). Five
+    hosts exercise: plain prefix, ``/*.php``, ``/fish*`` + a second
+    prefix rule, ``$``-anchored exact path plus a combined
+    ``/a*.html$``, and an empty rule list. The oracle re-derives the
+    wildcard semantics independently with DuckDB regexes."""
+    from . import frontier
+    from .schemas import POLITENESS_SCHEMA
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    hn = F.pmod(F.col("doc_id"), F.lit(5))
+    pm = F.pmod(F.col("doc_id"), F.lit(8))
+    ds = F.col("doc_id").cast("string")
+    path = (
+        F.when(pm == 0, F.concat(F.lit("/private/x"), ds))
+        .when(pm == 1, F.concat(F.lit("/public/x"), ds))
+        .when(pm == 2, F.concat(F.lit("/a"), ds, F.lit(".php")))
+        .when(pm == 3, F.concat(F.lit("/a"), ds, F.lit(".html")))
+        .when(pm == 4, F.concat(F.lit("/fishing"), ds))
+        .when(pm == 5, F.lit("/doc"))
+        .when(pm == 6, F.concat(F.lit("/doc/x"), ds))
+        .otherwise(F.concat(F.lit("/tmp/"), ds))
+    )
+    host = F.concat(F.lit("h"), hn.cast("string"), F.lit(".example.com"))
+    cands = d.select(
+        F.concat(F.lit("http://"), host, path).alias("url"),
+        host.alias("host"),
+    )
+    rules = spark.createDataFrame(
+        [
+            ("h0.example.com", 100, ["/private"], 5),
+            ("h1.example.com", 100, ["/*.php"], 5),
+            ("h2.example.com", 100, ["/fish*", "/tmp/"], 5),
+            ("h3.example.com", 100, ["/doc$", "/a*.html$"], 5),
+            ("h4.example.com", 100, [], 5),
+        ],
+        POLITENESS_SCHEMA,
+    )
+    return frontier.filter_robots(cands, rules).select("url", "host")
+
+
+SQL_ROBOTS_WILDCARD_FILTER = r"""
+WITH c AS (
+  SELECT doc_id % 5 AS hn,
+         CASE doc_id % 8
+           WHEN 0 THEN '/private/x' || CAST(doc_id AS VARCHAR)
+           WHEN 1 THEN '/public/x' || CAST(doc_id AS VARCHAR)
+           WHEN 2 THEN '/a' || CAST(doc_id AS VARCHAR) || '.php'
+           WHEN 3 THEN '/a' || CAST(doc_id AS VARCHAR) || '.html'
+           WHEN 4 THEN '/fishing' || CAST(doc_id AS VARCHAR)
+           WHEN 5 THEN '/doc'
+           WHEN 6 THEN '/doc/x' || CAST(doc_id AS VARCHAR)
+           ELSE '/tmp/' || CAST(doc_id AS VARCHAR)
+         END AS path
+  FROM documents)
+SELECT 'http://h' || CAST(hn AS VARCHAR) || '.example.com' || path AS url,
+       'h' || CAST(hn AS VARCHAR) || '.example.com' AS host
+FROM c
+WHERE NOT (
+      (hn = 0 AND path LIKE '/private%')
+   OR (hn = 1 AND regexp_matches(path, '^/.*\.php'))
+   OR (hn = 2 AND (regexp_matches(path, '^/fish')
+                   OR path LIKE '/tmp/%'))
+   OR (hn = 3 AND (regexp_matches(path, '^/doc$')
+                   OR regexp_matches(path, '^/a.*\.html$')))
+)
+"""
+
+
 SQL_SNAPSHOT_DIFF = """
 SELECT doc_id AS url_key,
        CASE WHEN doc_id < 50 THEN 'removed'
@@ -4803,6 +4875,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frontier_host_skew": q_frontier_host_skew,
     "crawl_host_rank": q_crawl_host_rank,
     "frontier_trap_guard": q_frontier_trap_guard,
+    "robots_wildcard_filter": q_robots_wildcard_filter,
     "sitemap_ingest": q_sitemap_ingest,
     "robots_sitemap_discovery": q_robots_sitemap_discovery,
     "recrawl_schedule": q_recrawl_schedule,
@@ -4915,6 +4988,7 @@ ORACLE_SQL: dict[str, str] = {
     "frontier_host_skew": SQL_FRONTIER_HOST_SKEW,
     "crawl_host_rank": SQL_CRAWL_HOST_RANK,
     "frontier_trap_guard": SQL_FRONTIER_TRAP_GUARD,
+    "robots_wildcard_filter": SQL_ROBOTS_WILDCARD_FILTER,
     "sitemap_ingest": SQL_SITEMAP_INGEST,
     "robots_sitemap_discovery": SQL_ROBOTS_SITEMAP_DISCOVERY,
     "recrawl_schedule": SQL_RECRAWL_SCHEDULE,

@@ -16,7 +16,9 @@ prefixes, per-round budget).
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
+from functools import lru_cache
 from typing import Iterator
 
 import pandas as pd
@@ -29,6 +31,28 @@ DEFAULT_DELAY_MS = 300  # reference Pausetime default, config/config.go:157
 MAX_DELAY_MS = 60_000
 
 
+@lru_cache(maxsize=4096)
+def _rule_rx(pattern: str) -> re.Pattern:
+    """RFC 9309 rule → anchored regex: ``*`` matches any run of
+    octets, a trailing ``$`` anchors end-of-path; everything else is
+    literal."""
+    rx = re.escape(pattern)
+    if rx.endswith(r"\$"):
+        rx = rx[:-2] + "$"
+    rx = rx.replace(r"\*", ".*")
+    return re.compile("^" + rx)
+
+
+def rule_matches(pattern: str, path: str) -> bool:
+    """Does one Allow/Disallow rule match ``path``? Plain rules are
+    prefixes (the overwhelmingly common case — no regex machinery);
+    rules containing ``*`` or ending in ``$`` take the RFC 9309
+    wildcard semantics."""
+    if "*" not in pattern and not pattern.endswith("$"):
+        return path.startswith(pattern)
+    return _rule_rx(pattern).match(path) is not None
+
+
 @dataclass
 class RobotsPolicy:
     crawl_delay_ms: int = DEFAULT_DELAY_MS
@@ -36,12 +60,15 @@ class RobotsPolicy:
     allow: list[str] = field(default_factory=list)
 
     def allows(self, path: str) -> bool:
-        """Longest-match wins between Allow and Disallow (Google
-        semantics); empty Disallow matches nothing."""
-        best_dis = max((len(p) for p in self.disallow if p and path.startswith(p)),
-                       default=-1)
-        best_allow = max((len(p) for p in self.allow if p and path.startswith(p)),
-                         default=-1)
+        """Most-specific-match wins between Allow and Disallow, where
+        specificity is the rule's octet length including wildcards
+        (Google/RFC 9309 semantics — ``/fish*`` at length 6 outranks
+        ``/fish`` at 5); Allow wins exact ties. Empty Disallow matches
+        nothing."""
+        best_dis = max((len(p) for p in self.disallow
+                        if p and rule_matches(p, path)), default=-1)
+        best_allow = max((len(p) for p in self.allow
+                          if p and rule_matches(p, path)), default=-1)
         return best_allow >= best_dis
 
 

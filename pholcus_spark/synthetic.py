@@ -89,7 +89,11 @@ def robots_for(host: str, pausetime_ms: int = 300) -> dict:
 
 
 def robots_allows(url_path: str, disallow: list[str]) -> bool:
-    return not any(url_path.startswith(p) for p in disallow)
+    """Oracle twin of ``frontier.filter_robots``: disallow-only, but
+    RFC 9309 wildcard-aware (``*``, trailing ``$``)."""
+    from .robots import rule_matches
+
+    return not any(rule_matches(p, url_path) for p in disallow)
 
 
 def host_budget(crawl_delay_ms: int, round_duration_ms: int = 1000) -> int:

@@ -112,3 +112,80 @@ def test_sitemaps_from_robots_df(spark):
         ("a.test", "http://a.test/s1.xml"),
         ("a.test", "http://a.test/s2.xml"),
     ]
+
+
+def test_rule_matches_wildcards():
+    """RFC 9309 / Google wildcard examples: * = any octet run,
+    trailing $ = end-of-path anchor, everything else literal."""
+    from pholcus_spark.robots import rule_matches
+
+    # plain prefix (fast path)
+    assert rule_matches("/fish", "/fish.html")
+    assert rule_matches("/fish", "/fishheads/yummy.html")
+    assert not rule_matches("/fish", "/Fish.asp")
+    assert not rule_matches("/fish", "/catfish")
+    # /fish* is equivalent to /fish
+    assert rule_matches("/fish*", "/fish.html")
+    assert rule_matches("/fish*", "/fishheads")
+    assert not rule_matches("/fish*", "/desert/fish")
+    # /*.php — any path containing .php after some prefix
+    assert rule_matches("/*.php", "/index.php")
+    assert rule_matches("/*.php", "/folder/filename.php?parameters")
+    assert not rule_matches("/*.php", "/")
+    assert not rule_matches("/*.php", "/windows.PHP")
+    # trailing $ anchors the end
+    assert rule_matches("/fish$", "/fish")
+    assert not rule_matches("/fish$", "/fish.html")
+    assert rule_matches("/*.php$", "/filename.php")
+    assert not rule_matches("/*.php$", "/filename.php?parameters")
+    # regex metacharacters in rules stay literal
+    assert rule_matches("/a(b)+c", "/a(b)+c/d")
+    assert not rule_matches("/a(b)+c", "/abbc")
+
+
+def test_policy_allows_wildcard_specificity():
+    """Most-specific (longest rule) wins; Allow wins exact ties."""
+    from pholcus_spark.robots import RobotsPolicy
+
+    # Google example: Allow /p longer than Disallow /
+    pol = RobotsPolicy(disallow=["/"], allow=["/p"])
+    assert pol.allows("/page")
+    assert not pol.allows("/index.html")
+    # wildcard rule length counts the wildcard octets
+    pol = RobotsPolicy(disallow=["/*.htm"], allow=["/page"])
+    assert not pol.allows("/page.htm")  # 6 > 5
+    # $-anchored disallow blocks only the exact path
+    pol = RobotsPolicy(disallow=["/doc$"])
+    assert not pol.allows("/doc")
+    assert pol.allows("/doc/page")
+
+
+def test_filter_robots_wildcards(spark):
+    """Engine codegen filter matches the Python twin on wildcard
+    rules (frontier._robots_rule_match vs robots.rule_matches)."""
+    from pholcus_spark import frontier
+    from pholcus_spark.robots import rule_matches
+    from pholcus_spark.schemas import POLITENESS_SCHEMA
+
+    rules = ["/private", "/*.php", "/fish*", "/doc$", "/a*.html$"]
+    paths = [
+        "/private/x", "/public/x", "/a1.php", "/a1.html", "/fishing",
+        "/doc", "/doc/x", "/tmp/1", "/x.php?q=1", "/a.htmlx",
+    ]
+    pol = spark.createDataFrame(
+        [("h.test", 100, rules, 5)], POLITENESS_SCHEMA
+    )
+    cands = spark.createDataFrame(
+        [("http://h.test" + p, "h.test") for p in paths], ["url", "host"]
+    )
+    kept = sorted(
+        r["url"] for r in frontier.filter_robots(cands, pol).collect()
+    )
+    expect = sorted(
+        "http://h.test" + p
+        for p in paths
+        if not any(rule_matches(rule, p) for rule in rules)
+    )
+    assert kept == expect
+    # sanity: the fixture actually exercises both kept and dropped
+    assert 0 < len(kept) < len(paths)
