@@ -358,6 +358,50 @@ def alignment_filter(
     )
 
 
+def linear_head_gate(
+    embeds: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tau_micro: int = 0,
+) -> DataFrame:
+    """Aesthetic-predictor-style curation gate: a linear head over the
+    embedding column (the LAION-aesthetics recipe — a tiny regression
+    head on top of frozen CLIP embeddings decides keep/drop). The
+    deterministic stand-in weights ``w_i = (i·37 + 11) mod 21 − 10``
+    (integers −10..10) make the score reproducible in any engine; a
+    trained head drops in as a literal weight array without changing
+    the plan.
+
+    Parity trick (the registry's cents pattern, scaled): each term is
+    ``round(v_i · w_i · 1e6)`` as BIGINT before summing, so the score
+    is an exact integer in both Spark and DuckDB — float-sum ordering
+    can never flip a row across the threshold differently in the two
+    engines.
+
+    The whole gate is one ``aggregate()`` projection over the scan —
+    zero shuffle, zero Python; at 10^10 embeddings it is a map-only
+    stage at scan bandwidth."""
+    v = F.col(vec_col)
+    score = F.aggregate(
+        F.zip_with(
+            v,
+            F.sequence(F.lit(0), F.size(v) - 1),
+            lambda x, i: F.round(
+                x.cast("double")
+                * (F.pmod(i * 37 + 11, F.lit(21)) - 10).cast("double")
+                * F.lit(1e6)
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    return (
+        embeds.withColumn("head_score_u", score)
+        .withColumn("keep", F.col("head_score_u") >= tau_micro)
+        .select(id_col, "head_score_u", "keep")
+    )
+
+
 def cosine_neardup_pairs(
     embeds: DataFrame, threshold: float = 0.95, n_planes: int = N_PLANES
 ) -> DataFrame:

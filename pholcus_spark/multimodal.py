@@ -343,6 +343,50 @@ def image_stats(meta: DataFrame) -> DataFrame:
     )
 
 
+def image_quality_gate(
+    meta: DataFrame,
+    min_side: int = 32,
+    min_px: int = 1200,
+    max_aspect_milli: int = 1500,
+    min_bytes_per_kpx: int | None = None,
+) -> DataFrame:
+    """LAION-style image quality gate over decoded metadata: flag and
+    drop images that are useless for training — too small on either
+    side, too few total pixels, or extreme aspect ratio (a banner/
+    sliver that survives no crop). ``max_aspect_milli`` is the aspect
+    limit ×1000 held as INTEGER arithmetic (``w·1000 > h·limit``) so
+    the gate is bit-exact across engines — no float ratio, no
+    rounding rule to dispute.
+
+    ``min_bytes_per_kpx`` (bytes per 1000 pixels) optionally flags
+    suspiciously over-compressed payloads (blank or decode-bomb
+    candidates); it needs the real byte length, which is codec-
+    dependent, so the oracle covers the dimension gates and a unit
+    test covers this flag's plumbing.
+
+    All flags are boolean codegen expressions riding the decode scan —
+    zero shuffle, zero Python; at 10^10 images this is a map-only
+    stage at scan speed, and Catalyst prunes the payload column unless
+    the bytes gate is on."""
+    w, h = F.col("w").cast("long"), F.col("h").cast("long")
+    too_small = (w < min_side) | (h < min_side) | (w * h < min_px)
+    bad_aspect = (w * 1000 > h * max_aspect_milli) | (
+        h * 1000 > w * max_aspect_milli
+    )
+    out = meta.withColumn("too_small", too_small).withColumn(
+        "bad_aspect", bad_aspect
+    )
+    keep = ~F.col("too_small") & ~F.col("bad_aspect")
+    if min_bytes_per_kpx is not None:
+        thin = (
+            F.octet_length("bytes").cast("long") * 1000
+            < w * h * min_bytes_per_kpx
+        )
+        out = out.withColumn("thin_payload", thin)
+        keep = keep & ~F.col("thin_payload")
+    return out.withColumn("keep", keep)
+
+
 ASPECT_BUCKETS: tuple[tuple[int, int], ...] = (
     (1, 1), (4, 3), (3, 4), (3, 2), (2, 3), (16, 9), (9, 16),
     (2, 1), (1, 2),

@@ -3353,6 +3353,58 @@ FROM b GROUP BY ROLLUP(fmt, px_bucket)
 """
 
 
+def q_images_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAION-style dimension gates (multimodal.image_quality_gate):
+    REAL decode → min-side / min-area / integer-arithmetic aspect
+    flags. The oracle predicts w,h from the generator arithmetic and
+    recomputes every flag, so a drift in decode or in the gate
+    thresholds breaks the hash. The bytes-per-kilopixel flag is
+    codec-dependent and is covered by a unit test instead."""
+    meta = multimodal.decode_image_meta(_synthetic_images(spark, sf_dir))
+    out = multimodal.image_quality_gate(meta)
+    return out.select(
+        "image_id", "w", "h", "too_small", "bad_aspect", "keep"
+    )
+
+
+SQL_IMAGES_QUALITY_GATE = """
+WITH p AS (SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS r
+           FROM documents),
+m AS (SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS image_id,
+             CAST(24 + r % 33 AS BIGINT) AS w,
+             CAST(24 + (r // 33) % 33 AS BIGINT) AS h
+      FROM p)
+SELECT image_id, CAST(w AS INT) AS w, CAST(h AS INT) AS h,
+       (w < 32 OR h < 32 OR w * h < 1200) AS too_small,
+       (w * 1000 > h * 1500 OR h * 1000 > w * 1500) AS bad_aspect,
+       (NOT (w < 32 OR h < 32 OR w * h < 1200)
+        AND NOT (w * 1000 > h * 1500 OR h * 1000 > w * 1500)) AS keep
+FROM m
+"""
+
+
+def q_embed_head_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aesthetic-head curation gate (ann.linear_head_gate): integer
+    stand-in weights, exact micro-unit term rounding (the cents trick
+    at 1e6), keep at score ≥ 0. The oracle recomputes every term and
+    the threshold in DuckDB — a drift in the weight formula, rounding
+    rule, or gate sign breaks the hash."""
+    embeds = _t(spark, sf_dir, "embeddings")
+    return ann.linear_head_gate(embeds)
+
+
+SQL_EMBED_HEAD_GATE = """
+WITH s AS (
+  SELECT vec_id,
+         CAST(list_sum(list_transform(range(0, len(embedding)),
+           i -> CAST(round(CAST(embedding[i+1] AS DOUBLE)
+                           * ((i * 37 + 11) % 21 - 10) * 1e6) AS BIGINT)))
+              AS BIGINT) AS head_score_u
+  FROM embeddings)
+SELECT vec_id, head_score_u, head_score_u >= 0 AS keep FROM s
+"""
+
+
 def q_images_aspect_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aspect-ratio bucketing (multimodal.aspect_buckets): REAL decode
     → zero-shuffle argmin over the literal bucket list (SDXL-style
@@ -4947,6 +4999,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_ivfadc_ann": q_embed_ivfadc_ann,
     "embed_cosine_neardup": q_embed_cosine_neardup,
     "embed_semantic_dedup": q_embed_semantic_dedup,
+    "embed_head_gate": q_embed_head_gate,
+    "images_quality_gate": q_images_quality_gate,
     "images_caption_align": q_images_caption_align,
     # multimodal (rows-only)
     "images_decode_meta": q_images_decode_meta,
@@ -5058,6 +5112,8 @@ ORACLE_SQL: dict[str, str] = {
     "embed_ivfadc_ann": SQL_EMBED_IVFADC_ANN,
     "embed_cosine_neardup": SQL_EMBED_COSINE_NEARDUP,
     "embed_semantic_dedup": SQL_EMBED_SEMANTIC_DEDUP,
+    "embed_head_gate": SQL_EMBED_HEAD_GATE,
+    "images_quality_gate": SQL_IMAGES_QUALITY_GATE,
     "images_caption_align": SQL_IMAGES_CAPTION_ALIGN,
     # partial multimodal oracles: decode/resize metadata predicted from
     # doc_id (generator arithmetic mirrored in SQL)

@@ -314,3 +314,36 @@ def test_ivfadc_residual_encoding_and_recall(spark):
         assert code_of(clone) == code_of(qid)  # identical residual codes
         got_min = min(r["adc_dist"] for r in hits)
         assert abs(got_min - adc(qid, clone)) < 1e-9
+
+
+def test_linear_head_gate_matches_python(spark):
+    """Engine head score equals a plain-Python recompute of the
+    integer-weight, micro-unit-rounded dot product."""
+    from decimal import Decimal, ROUND_HALF_UP
+
+    from pholcus_spark import ann
+
+    vecs = [
+        (0, [0.5, -0.25, 0.125, 1.0]),
+        (1, [-1.0, -1.0, -1.0, -1.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r for r in ann.linear_head_gate(df).collect()}
+
+    def score(vals):
+        tot = 0
+        for i, x in enumerate(vals):
+            w = (i * 37 + 11) % 21 - 10
+            term = float(np_float32(x)) * w * 1e6
+            tot += int(Decimal(term).quantize(0, rounding=ROUND_HALF_UP))
+        return tot
+
+    import numpy as np
+
+    def np_float32(x):
+        return np.float32(x)
+
+    for vid, vals in vecs:
+        assert got[vid]["head_score_u"] == score(vals), vid
+        assert got[vid]["keep"] == (score(vals) >= 0)

@@ -214,3 +214,37 @@ def test_bucket_batches_dense_and_unmixed(spark):
             sizes[r["batch_idx"]] = sizes.get(r["batch_idx"], 0) + 1
         full = sorted(sizes)
         assert all(sizes[i] == 4 for i in full[:-1])
+
+
+def test_image_quality_gate_flags(spark):
+    """Dimension gates + the codec-dependent bytes-per-kilopixel flag
+    (the flag the oracle can't predict — exercised here instead)."""
+    from pholcus_spark import multimodal
+
+    rows = [
+        # (id, w, h, n_bytes): healthy / tiny side / sliver / thin payload
+        ("ok", 64, 48, 64 * 48 * 2),
+        ("tiny", 16, 64, 16 * 64 * 2),
+        ("sliver", 90, 30, 90 * 30 * 2),
+        ("thin", 64, 64, 100),
+    ]
+    meta = spark.createDataFrame(
+        [(i, w, h, b"x" * n, "png", True) for i, w, h, n in rows],
+        "image_id string, w int, h int, bytes binary, fmt string, decode_ok boolean",
+    )
+    out = {
+        r["image_id"]: r
+        for r in multimodal.image_quality_gate(
+            meta, min_bytes_per_kpx=500
+        ).collect()
+    }
+    assert out["ok"]["keep"] and not out["ok"]["thin_payload"]
+    assert out["tiny"]["too_small"] and not out["tiny"]["keep"]
+    assert out["sliver"]["bad_aspect"] and not out["sliver"]["keep"]
+    assert out["thin"]["thin_payload"] and not out["thin"]["keep"]
+    # without the bytes gate the thin payload passes on dimensions
+    out2 = {
+        r["image_id"]: r
+        for r in multimodal.image_quality_gate(meta).collect()
+    }
+    assert out2["thin"]["keep"]
