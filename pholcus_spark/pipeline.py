@@ -731,6 +731,89 @@ def budget_select(docs: DataFrame, budgets: dict[str, int]) -> DataFrame:
     )
 
 
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int = 2048,
+    order_groups: int = 1024,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — the step that turns a
+    curated document set into fixed-length training rows: documents
+    are laid end-to-end in a deterministic pseudo-random order (60-bit
+    md5 of doc_id — a reproducible global shuffle, not ingest order)
+    and the token stream is cut every ``seq_len`` tokens, documents
+    spanning cut points (GPT-style packing, no padding).
+
+    Output is one span row per (sequence, document) intersection:
+    (seq_id, doc_id, doc_begin, seq_begin, n_toks) — exactly what a
+    loader needs to materialize sequence tensors, and every sequence
+    except the last is full by construction.
+
+    The global token offset is the scale problem: a naive cumulative
+    window over the corpus is ONE task streaming 10^10 rows. Here it
+    is a two-level prefix sum (same shape as ``budget_select``): the
+    order key's top bits carve ``order_groups`` contiguous ranges;
+    per-range token totals are one map-side-combined aggregate
+    (bounded output), the exclusive prefix over ranges is a window on
+    that dimension-sized relation, prefixes broadcast back, and the
+    residual cumsum runs PARTITION BY range — no task ever sees more
+    than ~corpus/order_groups rows. Size order_groups ~ corpus_rows /
+    10^7 at the big end.
+
+    A document longer than ``seq_len`` fans out to ⌈n/seq_len⌉+1 span
+    rows via sequence()+explode — bounded, no skew beyond document
+    length itself."""
+    d = docs.select(
+        "doc_id",
+        textops.md5_long(F.col("doc_id").cast("string")).alias("ord_key"),
+        F.size(textops.words(F.col("text"))).cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    # ord_key is uniform in [0, 2^60) → top bits give contiguous,
+    # deterministic, balanced ranges of the global order
+    grp = F.floor(F.col("ord_key") / F.lit((1 << 60) // order_groups))
+    d = d.withColumn("grp", grp.cast("long"))
+    totals = d.groupBy("grp").agg(F.sum("n_tokens").alias("grp_tokens"))
+    w_g = Window.orderBy("grp").rowsBetween(Window.unboundedPreceding, -1)
+    prefixes = totals.select(
+        "grp",
+        F.coalesce(F.sum("grp_tokens").over(w_g), F.lit(0)).alias(
+            "grp_prefix"
+        ),
+    )
+    w_in = (
+        Window.partitionBy("grp")
+        .orderBy("ord_key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_off = d.join(F.broadcast(prefixes), "grp").withColumn(
+        "offset",
+        F.col("grp_prefix")
+        + F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0)),
+    )
+    L = F.lit(seq_len)
+    first_seq = F.floor(F.col("offset") / L)
+    last_seq = F.floor((F.col("offset") + F.col("n_tokens") - 1) / L)
+    spans = with_off.select(
+        "doc_id",
+        "offset",
+        "n_tokens",
+        F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"),
+    )
+    seq_start = F.col("seq_id") * L
+    doc_begin = F.greatest(F.lit(0), seq_start - F.col("offset"))
+    end_in_doc = F.least(
+        F.col("n_tokens"), seq_start + L - F.col("offset")
+    )
+    return spans.select(
+        F.col("seq_id").cast("long").alias("seq_id"),
+        "doc_id",
+        doc_begin.cast("long").alias("doc_begin"),
+        F.greatest(F.lit(0), F.col("offset") - seq_start)
+        .cast("long")
+        .alias("seq_begin"),
+        (end_in_doc - doc_begin).cast("long").alias("n_toks"),
+    )
+
+
 def split_assign(
     df: DataFrame,
     key_col: str = "doc_id",

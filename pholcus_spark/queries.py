@@ -4292,6 +4292,47 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recrawl.snapshot_diff(old, new)
 
 
+def q_training_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing (pipeline.pack_sequences) at
+    seq_len=128 so sf0.01 docs regularly straddle cut points. The
+    engine's two-level prefix sum and the oracle's single global
+    cumulative window are different formulations of the same offsets —
+    they must agree on every span row exactly (the same
+    equivalence-of-formulations check budget_select uses)."""
+    from . import pipeline
+
+    return pipeline.pack_sequences(
+        _t(spark, sf_dir, "documents"), seq_len=128, order_groups=64
+    )
+
+
+SQL_TRAINING_PACK_SEQUENCES = f"""
+WITH d AS (
+  SELECT doc_id,
+         {_h60_sql("CAST(doc_id AS VARCHAR)")} AS ord_key,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+  WHERE len(string_split(text, ' ')) > 0),
+o AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY ord_key, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM d),
+s AS (
+  SELECT doc_id, off, n_tokens,
+         UNNEST(range(CAST(off // 128 AS BIGINT),
+                      CAST((off + n_tokens - 1) // 128 + 1 AS BIGINT)))
+           AS seq_id
+  FROM o)
+SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+       CAST(greatest(0, seq_id * 128 - off) AS BIGINT) AS doc_begin,
+       CAST(greatest(0, off - seq_id * 128) AS BIGINT) AS seq_begin,
+       CAST(least(n_tokens, seq_id * 128 + 128 - off)
+            - greatest(0, seq_id * 128 - off) AS BIGINT) AS n_toks
+FROM s
+"""
+
+
 def q_robots_wildcard_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFC 9309 wildcard Disallow rules through the engine's codegen
     robots filter (`frontier.filter_robots`): plain prefixes stay on
@@ -4968,6 +5009,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "training_decontaminate_bloom": q_training_decontaminate_bloom,
     "training_dsir_select": q_training_dsir_select,
     "training_budget_select": q_training_budget_select,
+    "training_pack_sequences": q_training_pack_sequences,
     "images_aspect_bucket": q_images_aspect_bucket,
     "images_bucket_geometry": q_images_bucket_geometry,
     "images_bucket_batches": q_images_bucket_batches,
@@ -5082,6 +5124,7 @@ ORACLE_SQL: dict[str, str] = {
     "training_decontaminate_bloom": SQL_TRAINING_DECONTAMINATE_BLOOM,
     "training_dsir_select": SQL_TRAINING_DSIR_SELECT,
     "training_budget_select": SQL_TRAINING_BUDGET_SELECT,
+    "training_pack_sequences": SQL_TRAINING_PACK_SEQUENCES,
     "images_aspect_bucket": SQL_IMAGES_ASPECT_BUCKET,
     "images_bucket_geometry": SQL_IMAGES_BUCKET_GEOMETRY,
     "images_bucket_batches": SQL_IMAGES_BUCKET_BATCHES,

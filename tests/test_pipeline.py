@@ -398,3 +398,43 @@ def test_budget_select_two_level_prefix_matches_naive_window(spark):
         .collect()
     }
     assert got == naive
+
+
+def test_pack_sequences_invariants(spark):
+    """Packing invariants: every sequence except the last is exactly
+    full; each doc's spans tile [0, n_tokens) contiguously; span
+    placement inside the sequence is consistent."""
+    from pholcus_spark import pipeline
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{j}" for j in range((i * 7) % 40 + 1)))
+         for i in range(60)],
+        "doc_id long, text string",
+    )
+    L = 16
+    spans = pipeline.pack_sequences(docs, seq_len=L, order_groups=8).collect()
+    by_seq: dict = {}
+    by_doc: dict = {}
+    for r in spans:
+        by_seq.setdefault(r["seq_id"], []).append(r)
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    last = max(by_seq)
+    total = sum(r["n_toks"] for r in spans)
+    assert sorted(by_seq) == list(range(last + 1))  # no gaps
+    for sid, rows in by_seq.items():
+        filled = sum(r["n_toks"] for r in rows)
+        assert filled == (L if sid < last else total - last * L)
+        # spans tile the sequence contiguously from 0
+        rows = sorted(rows, key=lambda r: r["seq_begin"])
+        pos = 0
+        for r in rows:
+            assert r["seq_begin"] == pos
+            pos += r["n_toks"]
+    n_tokens = {i: (i * 7) % 40 + 1 for i in range(60)}
+    for did, rows in by_doc.items():
+        rows = sorted(rows, key=lambda r: r["doc_begin"])
+        pos = 0
+        for r in rows:
+            assert r["doc_begin"] == pos
+            pos += r["n_toks"]
+        assert pos == n_tokens[did]
