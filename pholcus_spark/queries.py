@@ -3383,6 +3383,65 @@ FROM m
 """
 
 
+def q_embed_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall@k measurement (ann.recall_at_k): the oracle
+    recomputes BOTH the exact brute-force top-k and the LSH-bucketed
+    top-k from scratch in DuckDB (reusing the verified twins'
+    formulations) and re-derives every per-query hit count and the
+    integer recall_milli — so a drift in either index's ranking, the
+    bucket signature, or the recall arithmetic breaks the hash."""
+    return ann.recall_at_k(_t(spark, sf_dir, "embeddings"), n_queries=10, k=5)
+
+
+SQL_EMBED_RECALL_EVAL = f"""
+WITH e AS (SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+           FROM embeddings),
+  q AS (SELECT vec_id AS query_id, embedding AS qvec, bucket AS qbucket
+        FROM e WHERE vec_id < 10),
+  exact_pairs AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           round(
+             list_sum(list_transform(range(0, len(q.qvec)),
+               i -> CAST(q.qvec[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(q.qvec,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(e.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos_sim
+    FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+  exact_k AS (
+    SELECT query_id, neighbor_id
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY cos_sim DESC, neighbor_id) AS rank
+          FROM exact_pairs) t
+    WHERE rank <= 5),
+  approx_pairs AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           round(
+             list_sum(list_transform(range(0, len(q.qvec)),
+               i -> CAST(q.qvec[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(q.qvec,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(e.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos_sim
+    FROM e JOIN q ON e.bucket = q.qbucket AND e.vec_id <> q.query_id),
+  approx_k AS (
+    SELECT query_id, neighbor_id
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY cos_sim DESC, neighbor_id) AS rank
+          FROM approx_pairs) t
+    WHERE rank <= 5)
+SELECT x.query_id,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+       CAST(count(a.neighbor_id) * 1000 // count(*) AS BIGINT)
+         AS recall_milli
+FROM exact_k x
+LEFT JOIN approx_k a
+  ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+GROUP BY x.query_id
+"""
+
+
 def q_embed_head_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aesthetic-head curation gate (ann.linear_head_gate): integer
     stand-in weights, exact micro-unit term rounding (the cents trick
@@ -5042,6 +5101,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_cosine_neardup": q_embed_cosine_neardup,
     "embed_semantic_dedup": q_embed_semantic_dedup,
     "embed_head_gate": q_embed_head_gate,
+    "embed_recall_eval": q_embed_recall_eval,
     "images_quality_gate": q_images_quality_gate,
     "images_caption_align": q_images_caption_align,
     # multimodal (rows-only)
@@ -5156,6 +5216,7 @@ ORACLE_SQL: dict[str, str] = {
     "embed_cosine_neardup": SQL_EMBED_COSINE_NEARDUP,
     "embed_semantic_dedup": SQL_EMBED_SEMANTIC_DEDUP,
     "embed_head_gate": SQL_EMBED_HEAD_GATE,
+    "embed_recall_eval": SQL_EMBED_RECALL_EVAL,
     "images_quality_gate": SQL_IMAGES_QUALITY_GATE,
     "images_caption_align": SQL_IMAGES_CAPTION_ALIGN,
     # partial multimodal oracles: decode/resize metadata predicted from
