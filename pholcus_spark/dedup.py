@@ -740,3 +740,86 @@ def simhash_bits(docs: DataFrame, text_col: str = "text") -> DataFrame:
         ]
     )
     return agg.select("doc_id", bits.alias("simhash"))
+
+
+def mirror_hosts(
+    pages: DataFrame,
+    min_shared: int = 2,
+    min_jaccard_milli: int = 500,
+    max_hosts_per_key: int = 16,
+) -> DataFrame:
+    """Mirror/alias host detection: find host pairs serving the same
+    content at the same paths (mirrors, CDN vanity domains, parked
+    duplicates) so the frontier can collapse them BEFORE fetch — the
+    host-level analog of canonical-URL collapse, and at crawl scale a
+    bandwidth lever on par with URL dedup.
+
+    Input: distinct (host, path, content_fp) rows. Hosts pair when
+    they share ≥ ``min_shared`` (path, fp) keys and their key-set
+    Jaccard ≥ ``min_jaccard_milli``/1000 (integer arithmetic — no
+    float division).
+
+    Scale shape: the self-join is on (path, content_fp), and keys
+    present on more than ``max_hosts_per_key`` hosts are DROPPED
+    before pairing — the ubiquitous-content trap (identical 404
+    bodies, boilerplate landing pages) otherwise makes hot keys
+    enumerate ~hosts² pairs; a true mirror pair still shares plenty of
+    below-cap keys (the same stop-shingle reasoning as the
+    prefix-filtered Jaccard join). Host totals are computed on the
+    SAME capped key set, so the Jaccard is consistent."""
+    key_hosts = pages.groupBy("path", "content_fp").agg(
+        F.count("*").alias("_n_hosts")
+    )
+    capped = (
+        pages.join(
+            F.broadcast(
+                key_hosts.filter(F.col("_n_hosts") > max_hosts_per_key)
+            ),
+            ["path", "content_fp"],
+            "left_anti",
+        )
+        if max_hosts_per_key
+        else pages
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.path") == F.col("b.path"))
+            & (F.col("a.content_fp") == F.col("b.content_fp"))
+            & (F.col("a.host") < F.col("b.host")),
+        )
+        .groupBy(
+            F.col("a.host").alias("host_a"),
+            F.col("b.host").alias("host_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    totals = capped.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_keys")
+    )
+    jac = F.floor(
+        F.col("n_shared")
+        * 1000
+        / (F.col("ta.n_keys") + F.col("tb.n_keys") - F.col("n_shared"))
+    ).cast("long")
+    return (
+        shared.join(
+            F.broadcast(totals).alias("ta"),
+            F.col("host_a") == F.col("ta.host"),
+        )
+        .join(
+            F.broadcast(totals).alias("tb"),
+            F.col("host_b") == F.col("tb.host"),
+        )
+        .select(
+            "host_a",
+            "host_b",
+            "n_shared",
+            jac.alias("jaccard_milli"),
+        )
+        .filter(
+            (F.col("n_shared") >= min_shared)
+            & (F.col("jaccard_milli") >= min_jaccard_milli)
+        )
+    )

@@ -4351,6 +4351,73 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recrawl.snapshot_diff(old, new)
 
 
+def q_crawl_mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror-host detection (dedup.mirror_hosts). Fixture: 10 hosts,
+    one page per decade each; m6/m7 are full mirrors (same (path, fp)
+    every decade), m8 mirrors even decades only (~1/3 Jaccard after
+    capping), everything else is unique content. Decade 0 is a planted
+    ubiquitous key shared by ALL TEN hosts — above the
+    max_hosts_per_key=8 cap, so it must be dropped instead of
+    enumerating 45 bogus pairs; its absence also shows up in every
+    host's key total, so the oracle catches a cap drift twice over."""
+    from . import dedup
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    dec = F.floor(F.col("doc_id") / 10).cast("long")
+    hn = F.pmod(F.col("doc_id"), F.lit(10))
+    host = F.concat(F.lit("m"), hn.cast("string"))
+    path = F.when(F.col("doc_id") < 10, F.lit("/common")).otherwise(
+        F.concat(F.lit("/p"), dec.cast("string"))
+    )
+    fp = (
+        F.when(F.col("doc_id") < 10, F.lit(777))
+        .when(hn.isin(6, 7), dec * 13)
+        .when((hn == 8) & (dec % 2 == 0), dec * 13)
+        .otherwise(F.col("doc_id") + 1000000)
+    ).cast("long")
+    pages = d.select(
+        host.alias("host"), path.alias("path"), fp.alias("content_fp")
+    )
+    return dedup.mirror_hosts(
+        pages, min_shared=2, min_jaccard_milli=300, max_hosts_per_key=8
+    )
+
+
+SQL_CRAWL_MIRROR_HOSTS = """
+WITH p AS (
+  SELECT 'm' || CAST(doc_id % 10 AS VARCHAR) AS host,
+         CASE WHEN doc_id < 10 THEN '/common'
+              ELSE '/p' || CAST(doc_id // 10 AS VARCHAR) END AS path,
+         CASE WHEN doc_id < 10 THEN 777
+              WHEN doc_id % 10 IN (6, 7) THEN (doc_id // 10) * 13
+              WHEN doc_id % 10 = 8 AND (doc_id // 10) % 2 = 0
+                THEN (doc_id // 10) * 13
+              ELSE doc_id + 1000000 END AS content_fp
+  FROM documents),
+k AS (SELECT path, content_fp, count(*) AS nh
+      FROM p GROUP BY path, content_fp),
+c AS (SELECT p.host, p.path, p.content_fp
+      FROM p JOIN k USING (path, content_fp) WHERE k.nh <= 8),
+s AS (SELECT a.host AS host_a, b.host AS host_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM c a JOIN c b
+        ON a.path = b.path AND a.content_fp = b.content_fp
+           AND a.host < b.host
+      GROUP BY a.host, b.host),
+t AS (SELECT host, CAST(count(*) AS BIGINT) AS n_keys
+      FROM c GROUP BY host)
+SELECT host_a, host_b, n_shared,
+       CAST(n_shared * 1000
+            // (ta.n_keys + tb.n_keys - n_shared) AS BIGINT)
+         AS jaccard_milli
+FROM s
+JOIN t ta ON s.host_a = ta.host
+JOIN t tb ON s.host_b = tb.host
+WHERE n_shared >= 2
+  AND n_shared * 1000 // (ta.n_keys + tb.n_keys - n_shared) >= 300
+"""
+
+
 def q_training_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk packing (pipeline.pack_sequences) at
     seq_len=128 so sf0.01 docs regularly straddle cut points. The
@@ -5028,6 +5095,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "crawl_host_rank": q_crawl_host_rank,
     "frontier_trap_guard": q_frontier_trap_guard,
     "robots_wildcard_filter": q_robots_wildcard_filter,
+    "crawl_mirror_hosts": q_crawl_mirror_hosts,
     "sitemap_ingest": q_sitemap_ingest,
     "robots_sitemap_discovery": q_robots_sitemap_discovery,
     "recrawl_schedule": q_recrawl_schedule,
@@ -5145,6 +5213,7 @@ ORACLE_SQL: dict[str, str] = {
     "crawl_host_rank": SQL_CRAWL_HOST_RANK,
     "frontier_trap_guard": SQL_FRONTIER_TRAP_GUARD,
     "robots_wildcard_filter": SQL_ROBOTS_WILDCARD_FILTER,
+    "crawl_mirror_hosts": SQL_CRAWL_MIRROR_HOSTS,
     "sitemap_ingest": SQL_SITEMAP_INGEST,
     "robots_sitemap_discovery": SQL_ROBOTS_SITEMAP_DISCOVERY,
     "recrawl_schedule": SQL_RECRAWL_SCHEDULE,

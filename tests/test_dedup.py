@@ -399,3 +399,35 @@ def test_incremental_dedup_with_persisted_band_index(spark, tmp_path):
         corpus_bands=spark.read.parquet(idx),
     )
     assert kept2.count() == 0
+
+
+def test_mirror_hosts_cap_drops_ubiquitous_key(spark):
+    """A key shared by every host (the identical-404 trap) must not
+    pair unrelated hosts; true mirrors still pair on below-cap keys."""
+    from pholcus_spark import dedup
+
+    rows = []
+    # 6 hosts all serve the same error page
+    for h in range(6):
+        rows.append((f"h{h}", "/err", 1))
+    # h0/h1 are true mirrors on 3 more keys; h2..h5 unique content
+    for i in range(3):
+        rows.append(("h0", f"/p{i}", 100 + i))
+        rows.append(("h1", f"/p{i}", 100 + i))
+    for h in range(2, 6):
+        for i in range(3):
+            rows.append((f"h{h}", f"/p{i}", 1000 * h + i))
+    pages = spark.createDataFrame(
+        rows, "host string, path string, content_fp long"
+    )
+    got = dedup.mirror_hosts(
+        pages, min_shared=2, min_jaccard_milli=500, max_hosts_per_key=4
+    ).collect()
+    assert [(r["host_a"], r["host_b"], r["n_shared"], r["jaccard_milli"])
+            for r in got] == [("h0", "h1", 3, 1000)]
+    # without the cap the error page pairs everyone (and distorts
+    # totals): 15 host pairs share at least the /err key
+    uncapped = dedup.mirror_hosts(
+        pages, min_shared=1, min_jaccard_milli=0, max_hosts_per_key=0
+    ).collect()
+    assert len(uncapped) == 15
