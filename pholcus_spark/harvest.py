@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from .htmlops import make_url
 
 __all__ = [
+    "main_text",
     "harvest_image_captions",
     "harvest_anchors",
     "anchor_graph",
@@ -472,4 +473,74 @@ def caption_consolidate(
         n_captions.alias("n_captions"),
         best["c"].alias("caption"),
         best["s"].alias("score"),
+    )
+
+
+_BOILER_TAGS = ("nav", "header", "footer", "aside")
+
+
+def main_text(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    min_block_chars: int = 30,
+    max_link_milli: int = 500,
+) -> DataFrame:
+    """Main-content extraction (trafilatura-lite): strip the regions a
+    reader never treats as article text — script/style/comments, then
+    whole <nav>/<header>/<footer>/<aside> containers — and keep the
+    <p> blocks that read like prose: at least ``min_block_chars`` of
+    rendered text and link density ≤ ``max_link_milli``/1000 (a block
+    whose characters mostly sit inside <a> tags is navigation, not
+    content). The kept blocks join with newlines into ``main_text``.
+
+    This is the boilerplate-removal pass a text-corpus pipeline runs
+    between harvest and the quality gates — without it, nav bars and
+    footers dominate n-gram stats and dedup shingles.
+
+    Everything is transform/filter/aggregate codegen over the page
+    scan: zero shuffle, zero Python, link density in integer
+    arithmetic (chars·1000 vs len·limit — no float ratio)."""
+    c = _strip_nonrendered(F.col(html_col))
+    for tag in _BOILER_TAGS:
+        c = F.regexp_replace(c, rf"(?is)<{tag}\b[^>]*>.*?</{tag}>", "")
+    blocks = F.regexp_extract_all(c, F.lit(r"(?is)<p\b[^>]*>(.*?)</p>"), 1)
+
+    def _txt(b: Column) -> Column:
+        return F.trim(
+            F.regexp_replace(
+                F.regexp_replace(b, r"<[^>]+>", " "), r"\s+", " "
+            )
+        )
+
+    def _link_chars(b: Column) -> Column:
+        return F.aggregate(
+            F.regexp_extract_all(
+                b, F.lit(r"(?is)<a\b[^>]*>(.*?)</a>"), 1
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, a: acc + F.length(_txt(a)),
+        )
+
+    scored = F.transform(
+        blocks,
+        lambda b: F.struct(
+            _txt(b).alias("txt"), _link_chars(b).alias("link_chars")
+        ),
+    )
+    kept = F.filter(
+        scored,
+        lambda s: (F.length(s["txt"]) >= min_block_chars)
+        & (
+            s["link_chars"] * 1000
+            <= F.length(s["txt"]).cast("long") * max_link_milli
+        ),
+    )
+    return pages.select(
+        F.col(url_col).alias("url"),
+        F.array_join(
+            F.transform(kept, lambda s: s["txt"]), "\n"
+        ).alias("main_text"),
+        F.size(blocks).cast("long").alias("n_blocks"),
+        F.size(kept).cast("long").alias("n_kept"),
     )

@@ -4351,6 +4351,69 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recrawl.snapshot_diff(old, new)
 
 
+def q_main_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal (harvest.main_text) over a fixture that
+    plants every block class: a prose paragraph (kept), a too-short
+    paragraph, a link-dense pseudo-nav paragraph (long enough to pass
+    the length gate — only the link-density gate can drop it), a
+    second prose paragraph on every third page, plus paragraphs inside
+    <nav>/<footer> containers and inside <script> text that must
+    vanish BEFORE counting. The oracle predicts the exact main_text
+    string and both counts from the arithmetic, so hash equality
+    proves the strip order, both gates, and the newline join."""
+    from . import harvest
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head><script>var x = '<p>script decoy paragraph "
+              "long enough to pass the length gate</p>';</script>"
+              "</head><body><nav><p>Navigation paragraph long enough "
+              "to pass the length gate here</p></nav>"),
+        F.lit("<p>Main paragraph text for doc "), did,
+        F.lit(" with enough length to pass the gate.</p>"),
+        F.lit("<p>tiny "), F.pmod(F.col("doc_id"), F.lit(10)).cast("string"),
+        F.lit("</p>"),
+        F.lit("<p><a href='/x"), did,
+        F.lit("'>long anchor text that dominates this block entirely "),
+        did, F.lit("</a> tail</p>"),
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(3)) == 0,
+            F.concat(
+                F.lit("<p id='second'>Second main paragraph for doc "),
+                did,
+                F.lit(" with plenty of additional words.</p>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("<footer><p>Footer boilerplate paragraph long enough to "
+              "pass the length gate too</p></footer></body></html>"),
+    )
+    pages = d.select(
+        F.concat(F.lit("http://m.example.com/p/"), did, F.lit(".html"))
+        .alias("url"),
+        html.alias("html"),
+    )
+    return harvest.main_text(pages)
+
+
+SQL_MAIN_TEXT_EXTRACT = """
+SELECT 'http://m.example.com/p/' || CAST(doc_id AS VARCHAR) || '.html'
+         AS url,
+       'Main paragraph text for doc ' || CAST(doc_id AS VARCHAR)
+         || ' with enough length to pass the gate.'
+         || CASE WHEN doc_id % 3 = 0
+              THEN chr(10) || 'Second main paragraph for doc '
+                   || CAST(doc_id AS VARCHAR)
+                   || ' with plenty of additional words.'
+              ELSE '' END AS main_text,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 4 ELSE 3 END AS BIGINT)
+         AS n_blocks,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS BIGINT)
+         AS n_kept
+FROM documents WHERE doc_id < 500
+"""
+
+
 def q_crawl_mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mirror-host detection (dedup.mirror_hosts). Fixture: 10 hosts,
     one page per decade each; m6/m7 are full mirrors (same (path, fp)
@@ -5096,6 +5159,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frontier_trap_guard": q_frontier_trap_guard,
     "robots_wildcard_filter": q_robots_wildcard_filter,
     "crawl_mirror_hosts": q_crawl_mirror_hosts,
+    "main_text_extract": q_main_text_extract,
     "sitemap_ingest": q_sitemap_ingest,
     "robots_sitemap_discovery": q_robots_sitemap_discovery,
     "recrawl_schedule": q_recrawl_schedule,
@@ -5214,6 +5278,7 @@ ORACLE_SQL: dict[str, str] = {
     "frontier_trap_guard": SQL_FRONTIER_TRAP_GUARD,
     "robots_wildcard_filter": SQL_ROBOTS_WILDCARD_FILTER,
     "crawl_mirror_hosts": SQL_CRAWL_MIRROR_HOSTS,
+    "main_text_extract": SQL_MAIN_TEXT_EXTRACT,
     "sitemap_ingest": SQL_SITEMAP_INGEST,
     "robots_sitemap_discovery": SQL_ROBOTS_SITEMAP_DISCOVERY,
     "recrawl_schedule": SQL_RECRAWL_SCHEDULE,

@@ -342,3 +342,34 @@ def test_caption_consolidate_plans(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert approx.count("Exchange") == 1
     assert "Expand" not in approx
+
+
+def test_main_text_gates_and_strip(spark):
+    """Edge cases beyond the oracle fixture: attribute-laden <p>,
+    nested markup flattening, all-link block, empty page, and the
+    nav-inside-body strip."""
+    from pholcus_spark import harvest
+
+    pages = spark.createDataFrame(
+        [
+            # nested markup flattens; class attr on <p> fine
+            ("u1", "<p class='x'>Some <b>bold</b> prose that easily "
+                   "clears the thirty character bar</p>"),
+            # a block that is ONLY a link: dropped by density
+            ("u2", "<p><a href='/y'>entirely link text long enough to "
+                   "pass the length gate</a></p>"),
+            # nav stripped even with attributes; nothing left
+            ("u3", "<nav id='n'><p>Long navigation paragraph that "
+                   "would otherwise pass the gate</p></nav>"),
+            ("u4", ""),
+        ],
+        ["url", "html"],
+    )
+    got = {r["url"]: r for r in harvest.main_text(pages).collect()}
+    assert got["u1"]["main_text"] == (
+        "Some bold prose that easily clears the thirty character bar"
+    )
+    assert got["u1"]["n_kept"] == 1
+    assert got["u2"]["n_blocks"] == 1 and got["u2"]["n_kept"] == 0
+    assert got["u3"]["n_blocks"] == 0
+    assert got["u4"]["main_text"] == "" and got["u4"]["n_blocks"] == 0
