@@ -25,7 +25,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -385,6 +385,69 @@ def image_quality_gate(
         out = out.withColumn("thin_payload", thin)
         keep = keep & ~F.col("thin_payload")
     return out.withColumn("keep", keep)
+
+
+def patch_tokens(w: Column, h: Column, patch: int = 14) -> Column:
+    """Vision-transformer token cost of an image: ⌈w/patch⌉·⌈h/patch⌉
+    (ViT-style patching, 14 px = the CLIP/SigLIP default). Integer
+    ceiling division — ``(x + p − 1) div p`` — so the count is exact
+    in any engine."""
+    pw = F.floor((w.cast("long") + patch - 1) / patch).cast("long")
+    ph = F.floor((h.cast("long") + patch - 1) / patch).cast("long")
+    return pw * ph
+
+
+def patch_budget_select(
+    meta: DataFrame,
+    budget_tokens: int,
+    patch: int = 14,
+) -> DataFrame:
+    """Token-budget selection for an IMAGE corpus: keep the
+    highest-resolution images while the running vision-token total
+    (``patch_tokens``) stays within budget — the image twin of
+    ``pipeline.budget_select``, for sizing a VLM training mix in
+    tokens rather than image counts. Order is (tokens DESC, image_id)
+    with the inclusive prefix rule (first over-budget image drops).
+
+    Same two-level prefix sum as the text selector: per-token-value
+    group totals (bounded by distinct (w,h) geometries — small, since
+    dims are bounded), exclusive prefix over that dimension-sized
+    relation, broadcast back, residual cumsum per tie group. No task
+    ever streams the whole corpus.
+
+    Returns kept rows (image_id, w, h, n_tokens)."""
+    d = meta.select(
+        "image_id",
+        "w",
+        "h",
+        patch_tokens(F.col("w"), F.col("h"), patch).alias("n_tokens"),
+    )
+    groups = d.groupBy("n_tokens").agg(
+        F.sum("n_tokens").alias("grp_tokens")
+    )
+    w_grp = (
+        Window.orderBy(F.desc("n_tokens"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefixes = groups.select(
+        "n_tokens",
+        F.coalesce(F.sum("grp_tokens").over(w_grp), F.lit(0)).alias(
+            "prefix_tokens"
+        ),
+    )
+    w_in = (
+        Window.partitionBy("n_tokens")
+        .orderBy("image_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        d.join(F.broadcast(prefixes), "n_tokens")
+        .withColumn(
+            "_cum", F.col("prefix_tokens") + F.sum("n_tokens").over(w_in)
+        )
+        .filter(F.col("_cum") <= budget_tokens)
+        .select("image_id", "w", "h", "n_tokens")
+    )
 
 
 ASPECT_BUCKETS: tuple[tuple[int, int], ...] = (

@@ -3464,6 +3464,39 @@ SELECT vec_id, head_score_u, head_score_u >= 0 AS keep FROM s
 """
 
 
+def q_images_patch_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vision-token budget selection (multimodal.patch_budget_select):
+    REAL decode → ViT patch-token cost (patch=14 over the 24..56 px
+    fixture dims → 4..16 tokens) → keep highest-token images within a
+    budget sized to cut mid-corpus at every sf. The engine's two-level
+    prefix sum must agree exactly with the oracle's single global
+    cumulative window (equivalence-of-formulations, as budget_select /
+    pack_sequences)."""
+    meta = multimodal.decode_image_meta(_synthetic_images(spark, sf_dir))
+    docs_n = _t(spark, sf_dir, "documents").count()
+    return multimodal.patch_budget_select(meta, budget_tokens=5 * docs_n)
+
+
+SQL_IMAGES_PATCH_BUDGET = """
+WITH p AS (SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS r
+           FROM documents),
+m AS (SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS image_id,
+             CAST(24 + r % 33 AS INT) AS w,
+             CAST(24 + (r // 33) % 33 AS INT) AS h
+      FROM p),
+t AS (SELECT image_id, w, h,
+             CAST(((w + 13) // 14) * ((h + 13) // 14) AS BIGINT)
+               AS n_tokens
+      FROM m),
+c AS (SELECT *, SUM(n_tokens) OVER (ORDER BY n_tokens DESC, image_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t)
+SELECT image_id, w, h, n_tokens
+FROM c
+WHERE cum <= 5 * (SELECT count(*) FROM documents)
+"""
+
+
 def q_images_aspect_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aspect-ratio bucketing (multimodal.aspect_buckets): REAL decode
     → zero-shuffle argmin over the literal bucket list (SDXL-style
@@ -5235,6 +5268,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_head_gate": q_embed_head_gate,
     "embed_recall_eval": q_embed_recall_eval,
     "images_quality_gate": q_images_quality_gate,
+    "images_patch_budget": q_images_patch_budget,
     "images_caption_align": q_images_caption_align,
     # multimodal (rows-only)
     "images_decode_meta": q_images_decode_meta,
@@ -5352,6 +5386,7 @@ ORACLE_SQL: dict[str, str] = {
     "embed_head_gate": SQL_EMBED_HEAD_GATE,
     "embed_recall_eval": SQL_EMBED_RECALL_EVAL,
     "images_quality_gate": SQL_IMAGES_QUALITY_GATE,
+    "images_patch_budget": SQL_IMAGES_PATCH_BUDGET,
     "images_caption_align": SQL_IMAGES_CAPTION_ALIGN,
     # partial multimodal oracles: decode/resize metadata predicted from
     # doc_id (generator arithmetic mirrored in SQL)
