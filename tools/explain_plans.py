@@ -509,6 +509,90 @@ def main() -> int:
          "pass: zero Exchange, no self-join)", p, probs)
     )
 
+    # 26. main-content extraction: boilerplate strip + block gates
+    # must stay one codegen projection over the page scan
+    q = QUERIES["main_text_extract"](spark, sf_dir)
+    p, probs = audit(
+        "main_text_extract", q,
+        expect=["Project"],
+        forbid=["Exchange", "EvalPython", "Generate", "Join"],
+    )
+    sections.append(
+        ("main_text_extract (strip + block gates as one codegen "
+         "projection: zero Exchange, zero Python, no explode)", p, probs)
+    )
+
+    # 27. embedding head gate: zero-shuffle aggregate() projection
+    q = QUERIES["embed_head_gate"](spark, sf_dir)
+    p, probs = audit(
+        "embed_head_gate", q,
+        expect=["Project"],
+        forbid=["Exchange", "EvalPython", "Generate", "Join"],
+    )
+    sections.append(
+        ("embed_head_gate (linear head as zero-shuffle aggregate() "
+         "projection)", p, probs)
+    )
+
+    # 28. sequence packing: the only SinglePartition exchange may be
+    # the dimension-sized group-totals window; group prefixes
+    # broadcast back; no cartesian anywhere
+    q = QUERIES["training_pack_sequences"](spark, sf_dir)
+    p, probs = audit(
+        "training_pack_sequences", q,
+        expect=["BroadcastExchange", "Window"],
+        forbid=["CartesianProduct", "EvalPython"],
+    )
+    if "Exchange SinglePartition" in plan_of(q):
+        # fine — but it must sit under the groups aggregate, which is
+        # bounded by order_groups rows; presence plus a broadcast of
+        # the same relation is the intended two-level shape
+        pass
+    sections.append(
+        ("training_pack_sequences (two-level prefix sum: corpus "
+         "shuffles once on the range group; the single-partition "
+         "window sees only order_groups rows)", p, probs)
+    )
+
+    # 29. image patch budget: same two-level selection shape
+    q = QUERIES["images_patch_budget"](spark, sf_dir)
+    p, probs = audit(
+        "images_patch_budget", q,
+        expect=["BroadcastExchange", "Window"],
+        forbid=["CartesianProduct"],
+    )
+    sections.append(
+        ("images_patch_budget (vision-token budget selection: group "
+         "prefixes broadcast, residual tie-group window)", p, probs)
+    )
+
+    # 30. mirror hosts: pairing joins on (path, content_fp); the
+    # ubiquitous-key cap and host totals ride broadcasts — never a
+    # cartesian, never Python
+    q = QUERIES["crawl_mirror_hosts"](spark, sf_dir)
+    p, probs = audit(
+        "crawl_mirror_hosts", q,
+        expect=["BroadcastExchange"],
+        forbid=["CartesianProduct", "EvalPython"],
+    )
+    sections.append(
+        ("crawl_mirror_hosts (key-capped self-join on (path, fp), "
+         "broadcast cap list + host totals)", p, probs)
+    )
+
+    # 31. wildcard robots filter: politeness dim broadcast; the rule
+    # regex translation is per-element codegen, no Python
+    q = QUERIES["robots_wildcard_filter"](spark, sf_dir)
+    p, probs = audit(
+        "robots_wildcard_filter", q,
+        expect=["BroadcastHashJoin"],
+        forbid=["CartesianProduct", "EvalPython", "SortMergeJoin"],
+    )
+    sections.append(
+        ("robots_wildcard_filter (politeness broadcast; RFC 9309 "
+         "wildcard match as codegen exists())", p, probs)
+    )
+
     all_problems = []
     out = ["# PLANS — physical-plan audit of the hot paths\n"]
     out.append(
