@@ -642,3 +642,59 @@ def politeness_by_ip(
             F.coalesce(F.col("_ip_share"), F.col("max_per_round")),
         ).cast("int").alias("max_per_round"),
     )
+
+
+def resolve_redirects(edges: DataFrame, max_rounds: int = 6) -> DataFrame:
+    """Redirect-chain resolution: collapse 3xx alias graphs into
+    (src_url, final_url, n_hops, is_loop) so the seen-set and the
+    frontier key on the DESTINATION identity — without this, every
+    hop of a moved site is crawled as a distinct URL and the alias
+    family defeats URL dedup (the reference follows redirects
+    per-request inside surf.Download; here the mapping is resolved
+    once, set-wide).
+
+    Input contract: one outgoing edge per src (a URL redirects to one
+    target). Pointer doubling: each round every pointer jumps through
+    the CURRENT mapping, so a chain of length L resolves in ⌈log₂L⌉
+    self-joins — ``max_rounds=6`` covers chains of 64 hops, far past
+    any browser's redirect limit. Each round is ONE equi-join keyed on
+    the pointer plus a localCheckpoint lineage cut (the
+    ``neardup_components`` discipline: no exponential plan growth, no
+    driver-side collect).
+
+    Cycles (and chains longer than 2^max_rounds, which no client
+    follows anyway) never reach a terminal: after the rounds their
+    pointer still sits in the src set — those rows flag
+    ``is_loop=true`` with NULL final/hops. The hop count for resolved
+    rows is exact (doubling sums the two half-lengths)."""
+    cur = edges.select(
+        "src",
+        F.col("dst").alias("ptr"),
+        F.lit(1).cast("long").alias("hops"),
+    )
+    for _ in range(max_rounds):
+        m = cur.select(
+            F.col("src").alias("m_src"),
+            F.col("ptr").alias("m_ptr"),
+            F.col("hops").alias("m_hops"),
+        )
+        cur = (
+            cur.join(m, cur["ptr"] == m["m_src"], "left")
+            .select(
+                "src",
+                F.coalesce(F.col("m_ptr"), F.col("ptr")).alias("ptr"),
+                (
+                    F.col("hops") + F.coalesce(F.col("m_hops"), F.lit(0))
+                ).alias("hops"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    srcs = edges.select(F.col("src").alias("s_src")).distinct()
+    out = cur.join(srcs, cur["ptr"] == srcs["s_src"], "left")
+    unresolved = F.col("s_src").isNotNull()
+    return out.select(
+        F.col("src").alias("src_url"),
+        F.when(~unresolved, F.col("ptr")).alias("final_url"),
+        F.when(~unresolved, F.col("hops")).alias("n_hops"),
+        unresolved.alias("is_loop"),
+    )

@@ -4384,6 +4384,55 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recrawl.snapshot_diff(old, new)
 
 
+def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution (frontier.resolve_redirects): pointer
+    doubling over an alias graph of 50 ten-node chains, where every
+    7th decade's tail redirects back to its head — a full cycle that
+    must flag is_loop with NULL final/hops while straight chains
+    resolve to the decade tail with exact hop counts. The oracle
+    predicts all three columns from the decade arithmetic — it never
+    runs the iteration, so a doubling bug (wrong hop sum, premature
+    convergence, missed cycle) breaks the hash."""
+    from . import frontier
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 500
+    )
+    did = F.col("doc_id").cast("string")
+    chain = d.filter(F.pmod(F.col("doc_id"), F.lit(10)) < 9).select(
+        F.concat(F.lit("u"), did).alias("src"),
+        F.concat(F.lit("u"), (F.col("doc_id") + 1).cast("string")).alias(
+            "dst"
+        ),
+    )
+    closing = d.filter(
+        (F.pmod(F.col("doc_id"), F.lit(10)) == 9)
+        & (F.pmod(F.floor(F.col("doc_id") / 10), F.lit(7)) == 0)
+    ).select(
+        F.concat(F.lit("u"), did).alias("src"),
+        F.concat(F.lit("u"), (F.col("doc_id") - 9).cast("string")).alias(
+            "dst"
+        ),
+    )
+    return frontier.resolve_redirects(chain.unionByName(closing))
+
+
+SQL_REDIRECT_RESOLVE = """
+WITH d AS (SELECT doc_id AS i FROM documents WHERE doc_id < 500),
+srcs AS (
+  SELECT i, i % 10 AS p, i // 10 AS dec FROM d WHERE i % 10 < 9
+  UNION ALL
+  SELECT i, 9, i // 10 FROM d WHERE i % 10 = 9 AND (i // 10) % 7 = 0)
+SELECT 'u' || CAST(i AS VARCHAR) AS src_url,
+       CASE WHEN dec % 7 = 0 THEN NULL
+            ELSE 'u' || CAST(dec * 10 + 9 AS VARCHAR) END AS final_url,
+       CAST(CASE WHEN dec % 7 = 0 THEN NULL
+                 ELSE 9 - p END AS BIGINT) AS n_hops,
+       dec % 7 = 0 AS is_loop
+FROM srcs
+"""
+
+
 def q_main_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate removal (harvest.main_text) over a fixture that
     plants every block class: a prose paragraph (kept), a too-short
@@ -5193,6 +5242,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "robots_wildcard_filter": q_robots_wildcard_filter,
     "crawl_mirror_hosts": q_crawl_mirror_hosts,
     "main_text_extract": q_main_text_extract,
+    "redirect_resolve": q_redirect_resolve,
     "sitemap_ingest": q_sitemap_ingest,
     "robots_sitemap_discovery": q_robots_sitemap_discovery,
     "recrawl_schedule": q_recrawl_schedule,
@@ -5313,6 +5363,7 @@ ORACLE_SQL: dict[str, str] = {
     "robots_wildcard_filter": SQL_ROBOTS_WILDCARD_FILTER,
     "crawl_mirror_hosts": SQL_CRAWL_MIRROR_HOSTS,
     "main_text_extract": SQL_MAIN_TEXT_EXTRACT,
+    "redirect_resolve": SQL_REDIRECT_RESOLVE,
     "sitemap_ingest": SQL_SITEMAP_INGEST,
     "robots_sitemap_discovery": SQL_ROBOTS_SITEMAP_DISCOVERY,
     "recrawl_schedule": SQL_RECRAWL_SCHEDULE,

@@ -426,3 +426,30 @@ def test_engine_adaptive_politeness_retunes_and_persists(
     )
     eng2.run(synthetic.seed_urls(12, 6))
     assert eng2.load("politeness", POLITENESS_SCHEMA).count() == 0
+
+
+def test_resolve_redirects_edge_cases(spark):
+    """Pointer doubling: 2-cycle, self-loop, single hop, and a chain
+    longer than 2^max_rounds flagged as unresolved."""
+    from pholcus_spark import frontier
+
+    edges = [("a", "b"), ("b", "a"),        # 2-cycle
+             ("s", "s"),                     # self-loop
+             ("x", "y"),                     # 1 hop, y terminal
+             ]
+    # 20-hop chain c0→…→c20: resolvable at max_rounds=6 (64 hops),
+    # unresolved at max_rounds=2 (4 hops)
+    edges += [(f"c{i}", f"c{i+1}") for i in range(20)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["src_url"]: r for r in frontier.resolve_redirects(df).collect()}
+    for u in ("a", "b", "s"):
+        assert got[u]["is_loop"] and got[u]["final_url"] is None
+    assert got["x"]["final_url"] == "y" and got["x"]["n_hops"] == 1
+    assert got["c0"]["final_url"] == "c20" and got["c0"]["n_hops"] == 20
+    assert got["c19"]["n_hops"] == 1
+    shallow = {
+        r["src_url"]: r
+        for r in frontier.resolve_redirects(df, max_rounds=2).collect()
+    }
+    assert shallow["c0"]["is_loop"]  # too deep for the cap → flagged
+    assert shallow["c16"]["final_url"] == "c20"  # 4 hops: exactly at cap
