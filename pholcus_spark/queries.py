@@ -4384,6 +4384,101 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recrawl.snapshot_diff(old, new)
 
 
+def q_url_param_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tracking-parameter discovery (urlnorm.mine_param_rules) over a
+    corpus holding all four variants of each page: with both params,
+    page-only, sid-only, bare. Content fingerprints depend on path and
+    page but never sid — so `sid` must learn strip=true (hundreds of
+    agreeing pairs per host) and `page` strip=false (every pair is a
+    counter-example). The oracle re-runs the algorithm with DuckDB's
+    own string surgery — an independent implementation, not a
+    prediction — so any drift in the URL reconstruction or the veto
+    rule breaks the hash."""
+    from . import urlnorm
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 500
+    )
+    i = F.col("doc_id")
+    h = F.pmod(i, F.lit(5)).cast("string")
+    p = F.pmod(i, F.lit(50))
+    pg = F.pmod(i, F.lit(3))
+    base = F.concat(
+        F.lit("http://w"), h, F.lit(".example.com/a/"), p.cast("string")
+    )
+    fp_pg = (p * 10 + pg).cast("long")
+    fp_no = (p * 10 + 9).cast("long")
+    u1 = d.select(
+        F.concat(base, F.lit("?page="), pg.cast("string"),
+                 F.lit("&sid=S"), i.cast("string")).alias("url"),
+        fp_pg.alias("content_fp"),
+    )
+    u2 = d.select(
+        F.concat(base, F.lit("?page="), pg.cast("string")).alias("url"),
+        fp_pg.alias("content_fp"),
+    )
+    u3 = d.select(
+        F.concat(base, F.lit("?sid=S"), i.cast("string")).alias("url"),
+        fp_no.alias("content_fp"),
+    )
+    u4 = d.select(base.alias("url"), fp_no.alias("content_fp"))
+    pages = u1.unionByName(u2).unionByName(u3).unionByName(u4).distinct()
+    return urlnorm.mine_param_rules(pages)
+
+
+SQL_URL_PARAM_RULES = """
+WITH d AS (SELECT doc_id AS i FROM documents WHERE doc_id < 500),
+v AS (
+  SELECT DISTINCT url, content_fp FROM (
+    SELECT 'http://w' || CAST(i % 5 AS VARCHAR) || '.example.com/a/'
+             || CAST(i % 50 AS VARCHAR) || '?page=' || CAST(i % 3 AS VARCHAR)
+             || '&sid=S' || CAST(i AS VARCHAR) AS url,
+           CAST((i % 50) * 10 + i % 3 AS BIGINT) AS content_fp FROM d
+    UNION ALL
+    SELECT 'http://w' || CAST(i % 5 AS VARCHAR) || '.example.com/a/'
+             || CAST(i % 50 AS VARCHAR) || '?page=' || CAST(i % 3 AS VARCHAR),
+           CAST((i % 50) * 10 + i % 3 AS BIGINT) FROM d
+    UNION ALL
+    SELECT 'http://w' || CAST(i % 5 AS VARCHAR) || '.example.com/a/'
+             || CAST(i % 50 AS VARCHAR) || '?sid=S' || CAST(i AS VARCHAR),
+           CAST((i % 50) * 10 + 9 AS BIGINT) FROM d
+    UNION ALL
+    SELECT 'http://w' || CAST(i % 5 AS VARCHAR) || '.example.com/a/'
+             || CAST(i % 50 AS VARCHAR),
+           CAST((i % 50) * 10 + 9 AS BIGINT) FROM d)),
+occ AS (
+  SELECT regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+         content_fp, url,
+         substring(url, strpos(url, '?') + 1) AS q,
+         unnest(string_split(substring(url, strpos(url, '?') + 1), '&'))
+           AS pair
+  FROM v WHERE strpos(url, '?') > 0),
+o2 AS (
+  SELECT host, content_fp,
+         split_part(pair, '=', 1) AS param,
+         CASE WHEN len(list_filter(string_split(q, '&'),
+                                   x -> x <> pair)) > 0
+              THEN substring(url, 1, strpos(url, '?') - 1) || '?'
+                   || array_to_string(
+                        list_filter(string_split(q, '&'),
+                                    x -> x <> pair), '&')
+              ELSE substring(url, 1, strpos(url, '?') - 1)
+         END AS stripped_url
+  FROM occ),
+ev AS (
+  SELECT o2.host, o2.param, o2.content_fp, v2.content_fp AS fp2
+  FROM o2 JOIN v v2 ON v2.url = o2.stripped_url)
+SELECT host, param,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN content_fp = fp2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_same,
+       (count(*) >= 3
+        AND sum(CASE WHEN content_fp = fp2 THEN 1 ELSE 0 END) = count(*))
+         AS strip
+FROM ev GROUP BY host, param
+"""
+
+
 def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Redirect-chain resolution (frontier.resolve_redirects): pointer
     doubling over an alias graph of 50 ten-node chains, where every
@@ -5243,6 +5338,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "crawl_mirror_hosts": q_crawl_mirror_hosts,
     "main_text_extract": q_main_text_extract,
     "redirect_resolve": q_redirect_resolve,
+    "url_param_rules": q_url_param_rules,
     "sitemap_ingest": q_sitemap_ingest,
     "robots_sitemap_discovery": q_robots_sitemap_discovery,
     "recrawl_schedule": q_recrawl_schedule,
@@ -5364,6 +5460,7 @@ ORACLE_SQL: dict[str, str] = {
     "crawl_mirror_hosts": SQL_CRAWL_MIRROR_HOSTS,
     "main_text_extract": SQL_MAIN_TEXT_EXTRACT,
     "redirect_resolve": SQL_REDIRECT_RESOLVE,
+    "url_param_rules": SQL_URL_PARAM_RULES,
     "sitemap_ingest": SQL_SITEMAP_INGEST,
     "robots_sitemap_discovery": SQL_ROBOTS_SITEMAP_DISCOVERY,
     "recrawl_schedule": SQL_RECRAWL_SCHEDULE,

@@ -96,3 +96,77 @@ def surt_key_col(url):
     return F.when(host == "", F.lit("")).otherwise(
         F.concat(rev, F.lit(")"), path)
     )
+
+
+def mine_param_rules(pages, min_evidence: int = 3):
+    """DUST-style tracking-parameter discovery: learn which query
+    parameters do NOT change page content (session ids, click
+    trackers) so canonicalization can strip them corpus-wide — the
+    learned complement to the static rules above, and at crawl scale
+    the difference between fetching every ?sid= variant and fetching
+    the page once.
+
+    Input: distinct (url, content_fp) rows. For every parameter
+    occurrence, reconstruct the URL WITHOUT that parameter and look it
+    up in the same corpus; when both variants were crawled, their
+    fingerprints are evidence: equal → the parameter didn't matter.
+    A (host, param) becomes a strip rule when every one of at least
+    ``min_evidence`` observed pairs agrees (one counter-example
+    vetoes — a parameter that ever changes content is load-bearing).
+
+    Plan shape: one explode over parameter occurrences (bounded by
+    params-per-URL), one equi-join on the reconstructed URL string
+    (hash join — the only shuffle of corpus-sized data), one
+    (host, param) aggregate. All string surgery is codegen.
+
+    Returns (host, param, n_pairs, n_same, strip boolean)."""
+    from pyspark.sql import functions as F
+
+    base = pages.select(
+        "url",
+        "content_fp",
+        F.regexp_extract("url", r"^[a-z]+://([^/?#]+)", 1).alias("host"),
+        F.substring_index("url", "?", 1).alias("path_part"),
+        F.when(
+            F.col("url").contains("?"),
+            F.expr("substring(url, instr(url, '?') + 1)"),
+        ).alias("query_part"),
+    )
+    occ = base.filter(F.col("query_part").isNotNull()).select(
+        "url",
+        "content_fp",
+        "host",
+        "path_part",
+        "query_part",
+        F.explode(F.split("query_part", "&")).alias("pair"),
+    )
+    others = F.filter(
+        F.split("query_part", "&"), lambda x: x != F.col("pair")
+    )
+    stripped = F.concat(
+        F.col("path_part"),
+        F.when(F.size(others) > 0, F.concat(F.lit("?"),
+               F.array_join(others, "&"))).otherwise(F.lit("")),
+    )
+    occ = occ.select(
+        "host",
+        "content_fp",
+        F.substring_index("pair", "=", 1).alias("param"),
+        stripped.alias("stripped_url"),
+    )
+    twin = pages.select(
+        F.col("url").alias("stripped_url"),
+        F.col("content_fp").alias("fp2"),
+    )
+    ev = occ.join(twin, "stripped_url")
+    agg = ev.groupBy("host", "param").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(
+            (F.col("content_fp") == F.col("fp2")).cast("long")
+        ).alias("n_same"),
+    )
+    return agg.withColumn(
+        "strip",
+        (F.col("n_pairs") >= min_evidence)
+        & (F.col("n_same") == F.col("n_pairs")),
+    )

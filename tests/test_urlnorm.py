@@ -70,3 +70,39 @@ def test_surt_key_reversal_strip_and_locality(spark):
     # locality: every example.com key starts with the domain prefix
     keys = [r["got"] for r in df.collect() if r["got"]]
     assert all(k.startswith("com,example") for k in keys)
+
+
+def test_mine_param_rules_veto_and_threshold(spark):
+    """One counter-example vetoes a rule; below-evidence params don't
+    become rules even when all pairs agree."""
+    from pholcus_spark import urlnorm
+
+    pages = [
+        # 'utm' never changes content: 4 agreeing pairs
+        ("http://h.test/a?utm=1", 10), ("http://h.test/a", 10),
+        ("http://h.test/b?utm=2", 20), ("http://h.test/b", 20),
+        ("http://h.test/c?utm=3", 30), ("http://h.test/c", 30),
+        ("http://h.test/d?utm=4", 40), ("http://h.test/d", 40),
+        # 'v' agrees twice then flips once: vetoed
+        ("http://h.test/e?v=1", 50), ("http://h.test/e", 50),
+        ("http://h.test/f?v=1", 60), ("http://h.test/f", 60),
+        ("http://h.test/g?v=1", 71), ("http://h.test/g", 70),
+        # 'one' agrees but only once: under min_evidence
+        ("http://h.test/i?one=1", 80), ("http://h.test/i", 80),
+    ]
+    df = spark.createDataFrame(pages, ["url", "content_fp"])
+    got = {r["param"]: r for r in urlnorm.mine_param_rules(df).collect()}
+    assert got["utm"]["strip"] and got["utm"]["n_pairs"] == 4
+    assert not got["v"]["strip"] and got["v"]["n_same"] == 2
+    assert not got["one"]["strip"] and got["one"]["n_pairs"] == 1
+    # multi-param URL: stripping the middle param reconstructs joins
+    multi = spark.createDataFrame(
+        [("http://h.test/m?a=1&b=2&c=3", 1),
+         ("http://h.test/m?a=1&c=3", 1),
+         ("http://h.test/m?a=1&b=2", 2)],
+        ["url", "content_fp"],
+    )
+    got2 = {r["param"]: r
+            for r in urlnorm.mine_param_rules(multi, 1).collect()}
+    assert got2["b"]["n_pairs"] == 1 and got2["b"]["strip"]
+    assert got2["c"]["n_same"] == 0
