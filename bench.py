@@ -101,6 +101,16 @@ BENCH_QUERIES = [
     "timer_duration",
     "cookie_jar_merge",
     "proxy_assign",
+    "robots_wildcard_filter",
+    "crawl_mirror_hosts",
+    "main_text_extract",
+    "images_quality_gate",
+    "images_patch_budget",
+    "embed_head_gate",
+    "embed_recall_eval",
+    "training_pack_sequences",
+    "redirect_resolve",
+    "url_param_rules",
 ]
 
 

@@ -593,6 +593,33 @@ def main() -> int:
          "wildcard match as codegen exists())", p, probs)
     )
 
+    # 32. redirect resolution: every doubling round is one equi-join
+    # on the pointer — no cartesian, no Python (localCheckpoint cuts
+    # make the final plan small by construction)
+    q = QUERIES["redirect_resolve"](spark, sf_dir)
+    p, probs = audit(
+        "redirect_resolve", q,
+        expect=["Join"],
+        forbid=["CartesianProduct", "EvalPython", "BroadcastNestedLoopJoin"],
+    )
+    sections.append(
+        ("redirect_resolve (pointer-doubling rounds: pointer-keyed "
+         "equi-joins only, lineage cut per round)", p, probs)
+    )
+
+    # 33. param-rule mining: one explode over param occurrences, one
+    # URL-keyed hash join, one aggregate — all string surgery codegen
+    q = QUERIES["url_param_rules"](spark, sf_dir)
+    p, probs = audit(
+        "url_param_rules", q,
+        expect=["Generate", "Join"],
+        forbid=["CartesianProduct", "EvalPython", "BroadcastNestedLoopJoin"],
+    )
+    sections.append(
+        ("url_param_rules (param explode + reconstructed-URL hash "
+         "join + (host,param) aggregate, zero Python)", p, probs)
+    )
+
     all_problems = []
     out = ["# PLANS — physical-plan audit of the hot paths\n"]
     out.append(
