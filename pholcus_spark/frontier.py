@@ -698,3 +698,32 @@ def resolve_redirects(edges: DataFrame, max_rounds: int = 6) -> DataFrame:
         F.when(~unresolved, F.col("hops")).alias("n_hops"),
         unresolved.alias("is_loop"),
     )
+
+
+def host_shards(host_load: DataFrame, n_shards: int) -> DataFrame:
+    """Skew-aware host→shard assignment for fetch partitioning:
+    serpentine (snake) placement after sorting by expected load —
+    rank r goes to shard ``r mod n`` on even passes and the mirrored
+    shard on odd passes, so each pass hands every shard exactly one
+    host and consecutive passes cancel the within-pass imbalance (the
+    deterministic stand-in for greedy LPT, which is inherently
+    sequential). Guarantees: shard loads differ by at most one pass's
+    spread; identical input → identical assignment (no RNG).
+
+    The global rank window runs on the HOST DIMENSION (the same
+    dim-sized relation the engine already broadcasts for politeness)
+    — never on the frontier itself; at 10^7 hosts that is one modest
+    task, and the result broadcasts back into the fetch partitioner.
+
+    Input: (host, load) where load is the scheduling weight (pending
+    count, max_per_round, observed bytes). Returns (host, load,
+    shard)."""
+    w = Window.orderBy(F.desc("load"), F.asc("host"))
+    r = F.row_number().over(w) - 1
+    fwd = F.pmod(r, F.lit(n_shards))
+    shard = F.when(
+        F.pmod(F.floor(r / n_shards), F.lit(2)) == 0, fwd
+    ).otherwise(F.lit(n_shards - 1) - fwd)
+    return host_load.select(
+        "host", "load", shard.cast("int").alias("shard")
+    )

@@ -4384,6 +4384,41 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recrawl.snapshot_diff(old, new)
 
 
+def q_host_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serpentine host→shard assignment (frontier.host_shards) over a
+    Zipf-skewed host dim (load = 1000/(1+rank)): 40 hosts onto 4
+    shards. The oracle recomputes the rank, the even/odd pass mirror,
+    and every placement in SQL — a drift in the snake direction or the
+    tie-break breaks the hash."""
+    from . import frontier
+
+    hosts = (
+        _t(spark, sf_dir, "documents")
+        .select(F.pmod(F.col("doc_id"), F.lit(40)).alias("n"))
+        .distinct()
+        .select(
+            F.concat(F.lit("h"), F.col("n").cast("string")).alias("host"),
+            F.floor(1000 / (1 + F.col("n"))).cast("long").alias("load"),
+        )
+    )
+    return frontier.host_shards(hosts, n_shards=4)
+
+
+SQL_HOST_SHARD_ASSIGN = """
+WITH hn AS (SELECT DISTINCT doc_id % 40 AS n FROM documents),
+h AS (SELECT 'h' || CAST(n AS VARCHAR) AS host,
+             CAST(1000 // (1 + n) AS BIGINT) AS load
+      FROM hn),
+r AS (SELECT host, load,
+             row_number() OVER (ORDER BY load DESC, host) - 1 AS rk
+      FROM h)
+SELECT host, load,
+       CAST(CASE WHEN (rk // 4) % 2 = 0 THEN rk % 4
+                 ELSE 3 - rk % 4 END AS INT) AS shard
+FROM r
+"""
+
+
 def q_url_param_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tracking-parameter discovery (urlnorm.mine_param_rules) over a
     corpus holding all four variants of each page: with both params,
@@ -5339,6 +5374,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "main_text_extract": q_main_text_extract,
     "redirect_resolve": q_redirect_resolve,
     "url_param_rules": q_url_param_rules,
+    "host_shard_assign": q_host_shard_assign,
     "sitemap_ingest": q_sitemap_ingest,
     "robots_sitemap_discovery": q_robots_sitemap_discovery,
     "recrawl_schedule": q_recrawl_schedule,
@@ -5461,6 +5497,7 @@ ORACLE_SQL: dict[str, str] = {
     "main_text_extract": SQL_MAIN_TEXT_EXTRACT,
     "redirect_resolve": SQL_REDIRECT_RESOLVE,
     "url_param_rules": SQL_URL_PARAM_RULES,
+    "host_shard_assign": SQL_HOST_SHARD_ASSIGN,
     "sitemap_ingest": SQL_SITEMAP_INGEST,
     "robots_sitemap_discovery": SQL_ROBOTS_SITEMAP_DISCOVERY,
     "recrawl_schedule": SQL_RECRAWL_SCHEDULE,

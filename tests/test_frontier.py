@@ -453,3 +453,28 @@ def test_resolve_redirects_edge_cases(spark):
     }
     assert shallow["c0"]["is_loop"]  # too deep for the cap → flagged
     assert shallow["c16"]["final_url"] == "c20"  # 4 hops: exactly at cap
+
+
+def test_host_shards_balance(spark):
+    """Snake placement: every pass hands each shard one host; shard
+    load spread stays within one pass's spread on a Zipf profile."""
+    from pholcus_spark import frontier
+
+    hosts = spark.createDataFrame(
+        [(f"h{i:03d}", 1000 // (1 + i)) for i in range(64)],
+        "host string, load long",
+    )
+    rows = frontier.host_shards(hosts, n_shards=8).collect()
+    assert len(rows) == 64
+    per_shard: dict = {}
+    for r in rows:
+        per_shard.setdefault(r["shard"], []).append(r["load"])
+    assert sorted(per_shard) == list(range(8))
+    assert all(len(v) == 8 for v in per_shard.values())
+    totals = [sum(v) for v in per_shard.values()]
+    # the hottest host (1000) dwarfs everything; spread must stay in
+    # the same ballpark as that single host, not accumulate per pass
+    assert max(totals) - min(totals) <= 1000
+    # determinism incl. tie-break on equal loads
+    again = frontier.host_shards(hosts, n_shards=8).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

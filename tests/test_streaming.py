@@ -267,3 +267,39 @@ def test_harvest_runs_as_streaming_stage(spark, tmp_store_dir):
     key = lambda r: (r["page_url"], r["img_url"])  # noqa: E731
     assert sorted(map(key, out)) == sorted(map(key, batch))
     assert len(out) == 20  # the tracking pixel dropped in-stream too
+
+
+def test_main_text_runs_as_streaming_stage(spark, tmp_store_dir):
+    """main_text is a stateless projection like the harvest
+    extractors: the same function over readStream micro-batches must
+    equal the batch run row-for-row (boilerplate gates included)."""
+    from pholcus_spark import harvest
+
+    pages_dir = os.path.join(tmp_store_dir, "mtpages")
+    ckpt = os.path.join(tmp_store_dir, "mtckpt")
+    rows = [
+        (f"http://h{i % 3}.example.com/p/{i}",
+         f"<nav><p>Long navigation paragraph that would pass the "
+         f"length gate {i}</p></nav>"
+         f"<p>Actual prose paragraph number {i} comfortably over the "
+         f"length bar.</p>")
+        for i in range(12)
+    ]
+    spark.createDataFrame(rows, "url string, html string").write.mode(
+        "overwrite").parquet(pages_dir)
+    stream = spark.readStream.schema("url string, html string").parquet(
+        pages_dir)
+    out: list = []
+    q = (
+        harvest.main_text(stream)
+        .writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(lambda df, _bid: out.extend(df.collect()))
+        .start()
+    )
+    q.awaitTermination(120)
+    batch = harvest.main_text(spark.read.parquet(pages_dir)).collect()
+    key = lambda r: (r["url"], r["main_text"], r["n_kept"])  # noqa: E731
+    assert sorted(map(key, out)) == sorted(map(key, batch))
+    assert all(r["n_kept"] == 1 for r in out)
