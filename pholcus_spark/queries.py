@@ -4384,6 +4384,79 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recrawl.snapshot_diff(old, new)
 
 
+def q_robots_allow_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full RFC 9309 group semantics through the engine filter
+    (frontier.filter_robots with a robots_allow column): most specific
+    rule wins, Allow wins ties. Hosts exercise the canonical
+    'Disallow: / + Allow: /public' carve-out, a wildcard disallow
+    beaten by a longer wildcard allow, a $-anchored allow that saves
+    exactly one path, a short-prefix disallow with a long allow
+    override, and an allow-only host. The oracle encodes the expected
+    keep set per (host, path-class) independently."""
+    from . import frontier
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    hn = F.pmod(F.col("doc_id"), F.lit(5))
+    pm = F.pmod(F.col("doc_id"), F.lit(8))
+    ds = F.col("doc_id").cast("string")
+    path = (
+        F.when(pm == 0, F.concat(F.lit("/private/x"), ds))
+        .when(pm == 1, F.concat(F.lit("/public/x"), ds))
+        .when(pm == 2, F.concat(F.lit("/a"), ds, F.lit(".php")))
+        .when(pm == 3, F.concat(F.lit("/a"), ds, F.lit(".html")))
+        .when(pm == 4, F.concat(F.lit("/fishing"), ds))
+        .when(pm == 5, F.lit("/doc"))
+        .when(pm == 6, F.concat(F.lit("/doc/x"), ds))
+        .otherwise(F.concat(F.lit("/tmp/"), ds))
+    )
+    host = F.concat(F.lit("a"), hn.cast("string"), F.lit(".example.com"))
+    cands = d.select(
+        F.concat(F.lit("http://"), host, path).alias("url"),
+        host.alias("host"),
+    )
+    schema = (
+        "host string, crawl_delay_ms long, robots_disallow array<string>,"
+        " max_per_round int, robots_allow array<string>"
+    )
+    rules = spark.createDataFrame(
+        [
+            ("a0.example.com", 100, ["/"], 5, ["/public"]),
+            ("a1.example.com", 100, ["/*.php"], 5, ["/a*.html$"]),
+            ("a2.example.com", 100, ["/doc"], 5, ["/doc$"]),
+            ("a3.example.com", 100, ["/p"], 5, ["/private"]),
+            ("a4.example.com", 100, [], 5, ["/x"]),
+        ],
+        schema,
+    )
+    return frontier.filter_robots(cands, rules).select("url", "host")
+
+
+SQL_ROBOTS_ALLOW_FILTER = """
+WITH c AS (
+  SELECT doc_id % 5 AS hn, doc_id % 8 AS pm,
+         CASE doc_id % 8
+           WHEN 0 THEN '/private/x' || CAST(doc_id AS VARCHAR)
+           WHEN 1 THEN '/public/x' || CAST(doc_id AS VARCHAR)
+           WHEN 2 THEN '/a' || CAST(doc_id AS VARCHAR) || '.php'
+           WHEN 3 THEN '/a' || CAST(doc_id AS VARCHAR) || '.html'
+           WHEN 4 THEN '/fishing' || CAST(doc_id AS VARCHAR)
+           WHEN 5 THEN '/doc'
+           WHEN 6 THEN '/doc/x' || CAST(doc_id AS VARCHAR)
+           ELSE '/tmp/' || CAST(doc_id AS VARCHAR)
+         END AS path
+  FROM documents)
+SELECT 'http://a' || CAST(hn AS VARCHAR) || '.example.com' || path AS url,
+       'a' || CAST(hn AS VARCHAR) || '.example.com' AS host
+FROM c
+WHERE NOT (
+      (hn = 0 AND pm <> 1)   -- Disallow:/ blankets all but Allow:/public
+   OR (hn = 1 AND pm = 2)    -- /*.php dropped; /a*.html$ saves pm=3 only
+   OR (hn = 2 AND pm = 6)    -- /doc prefix drops /doc/x; /doc$ saves /doc
+   OR (hn = 3 AND pm = 1)    -- /p drops /public; /private overrides
+)
+"""
+
+
 def q_host_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serpentine host→shard assignment (frontier.host_shards) over a
     Zipf-skewed host dim (load = 1000/(1+rank)): 40 hosts onto 4
@@ -5375,6 +5448,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "redirect_resolve": q_redirect_resolve,
     "url_param_rules": q_url_param_rules,
     "host_shard_assign": q_host_shard_assign,
+    "robots_allow_filter": q_robots_allow_filter,
     "sitemap_ingest": q_sitemap_ingest,
     "robots_sitemap_discovery": q_robots_sitemap_discovery,
     "recrawl_schedule": q_recrawl_schedule,
@@ -5498,6 +5572,7 @@ ORACLE_SQL: dict[str, str] = {
     "redirect_resolve": SQL_REDIRECT_RESOLVE,
     "url_param_rules": SQL_URL_PARAM_RULES,
     "host_shard_assign": SQL_HOST_SHARD_ASSIGN,
+    "robots_allow_filter": SQL_ROBOTS_ALLOW_FILTER,
     "sitemap_ingest": SQL_SITEMAP_INGEST,
     "robots_sitemap_discovery": SQL_ROBOTS_SITEMAP_DISCOVERY,
     "recrawl_schedule": SQL_RECRAWL_SCHEDULE,

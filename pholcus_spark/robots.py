@@ -171,35 +171,47 @@ def politeness_from_robots(
     robots_bodies: DataFrame,
     agent: str = "pholcus",
     round_duration_ms: int = 1000,
+    emit_allow: bool = False,
 ) -> DataFrame:
     """(host, robots_txt) → POLITENESS_SCHEMA rows, vectorized.
 
     At scale this runs once per politeness refresh over the robots
     corpus (one row per host — small relative to the frontier) and the
     result broadcasts into the scheduling joins.
+
+    ``emit_allow=True`` appends a ``robots_allow`` column, switching
+    ``frontier.filter_robots`` into full RFC 9309 group semantics
+    (most-specific-rule-wins); the default keeps the stored 4-column
+    schema and the conservative disallow-only subset.
     """
+    cols = ["host", "crawl_delay_ms", "robots_disallow", "max_per_round"]
+    out_schema = POLITENESS_SCHEMA
+    if emit_allow:
+        cols = cols + ["robots_allow"]
+        out_schema = (
+            "host string, crawl_delay_ms long,"
+            " robots_disallow array<string>, max_per_round int,"
+            " robots_allow array<string>"
+        )
 
     def _parse(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in pdf_iter:
             rows = []
             for r in pdf.itertuples(index=False):
                 pol = parse_robots(r.robots_txt or "", agent)
-                rows.append(
-                    {
-                        "host": r.host,
-                        "crawl_delay_ms": pol.crawl_delay_ms,
-                        "robots_disallow": pol.disallow,
-                        "max_per_round": host_budget(
-                            pol.crawl_delay_ms, round_duration_ms
-                        ),
-                    }
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=["host", "crawl_delay_ms", "robots_disallow",
-                         "max_per_round"],
-            )
+                row = {
+                    "host": r.host,
+                    "crawl_delay_ms": pol.crawl_delay_ms,
+                    "robots_disallow": pol.disallow,
+                    "max_per_round": host_budget(
+                        pol.crawl_delay_ms, round_duration_ms
+                    ),
+                }
+                if emit_allow:
+                    row["robots_allow"] = pol.allow
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=cols)
 
     return robots_bodies.select("host", "robots_txt").mapInPandas(
-        _parse, POLITENESS_SCHEMA
+        _parse, out_schema
     )

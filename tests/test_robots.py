@@ -189,3 +189,58 @@ def test_filter_robots_wildcards(spark):
     assert kept == expect
     # sanity: the fixture actually exercises both kept and dropped
     assert 0 < len(kept) < len(paths)
+
+
+def test_filter_robots_allow_column_matches_policy(spark):
+    """With a robots_allow column the engine filter must agree with
+    RobotsPolicy.allows (most-specific wins, Allow wins ties) on every
+    path; without the column the conservative disallow-only subset is
+    unchanged."""
+    from pholcus_spark import frontier
+    from pholcus_spark.robots import RobotsPolicy
+
+    disallow = ["/", "/*.php"]
+    allow = ["/public", "/a*.php$"]
+    paths = ["/public/x", "/private", "/a1.php", "/a1.php?q=1", "/",
+             "/public", "/x.php"]
+    pol5 = spark.createDataFrame(
+        [("h.test", 100, disallow, 5, allow)],
+        "host string, crawl_delay_ms long, robots_disallow array<string>,"
+        " max_per_round int, robots_allow array<string>",
+    )
+    cands = spark.createDataFrame(
+        [("http://h.test" + p, "h.test") for p in paths], ["url", "host"]
+    )
+    kept = sorted(
+        r["url"] for r in frontier.filter_robots(cands, pol5).collect()
+    )
+    policy = RobotsPolicy(disallow=disallow, allow=allow)
+    expect = sorted(
+        "http://h.test" + p for p in paths if policy.allows(p)
+    )
+    assert kept == expect
+    assert 0 < len(kept) < len(paths)
+    # 4-column dim: allow rules absent → disallow-only semantics
+    from pholcus_spark.schemas import POLITENESS_SCHEMA
+
+    pol4 = spark.createDataFrame(
+        [("h.test", 100, disallow, 5)], POLITENESS_SCHEMA
+    )
+    kept4 = [r["url"] for r in frontier.filter_robots(cands, pol4).collect()]
+    assert kept4 == []  # Disallow:/ drops everything without Allow
+
+
+def test_politeness_from_robots_emit_allow(spark):
+    from pholcus_spark.robots import politeness_from_robots
+
+    bodies = spark.createDataFrame(
+        [("h.test",
+          "User-agent: *\nDisallow: /\nAllow: /public\nCrawl-delay: 2")],
+        ["host", "robots_txt"],
+    )
+    r4 = politeness_from_robots(bodies).collect()[0]
+    assert "robots_allow" not in r4.asDict()
+    r5 = politeness_from_robots(bodies, emit_allow=True).collect()[0]
+    assert list(r5["robots_allow"]) == ["/public"]
+    assert list(r5["robots_disallow"]) == ["/"]
+    assert r5["crawl_delay_ms"] == 2000
