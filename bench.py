@@ -111,6 +111,8 @@ BENCH_QUERIES = [
     "training_pack_sequences",
     "redirect_resolve",
     "url_param_rules",
+    "host_shard_assign",
+    "robots_allow_filter",
 ]
 
 

@@ -620,6 +620,21 @@ def main() -> int:
          "join + (host,param) aggregate, zero Python)", p, probs)
     )
 
+    # 34. Allow-group robots filter: same broadcast shape as the
+    # disallow-only path; the specificity compare is per-element
+    # codegen, never Python
+    q = QUERIES["robots_allow_filter"](spark, sf_dir)
+    p, probs = audit(
+        "robots_allow_filter", q,
+        expect=["BroadcastHashJoin"],
+        forbid=["CartesianProduct", "EvalPython", "SortMergeJoin"],
+    )
+    sections.append(
+        ("robots_allow_filter (RFC 9309 group semantics: politeness "
+         "broadcast, specificity compare as codegen aggregates)",
+         p, probs)
+    )
+
     all_problems = []
     out = ["# PLANS — physical-plan audit of the hot paths\n"]
     out.append(
