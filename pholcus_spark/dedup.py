@@ -823,3 +823,36 @@ def mirror_hosts(
             & (F.col("jaccard_milli") >= min_jaccard_milli)
         )
     )
+
+
+def mirror_collapse(
+    pages: DataFrame,
+    min_shared: int = 2,
+    min_jaccard_milli: int = 500,
+    max_hosts_per_key: int = 16,
+    max_iter: int = 50,
+) -> DataFrame:
+    """Mirror-group canonicalization: resolve ``mirror_hosts`` pairs
+    into components (mirror rings are transitive — A≈B and B≈C means
+    one site behind three names) and elect the lexicographically
+    smallest host as each group's canonical — the host-level analog of
+    ``canonical_collapse``, feeding the frontier so every alias's URLs
+    key to one politeness budget and one seen-set identity.
+
+    Reuses ``star_components`` verbatim: large-star/small-star works
+    on any orderable key, so host STRINGS are the node ids directly —
+    no hash indirection, and min-label = min hostname. Returns
+    (host, canonical_host) for hosts in at least one mirror pair."""
+    pairs = mirror_hosts(
+        pages,
+        min_shared=min_shared,
+        min_jaccard_milli=min_jaccard_milli,
+        max_hosts_per_key=max_hosts_per_key,
+    ).select(
+        F.col("host_a").alias("doc_a"), F.col("host_b").alias("doc_b")
+    )
+    labels, _rounds = star_components(pairs, max_iter=max_iter)
+    return labels.select(
+        F.col("doc_id").alias("host"),
+        F.col("component_id").alias("canonical_host"),
+    )

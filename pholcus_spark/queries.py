@@ -4636,6 +4636,84 @@ FROM srcs
 """
 
 
+def _mirror_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared fixture for the mirror operators (see
+    q_crawl_mirror_hosts for the class layout)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    dec = F.floor(F.col("doc_id") / 10).cast("long")
+    hn = F.pmod(F.col("doc_id"), F.lit(10))
+    host = F.concat(F.lit("m"), hn.cast("string"))
+    path = F.when(F.col("doc_id") < 10, F.lit("/common")).otherwise(
+        F.concat(F.lit("/p"), dec.cast("string"))
+    )
+    fp = (
+        F.when(F.col("doc_id") < 10, F.lit(777))
+        .when(hn.isin(6, 7), dec * 13)
+        .when((hn == 8) & (dec % 2 == 0), dec * 13)
+        .otherwise(F.col("doc_id") + 1000000)
+    ).cast("long")
+    return d.select(
+        host.alias("host"), path.alias("path"), fp.alias("content_fp")
+    )
+
+
+def q_crawl_mirror_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror-group canonicalization (dedup.mirror_collapse): the
+    m6/m7/m8 partial-mirror triangle must resolve into ONE component
+    with m6 elected canonical — star_components running on host
+    STRINGS (lexicographic min-label). The oracle recomputes the
+    capped pair join and a recursive-CTE transitive closure."""
+    from . import dedup
+
+    return dedup.mirror_collapse(
+        _mirror_pages(spark, sf_dir),
+        min_shared=2,
+        min_jaccard_milli=300,
+        max_hosts_per_key=8,
+    )
+
+
+SQL_CRAWL_MIRROR_COLLAPSE = """
+WITH RECURSIVE
+p AS (
+  SELECT 'm' || CAST(doc_id % 10 AS VARCHAR) AS host,
+         CASE WHEN doc_id < 10 THEN '/common'
+              ELSE '/p' || CAST(doc_id // 10 AS VARCHAR) END AS path,
+         CASE WHEN doc_id < 10 THEN 777
+              WHEN doc_id % 10 IN (6, 7) THEN (doc_id // 10) * 13
+              WHEN doc_id % 10 = 8 AND (doc_id // 10) % 2 = 0
+                THEN (doc_id // 10) * 13
+              ELSE doc_id + 1000000 END AS content_fp
+  FROM documents),
+k AS (SELECT path, content_fp, count(*) AS nh
+      FROM p GROUP BY path, content_fp),
+c AS (SELECT p.host, p.path, p.content_fp
+      FROM p JOIN k USING (path, content_fp) WHERE k.nh <= 8),
+s AS (SELECT a.host AS host_a, b.host AS host_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM c a JOIN c b
+        ON a.path = b.path AND a.content_fp = b.content_fp
+           AND a.host < b.host
+      GROUP BY a.host, b.host),
+t AS (SELECT host, CAST(count(*) AS BIGINT) AS n_keys
+      FROM c GROUP BY host),
+pairs AS (
+  SELECT host_a, host_b FROM s
+  JOIN t ta ON s.host_a = ta.host
+  JOIN t tb ON s.host_b = tb.host
+  WHERE n_shared >= 2
+    AND n_shared * 1000 // (ta.n_keys + tb.n_keys - n_shared) >= 300),
+edges AS (SELECT host_a AS s, host_b AS d FROM pairs
+          UNION ALL SELECT host_b, host_a FROM pairs),
+reach AS (
+  SELECT DISTINCT s AS host, s AS comp FROM edges
+  UNION
+  SELECT e.d AS host, r.comp FROM reach r JOIN edges e ON e.s = r.host)
+SELECT host, min(comp) AS canonical_host
+FROM reach GROUP BY host
+"""
+
+
 def q_main_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate removal (harvest.main_text) over a fixture that
     plants every block class: a prose paragraph (kept), a too-short
@@ -4710,24 +4788,11 @@ def q_crawl_mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     host's key total, so the oracle catches a cap drift twice over."""
     from . import dedup
 
-    d = _t(spark, sf_dir, "documents").select("doc_id")
-    dec = F.floor(F.col("doc_id") / 10).cast("long")
-    hn = F.pmod(F.col("doc_id"), F.lit(10))
-    host = F.concat(F.lit("m"), hn.cast("string"))
-    path = F.when(F.col("doc_id") < 10, F.lit("/common")).otherwise(
-        F.concat(F.lit("/p"), dec.cast("string"))
-    )
-    fp = (
-        F.when(F.col("doc_id") < 10, F.lit(777))
-        .when(hn.isin(6, 7), dec * 13)
-        .when((hn == 8) & (dec % 2 == 0), dec * 13)
-        .otherwise(F.col("doc_id") + 1000000)
-    ).cast("long")
-    pages = d.select(
-        host.alias("host"), path.alias("path"), fp.alias("content_fp")
-    )
     return dedup.mirror_hosts(
-        pages, min_shared=2, min_jaccard_milli=300, max_hosts_per_key=8
+        _mirror_pages(spark, sf_dir),
+        min_shared=2,
+        min_jaccard_milli=300,
+        max_hosts_per_key=8,
     )
 
 
@@ -5444,6 +5509,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frontier_trap_guard": q_frontier_trap_guard,
     "robots_wildcard_filter": q_robots_wildcard_filter,
     "crawl_mirror_hosts": q_crawl_mirror_hosts,
+    "crawl_mirror_collapse": q_crawl_mirror_collapse,
     "main_text_extract": q_main_text_extract,
     "redirect_resolve": q_redirect_resolve,
     "url_param_rules": q_url_param_rules,
@@ -5568,6 +5634,7 @@ ORACLE_SQL: dict[str, str] = {
     "frontier_trap_guard": SQL_FRONTIER_TRAP_GUARD,
     "robots_wildcard_filter": SQL_ROBOTS_WILDCARD_FILTER,
     "crawl_mirror_hosts": SQL_CRAWL_MIRROR_HOSTS,
+    "crawl_mirror_collapse": SQL_CRAWL_MIRROR_COLLAPSE,
     "main_text_extract": SQL_MAIN_TEXT_EXTRACT,
     "redirect_resolve": SQL_REDIRECT_RESOLVE,
     "url_param_rules": SQL_URL_PARAM_RULES,
