@@ -724,3 +724,101 @@ def audio_features(audio: DataFrame, sample_rate: int = 16000) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FEATURE_SCHEMA])
 
     return audio.select("audio_id", "bytes").mapInPandas(_feat, AUDIO_FEATURE_SCHEMA)
+
+
+_PNG_CRITICAL = {b"IHDR", b"PLTE", b"IDAT", b"IEND"}
+
+
+def _strip_png_bytes(data: bytes) -> tuple[bytes, int, int]:
+    """Drop every ancillary PNG chunk (tEXt/zTXt/iTXt/eXIf/tIME/...),
+    keeping the critical four. Returns (clean, n_stripped, removed)."""
+    out = bytearray(data[:8])
+    pos, n, removed = 8, 0, 0
+    while pos + 8 <= len(data):
+        length = int.from_bytes(data[pos:pos + 4], "big")
+        tag = bytes(data[pos + 4:pos + 8])
+        end = pos + 12 + length
+        if tag in _PNG_CRITICAL:
+            out += data[pos:end]
+        else:
+            n += 1
+            removed += end - pos
+        pos = end
+        if tag == b"IEND":
+            break
+    out += data[pos:]
+    return bytes(out), n, removed
+
+
+def _strip_jpeg_bytes(data: bytes) -> tuple[bytes, int, int]:
+    """Drop APPn/COM segments from a real JPEG (EXIF, XMP, comments —
+    where GPS coordinates and device serials live). Entropy-coded data
+    from SOS onward is copied verbatim."""
+    out = bytearray(data[:2])
+    pos, n, removed = 2, 0, 0
+    while pos + 4 <= len(data) and data[pos] == 0xFF:
+        marker = data[pos + 1]
+        if marker == 0xDA:  # SOS: header + entropy data to the end
+            out += data[pos:]
+            pos = len(data)
+            break
+        seg_len = int.from_bytes(data[pos + 2:pos + 4], "big")
+        end = pos + 2 + seg_len
+        if 0xE0 <= marker <= 0xEF or marker == 0xFE:
+            n += 1
+            removed += end - pos
+        else:
+            out += data[pos:end]
+        pos = end
+    out += data[pos:]
+    return bytes(out), n, removed
+
+
+def strip_image_metadata(images: DataFrame) -> DataFrame:
+    """Privacy scrub for image payloads — the binary twin of the text
+    PII redactor: remove the metadata segments where EXIF GPS
+    coordinates, device serials, and authoring comments live, without
+    touching a single pixel (PNG ancillary chunks; JPEG APPn/COM
+    segments; anything else passes through untouched). Training
+    corpora republish crawled images — shipping EXIF GPS is a leak,
+    and decoded pixels are byte-identical before/after by
+    construction.
+
+    Arrow-batched mapInPandas over (image_id, bytes, fmt) — scales
+    like the fetch/decode boundary. Returns the cleaned payload plus
+    the audit columns (bytes_before/after, n_stripped)."""
+    out_schema = (
+        "image_id string, bytes binary, fmt string,"
+        " bytes_before long, bytes_after long, n_stripped int"
+    )
+
+    def _scrub(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdf_iter:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                data = bytes(r.bytes)
+                if data[:8] == b"\x89PNG\r\n\x1a\n":
+                    clean, n, _rm = _strip_png_bytes(data)
+                elif data[:2] == b"\xff\xd8":
+                    clean, n, _rm = _strip_jpeg_bytes(data)
+                else:
+                    clean, n = data, 0
+                rows.append(
+                    {
+                        "image_id": r.image_id,
+                        "bytes": clean,
+                        "fmt": r.fmt,
+                        "bytes_before": len(data),
+                        "bytes_after": len(clean),
+                        "n_stripped": n,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "bytes", "fmt", "bytes_before",
+                         "bytes_after", "n_stripped"],
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        _scrub, out_schema
+    )

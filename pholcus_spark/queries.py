@@ -3497,6 +3497,80 @@ WHERE cum <= 5 * (SELECT count(*) FROM documents)
 """
 
 
+def q_images_metadata_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy metadata scrub (multimodal.strip_image_metadata): the
+    fixture injects a tEXt chunk of doc_id-determined length after
+    every PNG's IHDR (plus an eXIf chunk on odd doc_ids); the engine
+    must remove EXACTLY those bytes — bytes_removed and n_stripped are
+    predicted by the oracle from the injection arithmetic, so an
+    off-by-one in the chunk walk or a missed/over-eager strip breaks
+    the hash. The synthetic 'jpeg' payloads carry no real JPEG SOI and
+    must pass through untouched (0 removed)."""
+    import struct
+    import zlib
+
+    from . import multimodal
+
+    imgs = _synthetic_images(spark, sf_dir)
+
+    def _chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload)) + tag + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    def _inject(pdf_iter):
+        import pandas as pd
+
+        for pdf in pdf_iter:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                data = bytes(r.bytes)
+                d = int(r.image_id.split("-")[1])
+                if data[:8] == b"\x89PNG\r\n\x1a\n":
+                    ihdr_end = 8 + 12 + 13
+                    extra = _chunk(
+                        b"tEXt", b"Comment\x00" + b"x" * (5 + d % 13)
+                    )
+                    if d % 2 == 1:
+                        extra += _chunk(b"eXIf", b"\x00" * 16)
+                    data = data[:ihdr_end] + extra + data[ihdr_end:]
+                rows.append(
+                    {"image_id": r.image_id, "bytes": data, "fmt": r.fmt}
+                )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "bytes", "fmt"]
+            )
+
+    dirty = imgs.mapInPandas(
+        _inject, "image_id string, bytes binary, fmt string"
+    )
+    out = multimodal.strip_image_metadata(dirty)
+    return out.select(
+        "image_id",
+        "fmt",
+        (F.col("bytes_before") - F.col("bytes_after")).alias(
+            "bytes_removed"
+        ),
+        "n_stripped",
+    )
+
+
+SQL_IMAGES_METADATA_STRIP = """
+WITH p AS (SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS r
+           FROM documents)
+SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS image_id,
+       CASE WHEN (r // 1089) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+       CAST(CASE WHEN (r // 1089) % 2 = 0
+                 THEN 25 + doc_id % 13
+                      + CASE WHEN doc_id % 2 = 1 THEN 28 ELSE 0 END
+                 ELSE 0 END AS BIGINT) AS bytes_removed,
+       CAST(CASE WHEN (r // 1089) % 2 = 0
+                 THEN 1 + doc_id % 2 ELSE 0 END AS INT) AS n_stripped
+FROM p
+"""
+
+
 def q_images_aspect_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aspect-ratio bucketing (multimodal.aspect_buckets): REAL decode
     → zero-shuffle argmin over the literal bucket list (SDXL-style
@@ -5591,6 +5665,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_recall_eval": q_embed_recall_eval,
     "images_quality_gate": q_images_quality_gate,
     "images_patch_budget": q_images_patch_budget,
+    "images_metadata_strip": q_images_metadata_strip,
     "images_caption_align": q_images_caption_align,
     # multimodal (rows-only)
     "images_decode_meta": q_images_decode_meta,
@@ -5714,6 +5789,7 @@ ORACLE_SQL: dict[str, str] = {
     "embed_recall_eval": SQL_EMBED_RECALL_EVAL,
     "images_quality_gate": SQL_IMAGES_QUALITY_GATE,
     "images_patch_budget": SQL_IMAGES_PATCH_BUDGET,
+    "images_metadata_strip": SQL_IMAGES_METADATA_STRIP,
     "images_caption_align": SQL_IMAGES_CAPTION_ALIGN,
     # partial multimodal oracles: decode/resize metadata predicted from
     # doc_id (generator arithmetic mirrored in SQL)

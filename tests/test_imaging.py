@@ -248,3 +248,49 @@ def test_image_quality_gate_flags(spark):
         for r in multimodal.image_quality_gate(meta).collect()
     }
     assert out2["thin"]["keep"]
+
+
+def test_strip_image_metadata_pixels_and_jpeg(spark):
+    """Pixels are byte-identical after the scrub (decode equality);
+    real-JPEG APPn/COM segments are removed, entropy data kept."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from pholcus_spark import multimodal
+    from pholcus_spark.imaging import decode_png, encode_png
+
+    rng = np.random.RandomState(7)
+    arr = rng.randint(0, 255, (12, 9, 3), dtype=np.uint8)
+    png = encode_png(arr)
+
+    def chunk(tag, payload):
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+    ihdr_end = 8 + 12 + 13
+    dirty_png = (png[:ihdr_end] + chunk(b"tEXt", b"Author\x00gps")
+                 + chunk(b"tIME", b"\x00" * 7) + png[ihdr_end:])
+    # minimal real-JPEG skeleton: SOI, APP1(EXIF), COM, DQT, SOS+data
+    app1 = b"\xff\xe1" + struct.pack(">H", 11) + b"Exif\x00\x00gps"
+    com = b"\xff\xfe" + struct.pack(">H", 6) + b"note"
+    dqt = b"\xff\xdb" + struct.pack(">H", 5) + b"qqq"
+    sos = b"\xff\xda" + struct.pack(">H", 4) + b"hh" + b"ENTROPY\xff\xd9"
+    jpeg = b"\xff\xd8" + app1 + com + dqt + sos
+    df = spark.createDataFrame(
+        [("p", dirty_png, "png"), ("j", jpeg, "jpeg"),
+         ("o", b"notanimage", "bin")],
+        "image_id string, bytes binary, fmt string",
+    )
+    got = {r["image_id"]: r
+           for r in multimodal.strip_image_metadata(df).collect()}
+    p = got["p"]
+    assert p["n_stripped"] == 2
+    assert bytes(p["bytes"]) == png  # ancillary gone, stream identical
+    assert (decode_png(bytes(p["bytes"])) == arr).all()
+    j = got["j"]
+    assert j["n_stripped"] == 2  # APP1 + COM
+    assert bytes(j["bytes"]) == b"\xff\xd8" + dqt + sos
+    assert got["o"]["n_stripped"] == 0
+    assert bytes(got["o"]["bytes"]) == b"notanimage"
