@@ -113,6 +113,8 @@ BENCH_QUERIES = [
     "url_param_rules",
     "host_shard_assign",
     "robots_allow_filter",
+    "crawl_mirror_collapse",
+    "images_metadata_strip",
 ]
 
 
