@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "robots_allow_filter",
     "crawl_mirror_collapse",
     "images_metadata_strip",
+    "images_phash_recall",
 ]
 
 

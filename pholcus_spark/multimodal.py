@@ -218,6 +218,50 @@ def phash_neardup(meta: DataFrame, band_bits: int = 16) -> DataFrame:
     )
 
 
+def phash_recall_eval(
+    hashes: DataFrame, max_hamming: int = 6, band_bits: int = 16
+) -> DataFrame:
+    """Recall measurement for the hamming-band LSH (the image twin of
+    ``ann.recall_at_k``): ground truth is EVERY pair within
+    ``max_hamming`` bits by exact all-pairs check — quadratic, so this
+    runs on an eval-sized sample, never the corpus — and each true
+    pair is flagged ``caught`` when the banding would have surfaced it
+    (pigeonhole: guaranteed at hamming < 64/band_bits bits SPREAD
+    ACROSS BANDS; this measures the actual distribution, which is the
+    number you size band_bits with). Returns
+    (image_a, image_b, hamming, caught)."""
+    h = hashes.select("image_id", "phash")
+    a = h.select(
+        F.col("image_id").alias("image_a"), F.col("phash").alias("pa")
+    )
+    b = h.select(
+        F.col("image_id").alias("image_b"), F.col("phash").alias("pb")
+    )
+    hamming = F.bit_count(
+        F.col("pa").bitwiseXOR(F.col("pb"))
+    ).cast("int")
+    n_bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    shares_band = None
+    for i in range(n_bands):
+        eq = (
+            F.shiftright(F.col("pa"), i * band_bits).bitwiseAND(F.lit(mask))
+            == F.shiftright(F.col("pb"), i * band_bits).bitwiseAND(
+                F.lit(mask)
+            )
+        )
+        shares_band = eq if shares_band is None else (shares_band | eq)
+    return (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("image_a") < F.col("image_b"))
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            "image_a", "image_b", "hamming", shares_band.alias("caught")
+        )
+    )
+
+
 HASHES_SCHEMA = T.StructType(
     [
         T.StructField("image_id", T.StringType(), False),

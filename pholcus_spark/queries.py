@@ -3773,6 +3773,21 @@ def _dual_hash_values() -> str:
 
 
 @lru_cache(maxsize=1)
+def _neardup_phash_values() -> str:
+    """(doc_id, phash) VALUES body over the neardup-planted corpus —
+    the ``_phash_values`` twin for the recall-eval oracle."""
+    from . import synthetic
+    from .imaging import decode_image, encode_image, phash64
+
+    vals = []
+    for doc_id in range(PHASH_ORACLE_DOCS):
+        arr, fmt = synthetic.neardup_image_for_doc(doc_id)
+        decoded = decode_image(encode_image(arr, fmt), fmt)
+        vals.append(f"({doc_id}, {phash64(decoded)})")
+    return ", ".join(vals)
+
+
+@lru_cache(maxsize=1)
 def _sql_images_phash_neardup() -> str:
     return f"""
 WITH ph(doc_id, phash) AS (VALUES {_phash_values()}),
@@ -3785,6 +3800,40 @@ SELECT DISTINCT l.image_id AS image_a, r.image_id AS image_b
 FROM b l JOIN b r ON l.band_idx = r.band_idx
                  AND l.band_key = r.band_key
                  AND l.image_id < r.image_id
+"""
+
+
+def q_images_phash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """phash banding recall (multimodal.phash_recall_eval) over the
+    neardup-planted sample: every true pair within 6 bits by exact
+    all-pairs hamming, flagged caught when some 16-bit band matches.
+    The oracle recomputes the ground truth AND the band flag from the
+    driver-side phash VALUES table (the codec-exact lazy-oracle
+    pattern) — a banding or bit_count drift breaks the hash."""
+    imgs = _synthetic_images(
+        spark, sf_dir, max_docs=PHASH_ORACLE_DOCS, neardup=True
+    )
+    hashes = multimodal.perceptual_hashes(imgs)
+    return multimodal.phash_recall_eval(hashes.filter(F.col("decode_ok")))
+
+
+@lru_cache(maxsize=1)
+def _sql_images_phash_recall() -> str:
+    return f"""
+WITH ph(doc_id, phash) AS (VALUES {_neardup_phash_values()}),
+d AS (SELECT 'doc-' || CAST(p.doc_id AS VARCHAR) AS image_id, p.phash
+      FROM ph p JOIN documents t ON t.doc_id = p.doc_id),
+pairs AS (
+  SELECT a.image_id AS image_a, b.image_id AS image_b,
+         CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming,
+         a.phash AS pa, b.phash AS pb
+  FROM d a JOIN d b ON a.image_id < b.image_id)
+SELECT image_a, image_b, hamming,
+       ((pa >> 0) & 65535 = (pb >> 0) & 65535
+        OR (pa >> 16) & 65535 = (pb >> 16) & 65535
+        OR (pa >> 32) & 65535 = (pb >> 32) & 65535
+        OR (pa >> 48) & 65535 = (pb >> 48) & 65535) AS caught
+FROM pairs WHERE hamming <= 6
 """
 
 
@@ -5666,6 +5715,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "images_quality_gate": q_images_quality_gate,
     "images_patch_budget": q_images_patch_budget,
     "images_metadata_strip": q_images_metadata_strip,
+    "images_phash_recall": q_images_phash_recall,
     "images_caption_align": q_images_caption_align,
     # multimodal (rows-only)
     "images_decode_meta": q_images_decode_meta,
@@ -5821,6 +5871,7 @@ ORACLE_SQL: dict[str, str] = {
 # first use — e.g. the phash list costs ~0.5 s of codec work)
 LAZY_ORACLE_SQL: dict[str, Callable[[], str]] = {
     "images_phash_neardup": _sql_images_phash_neardup,
+    "images_phash_recall": _sql_images_phash_recall,
     "images_dual_neardup": _sql_images_dual_neardup,
     "images_select_corpus": _sql_images_select_corpus,
     "video_frame_sample": _sql_video_frame_sample,
