@@ -466,6 +466,11 @@ def patch_budget_select(
         "h",
         patch_tokens(F.col("w"), F.col("h"), patch).alias("n_tokens"),
     )
+    # the selection reads its input twice (group totals + the residual
+    # join); meta usually sits behind the Arrow decode boundary, so
+    # materialize the NARROW projection once instead of decoding twice
+    # — four small columns, never the payload
+    d = d.localCheckpoint(eager=True)
     groups = d.groupBy("n_tokens").agg(
         F.sum("n_tokens").alias("grp_tokens")
     )
