@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "crawl_mirror_collapse",
     "images_metadata_strip",
     "images_phash_recall",
+    "images_embed_topk",
 ]
 
 

@@ -871,3 +871,52 @@ def strip_image_metadata(images: DataFrame) -> DataFrame:
     return images.select("image_id", "bytes", "fmt").mapInPandas(
         _scrub, out_schema
     )
+
+
+EMBED_DIM_CELLS = 4  # 4x4 grid x 3 channels = 48-dim
+
+
+def embed_array(arr: np.ndarray, cells: int = EMBED_DIM_CELLS) -> list:
+    """Deterministic stand-in image embedder: cells×cells grid-pooled
+    channel means, centered and L2-normalized — the shape and contract
+    of a CLIP-image-tower call (a real model drops into the same UDF;
+    the plumbing, schema, and downstream ANN composition don't
+    change). float64 end-to-end, rounded to 8, so any engine
+    recomputes bit-equal values."""
+    h, w, _ = arr.shape
+    ys = (np.arange(cells + 1) * h) // cells
+    xs = (np.arange(cells + 1) * w) // cells
+    feats = []
+    for i in range(cells):
+        for j in range(cells):
+            cell = arr[ys[i]:ys[i + 1], xs[j]:xs[j + 1]]
+            feats.extend(cell.reshape(-1, 3).mean(axis=0) / 255.0 - 0.5)
+    v = np.asarray(feats, dtype=np.float64)
+    n = float(np.sqrt((v * v).sum()))
+    if n > 0:
+        v = v / n
+    return [round(float(x), 8) for x in v]
+
+
+def embed_images(images: DataFrame) -> DataFrame:
+    """images (image_id, bytes, fmt) → (vec_id-compatible) rows
+    (image_id, embedding array<double>): the decode+embed boundary
+    that feeds the ANN / semantic-dedup / alignment operators — the
+    bridge from the crawled image corpus to every embedding-keyed
+    stage. Arrow-batched mapInPandas, payload never shuffles."""
+
+    def _embed(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdf_iter:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    arr = decode_image(bytes(r.bytes), r.fmt)
+                    emb = embed_array(arr)
+                except (ValueError, NotImplementedError):
+                    emb = None
+                rows.append({"image_id": r.image_id, "embedding": emb})
+            yield pd.DataFrame(rows, columns=["image_id", "embedding"])
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        _embed, "image_id string, embedding array<double>"
+    )

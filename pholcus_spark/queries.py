@@ -3837,6 +3837,69 @@ FROM pairs WHERE hamming <= 6
 """
 
 
+def q_images_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image→embedding→ANN bridge (multimodal.embed_images →
+    ann.brute_force_topk): decode real bytes, grid-pool a
+    deterministic 48-dim embedding (CLIP-tower stand-in — same UDF
+    shape, a real model drops in), then exact cosine top-k. The
+    neardup-planted corpus guarantees meaningful neighbors. The
+    oracle recomputes every embedding driver-side through the
+    identical decode+pool path (lazy VALUES, like the phash oracles)
+    and re-ranks with its own cosine — codec, pooling, normalization,
+    and ranking are all hash-checked."""
+    imgs = _synthetic_images(
+        spark, sf_dir, max_docs=PHASH_ORACLE_DOCS, neardup=True
+    )
+    embeds = multimodal.embed_images(imgs).select(
+        F.substring("image_id", 5, 10).cast("long").alias("vec_id"),
+        "embedding",
+    )
+    df = ann.brute_force_topk(embeds, n_queries=10, k=5)
+    return df.withColumn("rank", F.col("rank").cast("long"))
+
+
+@lru_cache(maxsize=1)
+def _image_embed_values() -> str:
+    from . import synthetic
+    from .imaging import decode_image, encode_image
+    from .multimodal import embed_array
+
+    vals = []
+    for doc_id in range(PHASH_ORACLE_DOCS):
+        arr, fmt = synthetic.neardup_image_for_doc(doc_id)
+        decoded = decode_image(encode_image(arr, fmt), fmt)
+        emb = embed_array(decoded)
+        vals.append(
+            f"({doc_id}, [{', '.join(repr(x) for x in emb)}])"
+        )
+    return ", ".join(vals)
+
+
+@lru_cache(maxsize=1)
+def _sql_images_embed_topk() -> str:
+    return f"""
+WITH ev(vec_id, embedding) AS (VALUES {_image_embed_values()}),
+e AS (SELECT ev.vec_id, ev.embedding
+      FROM ev JOIN documents t ON t.doc_id = ev.vec_id),
+q AS (SELECT vec_id AS query_id, embedding AS qvec
+      FROM e WHERE vec_id < 10),
+pairs AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(
+           list_sum(list_transform(range(0, len(q.qvec)),
+             i -> q.qvec[i+1] * e.embedding[i+1]))
+           / (sqrt(list_sum(list_transform(q.qvec, x -> x * x)))
+              * sqrt(list_sum(list_transform(e.embedding, x -> x * x)))),
+           4) AS cos_sim
+  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+SELECT query_id, neighbor_id, rank, cos_sim
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM pairs) t
+WHERE rank <= 5
+"""
+
+
 def q_images_dual_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-family verified image near-dup: REAL bytes → one decode
     pass computing phash AND dhash (multimodal.perceptual_hashes) →
@@ -5716,6 +5779,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "images_patch_budget": q_images_patch_budget,
     "images_metadata_strip": q_images_metadata_strip,
     "images_phash_recall": q_images_phash_recall,
+    "images_embed_topk": q_images_embed_topk,
     "images_caption_align": q_images_caption_align,
     # multimodal (rows-only)
     "images_decode_meta": q_images_decode_meta,
@@ -5872,6 +5936,7 @@ ORACLE_SQL: dict[str, str] = {
 LAZY_ORACLE_SQL: dict[str, Callable[[], str]] = {
     "images_phash_neardup": _sql_images_phash_neardup,
     "images_phash_recall": _sql_images_phash_recall,
+    "images_embed_topk": _sql_images_embed_topk,
     "images_dual_neardup": _sql_images_dual_neardup,
     "images_select_corpus": _sql_images_select_corpus,
     "video_frame_sample": _sql_video_frame_sample,
