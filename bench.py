@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "images_metadata_strip",
     "images_phash_recall",
     "images_embed_topk",
+    "images_blocklist_filter",
 ]
 
 

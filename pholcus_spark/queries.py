@@ -3900,6 +3900,53 @@ WHERE rank <= 5
 """
 
 
+def q_images_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-blocklist safety gate (multimodal.hash_blocklist_filter):
+    flag every image whose phash is within 6 bits of a curated
+    blocklist hash. The blocklist is the engine's own phashes for
+    doc_id % 23 == 0 (each blocks itself at hamming 0; its planted
+    near-dup clones land at hamming ≤ 6 — genuine near-matches, so
+    the gate is non-vacuous beyond exact hits). The oracle recomputes
+    the banding, the hamming verify, and both audit aggregates from
+    the driver-side phash VALUES table."""
+    imgs = _synthetic_images(
+        spark, sf_dir, max_docs=PHASH_ORACLE_DOCS, neardup=True
+    )
+    hashes = multimodal.perceptual_hashes(imgs).filter(F.col("decode_ok"))
+    doc_num = F.split(F.col("image_id"), "-").getItem(1).cast("long")
+    bl = hashes.filter(doc_num % 23 == 0).select("phash")
+    return multimodal.hash_blocklist_filter(hashes, bl)
+
+
+@lru_cache(maxsize=1)
+def _sql_images_blocklist_filter() -> str:
+    return f"""
+WITH ph(doc_id, phash) AS (VALUES {_neardup_phash_values()}),
+d AS (SELECT p.doc_id, 'doc-' || CAST(p.doc_id AS VARCHAR) AS image_id,
+             p.phash
+      FROM ph p JOIN documents t ON t.doc_id = p.doc_id),
+bl AS (SELECT DISTINCT phash AS bl_phash FROM d WHERE doc_id % 23 = 0),
+bands(band_idx) AS (VALUES (0), (1), (2), (3)),
+cb AS (SELECT image_id, phash, band_idx,
+              (phash >> (band_idx * 16)) & 65535 AS band_key
+       FROM d, bands),
+bb AS (SELECT bl_phash, band_idx,
+              (bl_phash >> (band_idx * 16)) & 65535 AS band_key
+       FROM bl, bands),
+hits AS (
+  SELECT image_id, MIN(bl_phash) AS matched_hash,
+         COUNT(DISTINCT bl_phash) AS n_matched
+  FROM cb JOIN bb USING (band_idx, band_key)
+  WHERE bit_count(xor(cb.phash, bb.bl_phash)) <= 6
+  GROUP BY image_id)
+SELECT d.image_id, d.phash,
+       h.matched_hash IS NOT NULL AS blocked,
+       h.matched_hash,
+       COALESCE(h.n_matched, 0) AS n_matched
+FROM d LEFT JOIN hits h USING (image_id)
+"""
+
+
 def q_images_dual_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-family verified image near-dup: REAL bytes → one decode
     pass computing phash AND dhash (multimodal.perceptual_hashes) →
@@ -5780,6 +5827,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "images_metadata_strip": q_images_metadata_strip,
     "images_phash_recall": q_images_phash_recall,
     "images_embed_topk": q_images_embed_topk,
+    "images_blocklist_filter": q_images_blocklist_filter,
     "images_caption_align": q_images_caption_align,
     # multimodal (rows-only)
     "images_decode_meta": q_images_decode_meta,
@@ -5937,6 +5985,7 @@ LAZY_ORACLE_SQL: dict[str, Callable[[], str]] = {
     "images_phash_neardup": _sql_images_phash_neardup,
     "images_phash_recall": _sql_images_phash_recall,
     "images_embed_topk": _sql_images_embed_topk,
+    "images_blocklist_filter": _sql_images_blocklist_filter,
     "images_dual_neardup": _sql_images_dual_neardup,
     "images_select_corpus": _sql_images_select_corpus,
     "video_frame_sample": _sql_video_frame_sample,

@@ -294,3 +294,41 @@ def test_strip_image_metadata_pixels_and_jpeg(spark):
     assert bytes(j["bytes"]) == b"\xff\xd8" + dqt + sos
     assert got["o"]["n_stripped"] == 0
     assert bytes(got["o"]["bytes"]) == b"notanimage"
+
+
+def test_hash_blocklist_filter_matrix(spark):
+    """Verify predicate, banding recall boundary, multi-match audit,
+    and NULL-phash pass-through of multimodal.hash_blocklist_filter."""
+    from pholcus_spark import multimodal
+
+    H = 0x0123456789ABCDEF
+    rows = [
+        # exact hit: hamming 0 to H, 1 to H^1 -> matches BOTH entries
+        ("exact", H),
+        # 2 bits flipped inside band 0: bands 1-3 still match, verified
+        ("near2", H ^ 0b11),
+        # 8 bits flipped, all inside band 0: candidate via bands 1-3
+        # but hamming 8 (7 vs the H^1 entry) > 6 -> verify must reject
+        ("far8", H ^ 0xFF),
+        # hamming 5 spread so EVERY band differs (2/1/1/1): inside the
+        # hamming budget but invisible to 4x16 banding -> not blocked
+        # (the documented LSH recall boundary phash_recall_eval sizes)
+        ("spread5", H ^ ((0b11 << 0) | (1 << 16) | (1 << 32) | (1 << 48))),
+        # undecodable image: phash NULL rides through unblocked
+        ("nohash", None),
+    ]
+    hashes = spark.createDataFrame(rows, "image_id string, phash long")
+    bl = spark.createDataFrame([(H,), (H ^ 1,), (None,)], "phash long")
+    got = {
+        r["image_id"]: r
+        for r in multimodal.hash_blocklist_filter(hashes, bl).collect()
+    }
+    assert len(got) == 5
+    assert got["exact"]["blocked"] and got["exact"]["n_matched"] == 2
+    assert got["exact"]["matched_hash"] == min(H, H ^ 1)
+    assert got["near2"]["blocked"] and got["near2"]["n_matched"] == 2
+    assert not got["far8"]["blocked"]
+    assert got["far8"]["matched_hash"] is None
+    assert not got["spread5"]["blocked"]
+    assert not got["nohash"]["blocked"]
+    assert got["nohash"]["n_matched"] == 0
