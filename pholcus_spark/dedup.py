@@ -856,3 +856,68 @@ def mirror_collapse(
         F.col("doc_id").alias("host"),
         F.col("component_id").alias("canonical_host"),
     )
+
+
+def line_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 30,
+) -> DataFrame:
+    """Cross-corpus line-level exact dedup — the CCNet/Lee-et-al stage
+    that removes boilerplate lines (cookie banners, copyright footers,
+    nav text) repeated across pages while keeping each line's FIRST
+    occurrence (global order = min (doc_id, line_idx)).
+
+    Lines shorter than ``min_chars`` after normalization (trim +
+    casefold) are exempt — short lines ("ok", list bullets) repeat
+    legitimately and CCNet's hash-shard dedup skips them too.
+
+    Scale shape: explode is map-side; occurrence election is ONE
+    map-side-combined hash aggregate on the line fingerprint; the
+    winner table joins back on the same fingerprint key (Exchange
+    reuse — the agg output is already fp-partitioned); reconstruction
+    pays the one unavoidable doc_id shuffle that carries kept line
+    text (callers that only need flags can stop before it). The
+    fingerprint is md5 here for cross-engine verifiability; production
+    swaps xxhash64 without changing the plan.
+
+    Returns (doc_id, text_clean, n_lines, n_dropped)."""
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias(
+            "line_idx", "line"
+        ),
+    )
+    norm = F.lower(F.trim(F.col("line")))
+    lines = lines.withColumn("fp", F.md5(norm)).withColumn(
+        "eligible", F.length(norm) >= min_chars
+    )
+    firsts = (
+        lines.where(F.col("eligible"))
+        .groupBy("fp")
+        .agg(F.min(F.struct("doc_id", "line_idx")).alias("first"))
+    )
+    keep = (~F.col("eligible")) | (
+        (F.col("first.doc_id") == F.col("doc_id"))
+        & (F.col("first.line_idx") == F.col("line_idx"))
+    )
+    kept = lines.join(firsts, "fp", "left").withColumn("keep", keep)
+    return kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(
+                            F.col("keep"),
+                            F.struct("line_idx", "line"),
+                        )
+                    )
+                ),
+                lambda x: x["line"],
+            ),
+        ).alias("text_clean"),
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
+    )

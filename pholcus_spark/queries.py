@@ -1864,6 +1864,67 @@ FROM ranked WHERE rn <= {TFIDF_K}
 """
 
 
+def q_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus line-level exact dedup (dedup.line_dedup) — the
+    CCNet boilerplate-removal stage. The fixture corpus is single-line
+    word soup, so a multi-line corpus is planted deterministically: a
+    cookie-banner line shared by every doc_id % 3 != 0, a copyright
+    footer shared per doc_id % 7 class, a unique body line, and a
+    short exempt line ("ok" < min_chars — repeats legitimately, never
+    dropped). The oracle plants identically and re-derives the
+    first-occurrence election with its own window, so the keep rule,
+    the exemption, and the ordered reconstruction are all
+    hash-checked."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    boil_a = F.lit(
+        "please accept our cookie policy before continuing to this site"
+    )
+    uniq = F.concat(F.lit("body: "), F.substring("text", 1, 80))
+    boil_b = F.concat(
+        F.lit("copyright notice for publisher group "),
+        (d % 7).cast("string"),
+        F.lit(" all rights reserved"),
+    )
+    body = F.concat_ws("\n", uniq, boil_b, F.lit("ok"))
+    planted = F.when(d % 3 != 0, F.concat_ws("\n", boil_a, body)).otherwise(
+        body
+    )
+    return dedup.line_dedup(
+        docs.select("doc_id", planted.alias("text")), min_chars=20
+    )
+
+
+SQL_TEXT_LINE_DEDUP = """
+WITH t AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 != 0
+         THEN 'please accept our cookie policy before continuing to this site'
+              || chr(10) ELSE '' END
+    || 'body: ' || substr(text, 1, 80) || chr(10)
+    || 'copyright notice for publisher group ' || CAST(doc_id % 7 AS VARCHAR)
+    || ' all rights reserved' || chr(10) || 'ok' AS text
+  FROM documents),
+p AS (SELECT doc_id, string_split(text, chr(10)) AS parts FROM t),
+l AS (SELECT doc_id, u.line_idx, u.line
+      FROM p, UNNEST(list_transform(parts,
+               (x, i) -> struct_pack(line_idx := i - 1, line := x))) AS r(u)),
+k AS (SELECT doc_id, line_idx, line,
+        CASE WHEN length(lower(trim(line))) < 20 THEN TRUE
+             ELSE ROW_NUMBER() OVER (
+                    PARTITION BY CASE WHEN length(lower(trim(line))) >= 20
+                                      THEN lower(trim(line)) END
+                    ORDER BY doc_id, line_idx) = 1 END AS keep
+      FROM l)
+SELECT doc_id,
+  string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY line_idx)
+    AS text_clean,
+  CAST(COUNT(*) AS BIGINT) AS n_lines,
+  CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+FROM k GROUP BY doc_id
+"""
+
+
 def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub (textops.pii_columns): count + redact emails, phones,
     IPv4s. The fixture corpus is clean, so PII is planted
@@ -5806,6 +5867,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_repetition": q_text_repetition,
     "text_bm25": q_text_bm25,
     "text_pii_redact": q_text_pii_redact,
+    "text_line_dedup": q_text_line_dedup,
     "text_entropy": q_text_entropy,
     "text_unigram_nll": q_text_unigram_nll,
     "text_tfidf_topk": q_text_tfidf_topk,
@@ -5934,6 +5996,7 @@ ORACLE_SQL: dict[str, str] = {
     "text_repetition": SQL_TEXT_REPETITION,
     "text_bm25": SQL_TEXT_BM25,
     "text_pii_redact": SQL_TEXT_PII_REDACT,
+    "text_line_dedup": SQL_TEXT_LINE_DEDUP,
     "text_entropy": SQL_TEXT_ENTROPY,
     "text_unigram_nll": SQL_TEXT_UNIGRAM_NLL,
     "text_tfidf_topk": SQL_TEXT_TFIDF_TOPK,

@@ -431,3 +431,37 @@ def test_mirror_hosts_cap_drops_ubiquitous_key(spark):
         pages, min_shared=1, min_jaccard_milli=0, max_hosts_per_key=0
     ).collect()
     assert len(uncapped) == 15
+
+
+def test_line_dedup_first_occurrence_and_exemptions(spark):
+    """Cross-doc dup keeps only the global first occurrence; a dup
+    WITHIN one doc drops its second copy; short lines are exempt;
+    normalization (trim+case) detects dups but output preserves the
+    original line text."""
+    from pholcus_spark.dedup import line_dedup
+
+    long_a = "this is a long boilerplate line for dedup"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{long_a}\nok\nunique line in doc one here"),
+            # same line twice in one doc: idx 0 dropped (doc 1 idx 0 wins),
+            # idx 2 dropped too
+            (2, f"{long_a}\nok\n{long_a}"),
+            # case/whitespace variant: still a dup, drops
+            (3, f"  {long_a.upper()}  \nunique line in doc three"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in line_dedup(docs, min_chars=10).collect()}
+    assert got[1]["text_clean"] == (
+        f"{long_a}\nok\nunique line in doc one here"
+    )
+    assert got[1]["n_dropped"] == 0
+    assert got[2]["text_clean"] == "ok"
+    assert got[2]["n_dropped"] == 2
+    # original (uppercase, padded) text removed, unique line survives
+    assert got[3]["text_clean"] == "unique line in doc three"
+    assert got[3]["n_dropped"] == 1
+    assert got[1]["n_lines"] == 3
+    assert got[2]["n_lines"] == 3
+    assert got[3]["n_lines"] == 2
