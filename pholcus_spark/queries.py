@@ -1583,6 +1583,62 @@ FROM documents
 """
 
 
+CDX_SEGMENTS = 4
+
+
+def q_sink_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX URL index over the deterministic WARC segment layout
+    (sinks.cdx_index): SURT key, capture timestamp, segment file, byte
+    offset, record length. Everything is arithmetic the oracle can
+    replay — the portable-md5 segment assignment, the 195-byte framing
+    constant, and the per-segment url-ordered prefix sum — so a drifted
+    offset (an index that would seek into the wrong record at 100 TB)
+    breaks the hash."""
+    from . import sinks
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("http://sub"), (d % 7).cast("string"),
+        F.lit(".host"), (d % 50).cast("string"),
+        F.lit(".example.com/doc/"), d.cast("string"),
+    )
+    items = docs.select(
+        url.alias("url"),
+        F.encode("text", "UTF-8").alias("bytes"),
+        F.lit("2024-01-01 00:00:00").alias("download_time"),
+    )
+    return sinks.cdx_index(items, n_segments=CDX_SEGMENTS)
+
+
+SQL_SINK_CDX_INDEX = f"""
+WITH d AS (
+  SELECT 'http://sub' || CAST(doc_id % 7 AS VARCHAR)
+         || '.host' || CAST(doc_id % 50 AS VARCHAR)
+         || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+         octet_length(encode(text)) AS plen
+  FROM documents),
+r AS (
+  SELECT url,
+         CAST(195 + length(url) + length(CAST(plen AS VARCHAR)) + plen
+              AS BIGINT) AS record_len,
+         {_h60_sql('url')} % {CDX_SEGMENTS} AS seg
+  FROM d)
+SELECT concat(array_to_string(list_reverse(string_split(
+           regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1), '.')), ','),
+         ')', regexp_extract(url, '^[A-Za-z]+://[^/?#]*([^?#]*)', 1)) AS surt,
+       url,
+       '20240101000000' AS ts,
+       'seg-' || lpad(CAST(seg AS VARCHAR), 5, '0') || '.warc' AS segment,
+       CAST(coalesce(SUM(record_len) OVER (
+              PARTITION BY seg ORDER BY url
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS offset,
+       record_len
+FROM r
+"""
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline ops: dedup / text / fingerprints
 
@@ -5836,6 +5892,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sink_mongo_shape": q_sink_mongo_shape,
     "sink_beanstalk_shape": q_sink_beanstalk_shape,
     "sink_warc_shape": q_sink_warc_shape,
+    "sink_cdx_index": q_sink_cdx_index,
     # training-data pipeline: dedup + text analysis
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -5966,6 +6023,7 @@ ORACLE_SQL: dict[str, str] = {
     "sink_mongo_shape": SQL_SINK_MONGO_SHAPE,
     "sink_beanstalk_shape": SQL_SINK_BEANSTALK_SHAPE,
     "sink_warc_shape": SQL_SINK_WARC_SHAPE,
+    "sink_cdx_index": SQL_SINK_CDX_INDEX,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
     "dedup_minhash_verified": SQL_DEDUP_MINHASH_VERIFIED,

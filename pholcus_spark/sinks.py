@@ -366,6 +366,7 @@ def warc_records(
     url_col: str = "url",
     bytes_col: str = "bytes",
     time_col: str = "download_time",
+    extra_cols: tuple = (),
 ) -> DataFrame:
     """Crawl-archive records in WARC/1.0 framing (ISO 28500) — the
     interchange format real crawl pipelines (Common Crawl, Heritrix)
@@ -405,6 +406,7 @@ def warc_records(
         F.col(url_col).alias("url"),
         F.length(record).alias("record_len"),
         record.alias("record"),
+        *extra_cols,
     )
 
 
@@ -496,3 +498,112 @@ def read_warc_file(path: str) -> list[dict]:
     """Parse one WARC segment back into records (the verification
     twin of ``warc_records``; driver-side, test/audit-sized)."""
     return _parse_warc_bytes(open(path, "rb").read())
+
+
+def _warc_segment(url_col: str, n_segments: int):
+    """Deterministic segment assignment shared by the segmented writer
+    and the CDX index: portable 60-bit md5 (not xxhash64) so a foreign
+    engine — and the DuckDB oracle — can recompute the placement."""
+    from .textops import md5_long
+
+    return F.pmod(md5_long(F.col(url_col)), F.lit(n_segments)).cast("int")
+
+
+def write_warc_segments(
+    items: DataFrame,
+    out_dir: str,
+    n_segments: int = 8,
+    url_col: str = "url",
+    **kw,
+) -> None:
+    """Land WARC records into a DETERMINISTIC segment layout — the one
+    ``cdx_index`` predicts byte offsets for. Each record's segment is a
+    pure function of its url (``_warc_segment``) and records sort by
+    url inside a segment, so re-exports are byte-identical per segment
+    file regardless of input partitioning or cluster width (unlike
+    ``write_warc``'s partition-shaped segments).
+
+    One Exchange on segment id; the in-partition sort feeds sequential
+    appends. Several segments may share a task (hash collision) — the
+    writer splits files on the segment boundary, so the on-disk layout
+    is exactly one ``seg-%05d.warc`` per segment id."""
+    os.makedirs(out_dir, exist_ok=True)
+    recs = (
+        warc_records(items, url_col=url_col, **kw)
+        .withColumn("segment", _warc_segment("url", n_segments))
+        .repartition(n_segments, "segment")
+        .sortWithinPartitions("segment", "url")
+    )
+
+    def _write(rows) -> None:
+        cur, buf = None, []
+
+        def _flush() -> None:
+            if cur is not None and buf:
+                path = os.path.join(out_dir, f"seg-{cur:05d}.warc")
+                with open(path, "wb") as f:
+                    f.write(b"".join(buf))
+
+        for r in rows:
+            if r["segment"] != cur:
+                _flush()
+                cur, buf = r["segment"], []
+            buf.append(bytes(r["record"]))
+        _flush()
+
+    recs.foreachPartition(_write)
+
+
+def cdx_index(
+    items: DataFrame,
+    n_segments: int = 8,
+    url_col: str = "url",
+    bytes_col: str = "bytes",
+    time_col: str = "download_time",
+) -> DataFrame:
+    """CDX-style URL index over the ``write_warc_segments`` layout —
+    the Common Crawl / Wayback lookup artifact: for every capture, a
+    SURT-keyed row naming the segment file, byte offset, and record
+    length, so a reader fetches one record with a ranged read instead
+    of scanning segments. Sorting/range-partitioning the output by
+    ``surt`` gives the per-domain locality the CDX layout exists for
+    (``urlnorm.surt_key_col``).
+
+    Scale shape: framing lengths come from ``warc_records``'s codegen
+    arithmetic map-side and the record BYTES are projected away before
+    the shuffle — only (url, ts, record_len) moves. Offsets are one
+    prefix-sum window over the same (segment, url) partitioning the
+    writer uses, so index and files agree byte-for-byte (verified in
+    tests by seeking each (offset, len) and re-parsing the record).
+
+    Returns (surt, url, ts, segment, offset, record_len)."""
+    from .urlnorm import surt_key_col
+
+    ts = F.date_format(
+        F.to_timestamp(F.col(time_col)), "yyyyMMddHHmmss"
+    ).alias("ts")
+    recs = warc_records(
+        items,
+        url_col=url_col,
+        bytes_col=bytes_col,
+        time_col=time_col,
+        extra_cols=(ts,),
+    ).select("url", "record_len", "ts")
+    recs = recs.withColumn("segment", _warc_segment("url", n_segments))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("segment")
+        .orderBy("url")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return recs.select(
+        surt_key_col(F.col("url")).alias("surt"),
+        "url",
+        "ts",
+        F.format_string("seg-%05d.warc", "segment").alias("segment"),
+        F.coalesce(F.sum("record_len").over(w), F.lit(0))
+        .cast("long")
+        .alias("offset"),
+        F.col("record_len").cast("long").alias("record_len"),
+    )

@@ -327,3 +327,49 @@ def test_read_warc_distributed_roundtrip(spark, tmp_store_dir):
         assert got[url]["record_id"].startswith("<urn:pholcus:")
     # the read is distributed: one input partition per segment file
     assert back.rdd.getNumPartitions() >= 1
+
+
+def test_cdx_index_matches_segment_bytes(spark, tmp_store_dir):
+    """The CDX index's (segment, offset, record_len) triples must agree
+    byte-for-byte with the files write_warc_segments lands: a ranged
+    read at each offset parses exactly one record with the row's url,
+    and each file's size equals its record_len sum. Also: the layout is
+    deterministic under different input partitioning."""
+    from pholcus_spark.sinks import (
+        _parse_warc_bytes,
+        cdx_index,
+        write_warc_segments,
+    )
+
+    rows = [
+        (f"http://s{i % 3}.h{i % 5}.test/d/{i}",
+         bytearray((b"x" * (i % 17)) + f"payload-{i}".encode()),
+         "2024-03-01 00:00:00")
+        for i in range(50)
+    ]
+    schema = "url string, bytes binary, download_time string"
+    df = spark.createDataFrame(rows, schema).repartition(7)
+    out = os.path.join(tmp_store_dir, "cdx_segs")
+    write_warc_segments(df, out, n_segments=4)
+
+    idx = cdx_index(df, n_segments=4).collect()
+    assert len(idx) == 50
+    assert all(r["ts"] == "20240301000000" for r in idx)
+    assert idx[0]["surt"].startswith("test,")
+    per_seg: dict[str, int] = {}
+    for r in idx:
+        data = open(os.path.join(out, r["segment"]), "rb").read()
+        recs = _parse_warc_bytes(
+            data[r["offset"]:r["offset"] + r["record_len"]]
+        )
+        assert len(recs) == 1
+        assert recs[0]["headers"]["WARC-Target-URI"] == r["url"]
+        per_seg[r["segment"]] = per_seg.get(r["segment"], 0) + r["record_len"]
+    for seg, tot in per_seg.items():
+        assert os.path.getsize(os.path.join(out, seg)) == tot
+
+    # deterministic: a single-partition input produces the same index
+    idx2 = cdx_index(
+        spark.createDataFrame(rows, schema).coalesce(1), n_segments=4
+    ).collect()
+    assert sorted(map(tuple, idx)) == sorted(map(tuple, idx2))
