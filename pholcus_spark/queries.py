@@ -2203,6 +2203,93 @@ WHERE jaccard >= {JACCARD_THRESHOLD}
 """
 
 
+MINHASH_RECALL_THRESHOLD = 0.15
+RECALL_CLONE_MOD = 11
+
+
+def q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash banding recall vs exact Jaccard ground truth
+    (dedup.minhash_recall_eval). Near-dups are planted with a KNOWN
+    jaccard spread: every doc_id % 11 == 0 doc gets a clone truncated
+    to (20 + (doc_id%7)·12)% of its words — jaccard ≈ that fraction,
+    spanning ~0.2 (usually missed by 8×2 banding) to ~0.9 (always
+    caught), so the caught flag is exercised both ways. The oracle
+    replays the planting, the brute-force truth join, every minhash
+    component, and the band collision — a drifted hash or band slice
+    flips a boolean and breaks the hash."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    d = F.col("doc_id")
+    ws = F.split(F.col("text"), " ")
+    keep = F.greatest(
+        F.lit(3),
+        F.floor(F.size(ws) * (20 + (d % 7) * 12) / 100).cast("int"),
+    )
+    clones = docs.filter(d % RECALL_CLONE_MOD == 0).select(
+        (d + 10_000_000).alias("doc_id"),
+        "lang",
+        F.array_join(F.slice(ws, F.lit(1), keep), " ").alias("text"),
+    )
+    return dedup.minhash_recall_eval(
+        docs.unionByName(clones), threshold=MINHASH_RECALL_THRESHOLD
+    )
+
+
+def _minhash_recall_sql() -> str:
+    mh_cols = ",\n         ".join(
+        "coalesce(list_min(list_transform(sh, x -> "
+        + _h60_sql(f"concat('{i}|', x)")
+        + f")), -1) AS mh{i}"
+        for i in range(MINHASH_K)
+    )
+    n_bands = MINHASH_K // MINHASH_BAND_ROWS
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        f"md5(concat_ws('-', mh{b * MINHASH_BAND_ROWS}, "
+        f"mh{b * MINHASH_BAND_ROWS + 1})) AS band_key FROM sig"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH cl AS (
+  SELECT doc_id + 10000000 AS doc_id, lang,
+         array_to_string(list_slice(string_split(text, ' '), 1,
+           greatest(3, (len(string_split(text, ' '))
+                        * (20 + (doc_id % 7) * 12)) // 100)), ' ') AS text
+  FROM documents WHERE doc_id % {RECALL_CLONE_MOD} = 0),
+corpus AS (
+  SELECT doc_id, lang, text FROM documents
+  UNION ALL SELECT doc_id, lang, text FROM cl),
+w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM corpus),
+s AS (SELECT doc_id, lang,
+             list_transform(range(0, greatest(len(ws) - 2, 0)),
+                            i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])
+               AS sh
+      FROM w),
+d AS (SELECT doc_id, lang AS block, list_distinct(sh) AS sh FROM s),
+truth AS (
+  SELECT doc_a, doc_b, jaccard FROM (
+    SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+           round(CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(l.sh, r.sh))), 4) AS jaccard
+    FROM d l JOIN d r ON l.block = r.block AND l.doc_id < r.doc_id) t
+  WHERE jaccard >= {MINHASH_RECALL_THRESHOLD}),
+sig AS (SELECT doc_id,
+         {mh_cols}
+        FROM s),
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r USING (band_idx, band_key)
+  WHERE l.doc_id < r.doc_id)
+SELECT t.doc_a, t.doc_b, t.jaccard,
+       c.doc_a IS NOT NULL AS caught
+FROM truth t LEFT JOIN cand c
+  ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+"""
+
+
+SQL_DEDUP_MINHASH_RECALL = _minhash_recall_sql()
+
+
 DUP_SPAN_K = 5
 
 
@@ -5914,6 +6001,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "training_source_cap": q_training_source_cap,
     "corpus_stats": q_corpus_stats,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_recall": q_dedup_minhash_recall,
     "dedup_duplicate_spans": q_dedup_duplicate_spans,
     "dedup_strip_spans": q_dedup_strip_spans,
     "dedup_simhash": q_dedup_simhash,
@@ -6044,6 +6132,7 @@ ORACLE_SQL: dict[str, str] = {
     "training_source_cap": SQL_TRAINING_SOURCE_CAP,
     "corpus_stats": SQL_CORPUS_STATS,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+    "dedup_minhash_recall": SQL_DEDUP_MINHASH_RECALL,
     "dedup_duplicate_spans": SQL_DEDUP_DUPLICATE_SPANS,
     "dedup_strip_spans": SQL_DEDUP_STRIP_SPANS,
     "dedup_simhash": SQL_DEDUP_SIMHASH,

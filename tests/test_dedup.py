@@ -465,3 +465,23 @@ def test_line_dedup_first_occurrence_and_exemptions(spark):
     assert got[1]["n_lines"] == 3
     assert got[2]["n_lines"] == 3
     assert got[3]["n_lines"] == 2
+
+
+def test_minhash_recall_eval_catches_exact_dup_misses_disjoint(spark):
+    """An exact duplicate (jaccard 1.0) must be in truth AND caught
+    (identical signatures collide in every band). A near-miss pair
+    below the threshold never appears in truth."""
+    from pholcus_spark.dedup import minhash_recall_eval
+
+    body = " ".join(f"w{i}" for i in range(40))
+    other = " ".join(f"z{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, "en", body), (2, "en", body), (3, "en", other)],
+        "doc_id long, lang string, text string",
+    )
+    rows = minhash_recall_eval(docs, threshold=0.5).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert r["jaccard"] == 1.0
+    assert r["caught"] is True
