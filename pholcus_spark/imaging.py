@@ -214,3 +214,38 @@ def dhash64(arr: np.ndarray) -> int:
 
 def hamming64(a: int, b: int) -> int:
     return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+
+def apply_exif_orientation(arr: np.ndarray, orientation: int) -> np.ndarray:
+    """Upright a pixel array per TIFF/EXIF orientation 1-8 — the same
+    transform table PIL's ``ImageOps.exif_transpose`` applies (i.e. the
+    INVERSE of the camera rotation the tag records):
+
+      1 identity            5 transpose (TL-BR diagonal flip)
+      2 mirror horizontal   6 rotate 90° CW
+      3 rotate 180°         7 transverse (TR-BL diagonal flip)
+      4 mirror vertical     8 rotate 270° CW
+
+    Orientations 5-8 swap width and height. Unknown values pass
+    through untouched (cameras write garbage tags; fail open like
+    every production pipeline). Pure-numpy shared kernel so the
+    engine UDF and the oracle's driver-side recompute are the same
+    code path."""
+    o = int(orientation)
+    if o == 2:
+        out = arr[:, ::-1]
+    elif o == 3:
+        out = arr[::-1, ::-1]
+    elif o == 4:
+        out = arr[::-1, :]
+    elif o == 5:
+        out = np.transpose(arr, (1, 0, 2))
+    elif o == 6:
+        out = np.rot90(arr, k=-1)
+    elif o == 7:
+        out = np.transpose(arr[::-1, ::-1], (1, 0, 2))
+    elif o == 8:
+        out = np.rot90(arr, k=1)
+    else:
+        out = arr
+    return np.ascontiguousarray(out)

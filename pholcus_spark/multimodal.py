@@ -960,6 +960,67 @@ def strip_image_metadata(images: DataFrame) -> DataFrame:
     )
 
 
+def normalize_orientation(
+    images: DataFrame, orientation_col: str = "orientation"
+) -> DataFrame:
+    """EXIF-orientation normalization — the upright-pixels fix every
+    image-training pipeline applies before crops/augments (a rotated
+    tensor silently poisons augmentation geometry and any
+    position-sensitive model). Rotates/mirrors pixels per the
+    orientation tag (``imaging.apply_exif_orientation``, the
+    ``ImageOps.exif_transpose`` table) and re-encodes in the source
+    format; orientations 5-8 swap w and h. Unknown/absent tags pass
+    through untouched (fail open — cameras write garbage).
+
+    The orientation column comes from the metadata-decode stage (real
+    EXIF parse on a production corpus; planted deterministically in
+    the registry fixture). Arrow-batched ``mapInPandas`` over
+    (image_id, bytes, fmt, orientation) — scales like decode/resize;
+    no shuffle anywhere.
+
+    Returns (image_id, bytes, fmt, orientation, w, h, transformed)."""
+    out_schema = (
+        "image_id string, bytes binary, fmt string,"
+        " orientation int, w int, h int, transformed boolean"
+    )
+
+    def _upright(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .imaging import apply_exif_orientation
+
+        for pdf in pdf_iter:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                o = int(r.orientation) if r.orientation is not None else 1
+                arr = decode_image(bytes(r.bytes), r.fmt)
+                changed = 2 <= o <= 8
+                if changed:
+                    arr = apply_exif_orientation(arr, o)
+                    data = encode_image(arr, r.fmt)
+                else:
+                    data = bytes(r.bytes)
+                rows.append(
+                    {
+                        "image_id": r.image_id,
+                        "bytes": data,
+                        "fmt": r.fmt,
+                        "orientation": o,
+                        "w": arr.shape[1],
+                        "h": arr.shape[0],
+                        "transformed": changed,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "bytes", "fmt", "orientation",
+                         "w", "h", "transformed"],
+            )
+
+    return images.select(
+        "image_id", "bytes", "fmt",
+        F.col(orientation_col).cast("int").alias("orientation"),
+    ).mapInPandas(_upright, out_schema)
+
+
 EMBED_DIM_CELLS = 4  # 4x4 grid x 3 channels = 48-dim
 
 

@@ -4104,6 +4104,68 @@ WHERE rank <= 5
 """
 
 
+def q_images_orientation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF-orientation normalization (multimodal.normalize_orientation):
+    orientation (doc_id % 8) + 1 is planted on the synthetic corpus, so
+    all eight transform table rows are exercised at any sf. The oracle
+    recomputes every output — including the re-encoded byte length —
+    driver-side through the identical decode → upright → encode path
+    (lazy VALUES): a wrong rotation direction, a missed w/h swap, or a
+    re-encode drift all break the hash."""
+    imgs = _synthetic_images(spark, sf_dir, max_docs=PHASH_ORACLE_DOCS)
+    doc_num = F.split(F.col("image_id"), "-").getItem(1).cast("long")
+    planted = imgs.withColumn(
+        "orientation", ((doc_num % 8) + 1).cast("int")
+    )
+    out = multimodal.normalize_orientation(planted)
+    return out.select(
+        "image_id",
+        F.col("orientation").cast("long").alias("orientation"),
+        "fmt",
+        F.col("w").cast("long").alias("w"),
+        F.col("h").cast("long").alias("h"),
+        F.length("bytes").cast("long").alias("n_bytes"),
+        "transformed",
+    )
+
+
+@lru_cache(maxsize=1)
+def _orientation_values() -> str:
+    from . import synthetic
+    from .imaging import apply_exif_orientation, decode_image, encode_image
+
+    vals = []
+    for doc_id in range(PHASH_ORACLE_DOCS):
+        arr, fmt = synthetic.image_for_doc(doc_id)
+        data = encode_image(arr, fmt)
+        o = (doc_id % 8) + 1
+        transformed = 2 <= o <= 8
+        if transformed:
+            up = apply_exif_orientation(decode_image(data, fmt), o)
+            data = encode_image(up, fmt)
+            h, w = up.shape[0], up.shape[1]
+        else:
+            h, w = arr.shape[0], arr.shape[1]
+        vals.append(
+            f"({doc_id}, {o}, '{fmt}', {w}, {h}, {len(data)},"
+            f" {str(transformed).upper()})"
+        )
+    return ", ".join(vals)
+
+
+@lru_cache(maxsize=1)
+def _sql_images_orientation() -> str:
+    return f"""
+WITH ov(doc_id, orientation, fmt, w, h, n_bytes, transformed) AS
+  (VALUES {_orientation_values()})
+SELECT 'doc-' || CAST(ov.doc_id AS VARCHAR) AS image_id,
+       CAST(orientation AS BIGINT) AS orientation, fmt,
+       CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+       CAST(n_bytes AS BIGINT) AS n_bytes, transformed
+FROM ov JOIN documents t ON t.doc_id = ov.doc_id
+"""
+
+
 def q_images_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-blocklist safety gate (multimodal.hash_blocklist_filter):
     flag every image whose phash is within 6 bits of a curated
@@ -6033,6 +6095,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "images_patch_budget": q_images_patch_budget,
     "images_metadata_strip": q_images_metadata_strip,
     "images_phash_recall": q_images_phash_recall,
+    "images_orientation": q_images_orientation,
     "images_embed_topk": q_images_embed_topk,
     "images_blocklist_filter": q_images_blocklist_filter,
     "images_caption_align": q_images_caption_align,
@@ -6194,6 +6257,7 @@ ORACLE_SQL: dict[str, str] = {
 LAZY_ORACLE_SQL: dict[str, Callable[[], str]] = {
     "images_phash_neardup": _sql_images_phash_neardup,
     "images_phash_recall": _sql_images_phash_recall,
+    "images_orientation": _sql_images_orientation,
     "images_embed_topk": _sql_images_embed_topk,
     "images_blocklist_filter": _sql_images_blocklist_filter,
     "images_dual_neardup": _sql_images_dual_neardup,

@@ -332,3 +332,42 @@ def test_hash_blocklist_filter_matrix(spark):
     assert not got["spread5"]["blocked"]
     assert not got["nohash"]["blocked"]
     assert got["nohash"]["n_matched"] == 0
+
+
+def test_normalize_orientation_uprights_all_eight_tags(spark):
+    """For every EXIF tag 1-8: store the camera-rotated pixels (the
+    FORWARD rotation, i.e. the inverse of the fix), normalize, and the
+    decoded output must equal the upright original byte-for-byte (PNG
+    is lossless). 5-8 swap w/h; tag 1 and unknown tags pass the
+    payload through untouched."""
+    import numpy as np
+
+    from pholcus_spark.imaging import (
+        apply_exif_orientation,
+        decode_png,
+        encode_png,
+    )
+    from pholcus_spark.multimodal import normalize_orientation
+
+    rng = np.random.default_rng(3)
+    upright = rng.integers(0, 256, size=(6, 9, 3), dtype=np.uint8)
+    inverse = {1: 1, 2: 2, 3: 3, 4: 4, 5: 5, 6: 8, 7: 7, 8: 6, 99: 1}
+    rows = [
+        (f"o{o}", bytearray(
+            encode_png(apply_exif_orientation(upright, inverse[o]))
+        ), "png", o)
+        for o in (1, 2, 3, 4, 5, 6, 7, 8, 99)
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, fmt string, orientation int"
+    )
+    got = {r["image_id"]: r for r in normalize_orientation(df).collect()}
+    for o in range(1, 9):
+        r = got[f"o{o}"]
+        assert (r["w"], r["h"]) == (9, 6), o
+        assert np.array_equal(decode_png(bytes(r["bytes"])), upright), o
+        assert r["transformed"] == (o >= 2)
+    # unknown tag: untouched payload, original (stored) dims
+    r99 = got["o99"]
+    assert not r99["transformed"]
+    assert bytes(r99["bytes"]) == bytes(rows[-1][1])
