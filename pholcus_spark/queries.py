@@ -420,6 +420,108 @@ def q_sitemap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SITEMAP_NOW = "2025-01-15"
+
+
+def q_sitemap_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-metadata frontier ordering (sitemaps.entry_priority):
+    an entries frame planted by residue arithmetic exercises every
+    scoring branch — all seven changefreq tokens plus an unknown token
+    and NULL (both → the middle rank), absent <priority> (protocol
+    default 0.5), lastmod recency across every bucket including
+    future-dated and unparseable strings (fail-open +0), and the
+    kind/loc filters. The oracle recomputes the integer score formula
+    in DuckDB."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    freqs = ["always", "hourly", "daily", "weekly", "monthly", "yearly",
+             "never"]
+    freq = F.when(d % 13 == 0, F.lit("sometimes")).when(
+        d % 17 == 0, F.lit(None).cast("string")
+    )
+    for i, name in enumerate(freqs):
+        freq = freq.when(d % 7 == i, name)
+    lastmod_date = F.date_format(
+        F.date_add(F.lit("2024-01-01").cast("date"), (d % 400).cast("int")),
+        "yyyy-MM-dd",
+    )
+    lastmod = (
+        F.when(d % 19 == 0, F.lit(None).cast("string"))
+        .when(d % 37 == 0, F.lit("garbage"))
+        .when(d % 3 == 0, F.concat(lastmod_date, F.lit("T12:00:00+00:00")))
+        .otherwise(lastmod_date)
+    )
+    entries = docs.select(
+        F.concat(F.lit("h"), (d % 50).cast("string")).alias("host"),
+        F.lit("http://x.test/sitemap.xml").alias("src_url"),
+        F.when(d % 23 == 0, F.lit("sitemap")).otherwise(F.lit("url"))
+        .alias("kind"),
+        F.when(d % 29 == 0, F.lit(None).cast("string"))
+        .otherwise(
+            F.concat(F.lit("http://h"), (d % 50).cast("string"),
+                     F.lit(".test/p/"), d.cast("string"))
+        )
+        .alias("loc"),
+        lastmod.alias("lastmod"),
+        freq.alias("changefreq"),
+        F.when(d % 31 == 0, F.lit(None).cast("double"))
+        .otherwise((d % 11) * 0.1)
+        .alias("priority"),
+    )
+    return sitemaps.entry_priority(entries, now_date=SITEMAP_NOW).select(
+        "loc",
+        "host",
+        F.col("priority_int").cast("long").alias("priority_int"),
+    )
+
+
+SQL_SITEMAP_PRIORITY = f"""
+WITH e AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 23 = 0 THEN 'sitemap' ELSE 'url' END AS kind,
+    CASE WHEN doc_id % 29 = 0 THEN NULL
+         ELSE 'http://h' || CAST(doc_id % 50 AS VARCHAR) || '.test/p/'
+              || CAST(doc_id AS VARCHAR) END AS loc,
+    'h' || CAST(doc_id % 50 AS VARCHAR) AS host,
+    CASE WHEN doc_id % 19 = 0 THEN NULL
+         WHEN doc_id % 37 = 0 THEN 'garbage'
+         WHEN doc_id % 3 = 0 THEN
+           CAST(DATE '2024-01-01' + CAST(doc_id % 400 AS INT) AS VARCHAR)
+           || 'T12:00:00+00:00'
+         ELSE CAST(DATE '2024-01-01' + CAST(doc_id % 400 AS INT) AS VARCHAR)
+    END AS lastmod,
+    CASE WHEN doc_id % 13 = 0 THEN 'sometimes'
+         WHEN doc_id % 17 = 0 THEN NULL
+         WHEN doc_id % 7 = 0 THEN 'always'
+         WHEN doc_id % 7 = 1 THEN 'hourly'
+         WHEN doc_id % 7 = 2 THEN 'daily'
+         WHEN doc_id % 7 = 3 THEN 'weekly'
+         WHEN doc_id % 7 = 4 THEN 'monthly'
+         WHEN doc_id % 7 = 5 THEN 'yearly'
+         ELSE 'never' END AS changefreq,
+    CASE WHEN doc_id % 31 = 0 THEN NULL
+         ELSE (doc_id % 11) * 0.1 END AS priority
+  FROM documents),
+s AS (
+  SELECT *,
+    CASE lower(changefreq)
+         WHEN 'always' THEN 6 WHEN 'hourly' THEN 5 WHEN 'daily' THEN 4
+         WHEN 'weekly' THEN 3 WHEN 'monthly' THEN 2 WHEN 'yearly' THEN 1
+         WHEN 'never' THEN 0 ELSE 3 END AS freq_rank,
+    datediff('day', try_cast(substr(lastmod, 1, 10) AS DATE),
+             DATE '{SITEMAP_NOW}') AS days,
+    CAST(round(coalesce(priority, 0.5) * 10) AS INT) AS p10
+  FROM e WHERE kind = 'url' AND loc IS NOT NULL)
+SELECT loc, host,
+  CAST(p10 * 10 + freq_rank * 2 +
+    CASE WHEN days IS NULL OR days < 0 THEN 0
+         WHEN days <= 7 THEN 4 WHEN days <= 30 THEN 3
+         WHEN days <= 180 THEN 2 WHEN days <= 365 THEN 1
+         ELSE 0 END AS BIGINT) AS priority_int
+FROM s
+"""
+
+
 def q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Freshness scheduling (recrawl.revisit_schedule): visit history
     derived from events — every user a URL, every event a visit, the
@@ -6015,6 +6117,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_shard_assign": q_host_shard_assign,
     "robots_allow_filter": q_robots_allow_filter,
     "sitemap_ingest": q_sitemap_ingest,
+    "sitemap_priority": q_sitemap_priority,
     "robots_sitemap_discovery": q_robots_sitemap_discovery,
     "recrawl_schedule": q_recrawl_schedule,
     "rule_broadcast_join": q_rule_broadcast_join,
@@ -6148,6 +6251,7 @@ ORACLE_SQL: dict[str, str] = {
     "host_shard_assign": SQL_HOST_SHARD_ASSIGN,
     "robots_allow_filter": SQL_ROBOTS_ALLOW_FILTER,
     "sitemap_ingest": SQL_SITEMAP_INGEST,
+    "sitemap_priority": SQL_SITEMAP_PRIORITY,
     "robots_sitemap_discovery": SQL_ROBOTS_SITEMAP_DISCOVERY,
     "recrawl_schedule": SQL_RECRAWL_SCHEDULE,
     "rule_broadcast_join": SQL_RULE_BROADCAST_JOIN,

@@ -21,6 +21,7 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 SITEMAP_ENTRY_SCHEMA = T.StructType(
@@ -99,4 +100,57 @@ def parse_sitemaps(fetched: DataFrame) -> DataFrame:
 
     return fetched.select("host", "url", "body").mapInPandas(
         _parse, SITEMAP_ENTRY_SCHEMA
+    )
+
+
+CHANGEFREQ_RANK = {
+    "always": 6, "hourly": 5, "daily": 4, "weekly": 3,
+    "monthly": 2, "yearly": 1, "never": 0,
+}
+_FREQ_DEFAULT = 3  # no hint / unknown token -> middle of the scale
+
+
+def entry_priority(
+    entries: DataFrame,
+    now_date: str,
+    p_weight: int = 10,
+    f_weight: int = 2,
+) -> DataFrame:
+    """Fold sitemap metadata into the frontier's integer ``priority``
+    column — the first-crawl twin of ``hostrank.apply_authority`` and
+    ``frontier.focused_priority``: the site's own `<priority>`,
+    `<changefreq>`, and `<lastmod>` hints become the dispatch order,
+    so `select_batch`'s priority-ordered dequeue crawls what the site
+    says matters first, with no new machinery.
+
+    ``priority_int = round(10·priority)·p_weight + freq_rank·f_weight
+    + recency`` — all integer: `<priority>` defaults to the
+    protocol's 0.5 when absent; changefreq ranks always=6 → never=0
+    (unknown/absent = 3); recency buckets days since lastmod at
+    ``now_date`` (≤7 → +4, ≤30 → +3, ≤180 → +2, ≤365 → +1, older /
+    unparseable / future-dated → +0 — garbage lastmods fail open).
+
+    Pure codegen projection over `parse_sitemaps` output (``kind =
+    'url'`` rows only); ``now_date`` is an explicit parameter so runs
+    are reproducible. Zero shuffle at any corpus size."""
+    freq = F.lower(F.col("changefreq"))
+    freq_rank = F.lit(_FREQ_DEFAULT)
+    for name, rank in CHANGEFREQ_RANK.items():
+        freq_rank = F.when(freq == name, rank).otherwise(freq_rank)
+    lastmod_day = F.expr("try_cast(substring(lastmod, 1, 10) AS DATE)")
+    days = F.datediff(F.lit(now_date).cast("date"), lastmod_day)
+    recency = (
+        F.when(days.isNull() | (days < 0), 0)
+        .when(days <= 7, 4)
+        .when(days <= 30, 3)
+        .when(days <= 180, 2)
+        .when(days <= 365, 1)
+        .otherwise(0)
+    )
+    p10 = F.round(F.coalesce(F.col("priority"), F.lit(0.5)) * 10).cast("int")
+    return entries.where(
+        (F.col("kind") == "url") & F.col("loc").isNotNull()
+    ).withColumn(
+        "priority_int",
+        (p10 * p_weight + freq_rank * f_weight + recency).cast("int"),
     )

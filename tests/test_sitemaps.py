@@ -60,3 +60,46 @@ def test_malformed_and_irrelevant_inputs_drop(spark):
     assert len(rows) == 1
     assert rows[0]["loc"] == "http://h.test/x"
     assert rows[0]["priority"] is None
+
+
+def test_entry_priority_scores_through_real_parser(spark):
+    """XML → parse_sitemaps → entry_priority end-to-end: a fresh
+    always-changing priority-1.0 page must outrank a stale never-
+    changing priority-0.1 page; index rows (kind='sitemap') are
+    excluded; absent tags take the protocol defaults."""
+    from pholcus_spark.sitemaps import entry_priority, parse_sitemaps
+
+    xml = (
+        '<?xml version="1.0"?>'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<url><loc>http://a.test/hot</loc><lastmod>2025-01-14</lastmod>"
+        "<changefreq>always</changefreq><priority>1.0</priority></url>"
+        "<url><loc>http://a.test/cold</loc><lastmod>2020-01-01</lastmod>"
+        "<changefreq>never</changefreq><priority>0.1</priority></url>"
+        "<url><loc>http://a.test/bare</loc></url>"
+        "</urlset>"
+    )
+    idx = (
+        '<?xml version="1.0"?>'
+        '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<sitemap><loc>http://a.test/child.xml</loc></sitemap>"
+        "</sitemapindex>"
+    )
+    fetched = spark.createDataFrame(
+        [("a.test", "http://a.test/s.xml", xml),
+         ("a.test", "http://a.test/i.xml", idx)],
+        "host string, url string, body string",
+    )
+    out = {
+        r["loc"]: r["priority_int"]
+        for r in entry_priority(
+            parse_sitemaps(fetched), now_date="2025-01-15"
+        ).collect()
+    }
+    # hot: 10*10 + 6*2 + 4 = 116; cold: 1*10 + 0*2 + 0 = 10
+    # bare: defaults -> 5*10 + 3*2 + 0 = 56
+    assert out == {
+        "http://a.test/hot": 116,
+        "http://a.test/cold": 10,
+        "http://a.test/bare": 56,
+    }
