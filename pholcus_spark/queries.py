@@ -2083,6 +2083,81 @@ FROM k GROUP BY doc_id
 """
 
 
+def q_text_line_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-shape gates (textops.line_shape_stats /
+    line_shape_keep): bullet-line and ellipsis-line fractions,
+    symbol-to-word ratio, alphabetic-word fraction. The single-line
+    fixture corpus is re-planted with residue-controlled shapes —
+    0-3 bullet lines (all three bullet glyphs), 0-2 ellipsis lines
+    (both '...' and '…'), a hash-spam line on d%7, a numeric line on
+    d%11 — so every stat and the keep gate vary. The oracle recomputes
+    all of it over the same planted text with DuckDB's own list/regex
+    functions."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    planted = F.concat_ws(
+        "\n",
+        F.substring("text", 1, 60),
+        F.when(d % 4 >= 1, F.lit("- bullet one")),
+        F.when(d % 4 >= 2, F.lit("* bullet two")),
+        F.when(d % 4 >= 3, F.lit("• bullet three")),
+        F.when(d % 3 >= 1, F.lit("read the teaser...")),
+        F.when(d % 3 >= 2, F.lit("and more…")),
+        F.when(d % 7 == 0, F.lit("## ## tag # spam ##")),
+        F.when(d % 11 == 0, F.lit("1234 5678 9012 3456")),
+    )
+    s = textops.line_shape_stats(planted)
+    return docs.select(
+        "doc_id",
+        *[v.alias(k) for k, v in s.items()],
+        textops.line_shape_keep(planted).alias("keep"),
+    )
+
+
+SQL_TEXT_LINE_SHAPE = """
+WITH p AS (
+  SELECT doc_id,
+    concat_ws(chr(10), substr(text, 1, 60),
+      CASE WHEN doc_id % 4 >= 1 THEN '- bullet one' END,
+      CASE WHEN doc_id % 4 >= 2 THEN '* bullet two' END,
+      CASE WHEN doc_id % 4 >= 3 THEN '• bullet three' END,
+      CASE WHEN doc_id % 3 >= 1 THEN 'read the teaser...' END,
+      CASE WHEN doc_id % 3 >= 2 THEN 'and more…' END,
+      CASE WHEN doc_id % 7 = 0 THEN '## ## tag # spam ##' END,
+      CASE WHEN doc_id % 11 = 0 THEN '1234 5678 9012 3456' END) AS t
+  FROM documents),
+s AS (
+  SELECT doc_id,
+    string_split(t, chr(10)) AS lines,
+    string_split(t, ' ') AS ws,
+    length(t) - length(replace(t, '#', '')) AS hash_n,
+    length(t) - length(replace(t, '…', '')) AS uell_n,
+    (length(t) - length(replace(t, '...', ''))) / 3 AS dots_n
+  FROM p),
+m AS (
+  SELECT doc_id,
+    CAST(len(lines) AS BIGINT) AS n_lines,
+    len(list_filter(lines, l -> regexp_matches(ltrim(l), '^[-*•]')))
+      AS bullet,
+    len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$')))
+      AS ellipsis,
+    hash_n, uell_n, dots_n,
+    len(ws) AS n_words,
+    len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]'))) AS alpha
+  FROM s)
+SELECT doc_id, n_lines,
+  round(CAST(bullet AS DOUBLE) / n_lines, 4) AS frac_bullet_lines,
+  round(CAST(ellipsis AS DOUBLE) / n_lines, 4) AS frac_ellipsis_lines,
+  round((hash_n + uell_n + dots_n) / n_words, 4) AS symbol_word_ratio,
+  round(CAST(alpha AS DOUBLE) / n_words, 4) AS frac_alpha_words,
+  (round(CAST(bullet AS DOUBLE) / n_lines, 4) <= 0.9
+   AND round(CAST(ellipsis AS DOUBLE) / n_lines, 4) <= 0.3
+   AND round((hash_n + uell_n + dots_n) / n_words, 4) <= 0.1
+   AND round(CAST(alpha AS DOUBLE) / n_words, 4) >= 0.8) AS keep
+FROM m
+"""
+
+
 def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub (textops.pii_columns): count + redact emails, phones,
     IPv4s. The fixture corpus is clean, so PII is planted
@@ -6178,6 +6253,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bm25": q_text_bm25,
     "text_pii_redact": q_text_pii_redact,
     "text_line_dedup": q_text_line_dedup,
+    "text_line_shape": q_text_line_shape,
     "text_entropy": q_text_entropy,
     "text_unigram_nll": q_text_unigram_nll,
     "text_tfidf_topk": q_text_tfidf_topk,
@@ -6311,6 +6387,7 @@ ORACLE_SQL: dict[str, str] = {
     "text_bm25": SQL_TEXT_BM25,
     "text_pii_redact": SQL_TEXT_PII_REDACT,
     "text_line_dedup": SQL_TEXT_LINE_DEDUP,
+    "text_line_shape": SQL_TEXT_LINE_SHAPE,
     "text_entropy": SQL_TEXT_ENTROPY,
     "text_unigram_nll": SQL_TEXT_UNIGRAM_NLL,
     "text_tfidf_topk": SQL_TEXT_TFIDF_TOPK,

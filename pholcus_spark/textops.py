@@ -104,6 +104,67 @@ def quality_columns(text: Column) -> dict[str, Column]:
     }
 
 
+def line_shape_stats(text: Column) -> dict[str, Column]:
+    """Gopher's document-shape rules (Rae et al. 2021 §A1.1) that the
+    word-level gates above don't cover — the listy/teaser-page
+    signals: fraction of lines starting with a bullet (drop > 90%),
+    fraction ending in an ellipsis (drop > 30%), symbol-to-word ratio
+    for # and … (drop > 0.1), and fraction of words with ≥ 1
+    alphabetic character (drop < 80%).
+
+    All per-row JVM expressions — line stats are higher-order filters
+    over the split array, symbol counts are length-difference
+    arithmetic — zero Exchanges at any corpus size (same shape as
+    ``repetition_stats``). Ratios round to 4 for cross-engine
+    hashing."""
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines)
+    bullet = F.size(
+        F.filter(lines, lambda ln: F.ltrim(ln).rlike(r"^[-*•]"))
+    )
+    ellipsis = F.size(
+        F.filter(
+            lines, lambda ln: F.rtrim(ln).rlike(r"(\.\.\.|…)$")
+        )
+    )
+    hash_n = F.length(text) - F.length(F.replace(text, F.lit("#")))
+    uell_n = F.length(text) - F.length(F.replace(text, F.lit("…")))
+    dots_n = (
+        F.length(text) - F.length(F.replace(text, F.lit("...")))
+    ) / 3
+    ws = words(text)
+    n_words = F.size(ws)
+    alpha = F.size(F.filter(ws, lambda w: w.rlike("[a-zA-Z]")))
+    return {
+        "n_lines": n_lines.cast("long"),
+        "frac_bullet_lines": F.round(bullet / n_lines, 4),
+        "frac_ellipsis_lines": F.round(ellipsis / n_lines, 4),
+        "symbol_word_ratio": F.round(
+            (hash_n + uell_n + dots_n) / n_words, 4
+        ),
+        "frac_alpha_words": F.round(alpha / n_words, 4),
+    }
+
+
+def line_shape_keep(
+    text: Column,
+    max_bullet: float = 0.9,
+    max_ellipsis: float = 0.3,
+    max_symbol: float = 0.1,
+    min_alpha: float = 0.8,
+) -> Column:
+    """Boolean Gopher shape gate over ``line_shape_stats`` (thresholds
+    are the paper's); compare on the 4-rounded values so the gate is
+    bit-identical to any engine recomputing the stats."""
+    s = line_shape_stats(text)
+    return (
+        (s["frac_bullet_lines"] <= max_bullet)
+        & (s["frac_ellipsis_lines"] <= max_ellipsis)
+        & (s["symbol_word_ratio"] <= max_symbol)
+        & (s["frac_alpha_words"] >= min_alpha)
+    )
+
+
 def lang_pred(text: Column, threshold: float = 0.02) -> Column:
     """n-gram-heuristic language ID: classify as 'en' when the
     stopword-hit ratio clears the threshold, else 'unk'."""
