@@ -5168,6 +5168,99 @@ FROM r
 """
 
 
+def q_url_apply_param_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The apply half of DUST param mining (urlnorm.apply_param_rules):
+    strip learned (host, param) rules corpus-wide. Rules cover hosts
+    h0-h9 only (sid, utm_source, and the bare no-'=' key; q is a
+    strip=False decoy that must survive); URLs plant every branch by
+    residue — no query at all, rule-host vs unruled-host, emptied
+    query losing its '?', bare keys, and originals with every param
+    combination. The oracle re-runs the strip with DuckDB's own list
+    surgery."""
+    from . import urlnorm
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    q = F.concat_ws(
+        "&",
+        F.when(d % 2 == 0, F.concat(F.lit("sid="), (d % 7).cast("string"))),
+        F.concat(F.lit("q="), (d % 5).cast("string")),
+        F.when(d % 3 == 0, F.lit("utm_source=x")),
+        F.when(d % 11 == 0, F.lit("bare")),
+    )
+    url = F.concat(
+        F.lit("http://h"), (d % 20).cast("string"), F.lit(".test/p/"),
+        (d % 50).cast("string"),
+        F.when(d % 4 == 0, F.lit("")).otherwise(F.concat(F.lit("?"), q)),
+    )
+    urls = docs.select("doc_id", url.alias("url"))
+    rules = (
+        spark.range(10)
+        .select(
+            F.concat(F.lit("h"), F.col("id").cast("string"),
+                     F.lit(".test")).alias("host"),
+            F.explode(
+                F.array(F.lit("sid"), F.lit("utm_source"), F.lit("bare"))
+            ).alias("param"),
+            F.lit(True).alias("strip"),
+        )
+        .unionByName(
+            spark.range(10).select(
+                F.concat(F.lit("h"), F.col("id").cast("string"),
+                         F.lit(".test")).alias("host"),
+                F.lit("q").alias("param"),
+                F.lit(False).alias("strip"),
+            )
+        )
+    )
+    out = urlnorm.apply_param_rules(urls, rules)
+    return out.select(
+        "doc_id", "url", "url_clean",
+        F.col("n_stripped").cast("long").alias("n_stripped"),
+    )
+
+
+SQL_URL_APPLY_PARAM_RULES = """
+WITH u AS (
+  SELECT doc_id,
+    'http://h' || CAST(doc_id % 20 AS VARCHAR) || '.test/p/'
+    || CAST(doc_id % 50 AS VARCHAR)
+    || CASE WHEN doc_id % 4 = 0 THEN '' ELSE '?' || concat_ws('&',
+         CASE WHEN doc_id % 2 = 0
+              THEN 'sid=' || CAST(doc_id % 7 AS VARCHAR) END,
+         'q=' || CAST(doc_id % 5 AS VARCHAR),
+         CASE WHEN doc_id % 3 = 0 THEN 'utm_source=x' END,
+         CASE WHEN doc_id % 11 = 0 THEN 'bare' END) END AS url
+  FROM documents),
+dims AS (
+  SELECT 'h' || CAST(i AS VARCHAR) || '.test' AS host,
+         ['sid', 'utm_source', 'bare'] AS ps
+  FROM range(10) t(i)),
+j AS (
+  SELECT u.doc_id, u.url, d.ps,
+         CASE WHEN strpos(u.url, '?') > 0
+              THEN string_split(substr(u.url, strpos(u.url, '?') + 1), '&')
+         END AS toks
+  FROM u LEFT JOIN dims d
+    ON regexp_extract(u.url, '^[a-z]+://([^/?#]+)', 1) = d.host),
+k AS (
+  SELECT doc_id, url, ps, toks,
+         CASE WHEN toks IS NOT NULL AND ps IS NOT NULL THEN
+           list_filter(toks,
+                       t -> NOT list_contains(ps, split_part(t, '=', 1)))
+         END AS kept
+  FROM j)
+SELECT doc_id, url,
+  CASE WHEN toks IS NULL OR ps IS NULL THEN url
+       WHEN len(kept) > 0
+         THEN split_part(url, '?', 1) || '?' || array_to_string(kept, '&')
+       ELSE split_part(url, '?', 1) END AS url_clean,
+  CAST(CASE WHEN toks IS NULL OR ps IS NULL THEN 0
+            ELSE len(toks) - len(kept) END AS BIGINT) AS n_stripped
+FROM k
+"""
+
+
 def q_url_param_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tracking-parameter discovery (urlnorm.mine_param_rules) over a
     corpus holding all four variants of each page: with both params,
@@ -6189,6 +6282,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "main_text_extract": q_main_text_extract,
     "redirect_resolve": q_redirect_resolve,
     "url_param_rules": q_url_param_rules,
+    "url_apply_param_rules": q_url_apply_param_rules,
     "host_shard_assign": q_host_shard_assign,
     "robots_allow_filter": q_robots_allow_filter,
     "sitemap_ingest": q_sitemap_ingest,
@@ -6324,6 +6418,7 @@ ORACLE_SQL: dict[str, str] = {
     "main_text_extract": SQL_MAIN_TEXT_EXTRACT,
     "redirect_resolve": SQL_REDIRECT_RESOLVE,
     "url_param_rules": SQL_URL_PARAM_RULES,
+    "url_apply_param_rules": SQL_URL_APPLY_PARAM_RULES,
     "host_shard_assign": SQL_HOST_SHARD_ASSIGN,
     "robots_allow_filter": SQL_ROBOTS_ALLOW_FILTER,
     "sitemap_ingest": SQL_SITEMAP_INGEST,

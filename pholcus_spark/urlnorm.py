@@ -170,3 +170,61 @@ def mine_param_rules(pages, min_evidence: int = 3):
         (F.col("n_pairs") >= min_evidence)
         & (F.col("n_same") == F.col("n_pairs")),
     )
+
+
+def apply_param_rules(urls, rules):
+    """The apply half of ``mine_param_rules``: strip every learned
+    (host, param) from a URL column corpus-wide — the step that turns
+    the mined rules into fewer frontier variants and one seen-set
+    identity per real page. Surviving parameters keep their original
+    order; a query emptied entirely loses its '?'.
+
+    Scale shape: rules collapse to one param-array per host
+    (dimension-sized hash agg) and BROADCAST-join onto the corpus on
+    host — the corpus never shuffles; the strip itself is a
+    higher-order filter over the split query tokens, pure codegen.
+    Bare keys (no '=') match on the whole token.
+
+    Returns the input plus ``url_clean`` (and ``n_stripped``)."""
+    from pyspark.sql import functions as F
+
+    dims = (
+        rules.filter(F.col("strip"))
+        .groupBy("host")
+        .agg(F.collect_set("param").alias("_strip_params"))
+    )
+    host = F.regexp_extract("url", r"^[a-z]+://([^/?#]+)", 1)
+    with_host = urls.withColumn("_h", host).join(
+        F.broadcast(dims),
+        F.col("_h") == dims["host"],
+        "left",
+    ).drop(dims["host"])
+    toks = F.split(
+        F.expr("substring(url, instr(url, '?') + 1)"), "&"
+    )
+    kept = F.filter(
+        toks,
+        lambda t: ~F.array_contains(
+            F.col("_strip_params"), F.substring_index(t, "=", 1)
+        ),
+    )
+    rebuilt = F.concat(
+        F.substring_index("url", "?", 1),
+        F.when(
+            F.size(kept) > 0,
+            F.concat(F.lit("?"), F.array_join(kept, "&")),
+        ).otherwise(F.lit("")),
+    )
+    untouched = (~F.col("url").contains("?")) | F.col(
+        "_strip_params"
+    ).isNull()
+    return with_host.select(
+        *[c for c in urls.columns],
+        F.when(untouched, F.col("url")).otherwise(rebuilt).alias(
+            "url_clean"
+        ),
+        F.when(untouched, F.lit(0))
+        .otherwise(F.size(toks) - F.size(kept))
+        .cast("int")
+        .alias("n_stripped"),
+    )

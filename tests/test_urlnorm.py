@@ -106,3 +106,45 @@ def test_mine_param_rules_veto_and_threshold(spark):
             for r in urlnorm.mine_param_rules(multi, 1).collect()}
     assert got2["b"]["n_pairs"] == 1 and got2["b"]["strip"]
     assert got2["c"]["n_same"] == 0
+
+
+def test_apply_param_rules_composes_with_miner(spark):
+    """mine_param_rules → apply_param_rules end-to-end: a corpus where
+    sid never changes content and page always does must come back with
+    sid stripped everywhere (including multi-param URLs) and page kept;
+    hosts without rules and URLs without queries pass through."""
+    from pholcus_spark.urlnorm import apply_param_rules, mine_param_rules
+
+    rows = []
+    for p in range(4):
+        fp = f"fp-{p}"
+        rows += [
+            (f"http://m.test/a?page={p}", fp),
+            (f"http://m.test/a?page={p}&sid={p * 7}", fp),
+            (f"http://m.test/a?sid={p}", "fp-base"),
+            ("http://m.test/a", "fp-base"),
+        ]
+    rows.append(("http://other.test/x?sid=1", "fp-z"))
+    pages = spark.createDataFrame(
+        sorted(set(rows)), "url string, content_fp string"
+    )
+    rules = mine_param_rules(pages, min_evidence=3)
+    learned = {
+        (r["host"], r["param"]): r["strip"] for r in rules.collect()
+    }
+    assert learned[("m.test", "sid")] is True
+    assert learned[("m.test", "page")] is False
+
+    out = {
+        r["url"]: (r["url_clean"], r["n_stripped"])
+        for r in apply_param_rules(pages.select("url"), rules).collect()
+    }
+    assert out["http://m.test/a?page=2&sid=14"] == (
+        "http://m.test/a?page=2", 1
+    )
+    assert out["http://m.test/a?sid=3"] == ("http://m.test/a", 1)
+    assert out["http://m.test/a?page=1"] == ("http://m.test/a?page=1", 0)
+    assert out["http://m.test/a"] == ("http://m.test/a", 0)
+    assert out["http://other.test/x?sid=1"] == (
+        "http://other.test/x?sid=1", 0
+    )
