@@ -47,6 +47,111 @@ LEVELS = tuple(
 # with node count; one shared vda does not. tmpfs models that.
 STORE_BASE = os.environ.get("SCALING_STORE", "/dev/shm")
 
+# SCALING_JOB selects the workload: "crawl" (the frontier capacity
+# crawl above) or "image" (the training-data image pipeline: decode →
+# phash/dhash → banded near-dup verify + byte-exact dedup over a
+# pre-built parquet corpus — corpus GENERATION is outside the timer).
+# Both run under the same paired-alternation protocol; the image job
+# writes SCALING_IMAGE_LATEST.json so the crawl evidence is untouched.
+JOB = os.environ.get("SCALING_JOB", "crawl")
+IMG_COUNT = int(os.environ.get("SCALING_IMAGES", "30000"))
+IMG_PX = int(os.environ.get("SCALING_IMG_PX", "4"))
+RATE_KEYS = {
+    "crawl": ("urls_per_sec", "urls_per_sec_rounds"),
+    "image": ("images_per_sec", "images_per_sec"),
+}
+
+
+def run_worker_image(cores: int) -> None:
+    """One leg of the image-pipeline scaling job: the per-image stages
+    a 100 TB corpus pays per crawled image (decode, both perceptual
+    hashes, banded near-dup candidates verified by dual hamming, and
+    byte-exact md5 dedup), over a parquet corpus built executor-side
+    BEFORE the timer starts. Near-dups are planted (every id%5==1
+    clones id-1 with a corner nudge) so the band join does real verify
+    work, as on a crawled corpus."""
+    from pyspark.sql import functions as F
+
+    from pholcus_spark import multimodal
+    from pholcus_spark.session import get_spark
+
+    spark = get_spark(f"scaling-img-{cores}", cores=cores)
+    px = IMG_PX
+    data_dir = tempfile.mkdtemp(
+        prefix=f"pholcus_imgscale_{cores}_", dir=STORE_BASE
+    )
+
+    def _gen(pdf_iter):
+        import numpy as np
+        import pandas as pd
+
+        from pholcus_spark import synthetic
+        from pholcus_spark.imaging import encode_image
+
+        for pdf in pdf_iter:
+            rows = []
+            for doc_id in pdf["id"]:
+                d = int(doc_id)
+                # plant byte-exact dups (d%25==2 mirrors d-2) and
+                # perceptual near-dups (d%5==1 clones d-1, nudged)
+                if d % 25 == 2 and d > 1:
+                    base, nudge = d - 2, False
+                elif d % 5 == 1 and d > 0:
+                    base, nudge = d - 1, True
+                else:
+                    base, nudge = d, False
+                w, h, fmt, r = synthetic.image_params_for_doc(base)
+                arr = synthetic._image_pixels(r, w * px, h * px)
+                if nudge:
+                    arr = arr.copy()
+                    arr[:2, :2] = np.clip(
+                        arr[:2, :2].astype(np.int16) + 3, 0, 255
+                    ).astype(np.uint8)
+                rows.append(
+                    {
+                        "image_id": f"doc-{d}",
+                        "bytes": encode_image(arr, fmt),
+                        "fmt": fmt,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["image_id", "bytes", "fmt"])
+
+    try:
+        (
+            spark.range(IMG_COUNT)
+            .repartition(max(cores * 4, 16))
+            .mapInPandas(_gen, "image_id string, bytes binary, fmt string")
+            .write.mode("overwrite")
+            .parquet(os.path.join(data_dir, "images"))
+        )
+        imgs = spark.read.parquet(os.path.join(data_dir, "images"))
+        t0 = time.time()
+        hashes = multimodal.perceptual_hashes(imgs).filter(
+            F.col("decode_ok")
+        )
+        n_pairs = multimodal.dual_hash_verified_pairs(hashes).count()
+        n_exact = (
+            multimodal.exact_image_dupes(imgs)
+            .filter(F.col("n_copies") >= 2)
+            .count()
+        )
+        wall = time.time() - t0
+        print(
+            json.dumps(
+                {
+                    "cores": cores,
+                    "images": IMG_COUNT,
+                    "px_scale": px,
+                    "neardup_pairs": n_pairs,
+                    "exact_dup_groups": n_exact,
+                    "wall_s": round(wall, 2),
+                    "images_per_sec": round(IMG_COUNT / wall, 1),
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(data_dir, ignore_errors=True)
+
 
 def run_worker(cores: int) -> None:
     from pyspark.sql import functions as F
@@ -164,21 +269,23 @@ def main() -> None:
     efficiencies — not a chosen best pair. Per-leg load + CPU-steal is
     recorded so outliers carry their cause."""
     if len(sys.argv) > 2 and sys.argv[1] == "--worker":
-        run_worker(int(sys.argv[2]))
+        if JOB == "image":
+            run_worker_image(int(sys.argv[2]))
+        else:
+            run_worker(int(sys.argv[2]))
         return
     pairs = int(os.environ.get("SCALING_PAIRS", "3"))
     max_load = float(os.environ.get("SCALING_MAX_LOAD", "4"))
     wait_s = int(os.environ.get("SCALING_LOAD_WAIT", "1800"))
     lo, hi = LEVELS
+    rate_key, rate_key2 = RATE_KEYS[JOB]
     pair_results = []
     for i in range(pairs):
         order = (lo, hi) if i % 2 == 0 else (hi, lo)
         legs = {c: _run_leg(c, max_load, wait_s) for c in order}
-        eff = (
-            legs[hi]["urls_per_sec"] / legs[lo]["urls_per_sec"]
-        ) / (hi / lo)
+        eff = (legs[hi][rate_key] / legs[lo][rate_key]) / (hi / lo)
         eff_rounds = (
-            legs[hi]["urls_per_sec_rounds"] / legs[lo]["urls_per_sec_rounds"]
+            legs[hi][rate_key2] / legs[lo][rate_key2]
         ) / (hi / lo)
         pair_results.append(
             {"pair": i, "order": list(order),
@@ -199,6 +306,7 @@ def main() -> None:
     summary = {
         "metric": "scaling_efficiency",
         "protocol": "paired-alternation, median-of-pairs",
+        "job": JOB,
         "levels": [lo, hi],
         "pairs": pair_results,
         "per_pair_efficiency": effs,
@@ -214,7 +322,8 @@ def main() -> None:
     # persist for bench.py to embed into BENCH_r*.json
     latest = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "SCALING_LATEST.json",
+        "SCALING_LATEST.json" if JOB == "crawl"
+        else "SCALING_IMAGE_LATEST.json",
     )
     with open(latest, "w") as f:
         json.dump(summary, f, indent=1)
