@@ -960,6 +960,52 @@ def strip_image_metadata(images: DataFrame) -> DataFrame:
     )
 
 
+def augment_plan(
+    meta: DataFrame,
+    epoch: int,
+    crop_w: int,
+    crop_h: int,
+    flip_prob_milli: int = 500,
+) -> DataFrame:
+    """Deterministic per-epoch augmentation schedule — random crop box
+    + horizontal flip as DATA, derived from hash(image_id | epoch)
+    instead of an RNG stream. This is what makes distributed training
+    reproducible: every executor, rerun, and mid-epoch resume computes
+    the identical plan for (image, epoch) with no seed-state to ship
+    or replay, and the plan for any epoch can be materialized/audited
+    without touching pixels.
+
+    Crop origin draws uniformly over the valid range from independent
+    hash digits (x from the low bits, y from a 2^12-shifted window,
+    flip from a 2^24-shifted window — one 60-bit portable md5 feeds
+    all three); ``valid`` is false when the image is smaller than the
+    crop (callers route those to the resize path). Pure codegen
+    projection over (image_id, w, h) metadata — zero shuffle, map-only
+    at 10^10 images.
+
+    Returns (image_id, epoch, valid, x0, y0, flip)."""
+    from .textops import md5_long
+
+    r = md5_long(F.concat(F.col("image_id"), F.lit(f"|{int(epoch)}")))
+    span_x = F.col("w") - crop_w + 1
+    span_y = F.col("h") - crop_h + 1
+    valid = (F.col("w") >= crop_w) & (F.col("h") >= crop_h)
+    return meta.select(
+        "image_id",
+        F.lit(int(epoch)).alias("epoch"),
+        valid.alias("valid"),
+        F.when(valid, F.pmod(r, span_x).cast("int")).alias("x0"),
+        # 2^12 / 2^24 windows via shiftright — exact integer ops (a
+        # double division would lose low bits above 2^53)
+        F.when(valid, F.pmod(F.shiftright(r, 12), span_y).cast("int"))
+        .alias("y0"),
+        F.when(
+            valid,
+            F.pmod(F.shiftright(r, 24), 1000) < flip_prob_milli,
+        ).alias("flip"),
+    )
+
+
 def normalize_orientation(
     images: DataFrame, orientation_col: str = "orientation"
 ) -> DataFrame:

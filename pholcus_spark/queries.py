@@ -3706,6 +3706,55 @@ FROM p
 """
 
 
+AUG_EPOCH = 3
+AUG_CROP = 32
+
+
+def q_images_augment_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic augmentation schedule (multimodal.augment_plan)
+    composed over the REAL decode (decode_image_meta): crop 32×32 at
+    epoch 3. Image dims 24-56 px make ``valid`` vary by residue; the
+    oracle predicts w/h from the generator's Knuth arithmetic and
+    replays the md5 crop/flip derivation — a drifted hash window or an
+    off-by-one in the valid span breaks the hash."""
+    imgs = _synthetic_images(spark, sf_dir)
+    meta = multimodal.decode_image_meta(imgs).select("image_id", "w", "h")
+    out = multimodal.augment_plan(
+        meta, epoch=AUG_EPOCH, crop_w=AUG_CROP, crop_h=AUG_CROP
+    )
+    return out.select(
+        "image_id",
+        F.col("epoch").cast("long").alias("epoch"),
+        "valid",
+        F.col("x0").cast("long").alias("x0"),
+        F.col("y0").cast("long").alias("y0"),
+        "flip",
+    )
+
+
+SQL_IMAGES_AUGMENT_PLAN = f"""
+WITH p AS (
+  SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS r
+  FROM documents),
+m AS (
+  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS image_id,
+         CAST(24 + r % 33 AS INT) AS w,
+         CAST(24 + (r // 33) % 33 AS INT) AS h
+  FROM p),
+a AS (
+  SELECT image_id, w, h,
+         {_h60_sql(f"concat(image_id, '|{AUG_EPOCH}')")} AS hv,
+         (w >= {AUG_CROP} AND h >= {AUG_CROP}) AS valid
+  FROM m)
+SELECT image_id, CAST({AUG_EPOCH} AS BIGINT) AS epoch, valid,
+  CASE WHEN valid THEN CAST(hv % (w - {AUG_CROP} + 1) AS BIGINT) END AS x0,
+  CASE WHEN valid
+       THEN CAST((hv // 4096) % (h - {AUG_CROP} + 1) AS BIGINT) END AS y0,
+  CASE WHEN valid THEN (hv // 16777216) % 1000 < 500 END AS flip
+FROM a
+"""
+
+
 def q_images_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-corpus composition (multimodal.image_stats): REAL decode
     → fmt × resolution-bucket ROLLUP; the oracle predicts every bucket
@@ -6369,6 +6418,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "images_metadata_strip": q_images_metadata_strip,
     "images_phash_recall": q_images_phash_recall,
     "images_orientation": q_images_orientation,
+    "images_augment_plan": q_images_augment_plan,
     "images_embed_topk": q_images_embed_topk,
     "images_blocklist_filter": q_images_blocklist_filter,
     "images_caption_align": q_images_caption_align,
@@ -6483,6 +6533,7 @@ ORACLE_SQL: dict[str, str] = {
     "text_pii_redact": SQL_TEXT_PII_REDACT,
     "text_line_dedup": SQL_TEXT_LINE_DEDUP,
     "text_line_shape": SQL_TEXT_LINE_SHAPE,
+    "images_augment_plan": SQL_IMAGES_AUGMENT_PLAN,
     "text_entropy": SQL_TEXT_ENTROPY,
     "text_unigram_nll": SQL_TEXT_UNIGRAM_NLL,
     "text_tfidf_topk": SQL_TEXT_TFIDF_TOPK,

@@ -371,3 +371,38 @@ def test_normalize_orientation_uprights_all_eight_tags(spark):
     r99 = got["o99"]
     assert not r99["transformed"]
     assert bytes(r99["bytes"]) == bytes(rows[-1][1])
+
+
+def test_augment_plan_deterministic_bounded_epoch_varying(spark):
+    """The augmentation schedule must be (a) bit-identical across
+    reruns, (b) inside the valid crop range for every image, (c)
+    different across epochs for at least some images, and (d) invalid
+    for images smaller than the crop."""
+    from pholcus_spark.multimodal import augment_plan
+
+    rows = [(f"img-{i}", 32 + i % 20, 40 + i % 9) for i in range(60)]
+    rows.append(("tiny", 16, 64))
+    meta = spark.createDataFrame(rows, "image_id string, w int, h int")
+
+    e1 = {r["image_id"]: r for r in
+          augment_plan(meta, epoch=1, crop_w=32, crop_h=32).collect()}
+    e1_again = {r["image_id"]: r for r in
+                augment_plan(meta, epoch=1, crop_w=32, crop_h=32).collect()}
+    e2 = {r["image_id"]: r for r in
+          augment_plan(meta, epoch=2, crop_w=32, crop_h=32).collect()}
+    assert e1 == e1_again
+    dims = {r[0]: (r[1], r[2]) for r in rows}
+    for k, r in e1.items():
+        if k == "tiny":
+            assert not r["valid"] and r["x0"] is None and r["flip"] is None
+            continue
+        w, h = dims[k]
+        assert r["valid"]
+        assert 0 <= r["x0"] <= w - 32 and 0 <= r["y0"] <= h - 32
+        assert r["flip"] in (True, False)
+    diff = [k for k in e1 if k != "tiny"
+            and (e1[k]["x0"], e1[k]["y0"], e1[k]["flip"])
+            != (e2[k]["x0"], e2[k]["y0"], e2[k]["flip"])]
+    assert len(diff) > 30  # epochs decorrelate almost everywhere
+    flips = sum(1 for k, r in e1.items() if k != "tiny" and r["flip"])
+    assert 10 <= flips <= 50  # ~half flip at 500/1000
