@@ -103,6 +103,14 @@ BENCH_QUERIES = [
     "proxy_assign",
     "robots_wildcard_filter",
     "crawl_mirror_hosts",
+    "text_line_dedup",
+    "text_line_shape",
+    "dedup_minhash_recall",
+    "sink_cdx_index",
+    "sitemap_priority",
+    "url_apply_param_rules",
+    "images_orientation",
+    "images_augment_plan",
     "main_text_extract",
     "images_quality_gate",
     "images_patch_budget",

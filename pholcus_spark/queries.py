@@ -5310,6 +5310,106 @@ FROM k
 """
 
 
+def q_url_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed URL-identity resolution (urlnorm.resolve_url_identity):
+    canonicalize → strip learned params → resolve redirect chains →
+    collapse mirror hosts → SURT. The fixture layers every alias
+    mechanism by residue — uppercase scheme/host + :80 + fragment
+    (canonicalization), unsorted sid/q params (sort + learned strip),
+    2-hop redirect chains d→d+1→d+3 for d%15==0 and 1-hop d→d+2 for
+    d%15==1 (edges built from RAW urls, so edge normalization is
+    exercised too), and mirror hosts h10-h19 → h0-h9. The oracle
+    computes the final identity CLOSED-FORM (never running the
+    iteration) — hop counts, host rewrite, and the surt all predicted
+    from the target id arithmetic."""
+    from . import urlnorm
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def raw_url(d):
+        scheme = F.when(d % 6 == 0, F.lit("HTTP://")).otherwise(
+            F.lit("http://")
+        )
+        hostname = F.when(
+            d % 5 == 0,
+            F.concat(F.lit("H"), (d % 20).cast("string"), F.lit(".Test")),
+        ).otherwise(
+            F.concat(F.lit("h"), (d % 20).cast("string"), F.lit(".test"))
+        )
+        port = F.when(d % 9 == 0, F.lit(":80")).otherwise(F.lit(""))
+        q = F.when(
+            d % 4 != 0,
+            F.concat(F.lit("?sid="), (d % 7).cast("string"),
+                     F.lit("&q="), (d % 5).cast("string")),
+        ).otherwise(F.lit(""))
+        frag = F.when(d % 8 == 0, F.lit("#x")).otherwise(F.lit(""))
+        return F.concat(scheme, hostname, port, F.lit("/p/"),
+                        d.cast("string"), q, frag)
+
+    d = F.col("doc_id")
+    urls = docs.select("doc_id", raw_url(d).alias("url"))
+    rules = spark.range(20).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"),
+                 F.lit(".test")).alias("host"),
+        F.lit("sid").alias("param"),
+        F.lit(True).alias("strip"),
+    )
+    redirects = docs.filter(d % 15 < 2).select(
+        raw_url(d).alias("src"),
+        raw_url(d + F.when(d % 15 == 0, 1).otherwise(2)).alias("dst"),
+    )
+    mirrors = spark.range(10).select(
+        F.concat(F.lit("h"), (F.col("id") + 10).cast("string"),
+                 F.lit(".test")).alias("host"),
+        F.concat(F.lit("h"), F.col("id").cast("string"),
+                 F.lit(".test")).alias("canonical_host"),
+    )
+    out = urlnorm.resolve_url_identity(urls, rules, redirects, mirrors)
+    return out.select(
+        "url", "url_identity", "surt",
+        F.col("n_hops").cast("long").alias("n_hops"),
+        "redirected", "mirrored",
+    )
+
+
+SQL_URL_IDENTITY = """
+WITH d AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 6 = 0 THEN 'HTTP://' ELSE 'http://' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN 'H' || CAST(doc_id % 20 AS VARCHAR) || '.Test'
+            ELSE 'h' || CAST(doc_id % 20 AS VARCHAR) || '.test' END
+    || CASE WHEN doc_id % 9 = 0 THEN ':80' ELSE '' END
+    || '/p/' || CAST(doc_id AS VARCHAR)
+    || CASE WHEN doc_id % 4 != 0
+            THEN '?sid=' || CAST(doc_id % 7 AS VARCHAR)
+                 || '&q=' || CAST(doc_id % 5 AS VARCHAR) ELSE '' END
+    || CASE WHEN doc_id % 8 = 0 THEN '#x' ELSE '' END AS url,
+    CASE WHEN doc_id % 15 = 0 THEN doc_id + 3
+         WHEN doc_id % 15 = 1 THEN doc_id + 2
+         ELSE doc_id END AS t,
+    CASE WHEN doc_id % 15 = 0 THEN 2
+         WHEN doc_id % 15 = 1 THEN 1 ELSE 0 END AS hops
+  FROM documents)
+SELECT url,
+  'http://h'
+  || CAST(CASE WHEN t % 20 >= 10 THEN t % 20 - 10 ELSE t % 20 END
+          AS VARCHAR)
+  || '.test/p/' || CAST(t AS VARCHAR)
+  || CASE WHEN t % 4 != 0
+          THEN '?q=' || CAST(t % 5 AS VARCHAR) ELSE '' END
+    AS url_identity,
+  'test,h'
+  || CAST(CASE WHEN t % 20 >= 10 THEN t % 20 - 10 ELSE t % 20 END
+          AS VARCHAR)
+  || ')/p/' || CAST(t AS VARCHAR) AS surt,
+  CAST(hops AS BIGINT) AS n_hops,
+  hops > 0 AS redirected,
+  t % 20 >= 10 AS mirrored
+FROM d
+"""
+
+
 def q_url_param_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tracking-parameter discovery (urlnorm.mine_param_rules) over a
     corpus holding all four variants of each page: with both params,
@@ -6332,6 +6432,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "redirect_resolve": q_redirect_resolve,
     "url_param_rules": q_url_param_rules,
     "url_apply_param_rules": q_url_apply_param_rules,
+    "url_identity": q_url_identity,
     "host_shard_assign": q_host_shard_assign,
     "robots_allow_filter": q_robots_allow_filter,
     "sitemap_ingest": q_sitemap_ingest,
@@ -6469,6 +6570,7 @@ ORACLE_SQL: dict[str, str] = {
     "redirect_resolve": SQL_REDIRECT_RESOLVE,
     "url_param_rules": SQL_URL_PARAM_RULES,
     "url_apply_param_rules": SQL_URL_APPLY_PARAM_RULES,
+    "url_identity": SQL_URL_IDENTITY,
     "host_shard_assign": SQL_HOST_SHARD_ASSIGN,
     "robots_allow_filter": SQL_ROBOTS_ALLOW_FILTER,
     "sitemap_ingest": SQL_SITEMAP_INGEST,

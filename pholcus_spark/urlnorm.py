@@ -228,3 +228,142 @@ def apply_param_rules(urls, rules):
         .cast("int")
         .alias("n_stripped"),
     )
+
+
+def canonical_col(url):
+    """Codegen static canonicalization — the column twin of
+    ``canonicalize()`` for set-wide URL work where the corpus must not
+    pass through Python: lowercase scheme+host, strip the scheme's
+    default port, drop the fragment, sort query tokens (dot-segment
+    resolution and percent-recoding stay in the pandas twin the
+    enqueue path uses). '' for input with no host. Pure expressions —
+    a DuckDB oracle replays every step."""
+    from pyspark.sql import functions as F
+
+    scheme = F.lower(
+        F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    )
+    scheme = F.when(scheme == "", F.lit("http")).otherwise(scheme)
+    hostport = F.lower(
+        F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+    )
+    host = (
+        F.when(scheme == "http", F.regexp_replace(hostport, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, ":443$", ""))
+        .otherwise(hostport)
+    )
+    path = F.regexp_extract(
+        url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
+    )
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    qpart = F.when(
+        query == "", F.lit("")
+    ).otherwise(
+        F.concat(F.lit("?"), F.array_join(F.array_sort(F.split(query, "&")),
+                                          "&"))
+    )
+    return F.when(host == "", F.lit("")).otherwise(
+        F.concat(scheme, F.lit("://"), host, path, qpart)
+    )
+
+
+def resolve_url_identity(
+    urls,
+    param_rules,
+    redirects,
+    mirrors,
+    max_rounds: int = 6,
+):
+    """The composed URL-identity chain — every alias mechanism the
+    crawl observes collapsed into ONE canonical identity per page, in
+    dependency order: static canonicalization (``canonical_col``) →
+    learned tracking-param strip (``apply_param_rules``) →
+    redirect-chain resolution (``frontier.resolve_redirects`` pointer
+    doubling, edges normalized through the SAME two steps) →
+    mirror-host rewrite (``mirrors`` = (host, canonical_host), e.g.
+    ``dedup.mirror_collapse`` output, broadcast) → SURT index key of
+    the result. This is what the seen-set, politeness budgets, and
+    URL-level dedup should key on: without it every alias family
+    multiplies fetches and dedup misses.
+
+    Scale shape: canonicalization and param strip are codegen over the
+    scan (rules + mirrors broadcast); the redirect map is resolved
+    once on the (bounded, crawl-observed) edge set and hash-joined
+    back; the corpus shuffles exactly once, on the redirect join key.
+
+    Returns (url, url_identity, surt, n_hops, redirected, mirrored) —
+    one row per input URL."""
+    from pyspark.sql import functions as F
+
+    from .frontier import resolve_redirects
+
+    def _norm(frame, col):
+        canon = frame.select(
+            F.col(col).alias("_raw0"),
+            canonical_col(F.col(col)).alias("url"),
+        )
+        return apply_param_rules(canon, param_rules).select(
+            F.col("_raw0").alias(col),
+            F.col("url_clean").alias(f"{col}_n"),
+        )
+
+    base = urls.withColumn("_c", canonical_col(F.col("url")))
+    base = apply_param_rules(
+        base.withColumnRenamed("url", "_raw")
+        .withColumnRenamed("_c", "url"),
+        param_rules,
+    ).select(
+        F.col("_raw").alias("url"), F.col("url_clean").alias("_n")
+    )
+
+    e_src = _norm(redirects, "src")
+    e_dst = _norm(redirects, "dst")
+    edges = (
+        redirects.join(e_src, "src").join(e_dst, "dst")
+        .select(F.col("src_n").alias("src"), F.col("dst_n").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src"])
+    )
+    resolved = resolve_redirects(edges, max_rounds=max_rounds)
+    joined = base.join(
+        resolved.select(
+            F.col("src_url").alias("_n"),
+            "final_url", "n_hops", "is_loop",
+        ),
+        "_n",
+        "left",
+    )
+    final = F.when(
+        F.col("final_url").isNotNull() & ~F.col("is_loop"),
+        F.col("final_url"),
+    ).otherwise(F.col("_n"))
+    joined = joined.select(
+        "url",
+        final.alias("_f"),
+        F.coalesce(
+            F.when(~F.col("is_loop"), F.col("n_hops")), F.lit(0)
+        ).cast("int").alias("n_hops"),
+    )
+
+    fhost = F.regexp_extract("_f", r"^[a-z+.-]+://([^/?#]+)", 1)
+    rest = F.regexp_extract("_f", r"^[a-z+.-]+://[^/?#]*(.*)$", 1)
+    fscheme = F.regexp_extract("_f", r"^([a-z+.-]+)://", 1)
+    m = mirrors.select(
+        F.col("host").alias("_mh"),
+        F.col("canonical_host").alias("_mc"),
+    )
+    out = joined.join(F.broadcast(m), joined["_f"].isNotNull()
+                      & (fhost == F.col("_mh")), "left")
+    identity = F.when(
+        F.col("_mc").isNotNull(),
+        F.concat(fscheme, F.lit("://"), F.col("_mc"), rest),
+    ).otherwise(F.col("_f"))
+    return out.select(
+        "url",
+        identity.alias("url_identity"),
+        surt_key_col(identity).alias("surt"),
+        F.col("n_hops").cast("int").alias("n_hops"),
+        (F.col("n_hops") > 0).alias("redirected"),
+        F.col("_mc").isNotNull().alias("mirrored"),
+    )

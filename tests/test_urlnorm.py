@@ -148,3 +148,50 @@ def test_apply_param_rules_composes_with_miner(spark):
     assert out["http://other.test/x?sid=1"] == (
         "http://other.test/x?sid=1", 0
     )
+
+
+def test_resolve_url_identity_all_alias_classes(spark):
+    """One canonical identity per page across every alias mechanism:
+    case/port/fragment noise, learned-param variants, a 2-hop redirect
+    chain, a mirrored host — and a redirect CYCLE, whose members fall
+    back to their own cleaned self (no hop count, not 'redirected')."""
+    from pholcus_spark.urlnorm import resolve_url_identity
+
+    urls = spark.createDataFrame(
+        [("HTTP://A.Test:80/p?sid=1&q=2#frag",),
+         ("http://a.test/p?q=2&sid=9",),     # same page, other sid
+         ("http://a.test/moved?q=2",),       # 2-hop chain
+         ("http://m2.test/x",),              # mirrored host
+         ("http://loop.test/a",),            # 2-cycle member
+         ("http://b.test/plain",)],
+        "url string")
+    rules = spark.createDataFrame(
+        [("a.test", "sid", 3, 3, True)],
+        "host string, param string, n_pairs long, n_same long, strip boolean")
+    redirects = spark.createDataFrame(
+        [("http://a.test/moved?q=2&sid=4", "http://a.test/hop2"),
+         ("http://a.test/hop2", "http://a.test/final"),
+         ("http://loop.test/a", "http://loop.test/b"),
+         ("http://loop.test/b", "http://loop.test/a")],
+        "src string, dst string")
+    mirrors = spark.createDataFrame(
+        [("m2.test", "m1.test")], "host string, canonical_host string")
+
+    got = {r["url"]: r for r in resolve_url_identity(
+        urls, rules, redirects, mirrors).collect()}
+    assert len(got) == 6
+    # the two sid-variants collapse to ONE identity
+    a1 = got["HTTP://A.Test:80/p?sid=1&q=2#frag"]
+    a2 = got["http://a.test/p?q=2&sid=9"]
+    assert a1["url_identity"] == a2["url_identity"] == "http://a.test/p?q=2"
+    assert a1["surt"] == "test,a)/p"
+    r = got["http://a.test/moved?q=2"]
+    assert (r["url_identity"], r["n_hops"], r["redirected"]) == (
+        "http://a.test/final", 2, True)
+    m = got["http://m2.test/x"]
+    assert (m["url_identity"], m["mirrored"]) == ("http://m1.test/x", True)
+    lp = got["http://loop.test/a"]
+    assert (lp["url_identity"], lp["n_hops"], lp["redirected"]) == (
+        "http://loop.test/a", 0, False)
+    assert got["http://b.test/plain"]["url_identity"] == \
+        "http://b.test/plain"
