@@ -303,3 +303,43 @@ def test_main_text_runs_as_streaming_stage(spark, tmp_store_dir):
     key = lambda r: (r["url"], r["main_text"], r["n_kept"])  # noqa: E731
     assert sorted(map(key, out)) == sorted(map(key, batch))
     assert all(r["n_kept"] == 1 for r in out)
+
+
+def test_image_hash_pipeline_runs_as_streaming_stage(spark, tmp_store_dir):
+    """The image-axis decode stage (perceptual_hashes: Arrow-batched
+    mapInPandas) is stateless per row, so the SAME function runs
+    unmodified over readStream micro-batches — the live-crawl shape
+    where images are hashed as they land. The streamed hashes must
+    equal the batch run value-for-value."""
+    from pholcus_spark import multimodal, synthetic
+    from pholcus_spark.imaging import encode_image
+
+    img_dir = os.path.join(tmp_store_dir, "imgs")
+    ckpt = os.path.join(tmp_store_dir, "ickpt")
+    rows = []
+    for i in range(24):
+        arr, fmt = synthetic.image_for_doc(i)
+        rows.append((f"doc-{i}", bytearray(encode_image(arr, fmt)), fmt))
+    spark.createDataFrame(
+        rows, "image_id string, bytes binary, fmt string"
+    ).write.mode("overwrite").parquet(img_dir)
+
+    stream = spark.readStream.schema(
+        "image_id string, bytes binary, fmt string"
+    ).parquet(img_dir)
+    out: list = []
+    q = (
+        multimodal.perceptual_hashes(stream)
+        .writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(lambda df, _bid: out.extend(df.collect()))
+        .start()
+    )
+    q.awaitTermination(120)
+    batch = multimodal.perceptual_hashes(
+        spark.read.parquet(img_dir)
+    ).collect()
+    key = lambda r: (r["image_id"], r["phash"], r["dhash"])  # noqa: E731
+    assert sorted(map(key, out)) == sorted(map(key, batch))
+    assert len(out) == 24 and all(r["decode_ok"] for r in out)
