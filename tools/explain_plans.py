@@ -635,6 +635,106 @@ def main() -> int:
          p, probs)
     )
 
+    # 35. CDX index: framing lengths map-side, record BYTES pruned
+    # before the one segment Exchange (the index must never shuffle
+    # payloads)
+    q = QUERIES["sink_cdx_index"](spark, sf_dir)
+    p, probs = audit(
+        "sink_cdx_index", q,
+        expect=["Window"],
+        forbid=["CartesianProduct", "EvalPython", "SortMergeJoin"],
+    )
+    n_exch = p.count("Exchange (")
+    if n_exch != 1:
+        probs.append(f"EXPECTED one segment Exchange, saw {n_exch}")
+    if "record#" in p:
+        probs.append("FORBIDDEN record bytes present in the plan")
+    sections.append(
+        ("sink_cdx_index (offset prefix sum on the writer's own "
+         "partitioning: one Exchange, record bytes pruned)", p, probs)
+    )
+
+    # 36. composed URL identity: rules + mirrors broadcast; redirect
+    # map hash-joined; never a cartesian, never Python
+    q = QUERIES["url_identity"](spark, sf_dir)
+    p, probs = audit(
+        "url_identity", q,
+        expect=["BroadcastHashJoin"],
+        forbid=["CartesianProduct", "EvalPython",
+                "BroadcastNestedLoopJoin"],
+    )
+    sections.append(
+        ("url_identity (canonicalize→strip→redirects→mirrors→surt: "
+         "dims broadcast, redirect map hash-joined, zero Python)",
+         p, probs)
+    )
+
+    # 37. line dedup: election is one fp hash agg; winner joins back
+    # on the same key; reconstruction pays the one doc_id shuffle
+    q = QUERIES["text_line_dedup"](spark, sf_dir)
+    p, probs = audit(
+        "text_line_dedup", q,
+        expect=["HashAggregate", "Join"],
+        forbid=["CartesianProduct", "EvalPython",
+                "BroadcastNestedLoopJoin"],
+    )
+    sections.append(
+        ("text_line_dedup (fp election agg + fp-keyed join back + "
+         "doc_id reconstruction)", p, probs)
+    )
+
+    # 38. Gopher shape gates: per-row HOF expressions, zero Exchange
+    q = QUERIES["text_line_shape"](spark, sf_dir)
+    p, probs = audit(
+        "text_line_shape", q,
+        expect=["Project"],
+        forbid=["Exchange", "EvalPython", "Generate", "Join"],
+    )
+    sections.append(
+        ("text_line_shape (bullet/ellipsis/symbol/alpha gates as one "
+         "codegen projection: zero Exchange)", p, probs)
+    )
+
+    # 39. sitemap priority: scoring rides the entries scan — zero
+    # Exchange, zero Python past the fixture projection
+    q = QUERIES["sitemap_priority"](spark, sf_dir)
+    p, probs = audit(
+        "sitemap_priority", q,
+        expect=["Project"],
+        forbid=["Exchange", "Join", "EvalPython", "Generate"],
+    )
+    sections.append(
+        ("sitemap_priority (metadata scoring as a pure projection)",
+         p, probs)
+    )
+
+    # 40. learned-param strip: per-host param arrays broadcast; the
+    # corpus side never shuffles (the only Exchange is the
+    # dimension-sized rules aggregate feeding the broadcast)
+    q = QUERIES["url_apply_param_rules"](spark, sf_dir)
+    p, probs = audit(
+        "url_apply_param_rules", q,
+        expect=["BroadcastHashJoin"],
+        forbid=["CartesianProduct", "EvalPython", "SortMergeJoin"],
+    )
+    sections.append(
+        ("url_apply_param_rules (rules broadcast, HOF token filter, "
+         "corpus never shuffles)", p, probs)
+    )
+
+    # 41. augmentation plan: everything after the Arrow decode is a
+    # codegen projection — no shuffle, no join
+    q = QUERIES["images_augment_plan"](spark, sf_dir)
+    p, probs = audit(
+        "images_augment_plan", q,
+        expect=["Project"],
+        forbid=["Exchange", "Join", "Generate"],
+    )
+    sections.append(
+        ("images_augment_plan (crop/flip derivation as zero-shuffle "
+         "codegen over the decode)", p, probs)
+    )
+
     all_problems = []
     out = ["# PLANS — physical-plan audit of the hot paths\n"]
     out.append(
