@@ -276,6 +276,77 @@ def unigram_nll(docs: DataFrame) -> DataFrame:
     )
 
 
+def bigram_nll(docs: DataFrame) -> DataFrame:
+    """Conditional bigram-LM fit — one modeling step closer to CCNet's
+    KenLM perplexity filter than ``unigram_nll``: per-doc average
+    negative log probability of each token GIVEN its predecessor,
+    ``p(w2|w1) = (C(w1,w2)+1) / (C(w1·)+V)`` (per-history Laplace,
+    V = corpus unigram vocabulary). Stereotyped boilerplate scores
+    low, out-of-distribution noise high; word-ORDER anomalies that
+    the unigram model is blind to (shuffled text, keyword stuffing)
+    now surface.
+
+    Scale shape mirrors ``unigram_nll``: shuffled data is
+    (doc, w1, w2, count) DISTINCT triplets (map-side collapsed); the
+    bigram model is a second hash agg over the same relation; history
+    totals are vocab-sized (AQE broadcasts them); V is a 1-row
+    broadcast. Docs with < 2 words return n_bigrams=0 with NULL nll.
+
+    Returns ``(doc_id, n_bigrams, nll)`` with nll in nats rounded
+    to 4."""
+    ws = textops.words(F.col("text"))
+    base = docs.select("doc_id", ws.alias("_ws"))
+    pair_arr = F.when(
+        F.size("_ws") < 2,
+        F.expr("array()").cast("array<struct<w1:string,w2:string>>"),
+    ).otherwise(
+        F.expr(
+            "transform(sequence(1, size(_ws) - 1),"
+            " i -> struct(_ws[i-1] AS w1, _ws[i] AS w2))"
+        )
+    )
+    trips = (
+        base.select("doc_id", F.explode(pair_arr).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"),
+                F.col("p.w2").alias("w2"))
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count("*").alias("c"))
+    )
+    model = trips.groupBy("w1", "w2").agg(F.sum("c").alias("cb"))
+    hist = model.groupBy("w1").agg(F.sum("cb").alias("ch"))
+    vocab = (
+        base.select(F.explode("_ws").alias("w"))
+        .agg(F.countDistinct("w").alias("v"))
+    )
+    lp = model.join(hist, "w1").join(F.broadcast(vocab)).select(
+        "w1", "w2",
+        F.log((F.col("cb") + 1.0) / (F.col("ch") + F.col("v"))).alias(
+            "lp"
+        ),
+    )
+    scored = (
+        trips.join(lp, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.round(
+                -F.sum(F.col("c") * F.col("lp")) / F.sum("c"), 4
+            ).alias("nll"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias(
+                "n_bigrams"
+            ),
+            "nll",
+        )
+    )
+
+
 def curate_corpus(
     docs: DataFrame,
     shingle_k: int = 5,

@@ -1982,6 +1982,45 @@ GROUP BY doc_id
 """
 
 
+def q_text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional bigram-LM fit (pipeline.bigram_nll): per-doc avg
+    -ln p(w2|w1) under the per-history-Laplace corpus bigram model.
+    The oracle rebuilds the triplet relation, the bigram model, the
+    history totals, and the vocabulary in DuckDB and recomputes every
+    doc's score — a smoothing or join drift shifts the 4-rounded
+    nats and breaks the hash."""
+    from . import pipeline
+
+    return pipeline.bigram_nll(_t(spark, sf_dir, "documents"))
+
+
+SQL_TEXT_BIGRAM_NLL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+  trips AS (
+    SELECT doc_id, w1, w2, count(*) AS c
+    FROM (SELECT doc_id, u.w1, u.w2
+          FROM w, UNNEST(list_transform(
+                 range(1, greatest(len(ws), 1)),
+                 i -> struct_pack(w1 := ws[i], w2 := ws[i+1]))) AS r(u))
+    GROUP BY 1, 2, 3),
+  model AS (SELECT w1, w2, sum(c) AS cb FROM trips GROUP BY 1, 2),
+  hist AS (SELECT w1, sum(cb) AS ch FROM model GROUP BY 1),
+  vocab AS (
+    SELECT count(DISTINCT y.w) AS v
+    FROM (SELECT unnest(ws) AS w FROM w) y),
+  lp AS (SELECT m.w1, m.w2, ln((m.cb + 1.0) / (h.ch + vocab.v)) AS lp
+         FROM model m JOIN hist h USING (w1), vocab),
+  scored AS (
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+           round(-sum(c * lp.lp) / sum(c), 4) AS nll
+    FROM trips JOIN lp USING (w1, w2)
+    GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams, s.nll
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
 TFIDF_K = 3
 
 
@@ -6500,6 +6539,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_line_shape": q_text_line_shape,
     "text_entropy": q_text_entropy,
     "text_unigram_nll": q_text_unigram_nll,
+    "text_bigram_nll": q_text_bigram_nll,
     "text_tfidf_topk": q_text_tfidf_topk,
     "text_lang_id": q_text_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
@@ -6638,6 +6678,7 @@ ORACLE_SQL: dict[str, str] = {
     "images_augment_plan": SQL_IMAGES_AUGMENT_PLAN,
     "text_entropy": SQL_TEXT_ENTROPY,
     "text_unigram_nll": SQL_TEXT_UNIGRAM_NLL,
+    "text_bigram_nll": SQL_TEXT_BIGRAM_NLL,
     "text_tfidf_topk": SQL_TEXT_TFIDF_TOPK,
     "text_lang_id": SQL_TEXT_LANG_ID,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,

@@ -438,3 +438,26 @@ def test_pack_sequences_invariants(spark):
             assert r["doc_begin"] == pos
             pos += r["n_toks"]
         assert pos == n_tokens[did]
+
+
+def test_bigram_nll_sees_word_order(spark):
+    """The conditional bigram model must distinguish a doc whose words
+    follow the corpus's dominant ORDER from one with the same words
+    scrambled (identical unigram profile — unigram_nll scores them
+    equal); a one-word doc has no bigrams and a NULL score."""
+    from pholcus_spark.pipeline import bigram_nll, unigram_nll
+
+    phrase = "the quick brown fox jumps over the lazy dog"
+    scrambled = "dog the over quick lazy fox the brown jumps"
+    docs = spark.createDataFrame(
+        [(i, phrase) for i in range(8)] + [(8, scrambled), (9, "word")],
+        "doc_id long, text string",
+    )
+    bi = {r["doc_id"]: r for r in bigram_nll(docs).collect()}
+    uni = {r["doc_id"]: r for r in unigram_nll(docs).collect()}
+    assert bi[0]["n_bigrams"] == 8
+    # same unigram profile -> identical unigram scores...
+    assert uni[0]["nll"] == uni[8]["nll"]
+    # ...but the scrambled doc is far more surprising to the bigram LM
+    assert bi[8]["nll"] > bi[0]["nll"] + 0.5
+    assert bi[9]["n_bigrams"] == 0 and bi[9]["nll"] is None
