@@ -111,6 +111,8 @@ BENCH_QUERIES = [
     "url_apply_param_rules",
     "images_orientation",
     "images_augment_plan",
+    "url_identity",
+    "text_bigram_nll",
     "main_text_extract",
     "images_quality_gate",
     "images_patch_budget",
