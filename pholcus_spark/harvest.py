@@ -544,3 +544,71 @@ def main_text(
         F.size(blocks).cast("long").alias("n_blocks"),
         F.size(kept).cast("long").alias("n_kept"),
     )
+
+
+def meta_images(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(page_url, img_url, caption, img_source, caption_source) — the
+    page's declared social-card image + caption from Open Graph /
+    Twitter Card metadata: the OTHER major image+caption source
+    LAION-style pipelines harvest next to inline ``<img alt>`` pairs
+    (publishers curate og:image far more carefully than body images,
+    so these pairs are disproportionately clean).
+
+    Priorities follow the de-facto consumer order — image:
+    ``og:image`` > ``twitter:image`` > ``twitter:image:src``;
+    caption: ``og:image:alt`` > ``twitter:image:alt`` > ``og:title``
+    > ``og:description``. ``property`` and ``name`` attributes are
+    both honored (the two syntaxes in the wild), first tag in
+    document order wins, values absolutize against the page URL.
+    Pages without any card image drop.
+
+    Same plan shape as ``harvest_canonicals``: regexp_extract_all →
+    higher-order filter → try_element_at — one whole-stage-codegen
+    projection, zero shuffle, zero explode."""
+    stripped = _strip_nonrendered(F.col(html_col))
+    metas = F.regexp_extract_all(
+        stripped, F.lit(r"(?i)<meta\b[^>]*>"), 0
+    )
+
+    def first_content(*keys: str) -> Column:
+        flt = F.filter(
+            metas,
+            lambda t: F.lower(
+                F.coalesce(_attr(t, "property"), _attr(t, "name"))
+            ).isin(*keys)
+            & _attr(t, "content").isNotNull(),
+        )
+        return _attr(F.try_element_at(flt, F.lit(1)), "content")
+
+    d = pages.select(
+        F.col(url_col).alias("page_url"),
+        first_content("og:image").alias("_og_img"),
+        first_content("twitter:image", "twitter:image:src").alias(
+            "_tw_img"
+        ),
+        first_content("og:image:alt").alias("_og_alt"),
+        first_content("twitter:image:alt").alias("_tw_alt"),
+        first_content("og:title").alias("_og_title"),
+        first_content("og:description").alias("_og_desc"),
+    )
+    page = F.col("page_url")
+    return d.select(
+        "page_url",
+        F.coalesce(
+            make_url(page, F.col("_og_img")),
+            make_url(page, F.col("_tw_img")),
+        ).alias("img_url"),
+        F.coalesce("_og_alt", "_tw_alt", "_og_title", "_og_desc").alias(
+            "caption"
+        ),
+        F.when(F.col("_og_img").isNotNull(), F.lit("og"))
+        .when(F.col("_tw_img").isNotNull(), F.lit("twitter"))
+        .alias("img_source"),
+        F.when(F.col("_og_alt").isNotNull(), F.lit("og:image:alt"))
+        .when(F.col("_tw_alt").isNotNull(), F.lit("twitter:image:alt"))
+        .when(F.col("_og_title").isNotNull(), F.lit("og:title"))
+        .when(F.col("_og_desc").isNotNull(), F.lit("og:description"))
+        .alias("caption_source"),
+    ).where(F.col("img_url").isNotNull())

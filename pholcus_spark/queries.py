@@ -4957,6 +4957,107 @@ GROUP BY target_url
 """
 
 
+def q_images_meta_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Social-card image+caption harvest (harvest.meta_images).
+    Residues drive every branch: image via og:image / twitter:image
+    (name syntax) / twitter:image:src (property syntax) / absent;
+    d%3==0 plants a LATE og:image that must win over an earlier
+    twitter tag (key priority beats document order) yet lose to an
+    earlier og:image (first-in-doc wins within a key); captions
+    rotate through all four priority sources with d%7==0 pages
+    caption-less; relative URLs absolutize. Decoys: a commented-out
+    og:image, a script-quoted one, and a content-less tag. The oracle
+    predicts every kept row from the residue arithmetic."""
+    from . import harvest
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    page = F.concat(F.lit("http://h"), (d % 10).cast("string"),
+                    F.lit(".test/page/"), d.cast("string"))
+    img = F.when(
+        d % 2 == 0,
+        F.concat(F.lit("http://cdn.test/i/"), d.cast("string"),
+                 F.lit(".jpg")),
+    ).otherwise(F.concat(F.lit("/i/"), d.cast("string"), F.lit(".jpg")))
+    cap_tag = F.when(d % 7 == 0, F.lit("")).otherwise(
+        F.when(d % 4 == 0, F.concat(
+            F.lit('<meta property="og:image:alt" content="alt '),
+            d.cast("string"), F.lit('">')))
+        .when(d % 4 == 1, F.concat(
+            F.lit('<meta name="twitter:image:alt" content="twalt '),
+            d.cast("string"), F.lit('">')))
+        .when(d % 4 == 2, F.concat(
+            F.lit('<meta property="og:title" content="title '),
+            d.cast("string"), F.lit('">')))
+        .otherwise(F.concat(
+            F.lit('<meta name="og:description" content="desc '),
+            d.cast("string"), F.lit('">')))
+    )
+    img_tag = (
+        F.when(d % 5 == 0, F.concat(
+            F.lit('<meta property="og:image" content="'), img,
+            F.lit('">')))
+        .when(d % 5 == 1, F.concat(
+            F.lit('<meta name="twitter:image" content="'), img,
+            F.lit('">')))
+        .when(d % 5 == 2, F.concat(
+            F.lit('<meta property="twitter:image:src" content="'), img,
+            F.lit('">')))
+        .otherwise(F.lit(""))
+    )
+    late_og = F.when(
+        d % 3 == 0,
+        F.lit('<meta property="og:image" '
+              'content="http://second.test/x.jpg">'),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit('<!-- <meta property="og:image" '
+              'content="http://comment.decoy/x.jpg"> -->'
+              "<script>var x = '<meta property=\"og:image\" "
+              "content=\"http://script.decoy/x.jpg\">';</script>"
+              '<meta property="og:image">'),
+        cap_tag, img_tag, late_og,
+    )
+    pages = docs.select(page.alias("url"), html.alias("html"))
+    return harvest.meta_images(pages)
+
+
+SQL_IMAGES_META_HARVEST = """
+WITH d AS (
+  SELECT doc_id,
+    'http://h' || CAST(doc_id % 10 AS VARCHAR) || '.test/page/'
+      || CAST(doc_id AS VARCHAR) AS page_url,
+    CASE WHEN doc_id % 2 = 0
+         THEN 'http://cdn.test/i/' || CAST(doc_id AS VARCHAR) || '.jpg'
+         ELSE 'http://h' || CAST(doc_id % 10 AS VARCHAR) || '.test/i/'
+              || CAST(doc_id AS VARCHAR) || '.jpg' END AS abs_img
+  FROM documents),
+x AS (
+  SELECT doc_id, page_url,
+    CASE WHEN doc_id % 5 = 0 THEN abs_img
+         WHEN doc_id % 3 = 0 THEN 'http://second.test/x.jpg' END AS og_img,
+    CASE WHEN doc_id % 5 IN (1, 2) THEN abs_img END AS tw_img,
+    CASE WHEN doc_id % 7 = 0 THEN NULL
+         WHEN doc_id % 4 = 0 THEN 'alt ' || CAST(doc_id AS VARCHAR)
+         WHEN doc_id % 4 = 1 THEN 'twalt ' || CAST(doc_id AS VARCHAR)
+         WHEN doc_id % 4 = 2 THEN 'title ' || CAST(doc_id AS VARCHAR)
+         ELSE 'desc ' || CAST(doc_id AS VARCHAR) END AS caption,
+    CASE WHEN doc_id % 7 = 0 THEN NULL
+         WHEN doc_id % 4 = 0 THEN 'og:image:alt'
+         WHEN doc_id % 4 = 1 THEN 'twitter:image:alt'
+         WHEN doc_id % 4 = 2 THEN 'og:title'
+         ELSE 'og:description' END AS caption_source
+  FROM d)
+SELECT page_url,
+       coalesce(og_img, tw_img) AS img_url,
+       caption,
+       CASE WHEN og_img IS NOT NULL THEN 'og'
+            WHEN tw_img IS NOT NULL THEN 'twitter' END AS img_source,
+       caption_source
+FROM x WHERE coalesce(og_img, tw_img) IS NOT NULL
+"""
+
+
 def q_canonical_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-page canonical-URL extraction over the page fixture (see
     ``harvest.harvest_canonicals``): first link-rel=canonical, else
@@ -6573,6 +6674,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "images_caption_harvest": q_images_caption_harvest,
     "anchor_text_graph": q_anchor_text_graph,
     "canonical_harvest": q_canonical_harvest,
+    "images_meta_harvest": q_images_meta_harvest,
     "canonical_collapse": q_canonical_collapse,
     "sink_webdataset_shape": q_sink_webdataset_shape,
     "robots_meta_directives": q_robots_meta,
@@ -6704,6 +6806,7 @@ ORACLE_SQL: dict[str, str] = {
     "images_caption_harvest": SQL_IMAGES_CAPTION_HARVEST,
     "anchor_text_graph": SQL_ANCHOR_TEXT_GRAPH,
     "canonical_harvest": SQL_CANONICAL_HARVEST,
+    "images_meta_harvest": SQL_IMAGES_META_HARVEST,
     "canonical_collapse": SQL_CANONICAL_COLLAPSE,
     "sink_webdataset_shape": SQL_SINK_WEBDATASET_SHAPE,
     "robots_meta_directives": SQL_ROBOTS_META,

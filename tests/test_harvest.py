@@ -373,3 +373,44 @@ def test_main_text_gates_and_strip(spark):
     assert got["u2"]["n_blocks"] == 1 and got["u2"]["n_kept"] == 0
     assert got["u3"]["n_blocks"] == 0
     assert got["u4"]["main_text"] == "" and got["u4"]["n_blocks"] == 0
+
+
+def test_meta_images_priorities_and_decoys(spark):
+    """og:image beats an earlier twitter:image (key priority over
+    document order); within og:image the FIRST tag wins; commented /
+    script-quoted / content-less tags never match; caption priority
+    og:image:alt > twitter:image:alt > og:title > og:description;
+    relative content absolutizes; cardless pages drop."""
+    from pholcus_spark.harvest import meta_images
+
+    rows = [
+        ("http://a.test/1",
+         '<meta name="twitter:image" content="http://t.test/1.jpg">'
+         '<meta property="og:image" content="/rel/1.jpg">'
+         '<meta property="og:image" content="http://late.test/x.jpg">'
+         '<meta property="og:description" content="d1">'
+         '<meta property="og:title" content="t1">'),
+        ("http://a.test/2",
+         '<!-- <meta property="og:image" content="http://c.decoy/x"> -->'
+         "<script>'<meta property=\"og:image\" content=\"http://s.decoy/x\">'"
+         "</script>"
+         '<meta property="og:image">'
+         '<meta name="twitter:image:src" content="http://t.test/2.jpg">'
+         '<meta name="twitter:image:alt" content="twalt2">'
+         '<meta property="og:image:alt" content="ogalt2">'),
+        ("http://a.test/3", "<p>no cards at all</p>"),
+    ]
+    got = {r["page_url"]: r for r in meta_images(
+        spark.createDataFrame(rows, "url string, html string")).collect()}
+    assert set(got) == {"http://a.test/1", "http://a.test/2"}
+    r1 = got["http://a.test/1"]
+    # og wins over the earlier twitter tag; first og wins; relative
+    # path absolutized against the page; og:title beats og:description
+    assert r1["img_url"] == "http://a.test/rel/1.jpg"
+    assert r1["img_source"] == "og"
+    assert (r1["caption"], r1["caption_source"]) == ("t1", "og:title")
+    r2 = got["http://a.test/2"]
+    assert r2["img_url"] == "http://t.test/2.jpg"
+    assert r2["img_source"] == "twitter"
+    assert (r2["caption"], r2["caption_source"]) == (
+        "ogalt2", "og:image:alt")
