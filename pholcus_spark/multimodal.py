@@ -960,6 +960,98 @@ def strip_image_metadata(images: DataFrame) -> DataFrame:
     )
 
 
+def channel_sums(images: DataFrame) -> DataFrame:
+    """Per-image integer channel statistics — the map stage of the
+    dataset normalization-constant pass (the mean/std every training
+    recipe bakes into its transforms; ImageNet's magic numbers were
+    computed exactly this way). uint8 pixels sum EXACTLY in int64
+    (a 2^31-pixel image is still < 2^39 per channel), so the stats
+    are bit-reproducible and the oracle can verify them with integer
+    equality, not float tolerance.
+
+    Arrow-batched mapInPandas over the decode; returns one narrow row
+    per image (9 longs) that the map-side partial agg of
+    ``channel_stats`` collapses — at 10^10 images the shuffle carries
+    a handful of longs per partition."""
+    out_schema = (
+        "image_id string, n_px long,"
+        " s_r long, s_g long, s_b long,"
+        " q_r long, q_g long, q_b long, decode_ok boolean"
+    )
+
+    def _sums(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdf_iter:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    arr = decode_image(bytes(r.bytes), r.fmt).astype(
+                        np.int64
+                    )
+                    s = arr.sum(axis=(0, 1))
+                    q = (arr * arr).sum(axis=(0, 1))
+                    rows.append(
+                        {
+                            "image_id": r.image_id,
+                            "n_px": int(arr.shape[0] * arr.shape[1]),
+                            "s_r": int(s[0]), "s_g": int(s[1]),
+                            "s_b": int(s[2]),
+                            "q_r": int(q[0]), "q_g": int(q[1]),
+                            "q_b": int(q[2]),
+                            "decode_ok": True,
+                        }
+                    )
+                except Exception:
+                    rows.append(
+                        {
+                            "image_id": r.image_id, "n_px": 0,
+                            "s_r": 0, "s_g": 0, "s_b": 0,
+                            "q_r": 0, "q_g": 0, "q_b": 0,
+                            "decode_ok": False,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "n_px", "s_r", "s_g", "s_b",
+                         "q_r", "q_g", "q_b", "decode_ok"],
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        _sums, out_schema
+    )
+
+
+def channel_stats(images: DataFrame) -> DataFrame:
+    """Dataset channel mean/std in 0-1 units — ONE row for the whole
+    corpus (the constants that go into the training transform). Sums
+    aggregate exactly in int64 (map-side combined); the only floats
+    are the final eight divisions, computed identically by any engine
+    from the same integers. Population std; round-6.
+
+    Returns (n_images, n_px, mean_r, mean_g, mean_b, std_r, std_g,
+    std_b)."""
+    s = channel_sums(images).where(F.col("decode_ok"))
+
+    def _mean(c: str) -> Column:
+        return F.col(f"s_{c}") / F.col("n_px") / 255.0
+
+    def _std(c: str) -> Column:
+        m = F.col(f"s_{c}") / F.col("n_px")
+        return F.sqrt(F.col(f"q_{c}") / F.col("n_px") - m * m) / 255.0
+
+    agg = s.agg(
+        F.count("*").cast("long").alias("n_images"),
+        F.sum("n_px").cast("long").alias("n_px"),
+        *[F.sum(f"s_{c}").cast("long").alias(f"s_{c}") for c in "rgb"],
+        *[F.sum(f"q_{c}").cast("long").alias(f"q_{c}") for c in "rgb"],
+    )
+    return agg.select(
+        "n_images",
+        "n_px",
+        *[F.round(_mean(c), 6).alias(f"mean_{c}") for c in "rgb"],
+        *[F.round(_std(c), 6).alias(f"std_{c}") for c in "rgb"],
+    )
+
+
 def augment_plan(
     meta: DataFrame,
     epoch: int,

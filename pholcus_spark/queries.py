@@ -4431,6 +4431,59 @@ FROM ov JOIN documents t ON t.doc_id = ov.doc_id
 """
 
 
+def q_images_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset normalization constants (multimodal.channel_stats): the
+    corpus RGB mean/std every training transform bakes in. Per-image
+    sums are EXACT int64 (uint8 pixels), so the oracle recomputes them
+    driver-side through the identical decode (lazy VALUES) and
+    replays the one aggregate + the eight final divisions in the same
+    operand order — integer equality end-to-end, float only in the
+    last rounded step."""
+    imgs = _synthetic_images(spark, sf_dir, max_docs=PHASH_ORACLE_DOCS)
+    return multimodal.channel_stats(imgs)
+
+
+@lru_cache(maxsize=1)
+def _channel_sum_values() -> str:
+    import numpy as np
+
+    from . import synthetic
+    from .imaging import decode_image, encode_image
+
+    vals = []
+    for doc_id in range(PHASH_ORACLE_DOCS):
+        arr, fmt = synthetic.image_for_doc(doc_id)
+        arr = decode_image(encode_image(arr, fmt), fmt).astype(np.int64)
+        s = arr.sum(axis=(0, 1))
+        q = (arr * arr).sum(axis=(0, 1))
+        vals.append(
+            f"({doc_id}, {arr.shape[0] * arr.shape[1]},"
+            f" {int(s[0])}, {int(s[1])}, {int(s[2])},"
+            f" {int(q[0])}, {int(q[1])}, {int(q[2])})"
+        )
+    return ", ".join(vals)
+
+
+@lru_cache(maxsize=1)
+def _sql_images_channel_stats() -> str:
+    mean = {c: f"(CAST(sum(s_{c}) AS DOUBLE) / sum(n_px))" for c in "rgb"}
+    cols = ", ".join(
+        f"round({mean[c]} / 255.0, 6) AS mean_{c}" for c in "rgb"
+    ) + ", " + ", ".join(
+        f"round(sqrt(CAST(sum(q_{c}) AS DOUBLE) / sum(n_px)"
+        f" - {mean[c]} * {mean[c]}) / 255.0, 6) AS std_{c}"
+        for c in "rgb"
+    )
+    return f"""
+WITH cv(doc_id, n_px, s_r, s_g, s_b, q_r, q_g, q_b) AS
+  (VALUES {_channel_sum_values()}),
+j AS (SELECT cv.* FROM cv JOIN documents t ON t.doc_id = cv.doc_id)
+SELECT CAST(count(*) AS BIGINT) AS n_images,
+       CAST(sum(n_px) AS BIGINT) AS n_px, {cols}
+FROM j
+"""
+
+
 def q_images_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-blocklist safety gate (multimodal.hash_blocklist_filter):
     flag every image whose phash is within 6 bits of a curated
@@ -6663,6 +6716,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "images_augment_plan": q_images_augment_plan,
     "images_embed_topk": q_images_embed_topk,
     "images_blocklist_filter": q_images_blocklist_filter,
+    "images_channel_stats": q_images_channel_stats,
     "images_caption_align": q_images_caption_align,
     # multimodal (rows-only)
     "images_decode_meta": q_images_decode_meta,
@@ -6833,6 +6887,7 @@ LAZY_ORACLE_SQL: dict[str, Callable[[], str]] = {
     "images_orientation": _sql_images_orientation,
     "images_embed_topk": _sql_images_embed_topk,
     "images_blocklist_filter": _sql_images_blocklist_filter,
+    "images_channel_stats": _sql_images_channel_stats,
     "images_dual_neardup": _sql_images_dual_neardup,
     "images_select_corpus": _sql_images_select_corpus,
     "video_frame_sample": _sql_video_frame_sample,

@@ -406,3 +406,29 @@ def test_augment_plan_deterministic_bounded_epoch_varying(spark):
     assert len(diff) > 30  # epochs decorrelate almost everywhere
     flips = sum(1 for k, r in e1.items() if k != "tiny" and r["flip"])
     assert 10 <= flips <= 50  # ~half flip at 500/1000
+
+
+def test_channel_stats_exact_on_known_pixels(spark):
+    """Hand-checkable constants: a pure-red and a pure-blue image of
+    equal size give mean_r = mean_b = 0.5, mean_g = 0, and
+    std_r = std_b = 0.5 (population, 0-1 units); an undecodable row
+    is excluded but doesn't poison the aggregate."""
+    import numpy as np
+
+    from pholcus_spark.imaging import encode_png
+    from pholcus_spark.multimodal import channel_stats
+
+    red = np.zeros((4, 5, 3), np.uint8); red[:, :, 0] = 255
+    blue = np.zeros((4, 5, 3), np.uint8); blue[:, :, 2] = 255
+    rows = [
+        ("red", bytearray(encode_png(red)), "png"),
+        ("blue", bytearray(encode_png(blue)), "png"),
+        ("junk", bytearray(b"not an image"), "png"),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, fmt string"
+    )
+    r = channel_stats(df).collect()[0]
+    assert (r["n_images"], r["n_px"]) == (2, 40)
+    assert (r["mean_r"], r["mean_g"], r["mean_b"]) == (0.5, 0.0, 0.5)
+    assert (r["std_r"], r["std_g"], r["std_b"]) == (0.5, 0.0, 0.5)
