@@ -43,6 +43,8 @@ __all__ = [
     "robots_meta",
     "followable_links",
     "srcset_best",
+    "meta_images",
+    "picture_pairs",
 ]
 
 
@@ -178,8 +180,16 @@ def srcset_best(tag: Column) -> Column:
     signal), widths rank by pixel value, densities by the multiplier;
     ties keep the first candidate. One ``aggregate`` over the split
     attribute — codegen, no explode."""
+    return _srcset_best_struct(_attr(tag, "srcset"))["url"]
+
+
+def _srcset_best_struct(srcset_attr: Column) -> Column:
+    """``struct(url, score)`` of the best candidate in a srcset
+    ATTRIBUTE value (shared by the <img> path and the <picture>
+    cross-source election, which needs the score to compare across
+    tags)."""
     cands = F.transform(
-        F.split(F.coalesce(_attr(tag, "srcset"), F.lit("")), r"\s*,\s*"),
+        F.split(F.coalesce(srcset_attr, F.lit("")), r"\s*,\s*"),
         lambda c: F.struct(
             F.regexp_extract(F.trim(c), r"^(\S+)", 1).alias("url"),
             F.coalesce(
@@ -191,13 +201,12 @@ def srcset_best(tag: Column) -> Column:
             ).alias("score"),
         ),
     )
-    best = F.aggregate(
+    return F.aggregate(
         F.filter(cands, lambda s: s["url"] != ""),
         F.struct(F.lit(None).cast("string").alias("url"),
                  F.lit(-1.0).alias("score")),
         lambda acc, s: F.when(s["score"] > acc["score"], s).otherwise(acc),
     )
-    return best["url"]
 
 
 def robots_meta(
@@ -612,3 +621,67 @@ def meta_images(
         .when(F.col("_og_desc").isNotNull(), F.lit("og:description"))
         .alias("caption_source"),
     ).where(F.col("img_url").isNotNull())
+
+
+def picture_pairs(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    min_caption_chars: int = 5,
+) -> DataFrame:
+    """(page_url, img_url, caption, n_sources) — one pair per
+    ``<picture>`` element: the responsive-image markup modern sites
+    use INSTEAD of bare ``<img srcset>`` (art direction / format
+    negotiation), which the ``<img>``-only harvest sees at thumbnail
+    resolution or misses. The element's best URL is elected ACROSS
+    all its ``<source srcset>`` tags by the srcset score (widths beat
+    densities, value-ranked — ``_srcset_best_struct``; first source
+    wins ties via strict ``>``), falling back to the inner ``<img>``'s
+    own srcset, then its ``src``. The caption is the inner img's
+    ``alt`` then ``title``, with the same junk gates as
+    ``harvest_image_captions`` (data: URIs, short captions).
+
+    Plan shape: one ``(?is)<picture…</picture>`` extract_all +
+    explode; sources/img parsed per block with higher-order
+    expressions — all codegen, zero Python, one Generate, zero
+    shuffle at any corpus size."""
+    blocks = F.explode(
+        F.regexp_extract_all(
+            _strip_nonrendered(F.col(html_col)),
+            F.lit(r"(?is)<picture\b.*?</picture>"),
+            0,
+        )
+    )
+    d = pages.select(
+        F.col(url_col).alias("page_url"), blocks.alias("block")
+    )
+    b = F.col("block")
+    sources = F.regexp_extract_all(b, F.lit(r"(?i)<source\b[^>]*>"), 0)
+    best_src = F.aggregate(
+        F.transform(sources, lambda s: _srcset_best_struct(
+            _attr(s, "srcset"))),
+        F.struct(F.lit(None).cast("string").alias("url"),
+                 F.lit(-1.0).alias("score")),
+        lambda acc, s: F.when(
+            s["score"] > acc["score"], s
+        ).otherwise(acc),
+    )["url"]
+    img = F.regexp_extract(b, r"(?is)(<img\b[^>]*>)", 1)
+    caption = F.coalesce(_attr(img, "alt"), _attr(img, "title"))
+    url = F.coalesce(
+        best_src,
+        _srcset_best_struct(_attr(img, "srcset"))["url"],
+        _attr(img, "src"),
+    )
+    out = d.select(
+        "page_url",
+        make_url(F.col("page_url"), url).alias("img_url"),
+        caption.alias("caption"),
+        F.size(sources).cast("int").alias("n_sources"),
+    )
+    return out.where(
+        F.col("img_url").isNotNull()
+        & ~F.col("img_url").startswith("data:")
+        & (F.length(F.coalesce(F.col("caption"), F.lit("")))
+           >= min_caption_chars)
+    )

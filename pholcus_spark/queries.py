@@ -5111,6 +5111,74 @@ FROM x WHERE coalesce(og_img, tw_img) IS NOT NULL
 """
 
 
+def q_images_picture_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """<picture> element harvest (harvest.picture_pairs). Residues
+    exercise the whole election: two width-descriptor sources plus a
+    density decoy (widths must win), a densities-only source, the
+    img-srcset fallback, the bare-src fallback, a too-short caption
+    (dropped), and pages with no picture at all; d%5==0 captions come
+    from title instead of alt. The oracle predicts every kept row
+    from the residue arithmetic."""
+    from . import harvest
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    page = F.concat(F.lit("http://h"), (d % 10).cast("string"),
+                    F.lit(".test/pg/"), d.cast("string"))
+    ds = d.cast("string")
+    cap_attr = F.when(
+        d % 5 == 0,
+        F.concat(F.lit('title="titled caption '), ds, F.lit('"')),
+    ).otherwise(F.concat(F.lit('alt="alt caption '), ds, F.lit('"')))
+    img_plain = F.concat(F.lit('<img src="/f/'), ds, F.lit('.jpg" '),
+                         cap_attr, F.lit(">"))
+    html = (
+        F.when(d % 6 == 0, F.concat(
+            F.lit('<picture><source srcset="/w/'), ds,
+            F.lit('-320.jpg 320w, /w/'), ds,
+            F.lit('-640.jpg 640w"><source srcset="/d/'), ds,
+            F.lit('.webp 2x">'), img_plain, F.lit("</picture>")))
+        .when(d % 6 == 1, F.concat(
+            F.lit('<picture><source srcset="/d/'), ds,
+            F.lit('-1.jpg 1x, /d/'), ds, F.lit('-25.jpg 2.5x">'),
+            img_plain, F.lit("</picture>")))
+        .when(d % 6 == 2, F.concat(
+            F.lit('<picture><img srcset="/s/'), ds,
+            F.lit('-1.jpg 1x, /s/'), ds, F.lit('-3.jpg 3x" src="/f/'),
+            ds, F.lit('.jpg" '), cap_attr, F.lit("></picture>")))
+        .when(d % 6 == 3, F.concat(
+            F.lit("<picture>"), img_plain, F.lit("</picture>")))
+        .when(d % 6 == 4, F.concat(
+            F.lit('<picture><img src="/f/'), ds,
+            F.lit('.jpg" alt="x"></picture>')))
+        .otherwise(F.lit("<p>no picture here</p>"))
+    )
+    pages = docs.select(page.alias("url"), html.alias("html"))
+    return harvest.picture_pairs(pages)
+
+
+SQL_IMAGES_PICTURE_HARVEST = """
+WITH d AS (
+  SELECT doc_id,
+    'http://h' || CAST(doc_id % 10 AS VARCHAR) || '.test/pg/'
+      || CAST(doc_id AS VARCHAR) AS page_url,
+    'http://h' || CAST(doc_id % 10 AS VARCHAR) || '.test' AS origin,
+    CAST(doc_id AS VARCHAR) AS ds
+  FROM documents)
+SELECT page_url,
+  CASE WHEN doc_id % 6 = 0 THEN origin || '/w/' || ds || '-640.jpg'
+       WHEN doc_id % 6 = 1 THEN origin || '/d/' || ds || '-25.jpg'
+       WHEN doc_id % 6 = 2 THEN origin || '/s/' || ds || '-3.jpg'
+       ELSE origin || '/f/' || ds || '.jpg' END AS img_url,
+  CASE WHEN doc_id % 5 = 0 THEN 'titled caption ' || ds
+       ELSE 'alt caption ' || ds END AS caption,
+  CAST(CASE WHEN doc_id % 6 = 0 THEN 2
+            WHEN doc_id % 6 = 1 THEN 1 ELSE 0 END AS INT) AS n_sources
+FROM d
+WHERE doc_id % 6 < 4
+"""
+
+
 def q_canonical_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-page canonical-URL extraction over the page fixture (see
     ``harvest.harvest_canonicals``): first link-rel=canonical, else
@@ -6729,6 +6797,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anchor_text_graph": q_anchor_text_graph,
     "canonical_harvest": q_canonical_harvest,
     "images_meta_harvest": q_images_meta_harvest,
+    "images_picture_harvest": q_images_picture_harvest,
     "canonical_collapse": q_canonical_collapse,
     "sink_webdataset_shape": q_sink_webdataset_shape,
     "robots_meta_directives": q_robots_meta,
@@ -6861,6 +6930,7 @@ ORACLE_SQL: dict[str, str] = {
     "anchor_text_graph": SQL_ANCHOR_TEXT_GRAPH,
     "canonical_harvest": SQL_CANONICAL_HARVEST,
     "images_meta_harvest": SQL_IMAGES_META_HARVEST,
+    "images_picture_harvest": SQL_IMAGES_PICTURE_HARVEST,
     "canonical_collapse": SQL_CANONICAL_COLLAPSE,
     "sink_webdataset_shape": SQL_SINK_WEBDATASET_SHAPE,
     "robots_meta_directives": SQL_ROBOTS_META,

@@ -414,3 +414,33 @@ def test_meta_images_priorities_and_decoys(spark):
     assert r2["img_source"] == "twitter"
     assert (r2["caption"], r2["caption_source"]) == (
         "ogalt2", "og:image:alt")
+
+
+def test_picture_pairs_cross_source_election(spark):
+    """<picture> election: width descriptors beat density across
+    sources; densities rank by multiplier; img-srcset then src
+    fallbacks; title caption fallback; short captions and
+    picture-less pages drop."""
+    from pholcus_spark.harvest import picture_pairs
+
+    rows = [
+        ("http://a.test/1",
+         '<picture><source srcset="/s-320.jpg 320w, /s-640.jpg 640w">'
+         '<source srcset="/s.webp 9x">'
+         '<img src="/fb.jpg" alt="caption one ok"></picture>'),
+        ("http://a.test/2",
+         '<picture><img srcset="/i-1.jpg 1x, /i-3.jpg 3x" src="/i.jpg"'
+         ' title="caption two ok"></picture>'),
+        ("http://a.test/3",
+         '<picture><img src="/p.jpg" alt="ok"></picture>'),
+        ("http://a.test/4", "<p>none</p>"),
+    ]
+    got = {r["page_url"]: r for r in picture_pairs(
+        spark.createDataFrame(rows, "url string, html string")).collect()}
+    assert set(got) == {"http://a.test/1", "http://a.test/2"}
+    r1 = got["http://a.test/1"]
+    assert r1["img_url"] == "http://a.test/s-640.jpg"  # 640w beats 9x
+    assert r1["n_sources"] == 2
+    r2 = got["http://a.test/2"]
+    assert r2["img_url"] == "http://a.test/i-3.jpg"
+    assert r2["caption"] == "caption two ok"
