@@ -113,6 +113,10 @@ BENCH_QUERIES = [
     "images_augment_plan",
     "url_identity",
     "text_bigram_nll",
+    "images_meta_harvest",
+    "images_picture_harvest",
+    "images_jsonld_harvest",
+    "images_channel_stats",
     "main_text_extract",
     "images_quality_gate",
     "images_patch_budget",

@@ -45,6 +45,7 @@ __all__ = [
     "srcset_best",
     "meta_images",
     "picture_pairs",
+    "jsonld_images",
 ]
 
 
@@ -684,4 +685,74 @@ def picture_pairs(
         & ~F.col("img_url").startswith("data:")
         & (F.length(F.coalesce(F.col("caption"), F.lit("")))
            >= min_caption_chars)
+    )
+
+
+def jsonld_images(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    min_caption_chars: int = 5,
+) -> DataFrame:
+    """(page_url, img_url, caption, caption_source) — schema.org
+    ``ImageObject`` pairs out of ``<script type="application/ld+json">``
+    blocks: the STRUCTURED third of the harvest surface next to inline
+    ``<img alt>`` (harvest_image_captions) and social cards
+    (meta_images). Stock-photo and news publishers describe their
+    imagery here with the cleanest captions on the page.
+
+    Caption priority ``caption`` > ``name`` > ``description``
+    (schema.org's own specificity order); ``contentUrl`` absolutizes
+    against the page. Top-level ``ImageObject`` blocks only (nested
+    ``@graph`` payloads need the JSON-source reprocessing path — a
+    documented subset, matched by the oracle). HTML comments are
+    stripped FIRST so commented-out scripts can't match; script
+    bodies obviously survive (they are the payload here).
+
+    Plan: regexp body extract → explode → ``get_json_object``
+    projections — JVM codegen end-to-end, zero Python, zero
+    shuffle."""
+    no_comments = F.regexp_replace(
+        F.col(html_col), r"(?s)<!--.*?-->", ""
+    )
+    blocks = F.explode(
+        F.regexp_extract_all(
+            no_comments,
+            F.lit(
+                r"(?is)<script[^>]*type\s*=\s*[\"']application/ld\+json"
+                r"[\"'][^>]*>(.*?)</script>"
+            ),
+            1,
+        )
+    )
+    d = pages.select(
+        F.col(url_col).alias("page_url"), blocks.alias("j")
+    )
+    j = F.col("j")
+    caption = F.coalesce(
+        F.get_json_object(j, "$.caption"),
+        F.get_json_object(j, "$.name"),
+        F.get_json_object(j, "$.description"),
+    )
+    cap_src = (
+        F.when(F.get_json_object(j, "$.caption").isNotNull(),
+               F.lit("caption"))
+        .when(F.get_json_object(j, "$.name").isNotNull(), F.lit("name"))
+        .when(F.get_json_object(j, "$.description").isNotNull(),
+              F.lit("description"))
+    )
+    d = d.where(
+        (F.get_json_object(j, "$['@type']") == "ImageObject")
+        & F.get_json_object(j, "$.contentUrl").isNotNull()
+    ).select(
+        "page_url",
+        make_url(
+            F.col("page_url"), F.get_json_object(j, "$.contentUrl")
+        ).alias("img_url"),
+        caption.alias("caption"),
+        cap_src.alias("caption_source"),
+    )
+    return d.where(
+        F.length(F.coalesce(F.col("caption"), F.lit("")))
+        >= min_caption_chars
     )

@@ -5179,6 +5179,96 @@ WHERE doc_id % 6 < 4
 """
 
 
+def q_images_jsonld_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema.org ImageObject harvest (harvest.jsonld_images).
+    Residues plant: caption/name/description priority classes, a
+    wrong-@type block (NewsArticle — dropped), pages with no ld+json,
+    a commented-out ImageObject (d%7==0 — must never match), a SECOND
+    valid block on d%11==0 pages (one extra row via the explode), and
+    a too-short caption on d%13==0 (dropped). Relative contentUrls
+    absolutize. The oracle predicts every kept row and replays the
+    JSON extraction with DuckDB's own json functions."""
+    from . import harvest
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    page = F.concat(F.lit("http://h"), (d % 10).cast("string"),
+                    F.lit(".test/a/"), ds)
+    cap = F.when(d % 13 == 0, F.lit("x")).otherwise(
+        F.concat(F.lit("jsonld caption "), ds)
+    )
+    block = (
+        F.when(d % 5 == 0, F.concat(
+            F.lit('{"@type": "ImageObject", "contentUrl": "/ld/'), ds,
+            F.lit('.jpg", "caption": "'), cap, F.lit('"}')))
+        .when(d % 5 == 1, F.concat(
+            F.lit('{"@type": "ImageObject", "contentUrl": '
+                  '"http://cdn.test/ld/'), ds,
+            F.lit('.jpg", "name": "name '), ds, F.lit('"}')))
+        .when(d % 5 == 2, F.concat(
+            F.lit('{"@type": "ImageObject", "contentUrl": "/ld/'), ds,
+            F.lit('.jpg", "description": "described '), ds,
+            F.lit('"}')))
+        .when(d % 5 == 3, F.concat(
+            F.lit('{"@type": "NewsArticle", "contentUrl": "/no/'), ds,
+            F.lit('.jpg", "caption": "wrong type caption"}')))
+        .otherwise(F.lit(""))
+    )
+    script = F.when(
+        block != "",
+        F.concat(F.lit('<script type="application/ld+json">'), block,
+                 F.lit("</script>")),
+    ).otherwise(F.lit(""))
+    second = F.when(d % 11 == 0, F.concat(
+        F.lit('<script type="application/ld+json">'
+              '{"@type": "ImageObject", "contentUrl": "/ld2/'), ds,
+        F.lit('.jpg", "caption": "second block caption '), ds,
+        F.lit('"}</script>'))).otherwise(F.lit(""))
+    decoy = F.when(d % 7 == 0, F.lit(
+        '<!-- <script type="application/ld+json">'
+        '{"@type": "ImageObject", "contentUrl": "/decoy.jpg",'
+        ' "caption": "commented out caption"}</script> -->'
+    )).otherwise(F.lit(""))
+    pages = docs.select(
+        page.alias("url"),
+        F.concat(decoy, script, second).alias("html"),
+    )
+    return harvest.jsonld_images(pages)
+
+
+SQL_IMAGES_JSONLD_HARVEST = """
+WITH d AS (
+  SELECT doc_id,
+    'http://h' || CAST(doc_id % 10 AS VARCHAR) || '.test/a/'
+      || CAST(doc_id AS VARCHAR) AS page_url,
+    'http://h' || CAST(doc_id % 10 AS VARCHAR) || '.test' AS origin,
+    CAST(doc_id AS VARCHAR) AS ds
+  FROM documents),
+first_rows AS (
+  SELECT page_url,
+    CASE WHEN doc_id % 5 = 1
+         THEN 'http://cdn.test/ld/' || ds || '.jpg'
+         ELSE origin || '/ld/' || ds || '.jpg' END AS img_url,
+    CASE WHEN doc_id % 5 = 0 THEN
+           CASE WHEN doc_id % 13 = 0 THEN 'x'
+                ELSE 'jsonld caption ' || ds END
+         WHEN doc_id % 5 = 1 THEN 'name ' || ds
+         ELSE 'described ' || ds END AS caption,
+    CASE WHEN doc_id % 5 = 0 THEN 'caption'
+         WHEN doc_id % 5 = 1 THEN 'name'
+         ELSE 'description' END AS caption_source
+  FROM d
+  WHERE doc_id % 5 < 3 AND NOT (doc_id % 5 = 0 AND doc_id % 13 = 0)),
+second_rows AS (
+  SELECT page_url, origin || '/ld2/' || ds || '.jpg' AS img_url,
+         'second block caption ' || ds AS caption,
+         'caption' AS caption_source
+  FROM d WHERE doc_id % 11 = 0)
+SELECT * FROM first_rows UNION ALL SELECT * FROM second_rows
+"""
+
+
 def q_canonical_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-page canonical-URL extraction over the page fixture (see
     ``harvest.harvest_canonicals``): first link-rel=canonical, else
@@ -6798,6 +6888,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "canonical_harvest": q_canonical_harvest,
     "images_meta_harvest": q_images_meta_harvest,
     "images_picture_harvest": q_images_picture_harvest,
+    "images_jsonld_harvest": q_images_jsonld_harvest,
     "canonical_collapse": q_canonical_collapse,
     "sink_webdataset_shape": q_sink_webdataset_shape,
     "robots_meta_directives": q_robots_meta,
@@ -6931,6 +7022,7 @@ ORACLE_SQL: dict[str, str] = {
     "canonical_harvest": SQL_CANONICAL_HARVEST,
     "images_meta_harvest": SQL_IMAGES_META_HARVEST,
     "images_picture_harvest": SQL_IMAGES_PICTURE_HARVEST,
+    "images_jsonld_harvest": SQL_IMAGES_JSONLD_HARVEST,
     "canonical_collapse": SQL_CANONICAL_COLLAPSE,
     "sink_webdataset_shape": SQL_SINK_WEBDATASET_SHAPE,
     "robots_meta_directives": SQL_ROBOTS_META,

@@ -444,3 +444,37 @@ def test_picture_pairs_cross_source_election(spark):
     r2 = got["http://a.test/2"]
     assert r2["img_url"] == "http://a.test/i-3.jpg"
     assert r2["caption"] == "caption two ok"
+
+
+def test_jsonld_images_types_decoys_and_multiblock(spark):
+    """JSON-LD harvest: only @type ImageObject blocks match; a
+    commented-out script never matches; two valid blocks on one page
+    yield two rows; caption > name > description priority; relative
+    contentUrl absolutizes."""
+    from pholcus_spark.harvest import jsonld_images
+
+    rows = [
+        ("http://a.test/1",
+         '<script type="application/ld+json">{"@type": "ImageObject",'
+         ' "contentUrl": "/i1.jpg", "caption": "cap one",'
+         ' "name": "decoy name"}</script>'
+         '<script type="application/ld+json">{"@type": "ImageObject",'
+         ' "contentUrl": "http://c.test/i1b.jpg",'
+         ' "description": "desc 1b ok"}</script>'),
+        ("http://a.test/2",
+         '<!-- <script type="application/ld+json">{"@type":'
+         ' "ImageObject", "contentUrl": "/no.jpg", "caption":'
+         ' "commented caption"}</script> -->'
+         '<script type="application/ld+json">{"@type": "NewsArticle",'
+         ' "contentUrl": "/art.jpg", "caption": "wrong type"}</script>'),
+    ]
+    got = jsonld_images(
+        spark.createDataFrame(rows, "url string, html string")
+    ).collect()
+    by_url = {r["img_url"]: r for r in got}
+    assert set(by_url) == {"http://a.test/i1.jpg", "http://c.test/i1b.jpg"}
+    r1 = by_url["http://a.test/i1.jpg"]
+    assert (r1["caption"], r1["caption_source"]) == ("cap one", "caption")
+    r2 = by_url["http://c.test/i1b.jpg"]
+    assert (r2["caption"], r2["caption_source"]) == (
+        "desc 1b ok", "description")
