@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "images_meta_harvest",
     "images_picture_harvest",
     "images_jsonld_harvest",
+    "images_all_pairs",
     "images_channel_stats",
     "main_text_extract",
     "images_quality_gate",

@@ -46,6 +46,7 @@ __all__ = [
     "meta_images",
     "picture_pairs",
     "jsonld_images",
+    "all_image_pairs",
 ]
 
 
@@ -755,4 +756,67 @@ def jsonld_images(
     return d.where(
         F.length(F.coalesce(F.col("caption"), F.lit("")))
         >= min_caption_chars
+    )
+
+
+def all_image_pairs(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    min_caption_chars: int = 5,
+) -> DataFrame:
+    """Every image+caption pair the page offers, across ALL four
+    harvest surfaces in one call — inline ``<img alt>`` (srcset-
+    preferred), responsive ``<picture>`` elements, og/twitter social
+    cards, and schema.org ImageObject blocks — tagged with
+    ``pair_source`` (``img`` / ``picture`` / ``card`` / ``jsonld``)
+    and deduplicated on (page, img_url) keeping the richest source in
+    that order. This is the frame ``caption_consolidate`` and the
+    decode stage consume.
+
+    Each extractor is a zero-shuffle projection over the SAME page
+    scan; the union is map-side; the per-page dedup is one hash
+    aggregate on (page_url, img_url)."""
+    uni = (
+        harvest_image_captions(
+            pages, url_col, html_col,
+            min_caption_chars=min_caption_chars, prefer_srcset=True,
+        )
+        .select("page_url", "img_url", "caption",
+                F.lit(1).alias("_rank"))
+        .unionByName(
+            picture_pairs(
+                pages, url_col, html_col,
+                min_caption_chars=min_caption_chars,
+            ).select("page_url", "img_url", "caption",
+                     F.lit(2).alias("_rank"))
+        )
+        .unionByName(
+            meta_images(pages, url_col, html_col)
+            .where(
+                F.length(F.coalesce(F.col("caption"), F.lit("")))
+                >= min_caption_chars
+            )
+            .select("page_url", "img_url", "caption",
+                    F.lit(3).alias("_rank"))
+        )
+        .unionByName(
+            jsonld_images(
+                pages, url_col, html_col,
+                min_caption_chars=min_caption_chars,
+            ).select("page_url", "img_url", "caption",
+                     F.lit(4).alias("_rank"))
+        )
+    )
+    names = F.array(
+        F.lit("img"), F.lit("picture"), F.lit("card"), F.lit("jsonld")
+    )
+    best = uni.groupBy("page_url", "img_url").agg(
+        F.min(F.struct("_rank", "caption")).alias("_b")
+    )
+    return best.select(
+        "page_url",
+        "img_url",
+        F.col("_b.caption").alias("caption"),
+        F.element_at(names, F.col("_b._rank")).alias("pair_source"),
     )

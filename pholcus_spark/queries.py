@@ -5269,6 +5269,90 @@ SELECT * FROM first_rows UNION ALL SELECT * FROM second_rows
 """
 
 
+def q_images_all_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unified four-surface pair harvest (harvest.all_image_pairs):
+    inline img + picture + social card + JSON-LD in one call, deduped
+    per (page, img_url) keeping the richest source. The fixture makes
+    every surface fire by residue and plants a COLLISION on d%3==0
+    (the og:image points at the inline img's URL — the img-surface row
+    must win the election); the picture class also exposes its inner
+    fallback img through the img surface, so the two-rows-per-picture
+    behavior is pinned. The oracle predicts the full union + election
+    in SQL."""
+    from . import harvest
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    page = F.concat(F.lit("http://h"), (d % 10).cast("string"),
+                    F.lit(".test/u/"), ds)
+    inline = F.concat(F.lit('<img src="/a/'), ds,
+                      F.lit('.jpg" alt="inline '), ds,
+                      F.lit(' caption">'))
+    card = (
+        F.when(d % 3 == 0, F.concat(
+            F.lit('<meta property="og:image" content="/a/'), ds,
+            F.lit('.jpg"><meta property="og:title" content="card '),
+            ds, F.lit(' title">')))
+        .when(d % 3 == 1, F.concat(
+            F.lit('<meta property="og:image" content="/b/'), ds,
+            F.lit('.jpg"><meta property="og:title" content="card '),
+            ds, F.lit(' title">')))
+        .otherwise(F.lit(""))
+    )
+    pic = F.when(d % 4 == 0, F.concat(
+        F.lit('<picture><source srcset="/p/'), ds,
+        F.lit('-320.jpg 320w, /p/'), ds,
+        F.lit('-640.jpg 640w"><img src="/pf/'), ds,
+        F.lit('.jpg" alt="pict '), ds, F.lit(' caption"></picture>'),
+    )).otherwise(F.lit(""))
+    ld = F.when(d % 5 == 0, F.concat(
+        F.lit('<script type="application/ld+json">'
+              '{"@type": "ImageObject", "contentUrl": "/ld/'), ds,
+        F.lit('.jpg", "caption": "ld '), ds,
+        F.lit(' caption"}</script>'),
+    )).otherwise(F.lit(""))
+    pages = docs.select(
+        page.alias("url"),
+        F.concat(inline, card, pic, ld).alias("html"),
+    )
+    return harvest.all_image_pairs(pages)
+
+
+SQL_IMAGES_ALL_PAIRS = """
+WITH d AS (
+  SELECT doc_id,
+    'http://h' || CAST(doc_id % 10 AS VARCHAR) || '.test/u/'
+      || CAST(doc_id AS VARCHAR) AS page_url,
+    'http://h' || CAST(doc_id % 10 AS VARCHAR) || '.test' AS origin,
+    CAST(doc_id AS VARCHAR) AS ds
+  FROM documents),
+u AS (
+  -- inline img always; on d%3==0 the card points at the SAME url and
+  -- the img row must win the election (rank 1 < 3)
+  SELECT page_url, origin || '/a/' || ds || '.jpg' AS img_url,
+         'inline ' || ds || ' caption' AS caption, 'img' AS pair_source
+  FROM d
+  UNION ALL
+  SELECT page_url, origin || '/b/' || ds || '.jpg',
+         'card ' || ds || ' title', 'card'
+  FROM d WHERE doc_id % 3 = 1
+  UNION ALL
+  SELECT page_url, origin || '/p/' || ds || '-640.jpg',
+         'pict ' || ds || ' caption', 'picture'
+  FROM d WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT page_url, origin || '/pf/' || ds || '.jpg',
+         'pict ' || ds || ' caption', 'img'
+  FROM d WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT page_url, origin || '/ld/' || ds || '.jpg',
+         'ld ' || ds || ' caption', 'jsonld'
+  FROM d WHERE doc_id % 5 = 0)
+SELECT page_url, img_url, caption, pair_source FROM u
+"""
+
+
 def q_canonical_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-page canonical-URL extraction over the page fixture (see
     ``harvest.harvest_canonicals``): first link-rel=canonical, else
@@ -6889,6 +6973,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "images_meta_harvest": q_images_meta_harvest,
     "images_picture_harvest": q_images_picture_harvest,
     "images_jsonld_harvest": q_images_jsonld_harvest,
+    "images_all_pairs": q_images_all_pairs,
     "canonical_collapse": q_canonical_collapse,
     "sink_webdataset_shape": q_sink_webdataset_shape,
     "robots_meta_directives": q_robots_meta,
@@ -7023,6 +7108,7 @@ ORACLE_SQL: dict[str, str] = {
     "images_meta_harvest": SQL_IMAGES_META_HARVEST,
     "images_picture_harvest": SQL_IMAGES_PICTURE_HARVEST,
     "images_jsonld_harvest": SQL_IMAGES_JSONLD_HARVEST,
+    "images_all_pairs": SQL_IMAGES_ALL_PAIRS,
     "canonical_collapse": SQL_CANONICAL_COLLAPSE,
     "sink_webdataset_shape": SQL_SINK_WEBDATASET_SHAPE,
     "robots_meta_directives": SQL_ROBOTS_META,

@@ -478,3 +478,33 @@ def test_jsonld_images_types_decoys_and_multiblock(spark):
     r2 = by_url["http://c.test/i1b.jpg"]
     assert (r2["caption"], r2["caption_source"]) == (
         "desc 1b ok", "description")
+
+
+def test_all_image_pairs_union_and_election(spark):
+    """The four surfaces union into one frame; a URL harvested by two
+    surfaces keeps the richest source (img > picture > card >
+    jsonld); a picture contributes both its elected URL and its inner
+    fallback img."""
+    from pholcus_spark.harvest import all_image_pairs
+
+    html = (
+        '<img src="/x.jpg" alt="inline caption one">'
+        '<picture><source srcset="/p-640.jpg 640w">'
+        '<img src="/pf.jpg" alt="pic caption"></picture>'
+        '<meta property="og:image" content="/x.jpg">'
+        '<meta property="og:title" content="og title text">'
+        '<script type="application/ld+json">{"@type": "ImageObject",'
+        ' "contentUrl": "/ld.jpg", "caption": "ld caption"}</script>'
+    )
+    got = {r["img_url"]: r for r in all_image_pairs(
+        spark.createDataFrame([("http://a.test/1", html)],
+                              "url string, html string")).collect()}
+    assert set(got) == {
+        "http://a.test/x.jpg", "http://a.test/p-640.jpg",
+        "http://a.test/pf.jpg", "http://a.test/ld.jpg",
+    }
+    x = got["http://a.test/x.jpg"]  # img beats card on the collision
+    assert (x["caption"], x["pair_source"]) == (
+        "inline caption one", "img")
+    assert got["http://a.test/p-640.jpg"]["pair_source"] == "picture"
+    assert got["http://a.test/ld.jpg"]["pair_source"] == "jsonld"
