@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "images_jsonld_harvest",
     "images_all_pairs",
     "images_channel_stats",
+    "images_exif_upright",
     "main_text_extract",
     "images_quality_gate",
     "images_patch_budget",

@@ -249,3 +249,80 @@ def apply_exif_orientation(arr: np.ndarray, orientation: int) -> np.ndarray:
     else:
         out = arr
     return np.ascontiguousarray(out)
+
+
+def parse_exif_orientation(data: bytes) -> int | None:
+    """Orientation (EXIF tag 0x0112) out of raw image bytes, or None.
+
+    PNG: walk chunks for ``eXIf`` (its payload is a bare TIFF stream);
+    JPEG (real SOI framing): walk segments for APP1 with the
+    ``Exif\\0\\0`` prefix. The TIFF walk honors both byte orders
+    (II/MM), validates the 42 magic, and reads IFD0 only — orientation
+    lives there per EXIF 2.3. Anything malformed returns None (fail
+    open, like ``normalize_orientation`` treats unknown tags). Pure
+    function shared by the engine UDF and oracle recomputes."""
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        pos = 8
+        while pos + 8 <= len(data):
+            length = int.from_bytes(data[pos:pos + 4], "big")
+            tag = bytes(data[pos + 4:pos + 8])
+            if tag == b"eXIf":
+                return _tiff_orientation(data[pos + 8:pos + 8 + length])
+            if tag == b"IEND":
+                return None
+            pos += 12 + length
+        return None
+    if data[:2] == b"\xff\xd8":
+        pos = 2
+        while pos + 4 <= len(data) and data[pos] == 0xFF:
+            marker = data[pos + 1]
+            if marker == 0xDA:
+                return None
+            seg_len = int.from_bytes(data[pos + 2:pos + 4], "big")
+            if marker == 0xE1 and data[pos + 4:pos + 10] == b"Exif\x00\x00":
+                return _tiff_orientation(
+                    data[pos + 10:pos + 2 + seg_len]
+                )
+            pos += 2 + seg_len
+        return None
+    return None
+
+
+def _tiff_orientation(t: bytes) -> int | None:
+    if len(t) < 8:
+        return None
+    if t[:2] == b"II":
+        bo = "little"
+    elif t[:2] == b"MM":
+        bo = "big"
+    else:
+        return None
+    if int.from_bytes(t[2:4], bo) != 42:
+        return None
+    off = int.from_bytes(t[4:8], bo)
+    if off + 2 > len(t):
+        return None
+    n = int.from_bytes(t[off:off + 2], bo)
+    for i in range(n):
+        e = off + 2 + 12 * i
+        if e + 12 > len(t):
+            return None
+        tag = int.from_bytes(t[e:e + 2], bo)
+        typ = int.from_bytes(t[e + 2:e + 4], bo)
+        if tag == 0x0112 and typ == 3:  # SHORT
+            return int.from_bytes(t[e + 8:e + 10], bo)
+    return None
+
+
+def exif_orientation_blob(orientation: int, big_endian: bool = False) -> bytes:
+    """A minimal valid TIFF stream carrying just the orientation tag —
+    the fixture/test generator twin of ``parse_exif_orientation``."""
+    bo = "big" if big_endian else "little"
+    head = (b"MM" if big_endian else b"II") + (42).to_bytes(2, bo)
+    head += (8).to_bytes(4, bo)  # IFD0 right after the header
+    ifd = (1).to_bytes(2, bo)
+    ifd += (0x0112).to_bytes(2, bo) + (3).to_bytes(2, bo)
+    ifd += (1).to_bytes(4, bo)
+    ifd += int(orientation).to_bytes(2, bo) + b"\x00\x00"
+    ifd += (0).to_bytes(4, bo)  # no next IFD
+    return head + ifd

@@ -1098,6 +1098,53 @@ def augment_plan(
     )
 
 
+def read_exif_orientation(images: DataFrame) -> DataFrame:
+    """Attach each image's EXIF orientation tag parsed FROM ITS OWN
+    BYTES (``imaging.parse_exif_orientation``: PNG eXIf chunks, real
+    JPEG APP1 TIFF streams, both byte orders) — the producer of the
+    ``orientation`` column ``normalize_orientation`` consumes, so the
+    upright fix needs no external metadata. Unknown/absent/malformed
+    EXIF → NULL (the fix passes those through). Arrow-batched
+    mapInPandas, payload in/payload out, zero shuffle."""
+    out_schema = (
+        "image_id string, bytes binary, fmt string, orientation int"
+    )
+
+    def _read(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .imaging import parse_exif_orientation
+
+        for pdf in pdf_iter:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                rows.append(
+                    {
+                        "image_id": r.image_id,
+                        "bytes": bytes(r.bytes),
+                        "fmt": r.fmt,
+                        "orientation": parse_exif_orientation(
+                            bytes(r.bytes)
+                        ),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "bytes", "fmt", "orientation"],
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        _read, out_schema
+    )
+
+
+def upright_images(images: DataFrame) -> DataFrame:
+    """The composed orientation fix: parse the tag out of the payload
+    (``read_exif_orientation``) and upright the pixels
+    (``normalize_orientation``) — what an ingest pipeline runs on raw
+    crawled images before any geometry-sensitive stage (aspect
+    bucketing, crops, augments)."""
+    return normalize_orientation(read_exif_orientation(images))
+
+
 def normalize_orientation(
     images: DataFrame, orientation_col: str = "orientation"
 ) -> DataFrame:
@@ -1128,7 +1175,12 @@ def normalize_orientation(
         for pdf in pdf_iter:
             rows = []
             for r in pdf.itertuples(index=False):
-                o = int(r.orientation) if r.orientation is not None else 1
+                # Arrow hands NULL ints to pandas as NaN floats;
+                # absent tag = identity internally, NULL in the output
+                tag = None if pd.isna(r.orientation) else int(
+                    r.orientation
+                )
+                o = tag if tag is not None else 1
                 arr = decode_image(bytes(r.bytes), r.fmt)
                 changed = 2 <= o <= 8
                 if changed:
@@ -1141,7 +1193,7 @@ def normalize_orientation(
                         "image_id": r.image_id,
                         "bytes": data,
                         "fmt": r.fmt,
-                        "orientation": o,
+                        "orientation": tag,
                         "w": arr.shape[1],
                         "h": arr.shape[0],
                         "transformed": changed,

@@ -3745,6 +3745,125 @@ FROM p
 """
 
 
+def _inject_exif(data: bytes, doc_id: int) -> bytes:
+    """Shared fixture arithmetic for the EXIF-orientation queries:
+    PNGs get an eXIf chunk after IHDR — orientation (d%8)+1, byte
+    order alternating by d%2 — except d%5==0 (no EXIF) and d%7==0
+    (an EXIF block carrying no orientation tag). PHLJ 'jpeg' payloads
+    pass through untouched."""
+    import struct
+    import zlib
+
+    from pholcus_spark.imaging import exif_orientation_blob
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n" or doc_id % 5 == 0:
+        return data
+    if doc_id % 7 == 0:
+        bo = "little"
+        blob = b"II" + (42).to_bytes(2, bo) + (8).to_bytes(4, bo)
+        blob += (0).to_bytes(2, bo) + (0).to_bytes(4, bo)
+    else:
+        blob = exif_orientation_blob(
+            (doc_id % 8) + 1, big_endian=doc_id % 2 == 1
+        )
+    chunk = (
+        struct.pack(">I", len(blob)) + b"eXIf" + blob
+        + struct.pack(">I", zlib.crc32(b"eXIf" + blob) & 0xFFFFFFFF)
+    )
+    ihdr_end = 8 + 12 + 13
+    return data[:ihdr_end] + chunk + data[ihdr_end:]
+
+
+def q_images_exif_upright(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed from-bytes orientation fix (multimodal.
+    upright_images = read_exif_orientation → normalize_orientation):
+    the orientation comes out of each payload's OWN eXIf TIFF stream
+    (both byte orders), not a side column. Injection classes: real
+    orientation tags (all 8 values), EXIF with no orientation tag,
+    no EXIF, and non-PNG payloads — the last three must pass through
+    byte-identical with NULL orientation. The oracle replays the
+    injection AND the parse→upright→re-encode driver-side (lazy
+    VALUES)."""
+    import pandas as pd
+
+    from . import multimodal
+
+    imgs = _synthetic_images(spark, sf_dir, max_docs=PHASH_ORACLE_DOCS)
+
+    def _inject(pdf_iter):
+        for pdf in pdf_iter:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                d = int(r.image_id.split("-")[1])
+                rows.append(
+                    {
+                        "image_id": r.image_id,
+                        "bytes": _inject_exif(bytes(r.bytes), d),
+                        "fmt": r.fmt,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "bytes", "fmt"]
+            )
+
+    dirty = imgs.mapInPandas(
+        _inject, "image_id string, bytes binary, fmt string"
+    )
+    out = multimodal.upright_images(dirty)
+    return out.select(
+        "image_id",
+        F.col("orientation").cast("long").alias("orientation"),
+        F.col("w").cast("long").alias("w"),
+        F.col("h").cast("long").alias("h"),
+        F.length("bytes").cast("long").alias("n_bytes"),
+        "transformed",
+    )
+
+
+@lru_cache(maxsize=1)
+def _exif_upright_values() -> str:
+    from . import synthetic
+    from .imaging import (
+        apply_exif_orientation,
+        decode_image,
+        encode_image,
+        parse_exif_orientation,
+    )
+
+    vals = []
+    for doc_id in range(PHASH_ORACLE_DOCS):
+        arr, fmt = synthetic.image_for_doc(doc_id)
+        data = _inject_exif(encode_image(arr, fmt), doc_id)
+        o = parse_exif_orientation(data)
+        eff = o if o is not None else 1
+        transformed = 2 <= eff <= 8
+        if transformed:
+            up = apply_exif_orientation(decode_image(data, fmt), eff)
+            out = encode_image(up, fmt)
+            h, w = up.shape[0], up.shape[1]
+        else:
+            out = data
+            h, w = arr.shape[0], arr.shape[1]
+        vals.append(
+            f"({doc_id}, {o if o is not None else 'NULL'}, {w}, {h},"
+            f" {len(out)}, {str(transformed).upper()})"
+        )
+    return ", ".join(vals)
+
+
+@lru_cache(maxsize=1)
+def _sql_images_exif_upright() -> str:
+    return f"""
+WITH ev(doc_id, orientation, w, h, n_bytes, transformed) AS
+  (VALUES {_exif_upright_values()})
+SELECT 'doc-' || CAST(ev.doc_id AS VARCHAR) AS image_id,
+       CAST(orientation AS BIGINT) AS orientation,
+       CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+       CAST(n_bytes AS BIGINT) AS n_bytes, transformed
+FROM ev JOIN documents t ON t.doc_id = ev.doc_id
+"""
+
+
 AUG_EPOCH = 3
 AUG_CROP = 32
 
@@ -6955,6 +7074,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "images_metadata_strip": q_images_metadata_strip,
     "images_phash_recall": q_images_phash_recall,
     "images_orientation": q_images_orientation,
+    "images_exif_upright": q_images_exif_upright,
     "images_augment_plan": q_images_augment_plan,
     "images_embed_topk": q_images_embed_topk,
     "images_blocklist_filter": q_images_blocklist_filter,
@@ -7133,6 +7253,7 @@ LAZY_ORACLE_SQL: dict[str, Callable[[], str]] = {
     "images_phash_neardup": _sql_images_phash_neardup,
     "images_phash_recall": _sql_images_phash_recall,
     "images_orientation": _sql_images_orientation,
+    "images_exif_upright": _sql_images_exif_upright,
     "images_embed_topk": _sql_images_embed_topk,
     "images_blocklist_filter": _sql_images_blocklist_filter,
     "images_channel_stats": _sql_images_channel_stats,

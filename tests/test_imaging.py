@@ -432,3 +432,58 @@ def test_channel_stats_exact_on_known_pixels(spark):
     assert (r["n_images"], r["n_px"]) == (2, 40)
     assert (r["mean_r"], r["mean_g"], r["mean_b"]) == (0.5, 0.0, 0.5)
     assert (r["std_r"], r["std_g"], r["std_b"]) == (0.5, 0.0, 0.5)
+
+
+def test_exif_orientation_parse_png_and_jpeg(spark):
+    """parse_exif_orientation reads the tag out of PNG eXIf chunks and
+    real-JPEG APP1 segments in both byte orders; upright_images then
+    fixes pixels with NO side column. Malformed TIFF, missing tag,
+    and PHLJ payloads give NULL and pass through byte-identical."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from pholcus_spark.imaging import (
+        apply_exif_orientation,
+        decode_png,
+        encode_png,
+        exif_orientation_blob,
+        parse_exif_orientation,
+    )
+    from pholcus_spark.multimodal import upright_images
+
+    def png_with_exif(arr, blob):
+        data = encode_png(arr)
+        chunk = (
+            struct.pack(">I", len(blob)) + b"eXIf" + blob
+            + struct.pack(">I", zlib.crc32(b"eXIf" + blob) & 0xFFFFFFFF)
+        )
+        return data[:33] + chunk + data[33:]
+
+    up = np.arange(6 * 9 * 3, dtype=np.uint8).reshape(6, 9, 3)
+    stored6 = apply_exif_orientation(up, 8)  # inverse of tag 6
+    png6 = png_with_exif(stored6, exif_orientation_blob(6, True))
+    # real-JPEG framing: SOI + APP1(Exif) + bogus-but-walkable tail
+    tiff = exif_orientation_blob(3, False)
+    app1 = b"Exif\x00\x00" + tiff
+    jpeg3 = (b"\xff\xd8\xff\xe1"
+             + struct.pack(">H", len(app1) + 2) + app1
+             + b"\xff\xda\x00\x02")
+    assert parse_exif_orientation(png6) == 6
+    assert parse_exif_orientation(jpeg3) == 3
+    assert parse_exif_orientation(b"PHLJ1234") is None
+    assert parse_exif_orientation(png_with_exif(up, b"XX")) is None
+
+    df = spark.createDataFrame(
+        [("a", bytearray(png6), "png"),
+         ("plain", bytearray(encode_png(up)), "png")],
+        "image_id string, bytes binary, fmt string",
+    )
+    got = {r["image_id"]: r for r in upright_images(df).collect()}
+    a = got["a"]
+    assert a["orientation"] == 6 and a["transformed"]
+    assert np.array_equal(decode_png(bytes(a["bytes"])), up)
+    p = got["plain"]
+    assert p["orientation"] is None and not p["transformed"]
+    assert bytes(p["bytes"]) == bytes(encode_png(up))
