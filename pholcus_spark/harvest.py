@@ -47,6 +47,7 @@ __all__ = [
     "picture_pairs",
     "jsonld_images",
     "all_image_pairs",
+    "caption_spam",
 ]
 
 
@@ -819,4 +820,48 @@ def all_image_pairs(
         "img_url",
         F.col("_b.caption").alias("caption"),
         F.element_at(names, F.col("_b._rank")).alias("pair_source"),
+    )
+
+
+def caption_spam(
+    pairs: DataFrame,
+    caption_col: str = "caption",
+    image_col: str = "image_id",
+    max_images: int = 10,
+) -> DataFrame:
+    """Cross-corpus duplicated-caption gate: a caption that appears on
+    many DISTINCT image identities ("stock photo", a CMS's default alt
+    text, the site name pasted under every thumbnail) describes none
+    of them, and LAION-style pipelines drop those pairs before
+    contrastive training. ``textops.caption_flags`` judges one caption
+    in isolation; this is the corpus-level complement — the caption
+    twin of ``dedup.line_dedup``'s boilerplate election.
+
+    Captions are compared under whitespace/case normalization (the
+    same alt text arrives with trailing blanks, NBSP runs, and Title
+    Case across CMS re-hosts), keyed by the portable 60-bit md5
+    fingerprint. The plan is the line-dedup skeleton: one hash
+    aggregation counting distinct image identities per fingerprint
+    (Spark's single-distinct rewrite partial-aggregates the
+    (fp, image) pre-dedup map-side), then a fingerprint-keyed join of
+    that slim (fp, n_images) frame back onto the pairs. Neither leg
+    ever carries payload bytes, and at 10^10 pairs both shuffles move
+    only fingerprint-sized rows; the counts frame is NOT broadcast —
+    distinct captions grow with the corpus.
+
+    Returns the input plus ``caption_fp``, ``n_images`` (distinct
+    image identities sharing the normalized caption), and ``is_spam``
+    (n_images > max_images)."""
+    from . import textops
+
+    norm = F.lower(
+        F.trim(F.regexp_replace(F.col(caption_col), r"\s+", " "))
+    )
+    fp = textops.md5_long(norm)
+    keyed = pairs.withColumn("caption_fp", fp)
+    counts = keyed.groupBy("caption_fp").agg(
+        F.countDistinct(image_col).cast("long").alias("n_images")
+    )
+    return keyed.join(counts, "caption_fp").withColumn(
+        "is_spam", F.col("n_images") > F.lit(max_images)
     )

@@ -6797,6 +6797,82 @@ WHERE rn = 1
 """
 
 
+def q_caption_spam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus duplicated-caption gate (harvest.caption_spam):
+    captions shared by many DISTINCT images are boilerplate and LAION
+    drops the pairs. Planted classes per doc_id%5: a corpus-wide stock
+    caption split across two raw spellings that NORMALIZE to one
+    fingerprint (case + whitespace-run collapse — half the class
+    arrives as '  STOCK   PHOTO  '), a second corpus-wide watermark
+    caption, 5 mid-size product classes keyed by doc_id%25 (above the
+    spam bar at sf0.01, legitimately below it at tiny sf — the
+    threshold itself is exercised by scale), and unique captions. The
+    oracle re-runs normalize→fingerprint→distinct-count→join in
+    DuckDB, so drift in the normalization, the portable hash, or the
+    threshold comparison breaks the value hash."""
+    from . import harvest
+
+    d = F.col("doc_id")
+    pairs = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("img-"), d.cast("string")).alias("image_id"),
+        F.when(
+            d % 5 == 0,
+            F.when(d % 2 == 0, F.lit("  STOCK   PHOTO  ")).otherwise(
+                F.lit("stock photo")
+            ),
+        )
+        .when(d % 5 == 1, F.lit("getty images watermark preview"))
+        .when(
+            d % 5 == 2,
+            F.concat(
+                F.lit("Product shot variant "), (d % 25).cast("string")
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("photo of "),
+                F.substring("text", 1, 40),
+                F.lit(" #"),
+                d.cast("string"),
+            )
+        )
+        .alias("caption"),
+    )
+    return harvest.caption_spam(pairs).select(
+        "image_id", "caption", "caption_fp", "n_images", "is_spam"
+    )
+
+
+_CAPTION_NORM_SQL = "lower(trim(regexp_replace(caption, '\\s+', ' ', 'g')))"
+
+SQL_CAPTION_SPAM = f"""
+WITH p AS (
+  SELECT 'img-' || CAST(doc_id AS VARCHAR) AS image_id,
+    CASE
+      WHEN doc_id % 5 = 0 THEN
+        CASE WHEN doc_id % 2 = 0 THEN '  STOCK   PHOTO  '
+             ELSE 'stock photo' END
+      WHEN doc_id % 5 = 1 THEN 'getty images watermark preview'
+      WHEN doc_id % 5 = 2 THEN
+        'Product shot variant ' || CAST(doc_id % 25 AS VARCHAR)
+      ELSE 'photo of ' || substr(text, 1, 40) || ' #'
+        || CAST(doc_id AS VARCHAR)
+    END AS caption
+  FROM documents),
+n AS (
+  SELECT image_id, caption,
+    {_h60_sql(_CAPTION_NORM_SQL)}
+      AS caption_fp
+  FROM p),
+c AS (
+  SELECT caption_fp, CAST(COUNT(DISTINCT image_id) AS BIGINT) AS n_images
+  FROM n GROUP BY caption_fp)
+SELECT n.image_id, n.caption, n.caption_fp, c.n_images,
+       c.n_images > 10 AS is_spam
+FROM n JOIN c USING (caption_fp)
+"""
+
+
 def _revalidate_parts(spark: SparkSession, sf_dir: str):
     """Fixture for the conditional-revisit operators: candidates are
     doc_id<400, the validator store covers doc_id%3!=0 over the full
@@ -7100,6 +7176,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "links_followable": q_links_followable,
     "caption_quality": q_caption_quality,
     "caption_consolidate": q_caption_consolidate,
+    "caption_spam": q_caption_spam,
     "images_srcset_harvest": q_images_srcset_harvest,
     "training_split_assign": q_split_assign,
     "politeness_adapt": q_politeness_adapt,
@@ -7235,6 +7312,7 @@ ORACLE_SQL: dict[str, str] = {
     "links_followable": SQL_LINKS_FOLLOWABLE,
     "caption_quality": SQL_CAPTION_QUALITY,
     "caption_consolidate": SQL_CAPTION_CONSOLIDATE,
+    "caption_spam": SQL_CAPTION_SPAM,
     "images_srcset_harvest": SQL_IMAGES_SRCSET_HARVEST,
     "training_split_assign": SQL_SPLIT_ASSIGN,
     "politeness_adapt": SQL_POLITENESS_ADAPT,

@@ -508,3 +508,32 @@ def test_all_image_pairs_union_and_election(spark):
         "inline caption one", "img")
     assert got["http://a.test/p-640.jpg"]["pair_source"] == "picture"
     assert got["http://a.test/ld.jpg"]["pair_source"] == "jsonld"
+
+
+def test_caption_spam_normalization_and_threshold(spark):
+    # 4 images share one caption under case/whitespace variants, one
+    # sits exactly AT the threshold (not spam), one above it (spam),
+    # one unique.
+    rows = [(f"i{j}", c) for j, c in enumerate(
+        ["Stock Photo", "  stock   photo ", "STOCK PHOTO", "stock photo",
+         "at bar", "at bar", "at bar",
+         "unique caption here"]
+    )]
+    df = spark.createDataFrame(rows, "image_id string, caption string")
+    got = {r["image_id"]: r for r in
+           harvest.caption_spam(df, max_images=3).collect()}
+    # the four spellings normalize to ONE fingerprint
+    assert len({got[f"i{j}"]["caption_fp"] for j in range(4)}) == 1
+    assert got["i0"]["n_images"] == 4 and got["i0"]["is_spam"]
+    # n_images == max_images is NOT spam (strict >)
+    assert got["i4"]["n_images"] == 3 and not got["i4"]["is_spam"]
+    assert got["i7"]["n_images"] == 1 and not got["i7"]["is_spam"]
+
+
+def test_caption_spam_counts_distinct_images_not_rows(spark):
+    # the same (image, caption) row appearing twice (re-crawl) must
+    # not inflate the distinct-image count past the threshold
+    rows = [("a", "repeat me"), ("a", "repeat me"), ("b", "repeat me")]
+    df = spark.createDataFrame(rows, "image_id string, caption string")
+    out = harvest.caption_spam(df, max_images=2).collect()
+    assert all(r["n_images"] == 2 and not r["is_spam"] for r in out)
