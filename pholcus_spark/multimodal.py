@@ -1258,3 +1258,59 @@ def embed_images(images: DataFrame) -> DataFrame:
     return images.select("image_id", "bytes", "fmt").mapInPandas(
         _embed, "image_id string, embedding array<double>"
     )
+
+
+def sniff_format(data: Column) -> Column:
+    """Magic-byte content sniff of a binary payload — entirely
+    JVM-side (hex-prefix compares over ``substring``; no Python, no
+    decode). A crawl can't trust Content-Type or the URL extension:
+    servers hand back error pages with 200 + image/jpeg, CDNs
+    transcode without relabeling, and ``.jpg`` URLs serve PNGs. The
+    byte signatures are the ground truth browsers use (WHATWG MIME
+    sniffing §6), so this is the gate between fetch and decode.
+
+    Recognized: PNG, JPEG/JFIF (plus the sandbox's PHLJ lossy
+    stand-in, reported as ``jpeg``), GIF87a/89a, RIFF/WEBP, BMP, and
+    markup ('<' after optional whitespace → ``html``, the classic
+    error-page-saved-as-image). Anything else is ``unknown``."""
+    hx = F.hex(F.substring(data, 1, 12))
+    # WHATWG sniffing skips \t \n \x0C \r and space before markup;
+    # ltrim would strip spaces only
+    head = F.substring(data, 1, 64).cast("string")
+    is_markup = head.rlike("^[ \\t\\r\\n\\x0c]*<")
+    return (
+        F.when(hx.startswith("89504E470D0A1A0A"), F.lit("png"))
+        .when(hx.startswith("FFD8FF"), F.lit("jpeg"))
+        .when(hx.startswith("50484C4A"), F.lit("jpeg"))  # PHLJ
+        .when(hx.startswith("47494638"), F.lit("gif"))
+        .when(
+            (F.substring(hx, 1, 8) == "52494646")
+            & (F.substring(hx, 17, 8) == "57454250"),
+            F.lit("webp"),
+        )
+        .when(hx.startswith("424D"), F.lit("bmp"))
+        .when(is_markup, F.lit("html"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
+def sniff_mismatch(images: DataFrame, fmt_col: str = "fmt") -> DataFrame:
+    """Payload-vs-label triage: sniff every payload's real format from
+    its bytes and compare with the declared ``fmt`` column. Routing
+    follows the trust-the-bytes rule: non-image payloads (``html`` /
+    ``unknown``) are ``drop`` rows regardless of label; a real image
+    format that contradicts the label is ``relabel`` (the decode stage
+    uses the sniffed codec); agreement is ``keep``. A zero-shuffle
+    projection over the scan — at 10^10 payloads this adds nothing to
+    the fetch stage's cost, and it prunes doomed rows BEFORE the
+    Arrow-batched decode spends Python time on them."""
+    sniffed = sniff_format(F.col("bytes"))
+    out = images.withColumn("sniffed_fmt", sniffed).withColumn(
+        "is_mismatch", F.col("sniffed_fmt") != F.col(fmt_col)
+    )
+    return out.withColumn(
+        "action",
+        F.when(F.col("sniffed_fmt").isin("html", "unknown"), F.lit("drop"))
+        .when(F.col("is_mismatch"), F.lit("relabel"))
+        .otherwise(F.lit("keep")),
+    )

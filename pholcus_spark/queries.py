@@ -3745,6 +3745,72 @@ FROM p
 """
 
 
+def q_images_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte content sniffing (multimodal.sniff_mismatch): the
+    engine reads REAL payload bytes JVM-side (hex-prefix compares, no
+    decode) and routes keep/relabel/drop by the trust-the-bytes rule.
+    Planted classes: doc_id%13==0 replaces the payload with a 404
+    error page (sniffs html → drop), %13==5 with junk bytes (unknown
+    → drop), and doc_id%9==0 flips the DECLARED label png↔jpeg
+    (sniffs the true codec → relabel); everything else agrees (keep).
+    The oracle predicts the sniff from the generator's fmt arithmetic
+    — a signature-table drift mislabels a class and breaks the
+    hash."""
+    d = F.element_at(F.split(F.col("image_id"), "-"), 2).cast("long")
+    imgs = _synthetic_images(spark, sf_dir).select(
+        "image_id",
+        F.when(
+            d % 13 == 0,
+            F.lit(
+                "<html><head><title>404 Not Found</title></head></html>"
+            ).cast("binary"),
+        )
+        .when(d % 13 == 5, F.lit("NOTANIMAGEPAYLOAD\x00\x01").cast("binary"))
+        .otherwise(F.col("bytes"))
+        .alias("bytes"),
+        F.when(
+            d % 9 == 0,
+            F.when(F.col("fmt") == "png", F.lit("jpeg")).otherwise(
+                F.lit("png")
+            ),
+        )
+        .otherwise(F.col("fmt"))
+        .alias("fmt"),
+    )
+    out = multimodal.sniff_mismatch(imgs)
+    return out.select(
+        "image_id",
+        F.col("fmt").alias("declared_fmt"),
+        "sniffed_fmt",
+        "is_mismatch",
+        "action",
+    )
+
+
+SQL_IMAGES_SNIFF = """
+WITH p AS (SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS r
+           FROM documents),
+t AS (SELECT doc_id,
+        CASE WHEN (r // 1089) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS true_fmt
+      FROM p),
+s AS (SELECT doc_id,
+        CASE WHEN doc_id % 13 = 0 THEN 'html'
+             WHEN doc_id % 13 = 5 THEN 'unknown'
+             ELSE true_fmt END AS sniffed_fmt,
+        CASE WHEN doc_id % 9 = 0 THEN
+               CASE true_fmt WHEN 'png' THEN 'jpeg' ELSE 'png' END
+             ELSE true_fmt END AS declared_fmt
+      FROM t)
+SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS image_id,
+       declared_fmt, sniffed_fmt,
+       sniffed_fmt != declared_fmt AS is_mismatch,
+       CASE WHEN sniffed_fmt IN ('html', 'unknown') THEN 'drop'
+            WHEN sniffed_fmt != declared_fmt THEN 'relabel'
+            ELSE 'keep' END AS action
+FROM s
+"""
+
+
 def _inject_exif(data: bytes, doc_id: int) -> bytes:
     """Shared fixture arithmetic for the EXIF-orientation queries:
     PNGs get an eXIf chunk after IHDR — orientation (d%8)+1, byte
@@ -7177,6 +7243,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "caption_quality": q_caption_quality,
     "caption_consolidate": q_caption_consolidate,
     "caption_spam": q_caption_spam,
+    "images_sniff": q_images_sniff,
     "images_srcset_harvest": q_images_srcset_harvest,
     "training_split_assign": q_split_assign,
     "politeness_adapt": q_politeness_adapt,
@@ -7313,6 +7380,7 @@ ORACLE_SQL: dict[str, str] = {
     "caption_quality": SQL_CAPTION_QUALITY,
     "caption_consolidate": SQL_CAPTION_CONSOLIDATE,
     "caption_spam": SQL_CAPTION_SPAM,
+    "images_sniff": SQL_IMAGES_SNIFF,
     "images_srcset_harvest": SQL_IMAGES_SRCSET_HARVEST,
     "training_split_assign": SQL_SPLIT_ASSIGN,
     "politeness_adapt": SQL_POLITENESS_ADAPT,

@@ -487,3 +487,38 @@ def test_exif_orientation_parse_png_and_jpeg(spark):
     p = got["plain"]
     assert p["orientation"] is None and not p["transformed"]
     assert bytes(p["bytes"]) == bytes(encode_png(up))
+
+
+def test_sniff_format_signature_table(spark):
+    from pyspark.sql import functions as F
+
+    from pholcus_spark import multimodal, synthetic
+    from pholcus_spark.imaging import encode_image
+
+    arr, _ = synthetic.image_for_doc(7)
+    cases = [
+        ("png", encode_image(arr, "png")),
+        ("phlj", encode_image(arr, "jpeg")),
+        ("jfif", b"\xff\xd8\xff\xe0" + b"\x00" * 16),
+        ("gif", b"GIF89a" + b"\x00" * 8),
+        ("webp", b"RIFF\x10\x00\x00\x00WEBPVP8 "),
+        ("bmp", b"BM" + b"\x00" * 12),
+        ("html", b"  \n <!DOCTYPE html><html></html>"),
+        ("junk", b"\x00\x01\x02 nothing recognizable"),
+        # RIFF without the WEBP fourcc (a .wav) must NOT sniff as webp
+        ("wav", b"RIFF\x10\x00\x00\x00WAVEfmt "),
+    ]
+    df = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in cases], "k string, bytes binary"
+    )
+    got = {
+        r["k"]: r["s"]
+        for r in df.select(
+            "k", multimodal.sniff_format(F.col("bytes")).alias("s")
+        ).collect()
+    }
+    assert got["png"] == "png" and got["phlj"] == "jpeg"
+    assert got["jfif"] == "jpeg" and got["gif"] == "gif"
+    assert got["webp"] == "webp" and got["bmp"] == "bmp"
+    assert got["html"] == "html"
+    assert got["junk"] == "unknown" and got["wav"] == "unknown"
