@@ -2061,6 +2061,64 @@ FROM ranked WHERE rn <= {TFIDF_K}
 """
 
 
+def q_text_topk_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus boilerplate mining + count-min sketch
+    (textops.topk_ngrams): most-frequent word 3-grams with exact
+    counts AND the 4×1024-counter CMS estimate side by side — the
+    exact agg shuffles the vocabulary, the sketch shuffles at most
+    4096 keys regardless of corpus size, and ``overcount`` audits the
+    estimate-only-overcounts guarantee per gram. Planted boilerplate
+    (a cookie banner on doc_id%3!=0 and a universal footer) gives the
+    top slots known counts; the oracle re-runs BOTH counting paths —
+    shingling, the salted portable-md5 bucketing, min-over-depth —
+    in DuckDB, so a drift in the sketch hashing or the (count desc,
+    gram asc) tie order breaks the hash."""
+    d = F.col("doc_id")
+    planted = F.concat_ws(
+        " ",
+        F.substring("text", 1, 120),
+        F.when(d % 3 != 0, F.lit("please accept our cookie policy")),
+        F.concat(
+            F.lit("copyright footer group "), (d % 7).cast("string")
+        ),
+    )
+    docs = _t(spark, sf_dir, "documents").select(planted.alias("text"))
+    return textops.topk_ngrams(docs)
+
+
+_CMS_G_SQL = "'cms' || CAST(r.j AS VARCHAR) || '|' || g.gram"
+_CMS_T_SQL = "'cms' || CAST(r.j AS VARCHAR) || '|' || t.gram"
+
+SQL_TEXT_TOPK_NGRAMS = f"""
+WITH p AS (
+  SELECT concat_ws(' ', substr(text, 1, 120),
+           CASE WHEN doc_id % 3 != 0
+                THEN 'please accept our cookie policy' END,
+           'copyright footer group ' || CAST(doc_id % 7 AS VARCHAR))
+    AS text
+  FROM documents),
+w AS (SELECT string_split(text, ' ') AS ws FROM p),
+g AS (SELECT u AS gram
+      FROM w, UNNEST(list_transform(range(0, greatest(len(ws) - 2, 0)),
+             i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS r(u)),
+c AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+      FROM g GROUP BY gram),
+t AS (SELECT * FROM c ORDER BY n_occurrences DESC, gram LIMIT 20),
+jb AS (SELECT g.gram, r.j, {_h60_sql(_CMS_G_SQL)} % 1024 AS bucket
+       FROM g, range(4) AS r(j)),
+sk AS (SELECT j, bucket, CAST(COUNT(*) AS BIGINT) AS counter
+       FROM jb GROUP BY j, bucket),
+pr AS (SELECT t.gram, t.n_occurrences, r.j,
+              {_h60_sql(_CMS_T_SQL)} % 1024 AS bucket
+       FROM t, range(4) AS r(j))
+SELECT pr.gram, pr.n_occurrences,
+       MIN(sk.counter) AS cms_est,
+       MIN(sk.counter) - pr.n_occurrences AS overcount
+FROM pr JOIN sk USING (j, bucket)
+GROUP BY pr.gram, pr.n_occurrences
+"""
+
+
 def q_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus line-level exact dedup (dedup.line_dedup) — the
     CCNet boilerplate-removal stage. The fixture corpus is single-line
@@ -7244,6 +7302,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "caption_consolidate": q_caption_consolidate,
     "caption_spam": q_caption_spam,
     "images_sniff": q_images_sniff,
+    "text_topk_ngrams": q_text_topk_ngrams,
     "images_srcset_harvest": q_images_srcset_harvest,
     "training_split_assign": q_split_assign,
     "politeness_adapt": q_politeness_adapt,
@@ -7381,6 +7440,7 @@ ORACLE_SQL: dict[str, str] = {
     "caption_consolidate": SQL_CAPTION_CONSOLIDATE,
     "caption_spam": SQL_CAPTION_SPAM,
     "images_sniff": SQL_IMAGES_SNIFF,
+    "text_topk_ngrams": SQL_TEXT_TOPK_NGRAMS,
     "images_srcset_harvest": SQL_IMAGES_SRCSET_HARVEST,
     "training_split_assign": SQL_SPLIT_ASSIGN,
     "politeness_adapt": SQL_POLITENESS_ADAPT,

@@ -15,7 +15,7 @@ same style of column expressions.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Small, fixed English stopword list shared with the DuckDB oracle SQL
@@ -433,3 +433,84 @@ def caption_keep(caption: Column, **kw) -> Column:
     for f in flags.values():
         out = out & ~f
     return out
+
+
+def topk_ngrams(
+    docs: DataFrame,
+    text_col: str = "text",
+    shingle_k: int = 3,
+    top_k: int = 20,
+    cms_depth: int = 4,
+    cms_width: int = 1024,
+) -> DataFrame:
+    """Corpus-wide most-frequent word n-grams — the boilerplate-mining
+    readout (cookie banners, footer sentences, template fragments
+    surface instantly as top shingles) — alongside a count-min-sketch
+    estimate of the same frequencies.
+
+    Two counting paths with very different 10^10 behavior, reported
+    side by side:
+
+    - EXACT: one hash aggregation keyed by the gram string. Map-side
+      partials help, but the shuffle carries every distinct gram —
+      at web scale that's the corpus vocabulary, and this agg is the
+      expensive thing the sketch exists to replace.
+    - SKETCH: ``cms_depth`` × ``cms_width`` counters, each gram
+      hashed (portable 60-bit md5, salted per row) into one bucket
+      per depth. The aggregation key space is ≤ depth·width (4096
+      here), so map-side combine collapses every task's stream to at
+      most that many rows and the shuffle is CONSTANT-sized no matter
+      how many distinct grams exist. Estimates only over-count
+      (collisions add), never under — ``overcount`` is the per-gram
+      audit of that guarantee, and sizing width against it is how you
+      pick the sketch for a 10^10-gram corpus.
+
+    The top-k itself is ``orderBy(...).limit(k)`` —
+    TakeOrderedAndProject, per-partition heaps, no global sort — with
+    the (count desc, gram asc) total order making ties deterministic.
+    The probe join broadcasts the ≤4096-row sketch."""
+    g = F.explode(
+        word_shingles(words(F.col(text_col)), shingle_k)
+    ).alias("gram")
+    grams = docs.select(g)
+
+    def _bucket(j: int) -> Column:
+        return F.struct(
+            F.lit(j).alias("j"),
+            F.pmod(
+                md5_long(F.concat(F.lit(f"cms{j}|"), F.col("gram"))),
+                F.lit(cms_width),
+            ).cast("long").alias("bucket"),
+        )
+
+    buckets = F.array(*[_bucket(j) for j in range(cms_depth)])
+    counts = grams.groupBy("gram").agg(
+        F.count("*").cast("long").alias("n_occurrences")
+    )
+    top = counts.orderBy(
+        F.desc("n_occurrences"), F.asc("gram")
+    ).limit(top_k)
+    sketch = (
+        grams.select(F.explode(buckets).alias("rb"))
+        .groupBy(F.col("rb.j").alias("j"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.count("*").cast("long").alias("counter"))
+    )
+    probes = top.select(
+        "gram",
+        "n_occurrences",
+        F.explode(buckets).alias("rb"),
+    ).select(
+        "gram",
+        "n_occurrences",
+        F.col("rb.j").alias("j"),
+        F.col("rb.bucket").alias("bucket"),
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("gram", "n_occurrences")
+        .agg(F.min("counter").alias("cms_est"))
+    )
+    return est.withColumn(
+        "overcount",
+        (F.col("cms_est") - F.col("n_occurrences")).cast("long"),
+    )

@@ -34,3 +34,38 @@ def test_line_shape_stats_gopher_gates(spark):
     assert rows[3]["frac_ellipsis_lines"] == 0.6667 and not rows[3]["keep"]
     assert rows[4]["symbol_word_ratio"] > 0.1 and not rows[4]["keep"]
     assert rows[5]["frac_alpha_words"] == 0.0909 and not rows[5]["keep"]
+
+
+def test_topk_ngrams_cms_never_undercounts(spark):
+    from pholcus_spark import textops
+
+    rows = [(i, f"w{i % 11} x{i % 7} y{i % 5} z{i % 3} q{i % 2}")
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # width=4 forces heavy collisions: the sketch must OVER-count,
+    # never under
+    out = textops.topk_ngrams(df, top_k=15, cms_depth=3, cms_width=4
+                              ).collect()
+    assert len(out) == 15
+    assert all(r["cms_est"] >= r["n_occurrences"] for r in out)
+    assert all(r["overcount"] == r["cms_est"] - r["n_occurrences"]
+               for r in out)
+    assert any(r["overcount"] > 0 for r in out)
+
+
+def test_topk_ngrams_exact_counts_and_tie_order(spark):
+    from pholcus_spark import textops
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e"), (3, "z z z")],
+        "doc_id long, text string",
+    )
+    out = textops.topk_ngrams(df, top_k=2, cms_width=4096).collect()
+    got = [(r["gram"], r["n_occurrences"], r["overcount"]) for r in out]
+    # 'a b c' count 2 wins; the count-1 tie breaks lexicographically
+    assert sorted(got)[0][0] in {"a b c"}
+    by_gram = dict((g, n) for g, n, _ in got)
+    assert by_gram["a b c"] == 2
+    assert "a b c" in by_gram and len(by_gram) == 2
+    # wide sketch, few grams: no collisions, estimates exact
+    assert all(o == 0 for _, _, o in got)
