@@ -5860,6 +5860,86 @@ WHERE NOT (
 """
 
 
+def q_robots_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots-cache staleness triage (robots.robots_refresh): 50 hosts
+    with pending work meet a cache covering k%4!=3 of them (the rest
+    are 'missing'); cached fetch status cycles k%5 → {200,200,404,
+    503,transport-error}, and snapshot age cycles (k%7)*30min against
+    a 2.5h good-TTL and a 1h error-TTL, so every state (missing /
+    backoff / retry / stale / fresh) appears with both TTL boundaries
+    exercised. The oracle rebuilds the cache from the same residue
+    arithmetic and re-derives state, do_fetch, and the
+    weight*1e6+pending fetch_rank."""
+    from . import robots
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    k = F.pmod(d, F.lit(50))
+    host = F.concat(F.lit("h"), k.cast("string"), F.lit(".example.com"))
+    pending = (
+        docs.filter(d % 3 != 0)
+        .select(host.alias("host"))
+        .groupBy("host")
+        .agg(F.count("*").cast("long").alias("n_pending"))
+    )
+    now = 1_000_000_000_000
+    kk = F.col("k")
+    cache = (
+        docs.select(k.alias("k"))
+        .distinct()
+        .filter(kk % 4 != 3)
+        .select(
+            F.concat(
+                F.lit("h"), kk.cast("string"), F.lit(".example.com")
+            ).alias("host"),
+            (F.lit(now) - (kk % 7) * 1_800_000).cast("long").alias(
+                "fetched_at_ms"
+            ),
+            F.when(kk % 5 == 2, 404)
+            .when(kk % 5 == 3, 503)
+            .when(kk % 5 == 4, 0)
+            .otherwise(200)
+            .cast("int")
+            .alias("status"),
+        )
+    )
+    return robots.robots_refresh(
+        pending, cache, now_ms=now, ttl_ms=9_000_000,
+        error_ttl_ms=3_600_000,
+    )
+
+
+SQL_ROBOTS_REFRESH = """
+WITH p AS (
+  SELECT 'h' || CAST(doc_id % 50 AS VARCHAR) || '.example.com' AS host,
+         CAST(COUNT(*) AS BIGINT) AS n_pending
+  FROM documents WHERE doc_id % 3 != 0
+  GROUP BY 1),
+ks AS (SELECT DISTINCT doc_id % 50 AS k FROM documents
+       WHERE (doc_id % 50) % 4 != 3),
+c AS (
+  SELECT 'h' || CAST(k AS VARCHAR) || '.example.com' AS host,
+         CAST((k % 7) * 1800000 AS BIGINT) AS age_ms,
+         CASE WHEN k % 5 = 2 THEN 404 WHEN k % 5 = 3 THEN 503
+              WHEN k % 5 = 4 THEN 0 ELSE 200 END AS status
+  FROM ks),
+s AS (
+  SELECT p.host, p.n_pending, c.age_ms,
+    CASE WHEN c.host IS NULL THEN 'missing'
+         WHEN c.status >= 500 OR c.status = 0 THEN
+           CASE WHEN c.age_ms > 3600000 THEN 'retry' ELSE 'backoff' END
+         WHEN c.age_ms > 9000000 THEN 'stale'
+         ELSE 'fresh' END AS state
+  FROM p LEFT JOIN c USING (host))
+SELECT host, n_pending, age_ms, state,
+       state IN ('missing', 'retry', 'stale') AS do_fetch,
+       CAST(CASE state WHEN 'missing' THEN 3 WHEN 'retry' THEN 2
+                       WHEN 'stale' THEN 1 ELSE 0 END AS BIGINT)
+         * 1000000 + n_pending AS fetch_rank
+FROM s
+"""
+
+
 def q_host_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serpentine host→shard assignment (frontier.host_shards) over a
     Zipf-skewed host dim (load = 1000/(1+rank)): 40 hosts onto 4
@@ -7303,6 +7383,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "caption_spam": q_caption_spam,
     "images_sniff": q_images_sniff,
     "text_topk_ngrams": q_text_topk_ngrams,
+    "robots_refresh": q_robots_refresh,
     "images_srcset_harvest": q_images_srcset_harvest,
     "training_split_assign": q_split_assign,
     "politeness_adapt": q_politeness_adapt,
@@ -7441,6 +7522,7 @@ ORACLE_SQL: dict[str, str] = {
     "caption_spam": SQL_CAPTION_SPAM,
     "images_sniff": SQL_IMAGES_SNIFF,
     "text_topk_ngrams": SQL_TEXT_TOPK_NGRAMS,
+    "robots_refresh": SQL_ROBOTS_REFRESH,
     "images_srcset_harvest": SQL_IMAGES_SRCSET_HARVEST,
     "training_split_assign": SQL_SPLIT_ASSIGN,
     "politeness_adapt": SQL_POLITENESS_ADAPT,

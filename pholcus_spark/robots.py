@@ -24,6 +24,7 @@ from typing import Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from .schemas import POLITENESS_SCHEMA
 
@@ -214,4 +215,70 @@ def politeness_from_robots(
 
     return robots_bodies.select("host", "robots_txt").mapInPandas(
         _parse, out_schema
+    )
+
+
+def robots_refresh(
+    pending_hosts: DataFrame,
+    robots_cache: DataFrame,
+    now_ms: int,
+    ttl_ms: int = 86_400_000,
+    error_ttl_ms: int = 3_600_000,
+) -> DataFrame:
+    """Robots-cache staleness scheduling: which hosts need a
+    robots.txt (re)fetch before their pending frontier work may be
+    dispatched. A crawler fetches robots once per host and caches it
+    (RFC 9309 §2.4 allows up to 24h, longer on unreachable); the
+    cache ages out on its own clock, so every fetch round starts by
+    triaging the hosts it is about to touch:
+
+    - ``missing`` — pending work but no cache row: robots MUST be
+      fetched before any page (weight 3);
+    - ``retry`` / ``backoff`` — the last robots fetch itself failed
+      (5xx or transport error, status 0): retry on the SHORTER error
+      TTL; inside it, back off (reference retry pacing:
+      /root/reference/app/downloader/surf.go try loop);
+    - ``stale`` — a good snapshot (2xx, or 4xx = allow-all per RFC
+      9309 §2.3.1.3) past ``ttl_ms`` (weight 1);
+    - ``fresh`` — serve from cache, nothing to do.
+
+    ``fetch_rank`` orders the robots fetch queue: state weight first,
+    then pending-URL count, so the refresh budget lands where it
+    unblocks the most work. Plan: the per-host pending rollup joins
+    the cache host-keyed — two dim-sized frames (one row per host,
+    ~10^7 at web scale), never the frontier itself; no windows."""
+    j = pending_hosts.join(robots_cache, "host", "left")
+    age = F.lit(now_ms) - F.col("fetched_at_ms")
+    is_error = (F.col("status") >= 500) | (F.col("status") == 0)
+    state = (
+        F.when(F.col("fetched_at_ms").isNull(), F.lit("missing"))
+        .when(
+            is_error,
+            F.when(age > error_ttl_ms, F.lit("retry")).otherwise(
+                F.lit("backoff")
+            ),
+        )
+        .when(age > ttl_ms, F.lit("stale"))
+        .otherwise(F.lit("fresh"))
+    )
+    weight = (
+        F.when(F.col("state") == "missing", 3)
+        .when(F.col("state") == "retry", 2)
+        .when(F.col("state") == "stale", 1)
+        .otherwise(0)
+    )
+    return (
+        j.withColumn("age_ms", age.cast("long"))
+        .withColumn("state", state)
+        .withColumn(
+            "do_fetch", F.col("state").isin("missing", "retry", "stale")
+        )
+        .withColumn(
+            "fetch_rank",
+            (weight.cast("long") * 1_000_000) + F.col("n_pending"),
+        )
+        .select(
+            "host", "n_pending", "age_ms", "state", "do_fetch",
+            "fetch_rank",
+        )
     )

@@ -244,3 +244,39 @@ def test_politeness_from_robots_emit_allow(spark):
     assert list(r5["robots_allow"]) == ["/public"]
     assert list(r5["robots_disallow"]) == ["/"]
     assert r5["crawl_delay_ms"] == 2000
+
+
+def test_robots_refresh_states_and_rank(spark):
+    from pholcus_spark import robots
+
+    now = 10_000_000
+    pending = spark.createDataFrame(
+        [("miss", 5), ("fresh", 9), ("stale", 2), ("err-new", 1),
+         ("err-old", 4), ("dead", 3)],
+        "host string, n_pending long",
+    )
+    cache = spark.createDataFrame(
+        [("fresh", now - 100, 200), ("stale", now - 5000, 404),
+         ("err-new", now - 100, 503), ("err-old", now - 5000, 503),
+         ("dead", now - 5000, 0),
+         ("uncrawled", now - 1, 200)],  # cached but nothing pending
+        "host string, fetched_at_ms long, status int",
+    )
+    out = {r["host"]: r for r in robots.robots_refresh(
+        pending, cache, now_ms=now, ttl_ms=1000, error_ttl_ms=1000
+    ).collect()}
+    assert out["miss"]["state"] == "missing" and out["miss"]["do_fetch"]
+    assert out["miss"]["age_ms"] is None
+    assert out["fresh"]["state"] == "fresh" and not out["fresh"]["do_fetch"]
+    assert out["stale"]["state"] == "stale" and out["stale"]["do_fetch"]
+    assert out["err-new"]["state"] == "backoff"
+    assert not out["err-new"]["do_fetch"]
+    assert out["err-old"]["state"] == "retry"
+    assert out["dead"]["state"] == "retry"  # transport error, aged out
+    # cache rows without pending work produce no output
+    assert "uncrawled" not in out
+    # rank: state weight dominates, pending count breaks ties
+    assert out["miss"]["fetch_rank"] == 3_000_005
+    assert out["err-old"]["fetch_rank"] == 2_000_004
+    assert out["stale"]["fetch_rank"] == 1_000_002
+    assert out["fresh"]["fetch_rank"] == 9
