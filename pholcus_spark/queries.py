@@ -2119,6 +2119,72 @@ GROUP BY pr.gram, pr.n_occurrences
 """
 
 
+def q_classifier_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed one-pass OLS fit of the quality head
+    (textops.fit_linear_head): features are REAL integer text counts
+    (token count, stopword hits) and the label is planted as
+    3·x1 − 2·x2 + bounded integer noise from doc_id%7, so the learned
+    weights must land near (−, 3, −2) with a small MSE. Both engines
+    accumulate the ten exact int64 normal-equation sums and run the
+    IDENTICAL Cramer cofactor expansion and MSE identity — a drift in
+    any sum, the determinant formula, or operand order breaks the
+    value hash."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    ws = textops.words(F.col("text"))
+    x1 = F.size(ws).cast("long")
+    x2 = textops.stopword_hits(ws).cast("long")
+    y = F.lit(3) * x1 - F.lit(2) * x2 + F.pmod(d, F.lit(7)) - F.lit(3)
+    feats = docs.select(
+        x1.alias("x1"), x2.alias("x2"), y.cast("long").alias("y")
+    )
+    return textops.fit_linear_head(feats)
+
+
+SQL_CLASSIFIER_FIT = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+f AS (SELECT doc_id,
+        CAST(len(ws) AS BIGINT) AS x1,
+        CAST(len(list_filter(ws, w -> w IN {_STOP_SQL})) AS BIGINT) AS x2
+      FROM t),
+l AS (SELECT x1, x2,
+        CAST(3 * x1 - 2 * x2 + (doc_id % 7) - 3 AS BIGINT) AS y
+      FROM f),
+a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+        CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+        CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+        CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+        CAST(SUM(y) AS BIGINT) AS sy,
+        CAST(SUM(x1 * y) AS BIGINT) AS s1y,
+        CAST(SUM(x2 * y) AS BIGINT) AS s2y,
+        CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM l),
+dd AS (SELECT *,
+  n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2)
+    AS det,
+  sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y) + s2*(s1y*s12 - s11*s2y)
+    AS det0,
+  n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2) + s2*(s1*s2y - s1y*s2)
+    AS det1,
+  n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - s11*s2)
+    AS det2
+  FROM a)
+SELECT n,
+  round(CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE), 6) AS w0,
+  round(CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE), 6) AS w1,
+  round(CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE), 6) AS w2,
+  round((CAST(syy AS DOUBLE)
+         - (CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE) * CAST(sy AS DOUBLE)
+            + CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE)
+              * CAST(s1y AS DOUBLE)
+            + CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE)
+              * CAST(s2y AS DOUBLE)))
+        / CAST(n AS DOUBLE), 6) AS mse
+FROM dd
+"""
+
+
 def q_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus line-level exact dedup (dedup.line_dedup) — the
     CCNet boilerplate-removal stage. The fixture corpus is single-line
@@ -7384,6 +7450,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "images_sniff": q_images_sniff,
     "text_topk_ngrams": q_text_topk_ngrams,
     "robots_refresh": q_robots_refresh,
+    "classifier_fit": q_classifier_fit,
     "images_srcset_harvest": q_images_srcset_harvest,
     "training_split_assign": q_split_assign,
     "politeness_adapt": q_politeness_adapt,
@@ -7523,6 +7590,7 @@ ORACLE_SQL: dict[str, str] = {
     "images_sniff": SQL_IMAGES_SNIFF,
     "text_topk_ngrams": SQL_TEXT_TOPK_NGRAMS,
     "robots_refresh": SQL_ROBOTS_REFRESH,
+    "classifier_fit": SQL_CLASSIFIER_FIT,
     "images_srcset_harvest": SQL_IMAGES_SRCSET_HARVEST,
     "training_split_assign": SQL_SPLIT_ASSIGN,
     "politeness_adapt": SQL_POLITENESS_ADAPT,

@@ -514,3 +514,87 @@ def topk_ngrams(
         "overcount",
         (F.col("cms_est") - F.col("n_occurrences")).cast("long"),
     )
+
+
+def fit_linear_head(
+    feats: DataFrame,
+    x1_col: str = "x1",
+    x2_col: str = "x2",
+    y_col: str = "y",
+) -> DataFrame:
+    """Distributed ONE-PASS ordinary-least-squares fit of a 2-feature
+    linear head (plus intercept) — how the quality-classifier weights
+    that ``hashed_linear_score`` consumes get trained on the cluster
+    instead of arriving from a notebook. OLS over sufficient
+    statistics: a single aggregation computes the ten normal-equation
+    sums (n, Σx, Σxx, Σxy, Σyy — all EXACT int64 since the features
+    are integer counts), then Cramer's rule solves the 3×3 system in
+    closed form as column expressions over the one aggregated row.
+
+    Plan: one partial-aggregating reduce to a single row, then scalar
+    projection — at 10^10 rows this is the cheapest possible shape
+    (no shuffle of anything but partial sums, no iteration, no Python,
+    no driver-side collect of data). The determinant arithmetic stays
+    in int64 the whole way (exact; overflow bounds ~Σx² · Σy² —
+    center features first at corpus scale); floats appear only in the
+    final three divisions and the MSE identity
+    ``(Σyy − w·[Σy,Σx1y,Σx2y])/n``, with fixed operand order so
+    independent engines reproduce the bits.
+
+    Returns one row: n, w0 (intercept), w1, w2, mse — rounded to 1e-6
+    for cross-engine hashing."""
+    x1 = F.col(x1_col).cast("long")
+    x2 = F.col(x2_col).cast("long")
+    y = F.col(y_col).cast("long")
+    a = feats.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(x1).alias("s1"),
+        F.sum(x2).alias("s2"),
+        F.sum(x1 * x1).alias("s11"),
+        F.sum(x1 * x2).alias("s12"),
+        F.sum(x2 * x2).alias("s22"),
+        F.sum(y).alias("sy"),
+        F.sum(x1 * y).alias("s1y"),
+        F.sum(x2 * y).alias("s2y"),
+        F.sum(y * y).alias("syy"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    s11, s12, s22 = F.col("s11"), F.col("s12"), F.col("s22")
+    sy, s1y, s2y, syy = (
+        F.col("sy"), F.col("s1y"), F.col("s2y"), F.col("syy"),
+    )
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    )
+    det0 = (
+        sy * (s11 * s22 - s12 * s12)
+        - s1 * (s1y * s22 - s12 * s2y)
+        + s2 * (s1y * s12 - s11 * s2y)
+    )
+    det1 = (
+        n * (s1y * s22 - s12 * s2y)
+        - sy * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s2y - s1y * s2)
+    )
+    det2 = (
+        n * (s11 * s2y - s1y * s12)
+        - s1 * (s1 * s2y - s1y * s2)
+        + sy * (s1 * s12 - s11 * s2)
+    )
+    w0 = det0.cast("double") / det.cast("double")
+    w1 = det1.cast("double") / det.cast("double")
+    w2 = det2.cast("double") / det.cast("double")
+    mse = (
+        syy.cast("double")
+        - (w0 * sy.cast("double") + w1 * s1y.cast("double")
+           + w2 * s2y.cast("double"))
+    ) / n.cast("double")
+    return a.select(
+        "n",
+        F.round(w0, 6).alias("w0"),
+        F.round(w1, 6).alias("w1"),
+        F.round(w2, 6).alias("w2"),
+        F.round(mse, 6).alias("mse"),
+    )

@@ -69,3 +69,32 @@ def test_topk_ngrams_exact_counts_and_tie_order(spark):
     assert "a b c" in by_gram and len(by_gram) == 2
     # wide sketch, few grams: no collisions, estimates exact
     assert all(o == 0 for _, _, o in got)
+
+
+def test_fit_linear_head_recovers_planted_weights(spark):
+    from pholcus_spark import textops
+
+    # exact linear relation, no noise: OLS must recover it exactly
+    rows = [(i % 13 + 1, (i * 5) % 11 + 1) for i in range(60)]
+    data = [(x1, x2, 7 + 3 * x1 - 2 * x2) for x1, x2 in rows]
+    df = spark.createDataFrame(data, "x1 long, x2 long, y long")
+    r = textops.fit_linear_head(df).collect()[0]
+    assert r["n"] == 60
+    assert abs(r["w0"] - 7) < 1e-6
+    assert abs(r["w1"] - 3) < 1e-6
+    assert abs(r["w2"] + 2) < 1e-6
+    assert abs(r["mse"]) < 1e-6
+
+
+def test_fit_linear_head_noise_shrinks_with_signal(spark):
+    from pholcus_spark import textops
+
+    # bounded noise: weights near truth, MSE ≈ noise variance
+    data = [
+        (x1, x2, 3 * x1 - 2 * x2 + (x1 * 7 + x2 * 3) % 5 - 2)
+        for x1 in range(1, 21) for x2 in range(1, 21)
+    ]
+    df = spark.createDataFrame(data, "x1 long, x2 long, y long")
+    r = textops.fit_linear_head(df).collect()[0]
+    assert abs(r["w1"] - 3) < 0.1 and abs(r["w2"] + 2) < 0.1
+    assert 0 < r["mse"] < 4  # noise in [-2,2] → variance ≈ 2
