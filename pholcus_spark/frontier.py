@@ -757,3 +757,67 @@ def host_shards(host_load: DataFrame, n_shards: int) -> DataFrame:
     return host_load.select(
         "host", "load", shard.cast("int").alias("shard")
     )
+
+
+def dns_resolve(
+    hosts: DataFrame,
+    dns_cache: DataFrame,
+    now_ms: int,
+    default_ttl_ms: int = 3_600_000,
+) -> DataFrame:
+    """TTL'd DNS cache for the hosts a fetch round is about to touch —
+    the resolution stage in front of ``politeness_by_ip`` (per-IP
+    budget sharing needs host→address, and resolving every host every
+    round would hammer resolvers harder than the crawl hammers
+    servers; the reference's surf downloader leans on Go's resolver
+    cache implicitly, here the cache is an explicit table).
+
+    Cache rows carry (host, ip, resolved_at_ms, ttl_ms, nxdomain) —
+    record-level TTLs, and NEGATIVE entries cached per RFC 2308 (an
+    NXDOMAIN answer is an answer; re-asking every round is the classic
+    resolver-abuse bug). Triage per host: a fresh hit serves from
+    cache ('cache', or 'nxdomain' with NULL ip), anything expired or
+    absent re-resolves ('resolved'). The resolver stand-in is the
+    sandbox boundary — a deterministic portable-md5-derived address
+    (production swaps an async bulk resolver behind the same column
+    contract, like fetch_one behind fetch_batch).
+
+    Plan: one host-keyed left join of two dim-sized frames (one row
+    per host — ~10^7 at web scale, never the frontier); the fake
+    resolve is a codegen projection. ``expires_at_ms`` lets the
+    caller write the refreshed cache straight back."""
+    j = hosts.join(dns_cache, "host", "left")
+    age = F.lit(now_ms) - F.col("resolved_at_ms")
+    fresh = F.col("resolved_at_ms").isNotNull() & (
+        age <= F.col("ttl_ms")
+    )
+    from .textops import md5_long
+
+    fake_ip = F.concat(
+        F.lit("10."),
+        F.pmod(md5_long(F.col("host")), F.lit(250)).cast("string"),
+        F.lit("."),
+        F.pmod(
+            md5_long(F.concat(F.lit("b3|"), F.col("host"))), F.lit(250)
+        ).cast("string"),
+        F.lit(".1"),
+    )
+    source = (
+        F.when(fresh & F.col("nxdomain"), F.lit("nxdomain"))
+        .when(fresh, F.lit("cache"))
+        .otherwise(F.lit("resolved"))
+    )
+    out_ip = (
+        F.when(fresh & F.col("nxdomain"), F.lit(None).cast("string"))
+        .when(fresh, F.col("ip"))
+        .otherwise(fake_ip)
+    )
+    expires = F.when(
+        fresh, (F.col("resolved_at_ms") + F.col("ttl_ms")).cast("long")
+    ).otherwise(F.lit(now_ms + default_ttl_ms).cast("long"))
+    return j.select(
+        "host",
+        out_ip.alias("ip"),
+        source.alias("source"),
+        expires.alias("expires_at_ms"),
+    )

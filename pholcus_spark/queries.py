@@ -6006,6 +6006,137 @@ FROM s
 """
 
 
+def q_crawl_site_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Site-level (eTLD+1) crawl budgets (urlnorm.registrable_domain):
+    hosts fan out as {www,img,cdn,shop} subdomains of sites spread
+    over .com (one suffix label), .co.uk (ICANN two-label suffix),
+    and .github.io (private-section suffix — every user page is its
+    own site), and the pending rollup groups by the REAL public-
+    suffix walk over the host string. The oracle derives the site
+    from the fixture arithmetic directly, so a suffix-table or
+    label-arithmetic drift regroups hosts and breaks the hash."""
+    from . import urlnorm
+
+    d = F.col("doc_id")
+    sub = F.element_at(
+        F.array(F.lit("www"), F.lit("img"), F.lit("cdn"), F.lit("shop")),
+        (F.pmod(d, F.lit(4)) + 1).cast("int"),
+    )
+    tld = (
+        F.when(d % 3 == 0, F.lit(".com"))
+        .when(d % 3 == 1, F.lit(".co.uk"))
+        .otherwise(F.lit(".github.io"))
+    )
+    host = F.concat(
+        sub, F.lit(".s"), F.pmod(d, F.lit(13)).cast("string"), tld
+    )
+    pending = _t(spark, sf_dir, "documents").select(host.alias("host"))
+    return (
+        pending.withColumn(
+            "site", urlnorm.registrable_domain(F.col("host"))
+        )
+        .groupBy("site")
+        .agg(
+            F.countDistinct("host").cast("long").alias("n_hosts"),
+            F.count("*").cast("long").alias("n_pending"),
+        )
+        .select(
+            "site",
+            "n_hosts",
+            "n_pending",
+            F.least(F.col("n_pending"), F.lit(25)).cast("long").alias(
+                "n_admitted"
+            ),
+            (F.col("n_pending") > 25).alias("over_budget"),
+        )
+    )
+
+
+SQL_CRAWL_SITE_BUDGET = """
+WITH p AS (
+  SELECT doc_id,
+    CASE doc_id % 4 WHEN 0 THEN 'www' WHEN 1 THEN 'img'
+                    WHEN 2 THEN 'cdn' ELSE 'shop' END AS sub,
+    's' || CAST(doc_id % 13 AS VARCHAR) ||
+    CASE doc_id % 3 WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk'
+                    ELSE '.github.io' END AS site
+  FROM documents)
+SELECT site,
+       CAST(COUNT(DISTINCT sub || '.' || site) AS BIGINT) AS n_hosts,
+       CAST(COUNT(*) AS BIGINT) AS n_pending,
+       CAST(LEAST(COUNT(*), 25) AS BIGINT) AS n_admitted,
+       COUNT(*) > 25 AS over_budget
+FROM p GROUP BY site
+"""
+
+
+def q_dns_cache_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTL'd DNS cache triage (frontier.dns_resolve): 60 hosts meet a
+    cache covering k%5!=4 of them, with per-record TTLs (30min on
+    even k, 60min odd), ages cycling (k%8)*10min across both TTL
+    boundaries, and negative entries (k%11==0) cached per RFC 2308.
+    Fresh hits serve from cache (NULL ip for fresh NXDOMAIN), expired
+    and missing hosts re-resolve through the deterministic portable-
+    md5 resolver stand-in. The oracle re-derives freshness, the
+    routing, the fake-resolver address arithmetic, and
+    expires_at_ms."""
+    from . import frontier
+
+    now = 1_000_000_000_000
+    ks = (
+        _t(spark, sf_dir, "documents")
+        .select(F.pmod(F.col("doc_id"), F.lit(60)).alias("k"))
+        .distinct()
+    )
+    kk = F.col("k")
+    host = F.concat(
+        F.lit("d"), kk.cast("string"), F.lit(".example.net")
+    )
+    hosts = ks.select(host.alias("host"))
+    cache = ks.filter(kk % 5 != 4).select(
+        host.alias("host"),
+        F.concat(
+            F.lit("192.168."), kk.cast("string"), F.lit(".9")
+        ).alias("ip"),
+        (F.lit(now) - (kk % 8) * 600_000).cast("long").alias(
+            "resolved_at_ms"
+        ),
+        F.when(kk % 2 == 0, 1_800_000)
+        .otherwise(3_600_000)
+        .cast("long")
+        .alias("ttl_ms"),
+        (kk % 11 == 0).alias("nxdomain"),
+    )
+    return frontier.dns_resolve(hosts, cache, now_ms=now)
+
+
+_DNS_HOST_SQL = "'d' || CAST(k AS VARCHAR) || '.example.net'"
+_DNS_B3_SQL = "'b3|' || 'd' || CAST(k AS VARCHAR) || '.example.net'"
+
+SQL_DNS_CACHE_RESOLVE = f"""
+WITH ks AS (SELECT DISTINCT doc_id % 60 AS k FROM documents),
+c AS (SELECT k, (k % 8) * 600000 AS age,
+        CASE WHEN k % 2 = 0 THEN 1800000 ELSE 3600000 END AS ttl,
+        k % 11 = 0 AS nx
+      FROM ks WHERE k % 5 != 4),
+j AS (SELECT ks.k, c.age, c.ttl, c.nx FROM ks LEFT JOIN c USING (k)),
+s AS (SELECT k, age, ttl, nx,
+        (age IS NOT NULL AND age <= ttl) AS fresh
+      FROM j)
+SELECT {_DNS_HOST_SQL} AS host,
+  CASE WHEN fresh AND nx THEN NULL
+       WHEN fresh THEN '192.168.' || CAST(k AS VARCHAR) || '.9'
+       ELSE '10.' || CAST({_h60_sql(_DNS_HOST_SQL)} % 250 AS VARCHAR)
+            || '.' || CAST({_h60_sql(_DNS_B3_SQL)} % 250 AS VARCHAR)
+            || '.1' END AS ip,
+  CASE WHEN fresh AND nx THEN 'nxdomain'
+       WHEN fresh THEN 'cache' ELSE 'resolved' END AS source,
+  CAST(CASE WHEN fresh THEN 1000000000000 - age + ttl
+            ELSE 1000000000000 + 3600000 END AS BIGINT) AS expires_at_ms
+FROM s
+"""
+
+
 def q_host_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serpentine host→shard assignment (frontier.host_shards) over a
     Zipf-skewed host dim (load = 1000/(1+rank)): 40 hosts onto 4
@@ -7451,6 +7582,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_topk_ngrams": q_text_topk_ngrams,
     "robots_refresh": q_robots_refresh,
     "classifier_fit": q_classifier_fit,
+    "crawl_site_budget": q_crawl_site_budget,
+    "dns_cache_resolve": q_dns_cache_resolve,
     "images_srcset_harvest": q_images_srcset_harvest,
     "training_split_assign": q_split_assign,
     "politeness_adapt": q_politeness_adapt,
@@ -7591,6 +7724,8 @@ ORACLE_SQL: dict[str, str] = {
     "text_topk_ngrams": SQL_TEXT_TOPK_NGRAMS,
     "robots_refresh": SQL_ROBOTS_REFRESH,
     "classifier_fit": SQL_CLASSIFIER_FIT,
+    "crawl_site_budget": SQL_CRAWL_SITE_BUDGET,
+    "dns_cache_resolve": SQL_DNS_CACHE_RESOLVE,
     "images_srcset_harvest": SQL_IMAGES_SRCSET_HARVEST,
     "training_split_assign": SQL_SPLIT_ASSIGN,
     "politeness_adapt": SQL_POLITENESS_ADAPT,

@@ -367,3 +367,45 @@ def resolve_url_identity(
         (F.col("n_hops") > 0).alias("redirected"),
         F.col("_mc").isNotNull().alias("mirrored"),
     )
+
+
+# Effective-TLD suffixes needing an extra label for the registrable
+# domain — a representative slice of the public suffix list (ICANN
+# country second-levels plus two private-section entries, where every
+# subdomain is an INDEPENDENT site: user pages on github.io /
+# blogspot.com must not share one crawl budget).
+MULTI_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp",
+    "com.br", "com.cn", "co.in", "co.kr",
+    "github.io", "blogspot.com",
+)
+
+
+def registrable_domain(host):
+    """eTLD+1 (the "site") from a hostname — public-suffix semantics
+    over a fixed suffix table, entirely JVM-side. Crawl budgets,
+    politeness, and mirror analysis want SITE granularity, not host:
+    img1/img2/cdn/www of one site share an origin's goodwill, while
+    user1.github.io and user2.github.io are different publishers.
+    One label past the matched suffix; hosts at or below suffix
+    length pass through unchanged."""
+    from pyspark.sql import functions as F
+
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    last2 = F.concat_ws(
+        ".", F.element_at(parts, -2), F.element_at(parts, -1)
+    )
+    last3 = F.concat_ws(
+        ".",
+        F.element_at(parts, -3),
+        F.element_at(parts, -2),
+        F.element_at(parts, -1),
+    )
+    return (
+        F.when(n <= 2, host)
+        .when(last2.isin(*MULTI_SUFFIXES), last3)
+        .otherwise(last2)
+    )

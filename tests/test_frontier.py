@@ -478,3 +478,39 @@ def test_host_shards_balance(spark):
     # determinism incl. tie-break on equal loads
     again = frontier.host_shards(hosts, n_shards=8).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_dns_resolve_cache_ttl_and_negative(spark):
+    from pholcus_spark import frontier
+
+    now = 1_000_000
+    hosts = spark.createDataFrame(
+        [("hit",), ("expired",), ("missing",), ("nxfresh",), ("nxold",)],
+        "host string",
+    )
+    cache = spark.createDataFrame(
+        [("hit", "1.2.3.4", now - 100, 1000, False),
+         ("expired", "1.2.3.5", now - 5000, 1000, False),
+         ("nxfresh", None, now - 100, 1000, True),
+         ("nxold", None, now - 5000, 1000, True)],
+        "host string, ip string, resolved_at_ms long, ttl_ms long,"
+        " nxdomain boolean",
+    )
+    out = {r["host"]: r for r in frontier.dns_resolve(
+        hosts, cache, now_ms=now, default_ttl_ms=7000).collect()}
+    assert out["hit"]["source"] == "cache"
+    assert out["hit"]["ip"] == "1.2.3.4"
+    assert out["hit"]["expires_at_ms"] == now - 100 + 1000
+    assert out["expired"]["source"] == "resolved"
+    assert out["expired"]["ip"].startswith("10.")
+    assert out["expired"]["expires_at_ms"] == now + 7000
+    assert out["missing"]["source"] == "resolved"
+    # fresh negative entry serves NXDOMAIN from cache (RFC 2308)
+    assert out["nxfresh"]["source"] == "nxdomain"
+    assert out["nxfresh"]["ip"] is None
+    # an EXPIRED negative entry re-resolves like any other
+    assert out["nxold"]["source"] == "resolved"
+    # the stand-in resolver is deterministic per host
+    again = {r["host"]: r["ip"] for r in frontier.dns_resolve(
+        hosts, cache, now_ms=now).collect()}
+    assert again["expired"] == out["expired"]["ip"]

@@ -195,3 +195,30 @@ def test_resolve_url_identity_all_alias_classes(spark):
         "http://loop.test/a", 0, False)
     assert got["http://b.test/plain"]["url_identity"] == \
         "http://b.test/plain"
+
+
+def test_registrable_domain_psl_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from pholcus_spark import urlnorm
+
+    cases = {
+        "www.example.com": "example.com",
+        "a.b.example.co.uk": "example.co.uk",
+        "user.github.io": "user.github.io",
+        "x.user.github.io": "user.github.io",
+        "blog.blogspot.com": "blog.blogspot.com",
+        "cdn.shop.example.com.au": "example.com.au",
+        "localhost": "localhost",
+        "co.uk": "co.uk",          # bare suffix passes through
+        "example.com": "example.com",
+    }
+    df = spark.createDataFrame([(h,) for h in cases], "host string")
+    got = {
+        r["host"]: r["site"]
+        for r in df.select(
+            "host",
+            urlnorm.registrable_domain(F.col("host")).alias("site"),
+        ).collect()
+    }
+    assert got == cases
