@@ -134,6 +134,13 @@ BENCH_QUERIES = [
     "images_phash_recall",
     "images_embed_topk",
     "images_blocklist_filter",
+    "caption_spam",
+    "images_sniff",
+    "text_topk_ngrams",
+    "robots_refresh",
+    "classifier_fit",
+    "crawl_site_budget",
+    "dns_cache_resolve",
 ]
 
 
