@@ -960,3 +960,105 @@ def line_dedup(
         F.count("*").cast("long").alias("n_lines"),
         F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Broder set-CONTAINMENT join: ordered pairs (a, b) with
+    |A∩B| / |A| ≥ threshold over distinct word-k-shingles, blocked on
+    lang. The asymmetric twin of ``ngram_jaccard_pairs`` — syndicated
+    excerpts, quoted passages, and lede-paragraph reposts sit inside
+    a much larger host document, so their symmetric Jaccard is tiny
+    (|A∩B|/|A∪B| ≈ |A|/|B|) and the Jaccard operator is structurally
+    blind to them, while containment reads 1.0.
+
+    Prefix filtering adapts one-sidedly: containment ≥ t bounds the
+    intersection by ⌈t·|A|⌉ REGARDLESS of |B|, so only the contained
+    side can be prefix-pruned — candidates are prefix(A) ⋈ FULL
+    postings(B) on the shingle key (each A must collide with its
+    container inside A's |A| − ⌈t·|A|⌉ + 1 rarest shingles; B gets no
+    prefix because the theorem gives no lower bound on |B|'s overlap
+    fraction). df==1 shingles leave A-prefixes (they cannot collide);
+    the B side keeps stop-shingles — their candidate fan-out is
+    df_prefix(s)·df(s), and residual hot keys are AQE skew-join
+    territory (same staging rationale as the Jaccard operator's
+    persists). Verify is one array_intersect over the candidate
+    pairs on 8-byte hashed shingle keys.
+
+    Output: (doc_a contained-in doc_b, containment) — ordered; both
+    directions can independently qualify only for near-equal sets."""
+    t_eff = threshold - 5e-5  # 4-decimal rounding slack (see jaccard)
+    base = docs.select(
+        "doc_id",
+        F.col("lang").alias("block"),
+        words(F.col("text")).alias("_ws"),
+    ).select(
+        "doc_id",
+        "block",
+        F.array_distinct(
+            hashed_word_shingles(F.col("_ws"), shingle_k)
+        ).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    _pin(base)
+    post = base.select(
+        "doc_id", "block", F.size("sh").alias("n"),
+        F.explode("sh").alias("shingle"),
+    )
+    df = post.groupBy("block", "shingle").agg(F.count("*").alias("df"))
+    prefix_len = (
+        F.col("n") - F.ceil(F.lit(t_eff) * F.col("n")) + 1
+    ).cast("int")
+    prefix = (
+        post.join(df, ["block", "shingle"])
+        .groupBy("doc_id", "block", "n")
+        .agg(F.collect_list(F.struct("df", "shingle")).alias("ps"))
+        .select(
+            "doc_id",
+            "block",
+            F.explode(
+                F.filter(
+                    F.slice(F.array_sort("ps"), F.lit(1), prefix_len),
+                    lambda p: p["df"] >= 2,
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "block", F.col("p.shingle").alias("shingle"))
+    )
+    cand = (
+        prefix.alias("l")
+        .join(
+            post.select("doc_id", "block", "shingle").alias("r"),
+            [
+                F.col("l.block") == F.col("r.block"),
+                F.col("l.shingle") == F.col("r.shingle"),
+                F.col("l.doc_id") != F.col("r.doc_id"),
+            ],
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    a = base.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sh_a"),
+        F.size("sh").alias("n_a"),
+    )
+    b = base.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.round(inter / F.col("n_a"), 4).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

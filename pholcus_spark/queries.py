@@ -2543,6 +2543,57 @@ WHERE jaccard >= {JACCARD_THRESHOLD}
 """
 
 
+CONTAINMENT_THRESHOLD = 0.8
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder containment join (dedup.containment_pairs): syndicated
+    excerpts are planted as new docs (doc_id+1e6) holding the first
+    12 words of every doc_id%10==0 document — 10 contiguous shingles,
+    all inside the host, so containment(excerpt ⊆ host) = 1.0 while
+    symmetric Jaccard ≈ 10/|host| stays far below any dedup
+    threshold (the blindness this operator exists to fix). The
+    oracle replants and brute-forces every ordered pair per block in
+    DuckDB — the asymmetric prefix filter must lose nothing."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    excerpts = docs.filter(d % 10 == 0).select(
+        (d + 1_000_000).alias("doc_id"),
+        "lang",
+        F.concat_ws(
+            " ", F.slice(F.split("text", " "), 1, 12)
+        ).alias("text"),
+    )
+    corpus = docs.select("doc_id", "lang", "text").unionByName(excerpts)
+    return dedup.containment_pairs(
+        corpus, threshold=CONTAINMENT_THRESHOLD
+    )
+
+
+SQL_DEDUP_CONTAINMENT = f"""
+WITH w0 AS (
+  SELECT doc_id, lang, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, lang,
+         array_to_string(list_slice(string_split(text, ' '), 1, 12), ' ')
+  FROM documents WHERE doc_id % 10 = 0),
+w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM w0),
+s AS (SELECT doc_id, lang,
+             list_transform(range(0, greatest(len(ws) - 2, 0)),
+                            i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])
+               AS sh
+      FROM w),
+d AS (SELECT doc_id, lang AS block, list_distinct(sh) AS sh
+      FROM s WHERE len(sh) > 0)
+SELECT doc_a, doc_b, containment FROM (
+  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+         round(CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
+               / len(l.sh), 4) AS containment
+  FROM d l JOIN d r ON l.block = r.block AND l.doc_id != r.doc_id) t
+WHERE containment >= {CONTAINMENT_THRESHOLD}
+"""
+
+
 MINHASH_RECALL_THRESHOLD = 0.15
 RECALL_CLONE_MOD = 11
 
@@ -7584,6 +7635,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "classifier_fit": q_classifier_fit,
     "crawl_site_budget": q_crawl_site_budget,
     "dns_cache_resolve": q_dns_cache_resolve,
+    "dedup_containment": q_dedup_containment,
     "images_srcset_harvest": q_images_srcset_harvest,
     "training_split_assign": q_split_assign,
     "politeness_adapt": q_politeness_adapt,
@@ -7726,6 +7778,7 @@ ORACLE_SQL: dict[str, str] = {
     "classifier_fit": SQL_CLASSIFIER_FIT,
     "crawl_site_budget": SQL_CRAWL_SITE_BUDGET,
     "dns_cache_resolve": SQL_DNS_CACHE_RESOLVE,
+    "dedup_containment": SQL_DEDUP_CONTAINMENT,
     "images_srcset_harvest": SQL_IMAGES_SRCSET_HARVEST,
     "training_split_assign": SQL_SPLIT_ASSIGN,
     "politeness_adapt": SQL_POLITENESS_ADAPT,

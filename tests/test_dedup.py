@@ -485,3 +485,33 @@ def test_minhash_recall_eval_catches_exact_dup_misses_disjoint(spark):
     assert (r["doc_a"], r["doc_b"]) == (1, 2)
     assert r["jaccard"] == 1.0
     assert r["caught"] is True
+
+
+def test_containment_catches_excerpts_jaccard_misses(spark):
+    host_words = " ".join(f"w{i}" for i in range(60))
+    excerpt = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, "en", host_words), (2, "en", excerpt),
+         (3, "en", " ".join(f"z{i}" for i in range(40)))],
+        "doc_id long, lang string, text string",
+    )
+    got = dedup.containment_pairs(df, threshold=0.8).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r["containment"] for r in got}
+    # excerpt ⊆ host at 1.0; host NOT contained in excerpt
+    assert pairs == {(2, 1): 1.0}
+    # the symmetric operator is blind to the same pair at any useful
+    # threshold: jaccard = 8/58
+    jac = dedup.ngram_jaccard_pairs(df, threshold=0.5).collect()
+    assert jac == []
+
+
+def test_containment_both_directions_for_near_equal(spark):
+    a = " ".join(f"w{i}" for i in range(20))
+    b = " ".join(f"w{i}" for i in range(19))  # one word shorter
+    df = spark.createDataFrame(
+        [(1, "en", a), (2, "en", b)], "doc_id long, lang string, text string"
+    )
+    got = {(r["doc_a"], r["doc_b"]): r["containment"]
+           for r in dedup.containment_pairs(df, threshold=0.9).collect()}
+    assert got[(2, 1)] == 1.0          # B fully inside A
+    assert 0.9 <= got[(1, 2)] < 1.0    # A almost inside B (17/18)
