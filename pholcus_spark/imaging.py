@@ -326,3 +326,18 @@ def exif_orientation_blob(orientation: int, big_endian: bool = False) -> bytes:
     ifd += int(orientation).to_bytes(2, bo) + b"\x00\x00"
     ifd += (0).to_bytes(4, bo)  # no next IFD
     return head + ifd
+
+
+def dihedral_phash64(arr: np.ndarray) -> int:
+    """Dihedral-invariant perceptual hash: the MINIMUM of ``phash64``
+    over all 8 orientations of the image (the D4 orbit — identity,
+    both mirrors, 180°, both diagonal flips, both 90° rotations,
+    enumerated by the EXIF orientation table). Rotated/mirrored
+    re-posts of the same picture land on byte-different payloads AND
+    different plain phashes; their D4 orbits are the same SET of
+    arrays, so the orbit minimum is a canonical representative and
+    rotated duplicates collapse to EXACT hash equality — group-by,
+    no hamming join needed for this failure mode."""
+    return min(
+        phash64(apply_exif_orientation(arr, o)) for o in range(1, 9)
+    )

@@ -1314,3 +1314,34 @@ def sniff_mismatch(images: DataFrame, fmt_col: str = "fmt") -> DataFrame:
         .when(F.col("is_mismatch"), F.lit("relabel"))
         .otherwise(F.lit("keep")),
     )
+
+
+def dihedral_hashes(images: DataFrame) -> DataFrame:
+    """(image_id, rphash): the D4-orbit-canonical perceptual hash per
+    payload (imaging.dihedral_phash64) — Arrow-batched decode +
+    8-orientation hash, the stage that makes rotated/mirrored image
+    re-posts EXACT duplicates under a plain group-by. Costs 8 DCTs
+    per image at decode time to save a hamming-LSH join later; rows
+    that fail to decode are dropped (the sniff gate runs first)."""
+
+    def _hash(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .imaging import decode_image, dihedral_phash64
+
+        for pdf in pdf_iter:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    arr = decode_image(bytes(r.bytes), r.fmt)
+                except (ValueError, NotImplementedError):
+                    continue
+                rows.append(
+                    {
+                        "image_id": r.image_id,
+                        "rphash": dihedral_phash64(arr),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["image_id", "rphash"])
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        _hash, "image_id string, rphash long"
+    )

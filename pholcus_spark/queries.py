@@ -7496,6 +7496,58 @@ GROUP BY canonical_url
 # ---------------------------------------------------------------------------
 # registry
 
+def q_images_dihedral_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dihedral-invariant dedup (multimodal.dihedral_hashes /
+    imaging.dihedral_phash64): rotated/mirrored re-posts of the same
+    picture collapse to EXACT hash equality under the D4-orbit-
+    minimum phash, needing only a group-by where plain phash needs a
+    hamming join and still misses 90° rotations entirely. Twins are
+    planted for every doc_id%9==0 PNG: the decoded pixels re-enter
+    the corpus under a non-identity orientation (2 + doc_id%7,
+    covering all seven). The oracle recomputes every orbit hash
+    driver-side through the identical decode→transform→encode→decode
+    path (lazy VALUES) and re-derives the orbit-group counts — the
+    planted twin rows MUST land in n_orbit ≥ 2 groups."""
+    import pandas as pd
+
+    from .imaging import apply_exif_orientation, decode_image, encode_image
+
+    imgs = _synthetic_images(spark, sf_dir, max_docs=PHASH_ORACLE_DOCS)
+
+    def _rot(pdf_iter):
+        for pdf in pdf_iter:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                d = int(r.image_id.split("-")[1])
+                if d % 9 != 0 or r.fmt != "png":
+                    continue
+                arr = decode_image(bytes(r.bytes), r.fmt)
+                rot = apply_exif_orientation(arr, 2 + (d % 7))
+                rows.append(
+                    {
+                        "image_id": f"rot-{d}",
+                        "bytes": encode_image(rot, r.fmt),
+                        "fmt": r.fmt,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "bytes", "fmt"]
+            )
+
+    twins = imgs.mapInPandas(
+        _rot, "image_id string, bytes binary, fmt string"
+    )
+    h = multimodal.dihedral_hashes(imgs.unionByName(twins))
+    counts = h.groupBy("rphash").agg(
+        F.count("*").cast("long").alias("n_orbit")
+    )
+    return h.join(counts, "rphash").select(
+        "image_id", "rphash", "n_orbit",
+        (F.col("n_orbit") > 1).alias("is_dup"),
+    )
+
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # frontier / scheduling semantics
     "frontier_enqueue_dedup": q_frontier_enqueue_dedup,
@@ -7636,6 +7688,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "crawl_site_budget": q_crawl_site_budget,
     "dns_cache_resolve": q_dns_cache_resolve,
     "dedup_containment": q_dedup_containment,
+    "images_dihedral_dedup": q_images_dihedral_dedup,
     "images_srcset_harvest": q_images_srcset_harvest,
     "training_split_assign": q_split_assign,
     "politeness_adapt": q_politeness_adapt,
@@ -7793,7 +7846,37 @@ ORACLE_SQL: dict[str, str] = {
 
 # oracles whose SQL embeds values recomputed driver-side (built on
 # first use — e.g. the phash list costs ~0.5 s of codec work)
+@lru_cache(maxsize=1)
+def _sql_images_dihedral_dedup() -> str:
+    from . import synthetic
+    from .imaging import (
+        apply_exif_orientation,
+        decode_image,
+        dihedral_phash64,
+        encode_image,
+    )
+
+    vals = []
+    for doc_id in range(PHASH_ORACLE_DOCS):
+        arr, fmt = synthetic.image_for_doc(doc_id)
+        decoded = decode_image(encode_image(arr, fmt), fmt)
+        vals.append((f"doc-{doc_id}", dihedral_phash64(decoded)))
+        if doc_id % 9 == 0 and fmt == "png":
+            rot = apply_exif_orientation(decoded, 2 + (doc_id % 7))
+            dec2 = decode_image(encode_image(rot, fmt), fmt)
+            vals.append((f"rot-{doc_id}", dihedral_phash64(dec2)))
+    body = ", ".join(f"('{i}', {h})" for i, h in vals)
+    return f"""
+WITH v(image_id, rphash) AS (VALUES {body}),
+c AS (SELECT rphash, CAST(COUNT(*) AS BIGINT) AS n_orbit
+      FROM v GROUP BY rphash)
+SELECT v.image_id, v.rphash, c.n_orbit, c.n_orbit > 1 AS is_dup
+FROM v JOIN c USING (rphash)
+"""
+
+
 LAZY_ORACLE_SQL: dict[str, Callable[[], str]] = {
+    "images_dihedral_dedup": _sql_images_dihedral_dedup,
     "images_phash_neardup": _sql_images_phash_neardup,
     "images_phash_recall": _sql_images_phash_recall,
     "images_orientation": _sql_images_orientation,

@@ -522,3 +522,26 @@ def test_sniff_format_signature_table(spark):
     assert got["webp"] == "webp" and got["bmp"] == "bmp"
     assert got["html"] == "html"
     assert got["junk"] == "unknown" and got["wav"] == "unknown"
+
+
+def test_dihedral_phash_invariant_under_all_orientations():
+    from pholcus_spark.imaging import (
+        apply_exif_orientation,
+        dihedral_phash64,
+        phash64,
+    )
+    from pholcus_spark.synthetic import image_for_doc
+
+    arr, _ = image_for_doc(42)
+    base = dihedral_phash64(arr)
+    plain = phash64(arr)
+    changed_plain = 0
+    for o in range(2, 9):
+        rot = apply_exif_orientation(arr, o)
+        # the invariant hash is IDENTICAL across the whole D4 orbit
+        assert dihedral_phash64(rot) == base
+        if phash64(rot) != plain:
+            changed_plain += 1
+    # ...while the plain phash moves for most orientations (else the
+    # invariant would be vacuous on this image)
+    assert changed_plain >= 5
