@@ -821,3 +821,86 @@ def dns_resolve(
         source.alias("source"),
         expires.alias("expires_at_ms"),
     )
+
+
+def fetch_health(results: DataFrame) -> DataFrame:
+    """Per-host fetch-error taxonomy and health rollup — the feedback
+    half of adaptive politeness (politeness_adapt consumes rates;
+    this produces them with CLASSES, because a crawler reacts
+    differently per failure mode: DNS/TCP/TLS/timeout mean the host
+    or path is sick, 5xx means the server is, 429 means WE are the
+    problem, 4xx is usually our frontier's stale links).
+
+    Input rows: (host, status, err) — one per fetch attempt; ``err``
+    is the transport error string (NULL when an HTTP response
+    arrived). Classification: transport prefix match first (dns /
+    timeout / tls / conn→tcp), then the status bands (5xx, 429
+    throttle, other 4xx, 2xx-3xx ok).
+
+    Health states, strictest first: ``dead`` (≥5 attempts, zero
+    successes), ``throttled`` (any 429 — back off immediately,
+    whatever the rates say), ``degraded`` (error rate ≥ 50%), else
+    ``healthy``; ``backoff_mult`` (16/8/4/1) multiplies the host's
+    crawl-delay next round. The error rate is exact integer
+    permille — no float thresholds.
+
+    One hash aggregation keyed by host (conditional sums partial-
+    aggregate map-side); at 10^10 fetches the shuffle carries a
+    fixed-width counter row per host."""
+    err = F.col("err")
+    st = F.col("status")
+    cls = (
+        F.when(err.startswith("dns"), F.lit("dns"))
+        .when(err.startswith("timeout"), F.lit("timeout"))
+        .when(err.startswith("tls"), F.lit("tls"))
+        .when(err.startswith("conn"), F.lit("tcp"))
+        .when(st >= 500, F.lit("http_5xx"))
+        .when(st == 429, F.lit("throttled"))
+        .when(st >= 400, F.lit("http_4xx"))
+        .when(st >= 200, F.lit("ok"))
+        .otherwise(F.lit("other"))
+    )
+
+    def _n(name: str) -> F.Column:
+        return F.sum((F.col("cls") == name).cast("long")).alias(
+            "n_" + name
+        )
+
+    g = (
+        results.withColumn("cls", cls)
+        .groupBy("host")
+        .agg(
+            F.count("*").cast("long").alias("n_total"),
+            _n("ok"),
+            F.sum(
+                F.col("cls").isin("dns", "timeout", "tls", "tcp")
+                .cast("long")
+            ).alias("n_net"),
+            _n("http_5xx"),
+            _n("throttled"),
+            _n("http_4xx"),
+        )
+    )
+    # floor, not cast: double→long CAST truncates in Spark but ROUNDS
+    # in DuckDB — floor is the portable integer-permille
+    err_milli = F.floor(
+        (F.col("n_total") - F.col("n_ok")) * 1000 / F.col("n_total")
+    ).cast("long")
+    g = g.withColumn("err_milli", err_milli)
+    health = (
+        F.when(
+            (F.col("n_ok") == 0) & (F.col("n_total") >= 5), F.lit("dead")
+        )
+        .when(F.col("n_throttled") > 0, F.lit("throttled"))
+        .when(F.col("err_milli") >= 500, F.lit("degraded"))
+        .otherwise(F.lit("healthy"))
+    )
+    g = g.withColumn("health", health)
+    return g.withColumn(
+        "backoff_mult",
+        F.when(F.col("health") == "dead", 16)
+        .when(F.col("health") == "throttled", 8)
+        .when(F.col("health") == "degraded", 4)
+        .otherwise(1)
+        .cast("int"),
+    )

@@ -2543,6 +2543,92 @@ WHERE jaccard >= {JACCARD_THRESHOLD}
 """
 
 
+def q_fetch_error_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fetch-error taxonomy + host health (frontier.fetch_health):
+    30 hosts see a class mix cycling doc_id%17 over transport errors
+    (dns/timeout/tls/tcp by message prefix), 5xx, 429, 4xx, and
+    2xx/3xx successes; hosts k%10==9 are forced all-transport-error
+    (→ dead, backoff 16×), and any 429 marks a host throttled
+    regardless of its rates. The oracle recomputes classification,
+    the conditional counter sums, the floor-permille error rate, and
+    the health/backoff ladder."""
+    from . import frontier
+
+    d = F.col("doc_id")
+    k = F.pmod(d, F.lit(30))
+    host = F.concat(F.lit("h"), k.cast("string"))
+    m = F.pmod(d, F.lit(17))
+    err = (
+        F.when(k % 10 == 9, F.lit("conn reset by peer"))
+        .when(m == 0, F.lit("dns lookup failed"))
+        .when(m == 1, F.lit("timeout after 30000ms"))
+        .when(m == 2, F.lit("tls handshake failed"))
+        .when(m == 3, F.lit("conn refused"))
+    )
+    status = (
+        F.when(err.isNotNull(), F.lit(None))
+        .when(m == 4, F.lit(500))
+        .when(m == 5, F.lit(503))
+        .when(m == 6, F.lit(404))
+        .when(m == 7, F.lit(429))
+        .when(m == 8, F.lit(301))
+        .otherwise(F.lit(200))
+    )
+    results = _t(spark, sf_dir, "documents").select(
+        host.alias("host"),
+        status.cast("int").alias("status"),
+        err.alias("err"),
+    )
+    return frontier.fetch_health(results)
+
+
+SQL_FETCH_ERROR_TAXONOMY = """
+WITH r AS (
+  SELECT 'h' || CAST(doc_id % 30 AS VARCHAR) AS host,
+    CASE WHEN (doc_id % 30) % 10 = 9 THEN 'tcp'
+         WHEN doc_id % 17 = 0 THEN 'dns'
+         WHEN doc_id % 17 = 1 THEN 'timeout'
+         WHEN doc_id % 17 = 2 THEN 'tls'
+         WHEN doc_id % 17 = 3 THEN 'tcp'
+         WHEN doc_id % 17 = 4 THEN 'http_5xx'
+         WHEN doc_id % 17 = 5 THEN 'http_5xx'
+         WHEN doc_id % 17 = 6 THEN 'http_4xx'
+         WHEN doc_id % 17 = 7 THEN 'throttled'
+         ELSE 'ok' END AS cls
+  FROM documents),
+g AS (
+  SELECT host,
+    CAST(COUNT(*) AS BIGINT) AS n_total,
+    CAST(SUM(CASE WHEN cls = 'ok' THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+    CAST(SUM(CASE WHEN cls IN ('dns', 'timeout', 'tls', 'tcp')
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_net,
+    CAST(SUM(CASE WHEN cls = 'http_5xx' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_http_5xx,
+    CAST(SUM(CASE WHEN cls = 'throttled' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_throttled,
+    CAST(SUM(CASE WHEN cls = 'http_4xx' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_http_4xx
+  FROM r GROUP BY host),
+e AS (
+  SELECT *,
+    CAST(floor((n_total - n_ok) * 1000.0 / n_total) AS BIGINT)
+      AS err_milli
+  FROM g),
+h AS (
+  SELECT *,
+    CASE WHEN n_ok = 0 AND n_total >= 5 THEN 'dead'
+         WHEN n_throttled > 0 THEN 'throttled'
+         WHEN err_milli >= 500 THEN 'degraded'
+         ELSE 'healthy' END AS health
+  FROM e)
+SELECT *,
+  CAST(CASE health WHEN 'dead' THEN 16 WHEN 'throttled' THEN 8
+                   WHEN 'degraded' THEN 4 ELSE 1 END AS INTEGER)
+    AS backoff_mult
+FROM h
+"""
+
+
 CONTAINMENT_THRESHOLD = 0.8
 
 
@@ -7689,6 +7775,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dns_cache_resolve": q_dns_cache_resolve,
     "dedup_containment": q_dedup_containment,
     "images_dihedral_dedup": q_images_dihedral_dedup,
+    "fetch_error_taxonomy": q_fetch_error_taxonomy,
     "images_srcset_harvest": q_images_srcset_harvest,
     "training_split_assign": q_split_assign,
     "politeness_adapt": q_politeness_adapt,
@@ -7832,6 +7919,7 @@ ORACLE_SQL: dict[str, str] = {
     "crawl_site_budget": SQL_CRAWL_SITE_BUDGET,
     "dns_cache_resolve": SQL_DNS_CACHE_RESOLVE,
     "dedup_containment": SQL_DEDUP_CONTAINMENT,
+    "fetch_error_taxonomy": SQL_FETCH_ERROR_TAXONOMY,
     "images_srcset_harvest": SQL_IMAGES_SRCSET_HARVEST,
     "training_split_assign": SQL_SPLIT_ASSIGN,
     "politeness_adapt": SQL_POLITENESS_ADAPT,

@@ -514,3 +514,33 @@ def test_dns_resolve_cache_ttl_and_negative(spark):
     again = {r["host"]: r["ip"] for r in frontier.dns_resolve(
         hosts, cache, now_ms=now).collect()}
     assert again["expired"] == out["expired"]["ip"]
+
+
+def test_fetch_health_classes_and_ladder(spark):
+    from pholcus_spark import frontier
+
+    rows = (
+        # healthy: 3 ok, 1 dns
+        [("good", 200, None)] * 3 + [("good", None, "dns fail")]
+        # degraded: 2 ok, 2 5xx, 1 timeout (err 600 permille)
+        + [("deg", 200, None)] * 2 + [("deg", 503, None)] * 2
+        + [("deg", None, "timeout hard")]
+        # throttled: mostly fine but one 429 -> throttled wins
+        + [("thr", 200, None)] * 9 + [("thr", 429, None)]
+        # dead: 6 transport errors, zero ok
+        + [("dead", None, "conn reset")] * 6
+        # few-failures host: all failed but < 5 attempts -> NOT dead
+        + [("young", None, "conn reset")] * 3
+    )
+    df = spark.createDataFrame(rows, "host string, status int, err string")
+    out = {r["host"]: r for r in frontier.fetch_health(df).collect()}
+    assert out["good"]["health"] == "healthy"
+    assert out["good"]["backoff_mult"] == 1
+    assert out["good"]["err_milli"] == 250
+    assert out["deg"]["health"] == "degraded"
+    assert out["deg"]["backoff_mult"] == 4
+    assert out["deg"]["n_http_5xx"] == 2 and out["deg"]["n_net"] == 1
+    assert out["thr"]["health"] == "throttled"  # 429 beats good rates
+    assert out["thr"]["backoff_mult"] == 8
+    assert out["dead"]["health"] == "dead" and out["dead"]["backoff_mult"] == 16
+    assert out["young"]["health"] == "degraded"  # err 1000 but n<5
