@@ -918,3 +918,67 @@ def split_assign(
             else expr.when(cond, F.lit(name))
         cum += w
     return df.withColumn("split", expr)
+
+
+def epoch_mix(
+    docs: DataFrame,
+    target_shares_milli: dict[str, int],
+    token_budget: int,
+    key: str = "lang",
+    tokens_col: str = "n_tokens",
+    max_epochs_milli: int = 4_000,
+) -> DataFrame:
+    """Per-source epoch planning for a training mix (the LLaMA/Dolma
+    data-mix table): given each source's TARGET share of the token
+    budget (in exact permille) and the tokens actually AVAILABLE per
+    source, compute how many epochs (repeats, milli-precision) of
+    each source the loader should schedule: planned = budget·share,
+    epochs = planned/available capped at ``max_epochs_milli`` (over-
+    repeating a small source degrades models faster than under-
+    filling the mix — the cap records the shortfall instead).
+
+    All arithmetic is exact int64: planned tokens = budget·share/1000
+    (floor), epochs_milli = planned·1000/available (floor, capped),
+    scheduled = available·epochs_milli/1000 (floor), shortfall =
+    planned − scheduled. One hash aggregation keyed by source (map-
+    side combined), then scalar arithmetic on the dimension-sized
+    rollup; the corpus never shuffles."""
+    g = (
+        docs.select(
+            F.col(key).alias("source"),
+            F.col(tokens_col).cast("long").alias("t"),
+        )
+        .groupBy("source")
+        .agg(F.sum("t").alias("available_tokens"))
+        .withColumn(
+            "share_milli",
+            F.coalesce(
+                *[
+                    F.when(F.col("source") == k, F.lit(int(v)))
+                    for k, v in target_shares_milli.items()
+                ],
+                F.lit(0),
+            ).cast("long"),
+        )
+    )
+    planned = F.floor(
+        F.lit(int(token_budget)) * F.col("share_milli") / 1000
+    ).cast("long")
+    g = g.withColumn("planned_tokens", planned)
+    epochs = F.least(
+        F.floor(
+            F.col("planned_tokens") * 1000 / F.col("available_tokens")
+        ).cast("long"),
+        F.lit(int(max_epochs_milli)),
+    )
+    g = g.withColumn("epochs_milli", epochs)
+    scheduled = F.floor(
+        F.col("available_tokens") * F.col("epochs_milli") / 1000
+    ).cast("long")
+    g = g.withColumn("scheduled_tokens", scheduled)
+    return g.withColumn(
+        "shortfall_tokens",
+        (F.col("planned_tokens") - F.col("scheduled_tokens")).cast(
+            "long"
+        ),
+    )

@@ -2543,6 +2543,59 @@ WHERE jaccard >= {JACCARD_THRESHOLD}
 """
 
 
+def q_training_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source epoch planning (pipeline.epoch_mix): the LLaMA-
+    style mix table — en targets 60% of a 200k-token budget, zh 20%,
+    de 15%, fr 5%, es deliberately 0 — against the tokens actually
+    available per language. en's plan exceeds ~4 epochs worth, so the
+    cap binds and shortfall goes positive; the oracle re-runs every
+    floor/cap step in the same exact int64 order."""
+    from . import pipeline
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang", textops.n_tokens_ws(F.col("text")).alias("n_tokens")
+    )
+    return pipeline.epoch_mix(
+        docs,
+        {"en": 600, "zh": 200, "de": 150, "fr": 50},
+        token_budget=200_000,
+    )
+
+
+SQL_TRAINING_EPOCH_MIX = """
+WITH t AS (
+  SELECT lang AS source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS t
+  FROM documents),
+g AS (
+  SELECT source, SUM(t) AS available_tokens,
+    CAST(CASE source WHEN 'en' THEN 600 WHEN 'zh' THEN 200
+                     WHEN 'de' THEN 150 WHEN 'fr' THEN 50
+                     ELSE 0 END AS BIGINT) AS share_milli
+  FROM t GROUP BY source),
+p AS (
+  SELECT *,
+    CAST(floor(200000 * share_milli / 1000.0) AS BIGINT)
+      AS planned_tokens
+  FROM g),
+e AS (
+  SELECT *,
+    least(CAST(floor(planned_tokens * 1000.0 / available_tokens)
+               AS BIGINT), 4000) AS epochs_milli
+  FROM p),
+s AS (
+  SELECT *,
+    CAST(floor(available_tokens * epochs_milli / 1000.0) AS BIGINT)
+      AS scheduled_tokens
+  FROM e)
+SELECT source, CAST(available_tokens AS BIGINT) AS available_tokens,
+       share_milli, planned_tokens, epochs_milli, scheduled_tokens,
+       CAST(planned_tokens - scheduled_tokens AS BIGINT)
+         AS shortfall_tokens
+FROM s
+"""
+
+
 def q_fetch_error_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fetch-error taxonomy + host health (frontier.fetch_health):
     30 hosts see a class mix cycling doc_id%17 over transport errors
@@ -7776,6 +7829,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_containment": q_dedup_containment,
     "images_dihedral_dedup": q_images_dihedral_dedup,
     "fetch_error_taxonomy": q_fetch_error_taxonomy,
+    "training_epoch_mix": q_training_epoch_mix,
     "images_srcset_harvest": q_images_srcset_harvest,
     "training_split_assign": q_split_assign,
     "politeness_adapt": q_politeness_adapt,
@@ -7920,6 +7974,7 @@ ORACLE_SQL: dict[str, str] = {
     "dns_cache_resolve": SQL_DNS_CACHE_RESOLVE,
     "dedup_containment": SQL_DEDUP_CONTAINMENT,
     "fetch_error_taxonomy": SQL_FETCH_ERROR_TAXONOMY,
+    "training_epoch_mix": SQL_TRAINING_EPOCH_MIX,
     "images_srcset_harvest": SQL_IMAGES_SRCSET_HARVEST,
     "training_split_assign": SQL_SPLIT_ASSIGN,
     "politeness_adapt": SQL_POLITENESS_ADAPT,

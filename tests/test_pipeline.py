@@ -461,3 +461,28 @@ def test_bigram_nll_sees_word_order(spark):
     # ...but the scrambled doc is far more surprising to the bigram LM
     assert bi[8]["nll"] > bi[0]["nll"] + 0.5
     assert bi[9]["n_bigrams"] == 0 and bi[9]["nll"] is None
+
+
+def test_epoch_mix_cap_and_exact_arithmetic(spark):
+    from pholcus_spark import pipeline
+
+    docs = spark.createDataFrame(
+        [("web", 1000), ("web", 1000), ("code", 100), ("books", 500)],
+        "lang string, n_tokens long",
+    )
+    out = {r["source"]: r for r in pipeline.epoch_mix(
+        docs, {"web": 500, "code": 400, "books": 100},
+        token_budget=10_000, max_epochs_milli=4000,
+    ).collect()}
+    web = out["web"]
+    assert web["available_tokens"] == 2000
+    assert web["planned_tokens"] == 5000        # 10k * 500/1000
+    assert web["epochs_milli"] == 2500          # 5000/2000 uncapped
+    assert web["scheduled_tokens"] == 5000 and web["shortfall_tokens"] == 0
+    code = out["code"]
+    assert code["planned_tokens"] == 4000
+    assert code["epochs_milli"] == 4000         # 40 epochs wanted -> capped
+    assert code["scheduled_tokens"] == 400
+    assert code["shortfall_tokens"] == 3600     # the cap records the gap
+    books = out["books"]
+    assert books["epochs_milli"] == 2000 and books["shortfall_tokens"] == 0
