@@ -865,3 +865,57 @@ def caption_spam(
     return keyed.join(counts, "caption_fp").withColumn(
         "is_spam", F.col("n_images") > F.lit(max_images)
     )
+
+
+def harvest_tables(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Structured rows out of every ``<table>``: (page_url, table_idx,
+    row_idx, is_header, n_cells, cells) — the harvest surface for
+    table corpora (WikiTables/TURL-style pretraining data and the
+    relation-extraction half of a crawl pipeline).
+
+    Same all-codegen shape as the other extractors: strip
+    non-rendered regions, ``regexp_extract_all`` tables then rows
+    (posexplode keeps document order as the index), per-row cell
+    extraction (``<td>``/``<th>``, either case), inner markup
+    flattened and whitespace collapsed per cell. ``is_header`` marks
+    rows carrying any ``<th>``. Flat tables only — a nested
+    ``<table>`` truncates the outer match at the inner ``</table>``
+    (regex, not a parser; the DOM engine handles pathological markup
+    when a rule asks for it). Zero shuffle, zero Python; the page
+    body is pruned after the extract."""
+    tables = F.posexplode(
+        F.regexp_extract_all(
+            _strip_nonrendered(F.col(html_col)),
+            F.lit(r"(?is)<table\b[^>]*>.*?</table>"),
+            0,
+        )
+    )
+    d = pages.select(
+        F.col(url_col).alias("page_url"), tables.alias("table_idx", "t")
+    )
+    rows = F.posexplode(
+        F.regexp_extract_all(
+            F.col("t"), F.lit(r"(?is)<tr\b[^>]*>.*?</tr>"), 0
+        )
+    )
+    d = d.select("page_url", "table_idx", rows.alias("row_idx", "r"))
+    cells = F.transform(
+        F.regexp_extract_all(
+            F.col("r"), F.lit(r"(?is)<t[dh]\b[^>]*>(.*?)</t[dh]>"), 1
+        ),
+        lambda c: F.trim(
+            F.regexp_replace(
+                F.regexp_replace(c, r"<[^>]+>", " "), r"\s+", " "
+            )
+        ),
+    )
+    return d.select(
+        "page_url",
+        "table_idx",
+        "row_idx",
+        F.col("r").rlike("(?is)<th\\b").alias("is_header"),
+        F.size(cells).cast("long").alias("n_cells"),
+        cells.alias("cells"),
+    )

@@ -2543,6 +2543,104 @@ WHERE jaccard >= {JACCARD_THRESHOLD}
 """
 
 
+def q_harvest_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML table extraction (harvest.harvest_tables): every page
+    carries one data table with 1+d%4 rows × 2+d%3 columns, a header
+    row on even doc_ids, nested <b> markup in the first cell (must
+    flatten), and a decoy table inside an HTML comment (must not
+    match). The oracle PREDICTS the structured rows from the residue
+    arithmetic — row indices, header flags, cell strings — without
+    parsing any HTML, so extractor drift in tag matching, order, or
+    cell cleanup breaks the hash."""
+    from . import harvest
+
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    ncols = 2 + d % 3
+    nrows = 1 + d % 4
+
+    def th(j: int):
+        return F.when(F.lit(j) < ncols, F.lit(f"<th>H{j}</th>"))
+
+    def td(i: int, j: int):
+        pre = "<td><b>" if (i == 0 and j == 0) else "<td>"
+        post = "</b></td>" if (i == 0 and j == 0) else "</td>"
+        return F.when(
+            F.lit(j) < ncols,
+            F.concat(F.lit(f"{pre}r{i}c{j}-"), ds, F.lit(post)),
+        )
+
+    header = F.when(
+        d % 2 == 0,
+        F.concat_ws(
+            "", F.lit("<tr>"), *[th(j) for j in range(4)], F.lit("</tr>")
+        ),
+    )
+
+    def tr(i: int):
+        return F.when(
+            F.lit(i) < nrows,
+            F.concat_ws(
+                "",
+                F.lit("<tr>"),
+                *[td(i, j) for j in range(4)],
+                F.lit("</tr>"),
+            ),
+        )
+
+    html = F.concat_ws(
+        "",
+        F.lit(
+            "<html><body><!-- <table><tr><td>decoy</td></tr></table>"
+            " --><table class=\"data\">"
+        ),
+        header,
+        *[tr(i) for i in range(4)],
+        F.lit("</table><p>no table here</p></body></html>"),
+    )
+    pages = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("http://t.example.com/p"), ds).alias("url"),
+        html.alias("html"),
+    )
+    out = harvest.harvest_tables(pages)
+    # driver hash-compare is scalar-typed: join the cell array
+    return out.select(
+        "page_url", "table_idx", "row_idx", "is_header", "n_cells",
+        F.concat_ws("|", "cells").alias("cells"),
+    )
+
+
+SQL_HARVEST_TABLES = """
+WITH p AS (
+  SELECT doc_id, 2 + doc_id % 3 AS ncols, 1 + doc_id % 4 AS nrows,
+         doc_id % 2 = 0 AS hdr
+  FROM documents),
+hdrs AS (
+  SELECT doc_id, 0 AS row_idx, TRUE AS is_header,
+         list_transform(range(ncols), j -> 'H' || CAST(j AS VARCHAR))
+           AS cells,
+         ncols
+  FROM p WHERE hdr),
+data AS (
+  SELECT p.doc_id,
+         CAST(t.i AS INTEGER) + CASE WHEN p.hdr THEN 1 ELSE 0 END
+           AS row_idx,
+         FALSE AS is_header,
+         list_transform(range(p.ncols),
+           j -> 'r' || CAST(t.i AS VARCHAR) || 'c'
+                || CAST(j AS VARCHAR) || '-'
+                || CAST(p.doc_id AS VARCHAR)) AS cells,
+         p.ncols
+  FROM p, UNNEST(range(p.nrows)) AS t(i)),
+u AS (SELECT * FROM hdrs UNION ALL SELECT * FROM data)
+SELECT 'http://t.example.com/p' || CAST(doc_id AS VARCHAR) AS page_url,
+       0 AS table_idx, row_idx, is_header,
+       CAST(ncols AS BIGINT) AS n_cells,
+       array_to_string(cells, '|') AS cells
+FROM u
+"""
+
+
 def q_training_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source epoch planning (pipeline.epoch_mix): the LLaMA-
     style mix table — en targets 60% of a 200k-token budget, zh 20%,
@@ -7830,6 +7928,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "images_dihedral_dedup": q_images_dihedral_dedup,
     "fetch_error_taxonomy": q_fetch_error_taxonomy,
     "training_epoch_mix": q_training_epoch_mix,
+    "harvest_tables": q_harvest_tables,
     "images_srcset_harvest": q_images_srcset_harvest,
     "training_split_assign": q_split_assign,
     "politeness_adapt": q_politeness_adapt,
@@ -7975,6 +8074,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_containment": SQL_DEDUP_CONTAINMENT,
     "fetch_error_taxonomy": SQL_FETCH_ERROR_TAXONOMY,
     "training_epoch_mix": SQL_TRAINING_EPOCH_MIX,
+    "harvest_tables": SQL_HARVEST_TABLES,
     "images_srcset_harvest": SQL_IMAGES_SRCSET_HARVEST,
     "training_split_assign": SQL_SPLIT_ASSIGN,
     "politeness_adapt": SQL_POLITENESS_ADAPT,

@@ -537,3 +537,31 @@ def test_caption_spam_counts_distinct_images_not_rows(spark):
     df = spark.createDataFrame(rows, "image_id string, caption string")
     out = harvest.caption_spam(df, max_images=2).collect()
     assert all(r["n_images"] == 2 and not r["is_spam"] for r in out)
+
+
+def test_harvest_tables_structure_and_decoys(spark):
+    html = """
+    <html><body>
+    <script>var t = '<table><tr><td>js decoy</td></tr></table>';</script>
+    <!-- <table><tr><td>comment decoy</td></tr></table> -->
+    <table id="first">
+      <tr><th>Name</th><th>Qty</th></tr>
+      <tr><td><a href="/x"><b>widget</b></a></td><td> 3 </td></tr>
+      <tr><td>gadget
+          spanning lines</td><td>7</td></tr>
+    </table>
+    <TABLE><TR><TD>upper case</TD></TR></TABLE>
+    </body></html>
+    """
+    df = spark.createDataFrame([("http://x/p", html)],
+                               "url string, html string")
+    got = harvest.harvest_tables(df).collect()
+    by = {(r["table_idx"], r["row_idx"]): r for r in got}
+    assert len(got) == 4  # 3 rows in table 0, 1 row in table 1
+    assert by[(0, 0)]["is_header"] and by[(0, 0)]["cells"] == ["Name", "Qty"]
+    # nested markup flattens, whitespace collapses, cells trim
+    assert by[(0, 1)]["cells"] == ["widget", "3"]
+    assert not by[(0, 1)]["is_header"]
+    assert by[(0, 2)]["cells"] == ["gadget spanning lines", "7"]
+    assert by[(1, 0)]["cells"] == ["upper case"]
+    assert all(r["n_cells"] == len(r["cells"]) for r in got)
