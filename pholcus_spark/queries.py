@@ -2641,6 +2641,95 @@ FROM u
 """
 
 
+def q_feed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS/Atom feed discovery (sitemaps.parse_feeds): even doc_ids
+    carry RSS 2.0 channels, odd ones Atom feeds (each with 1+d%3
+    entries), every Atom entry leads with a rel=self link the parser
+    must SKIP for the rel=alternate href, and d%19==0 bodies are
+    truncated XML that must drop whole. The oracle predicts every
+    surviving entry row from the residue arithmetic."""
+    from . import sitemaps
+
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    nitems = 1 + d % 3
+    feed_url = F.concat(
+        F.lit("http://h"), (d % 20).cast("string"),
+        F.lit(".example.org/feed/"), ds,
+    )
+
+    def entry_url(i: int):
+        return F.concat(
+            F.lit("http://h"), (d % 20).cast("string"),
+            F.lit(".example.org/post/"), ds, F.lit(f"/{i}"),
+        )
+
+    def rss_item(i: int):
+        return F.when(
+            F.lit(i) < nitems,
+            F.concat(
+                F.lit(f"<item><title>Post "), ds, F.lit(f"-{i}</title>"),
+                F.lit("<link>"), entry_url(i), F.lit("</link>"),
+                F.lit("<pubDate>ts-"), ds, F.lit(f"-{i}</pubDate></item>"),
+            ),
+        )
+
+    def atom_entry(i: int):
+        return F.when(
+            F.lit(i) < nitems,
+            F.concat(
+                F.lit(f"<entry><title>Post "), ds, F.lit(f"-{i}</title>"),
+                F.lit('<link rel="self" href="http://self.invalid/x"/>'),
+                F.lit('<link rel="alternate" href="'), entry_url(i),
+                F.lit('"/><published>ts-'), ds,
+                F.lit(f"-{i}</published></entry>"),
+            ),
+        )
+
+    body = (
+        F.when(d % 19 == 0, F.lit("<rss><channel><item>"))
+        .when(
+            d % 2 == 0,
+            F.concat_ws(
+                "",
+                F.lit('<rss version="2.0"><channel>'),
+                *[rss_item(i) for i in range(3)],
+                F.lit("</channel></rss>"),
+            ),
+        )
+        .otherwise(
+            F.concat_ws(
+                "",
+                F.lit('<feed xmlns="http://www.w3.org/2005/Atom">'),
+                *[atom_entry(i) for i in range(3)],
+                F.lit("</feed>"),
+            )
+        )
+    )
+    fetched = _t(spark, sf_dir, "documents").select(
+        feed_url.alias("url"), body.alias("body")
+    )
+    return sitemaps.parse_feeds(fetched)
+
+
+SQL_FEED_INGEST = """
+WITH p AS (
+  SELECT doc_id, 1 + doc_id % 3 AS nitems,
+         'http://h' || CAST(doc_id % 20 AS VARCHAR)
+           || '.example.org' AS base
+  FROM documents WHERE doc_id % 19 != 0)
+SELECT base || '/feed/' || CAST(doc_id AS VARCHAR) AS feed_url,
+       CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS fmt,
+       base || '/post/' || CAST(doc_id AS VARCHAR) || '/'
+         || CAST(t.i AS VARCHAR) AS entry_url,
+       'Post ' || CAST(doc_id AS VARCHAR) || '-' || CAST(t.i AS VARCHAR)
+         AS title,
+       'ts-' || CAST(doc_id AS VARCHAR) || '-' || CAST(t.i AS VARCHAR)
+         AS published_raw
+FROM p, UNNEST(range(p.nitems)) AS t(i)
+"""
+
+
 def q_training_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source epoch planning (pipeline.epoch_mix): the LLaMA-
     style mix table — en targets 60% of a 200k-token budget, zh 20%,
@@ -7929,6 +8018,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fetch_error_taxonomy": q_fetch_error_taxonomy,
     "training_epoch_mix": q_training_epoch_mix,
     "harvest_tables": q_harvest_tables,
+    "feed_ingest": q_feed_ingest,
     "images_srcset_harvest": q_images_srcset_harvest,
     "training_split_assign": q_split_assign,
     "politeness_adapt": q_politeness_adapt,
@@ -8075,6 +8165,7 @@ ORACLE_SQL: dict[str, str] = {
     "fetch_error_taxonomy": SQL_FETCH_ERROR_TAXONOMY,
     "training_epoch_mix": SQL_TRAINING_EPOCH_MIX,
     "harvest_tables": SQL_HARVEST_TABLES,
+    "feed_ingest": SQL_FEED_INGEST,
     "images_srcset_harvest": SQL_IMAGES_SRCSET_HARVEST,
     "training_split_assign": SQL_SPLIT_ASSIGN,
     "politeness_adapt": SQL_POLITENESS_ADAPT,

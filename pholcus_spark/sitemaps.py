@@ -154,3 +154,104 @@ def entry_priority(
         "priority_int",
         (p10 * p_weight + freq_rank * f_weight + recency).cast("int"),
     )
+
+
+FEED_ENTRY_SCHEMA = T.StructType(
+    [
+        T.StructField("feed_url", T.StringType(), False),
+        T.StructField("fmt", T.StringType(), False),  # rss | atom
+        T.StructField("entry_url", T.StringType(), True),
+        T.StructField("title", T.StringType(), True),
+        T.StructField("published_raw", T.StringType(), True),
+    ]
+)
+
+
+def _parse_feed_one(feed_url: str, xml_text: str) -> list[dict]:
+    """One RSS 2.0 or Atom document → entry dicts. Malformed XML and
+    link-less entries drop silently (same ingest-what-you-can policy
+    as sitemaps)."""
+    try:
+        root = ET.fromstring(xml_text)
+    except ET.ParseError:
+        return []
+    out: list[dict] = []
+    tag = _local(root.tag)
+    if tag == "rss":
+        for item in root.iter():
+            if _local(item.tag) != "item":
+                continue
+            link = title = pub = None
+            for c in item:
+                t = _local(c.tag)
+                v = (c.text or "").strip() or None
+                if t == "link":
+                    link = v
+                elif t == "title":
+                    title = v
+                elif t == "pubDate":
+                    pub = v
+            if link:
+                out.append(
+                    {
+                        "feed_url": feed_url,
+                        "fmt": "rss",
+                        "entry_url": link,
+                        "title": title,
+                        "published_raw": pub,
+                    }
+                )
+    elif tag == "feed":  # Atom
+        for entry in root.iter():
+            if _local(entry.tag) != "entry":
+                continue
+            link = title = pub = None
+            for c in entry:
+                t = _local(c.tag)
+                if t == "link":
+                    # rel="alternate" (or no rel) carries the page
+                    rel = c.get("rel") or "alternate"
+                    if rel == "alternate" and c.get("href"):
+                        link = c.get("href")
+                elif t == "title":
+                    title = (c.text or "").strip() or None
+                elif t in ("published", "updated") and pub is None:
+                    pub = (c.text or "").strip() or None
+            if link:
+                out.append(
+                    {
+                        "feed_url": feed_url,
+                        "fmt": "atom",
+                        "entry_url": link,
+                        "title": title,
+                        "published_raw": pub,
+                    }
+                )
+    return out
+
+
+def parse_feeds(fetched: DataFrame) -> DataFrame:
+    """(url, body) RSS/Atom payloads → one row per entry — the
+    freshness-discovery channel next to sitemaps: news/blog hosts
+    announce new URLs in feeds hours before sitemap regeneration, so
+    a recrawl scheduler polls feeds at high frequency and pushes the
+    entries through the ordinary enqueue+dedup path (entry URLs the
+    frontier has seen cost one anti-join row each).
+
+    Same scale shape as ``parse_sitemaps``: narrow Arrow-batched
+    ``mapInPandas``, entries expand inside their partition, nothing
+    shuffles here. RSS 2.0 ``<item>`` (link/title/pubDate) and Atom
+    ``<entry>`` (rel=alternate link href, title, published|updated),
+    namespace-agnostic; malformed documents drop silently."""
+
+    def _parse(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in FEED_ENTRY_SCHEMA]
+        for pdf in pdf_iter:
+            rows: list[dict] = []
+            for r in pdf.itertuples(index=False):
+                rows.extend(_parse_feed_one(r.url, r.body))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return fetched.select("url", "body").mapInPandas(
+        _parse, FEED_ENTRY_SCHEMA
+    )

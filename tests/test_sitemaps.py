@@ -103,3 +103,40 @@ def test_entry_priority_scores_through_real_parser(spark):
         "http://a.test/cold": 10,
         "http://a.test/bare": 56,
     }
+
+
+def test_parse_feeds_rss_atom_and_malformed(spark):
+    from pholcus_spark import sitemaps
+
+    rss = """<rss version="2.0"><channel>
+      <title>Chan</title>
+      <item><title>A</title><link>http://s/a</link>
+            <pubDate>Mon, 01 Jan 2024 00:00:00 GMT</pubDate></item>
+      <item><title>no link drops</title></item>
+      <item><link>http://s/b</link></item>
+    </channel></rss>"""
+    atom = """<feed xmlns="http://www.w3.org/2005/Atom">
+      <title>F</title>
+      <entry><title>X</title>
+        <link rel="self" href="http://self/x"/>
+        <link href="http://s/x"/>
+        <published>2024-01-01T00:00:00Z</published></entry>
+      <entry><title>no alternate link drops</title>
+        <link rel="self" href="http://self/y"/></entry>
+    </feed>"""
+    rows = [("http://s/rss.xml", rss), ("http://s/atom.xml", atom),
+            ("http://s/broken.xml", "<rss><channel><item>"),
+            ("http://s/notxml.xml", "hello world")]
+    df = spark.createDataFrame(rows, "url string, body string")
+    got = sitemaps.parse_feeds(df).collect()
+    by = {(r["feed_url"], r["entry_url"]): r for r in got}
+    assert len(got) == 3
+    a = by[("http://s/rss.xml", "http://s/a")]
+    assert a["fmt"] == "rss" and a["title"] == "A"
+    assert a["published_raw"] == "Mon, 01 Jan 2024 00:00:00 GMT"
+    # title-less item kept (link is the requirement), link-less dropped
+    assert by[("http://s/rss.xml", "http://s/b")]["title"] is None
+    x = by[("http://s/atom.xml", "http://s/x")]
+    # no-rel link counts as alternate; rel=self must not win
+    assert x["fmt"] == "atom" and x["entry_url"] == "http://s/x"
+    assert x["published_raw"] == "2024-01-01T00:00:00Z"
