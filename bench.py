@@ -141,6 +141,12 @@ BENCH_QUERIES = [
     "classifier_fit",
     "crawl_site_budget",
     "dns_cache_resolve",
+    "dedup_containment",
+    "images_dihedral_dedup",
+    "fetch_error_taxonomy",
+    "training_epoch_mix",
+    "harvest_tables",
+    "feed_ingest",
 ]
 
 

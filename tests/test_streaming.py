@@ -343,3 +343,42 @@ def test_image_hash_pipeline_runs_as_streaming_stage(spark, tmp_store_dir):
     key = lambda r: (r["image_id"], r["phash"], r["dhash"])  # noqa: E731
     assert sorted(map(key, out)) == sorted(map(key, batch))
     assert len(out) == 24 and all(r["decode_ok"] for r in out)
+
+
+def test_feed_ingestion_runs_as_streaming_stage(spark, tmp_store_dir):
+    """Feed discovery is the naturally STREAMING half of URL discovery
+    (a scheduler polls feeds continuously), and parse_feeds is a
+    stateless Arrow map — the same function must run unmodified over
+    readStream micro-batches with value-identical output."""
+    from pholcus_spark import sitemaps
+
+    feed_dir = os.path.join(tmp_store_dir, "feeds")
+    ckpt = os.path.join(tmp_store_dir, "fckpt")
+    rss = (
+        '<rss version="2.0"><channel>'
+        "<item><title>t%d</title><link>http://s/%d</link></item>"
+        "</channel></rss>"
+    )
+    rows = [(f"http://h{i}/feed.xml", rss % (i, i)) for i in range(12)]
+    rows.append(("http://h-bad/feed.xml", "<rss><channel><item>"))
+    spark.createDataFrame(rows, "url string, body string").write.mode(
+        "overwrite"
+    ).parquet(feed_dir)
+
+    stream = spark.readStream.schema("url string, body string").parquet(
+        feed_dir
+    )
+    out: list = []
+    q = (
+        sitemaps.parse_feeds(stream)
+        .writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(lambda df, _bid: out.extend(df.collect()))
+        .start()
+    )
+    q.awaitTermination(120)
+    batch = sitemaps.parse_feeds(spark.read.parquet(feed_dir)).collect()
+    key = lambda r: (r["feed_url"], r["entry_url"], r["title"])  # noqa: E731
+    assert sorted(map(key, out)) == sorted(map(key, batch))
+    assert len(out) == 12  # malformed feed dropped in both modes
