@@ -957,3 +957,69 @@ def semantic_dedup(
             F.col("_d").isNull().alias("kept"),
         )
     )
+
+
+def truncated_rerank_topk(
+    embeds: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    prefix_dim: int = 8,
+    overfetch: int = 4,
+) -> DataFrame:
+    """Two-stage Matryoshka-style retrieval: stage 1 scores the WHOLE
+    corpus with only the first ``prefix_dim`` embedding components
+    (MRL-trained embeddings front-load information precisely so
+    truncated prefixes rank well — arXiv:2205.13147) and keeps
+    ``k·overfetch`` candidates per query; stage 2 exactly reranks
+    just those candidates at full dimensionality.
+
+    Why this is the 10^10 shape: stage 1's per-row cost drops by
+    dim/prefix_dim (8× here), and — stored properly, with the prefix
+    as its OWN parquet column — the stage-1 scan READS only
+    prefix_dim/dim of the vector bytes (column pruning does the
+    rest); stage 2 touches k·overfetch rows per query instead of the
+    corpus. Versus IVF/PQ this needs no codebook training and gives
+    tunable exactness via ``overfetch`` (recall misses only when a
+    true neighbor's prefix rank falls below k·overfetch; measure with
+    recall_at_k like the other index families).
+
+    Both stages rank on the 4-rounded cosine with neighbor-id
+    tie-break (the registry's deterministic total order). Candidate
+    selection is a per-query window over prefix scores — map-side
+    WindowGroupLimit keeps the shuffle candidate-sized."""
+    q = embeds.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+    )
+    pre = F.slice(F.col("embedding"), 1, prefix_dim)
+    qpre = F.slice(F.col("qvec"), 1, prefix_dim)
+    pairs = embeds.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    )
+    stage1 = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(qpre, pre), 4).alias("pre_sim"),
+        F.col("embedding").alias("nvec"),
+        "qvec",
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.desc("pre_sim"), F.asc("neighbor_id")
+    )
+    cands = stage1.withColumn("prerank", F.row_number().over(w1)).filter(
+        F.col("prerank") <= k * overfetch
+    )
+    rer = cands.select(
+        "query_id",
+        "neighbor_id",
+        "pre_sim",
+        F.round(cosine(F.col("qvec"), F.col("nvec")), 4).alias("cos_sim"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim", "pre_sim")
+    )

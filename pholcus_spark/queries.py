@@ -2641,6 +2641,59 @@ FROM u
 """
 
 
+def q_embed_truncated_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage truncated-prefix retrieval (ann.truncated_rerank_
+    topk): 8-dim prefix scan keeps 20 candidates/query, full 64-dim
+    exact rerank keeps 5 — the Matryoshka pattern whose stage-1 cost
+    is dim/prefix cheaper and whose stage-2 touches only candidates.
+    The oracle replays BOTH windows (prefix scores, rerank) with
+    DuckDB's own list arithmetic, so a slice-boundary or tie-order
+    drift reorders a rank and breaks the hash."""
+    return ann.truncated_rerank_topk(_t(spark, sf_dir, "embeddings"))
+
+
+SQL_EMBED_TRUNCATED_RERANK = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+           FROM embeddings WHERE vec_id < 10),
+pairs AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, q.qvec,
+         e.embedding AS nvec,
+         round(
+           list_sum(list_transform(range(0, 8),
+             i -> CAST(q.qvec[i+1] AS DOUBLE)
+                  * CAST(e.embedding[i+1] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(list_slice(q.qvec, 1, 8),
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(list_slice(e.embedding, 1, 8),
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4)
+           AS pre_sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id),
+cands AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY pre_sim DESC, neighbor_id) AS prerank
+    FROM pairs) t
+  WHERE prerank <= 20),
+rer AS (
+  SELECT query_id, neighbor_id, pre_sim,
+         round(
+           list_sum(list_transform(range(0, len(qvec)),
+             i -> CAST(qvec[i+1] AS DOUBLE) * CAST(nvec[i+1] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(qvec,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(nvec,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4)
+           AS cos_sim
+  FROM cands)
+SELECT query_id, neighbor_id, rank, cos_sim, pre_sim
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM rer) t
+WHERE rank <= 5
+"""
+
+
 def q_feed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RSS/Atom feed discovery (sitemaps.parse_feeds): even doc_ids
     carry RSS 2.0 channels, odd ones Atom feeds (each with 1+d%3
@@ -8019,6 +8072,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "training_epoch_mix": q_training_epoch_mix,
     "harvest_tables": q_harvest_tables,
     "feed_ingest": q_feed_ingest,
+    "embed_truncated_rerank": q_embed_truncated_rerank,
     "images_srcset_harvest": q_images_srcset_harvest,
     "training_split_assign": q_split_assign,
     "politeness_adapt": q_politeness_adapt,
@@ -8166,6 +8220,7 @@ ORACLE_SQL: dict[str, str] = {
     "training_epoch_mix": SQL_TRAINING_EPOCH_MIX,
     "harvest_tables": SQL_HARVEST_TABLES,
     "feed_ingest": SQL_FEED_INGEST,
+    "embed_truncated_rerank": SQL_EMBED_TRUNCATED_RERANK,
     "images_srcset_harvest": SQL_IMAGES_SRCSET_HARVEST,
     "training_split_assign": SQL_SPLIT_ASSIGN,
     "politeness_adapt": SQL_POLITENESS_ADAPT,

@@ -364,3 +364,36 @@ def test_recall_at_k_bounds_and_planted(spark):
         assert r["n_exact"] == 3
         assert 0 <= r["n_hit"] <= 3
         assert r["recall_milli"] == r["n_hit"] * 1000 // 3
+
+
+def test_truncated_rerank_full_overfetch_equals_exact(spark):
+    from pholcus_spark import ann
+
+    embeds = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = embeds.count()
+    # overfetch covering the whole corpus -> stage 1 prunes nothing,
+    # so the result must EQUAL exact brute force
+    exact = ann.brute_force_topk(embeds, n_queries=5, k=3).collect()
+    two = ann.truncated_rerank_topk(
+        embeds, n_queries=5, k=3, prefix_dim=8, overfetch=(n // 3) + 1
+    ).collect()
+    key = lambda r: (r["query_id"], r["rank"], r["neighbor_id"])  # noqa: E731
+    assert sorted(key(r) for r in exact) == sorted(key(r) for r in two)
+
+
+def test_truncated_rerank_cos_is_full_dim(spark):
+    from pholcus_spark import ann
+
+    embeds = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = ann.truncated_rerank_topk(
+        embeds, n_queries=3, k=3, prefix_dim=8, overfetch=4
+    ).collect()
+    # within a query, final ranking follows full-dim cos_sim even when
+    # the prefix order disagreed
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for rs in by_q.values():
+        rs.sort(key=lambda r: r["rank"])
+        sims = [r["cos_sim"] for r in rs]
+        assert sims == sorted(sims, reverse=True)
