@@ -1685,6 +1685,54 @@ FROM documents
 """
 
 
+def q_sink_warc_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC payload-digest dedup (sinks.warc_revisit_records):
+    payloads keyed doc_id%40 plant ~12-copy duplicate groups; the
+    lexicographically-first capture per digest must frame a full
+    resource record and every other copy a payload-less revisit
+    record pointing at it. The oracle re-derives the election with a
+    window and predicts both record lengths from the framing
+    arithmetic (ids are fixed-width, so length is a function of url
+    and payload alone)."""
+    from . import sinks
+
+    d = F.col("doc_id")
+    items = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("http://corpus.test/doc-"), d.cast("string")).alias(
+            "url"
+        ),
+        F.encode(
+            F.concat(F.lit("payload-"), (d % 40).cast("string")), "UTF-8"
+        ).alias("bytes"),
+        F.lit("2024-01-01 00:00:00").alias("download_time"),
+    )
+    return sinks.warc_revisit_records(items).select(
+        "url", "record_type", "digest", "refers_to",
+        F.col("record_len").cast("long").alias("record_len"),
+    )
+
+
+SQL_SINK_WARC_REVISIT = """
+WITH p AS (
+  SELECT 'http://corpus.test/doc-' || CAST(doc_id AS VARCHAR) AS url,
+         'payload-' || CAST(doc_id % 40 AS VARCHAR) AS pay
+  FROM documents),
+g AS (SELECT *, md5(pay) AS digest,
+        row_number() OVER (PARTITION BY md5(pay) ORDER BY url) AS rn,
+        min(url) OVER (PARTITION BY md5(pay)) AS first_url
+      FROM p)
+SELECT url,
+  CASE WHEN rn = 1 THEN 'resource' ELSE 'revisit' END AS record_type,
+  digest,
+  CASE WHEN rn = 1 THEN NULL ELSE first_url END AS refers_to,
+  CAST(CASE WHEN rn = 1
+            THEN 254 + length(url)
+                 + length(CAST(length(pay) AS VARCHAR)) + length(pay)
+            ELSE 262 + length(url) END AS BIGINT) AS record_len
+FROM g
+"""
+
+
 CDX_SEGMENTS = 4
 
 
@@ -8073,6 +8121,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "harvest_tables": q_harvest_tables,
     "feed_ingest": q_feed_ingest,
     "embed_truncated_rerank": q_embed_truncated_rerank,
+    "sink_warc_revisit": q_sink_warc_revisit,
     "images_srcset_harvest": q_images_srcset_harvest,
     "training_split_assign": q_split_assign,
     "politeness_adapt": q_politeness_adapt,
@@ -8221,6 +8270,7 @@ ORACLE_SQL: dict[str, str] = {
     "harvest_tables": SQL_HARVEST_TABLES,
     "feed_ingest": SQL_FEED_INGEST,
     "embed_truncated_rerank": SQL_EMBED_TRUNCATED_RERANK,
+    "sink_warc_revisit": SQL_SINK_WARC_REVISIT,
     "images_srcset_harvest": SQL_IMAGES_SRCSET_HARVEST,
     "training_split_assign": SQL_SPLIT_ASSIGN,
     "politeness_adapt": SQL_POLITENESS_ADAPT,

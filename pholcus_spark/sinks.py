@@ -607,3 +607,89 @@ def cdx_index(
         .alias("offset"),
         F.col("record_len").cast("long").alias("record_len"),
     )
+
+
+def warc_revisit_records(
+    items: DataFrame,
+    url_col: str = "url",
+    bytes_col: str = "bytes",
+    time_col: str = "download_time",
+) -> DataFrame:
+    """WARC payload-digest dedup (ISO 28500 §6.7.2, the Heritrix /
+    Common Crawl archive-dedup feature): the FIRST capture of each
+    payload digest writes a full ``resource`` record; every later
+    capture of byte-identical content writes a tiny ``revisit``
+    record carrying the digest and a WARC-Refers-To pointer at the
+    original — archives of recrawls shrink by the duplicate fraction
+    without losing any capture event.
+
+    Election = min (url, time) per md5 digest: ONE map-side-combined
+    hash aggregation on the digest, joined back digest-keyed (the
+    line-dedup skeleton — only (digest, url, time) triples shuffle,
+    never payloads; the full-record framing runs in the scan
+    projection after the join decides each row's type).
+
+    Returns (url, record_type, digest, refers_to, record_len,
+    record) — revisit records frame the digest + pointer headers with
+    NO payload body."""
+    payload = F.coalesce(F.col(bytes_col), F.lit(b""))
+    digest = F.md5(payload)
+    keyed = items.withColumn("_digest", digest)
+    first = keyed.groupBy("_digest").agg(
+        F.min(F.struct(F.col(url_col), F.col(time_col))).alias("_f")
+    )
+    j = keyed.join(first, "_digest")
+    is_first = (F.col(url_col) == F.col("_f")[url_col]) & (
+        F.col(time_col) == F.col("_f")[time_col]
+    )
+    crlf = F.lit("\r\n")
+    rid = F.lpad(F.lower(F.hex(F.xxhash64(F.col(url_col)))), 16, "0")
+    ref_id = F.lpad(
+        F.lower(F.hex(F.xxhash64(F.col("_f")[url_col]))), 16, "0"
+    )
+    wdate = F.date_format(
+        F.to_timestamp(F.col(time_col)), "yyyy-MM-dd'T'HH:mm:ss'Z'"
+    )
+    res_header = F.concat(
+        F.lit("WARC/1.0"), crlf,
+        F.lit("WARC-Type: resource"), crlf,
+        F.lit("WARC-Record-ID: <urn:pholcus:"), rid, F.lit(">"), crlf,
+        F.lit("WARC-Date: "), wdate, crlf,
+        F.lit("WARC-Target-URI: "), F.col(url_col), crlf,
+        F.lit("WARC-Payload-Digest: md5:"), F.col("_digest"), crlf,
+        F.lit("Content-Type: application/octet-stream"), crlf,
+        F.lit("Content-Length: "),
+        F.length(payload).cast("string"), crlf, crlf,
+    )
+    res_record = F.concat(
+        F.encode(res_header, "UTF-8"),
+        payload,
+        F.encode(F.concat(crlf, crlf), "UTF-8"),
+    )
+    rev_header = F.concat(
+        F.lit("WARC/1.0"), crlf,
+        F.lit("WARC-Type: revisit"), crlf,
+        F.lit("WARC-Record-ID: <urn:pholcus:"), rid, F.lit(">"), crlf,
+        F.lit("WARC-Refers-To: <urn:pholcus:"), ref_id, F.lit(">"), crlf,
+        F.lit("WARC-Date: "), wdate, crlf,
+        F.lit("WARC-Target-URI: "), F.col(url_col), crlf,
+        F.lit("WARC-Payload-Digest: md5:"), F.col("_digest"), crlf,
+        F.lit("Content-Length: 0"), crlf, crlf,
+    )
+    rev_record = F.concat(
+        F.encode(rev_header, "UTF-8"),
+        F.encode(F.concat(crlf, crlf), "UTF-8"),
+    )
+    record = F.when(is_first, res_record).otherwise(rev_record)
+    return j.select(
+        F.col(url_col).alias("url"),
+        F.when(is_first, F.lit("resource"))
+        .otherwise(F.lit("revisit"))
+        .alias("record_type"),
+        F.col("_digest").alias("digest"),
+        F.when(is_first, F.lit(None).cast("string"))
+        .otherwise(F.col("_f")[url_col])
+        .alias("refers_to"),
+        F.length(record).alias("record_len"),
+        record.alias("record"),
+    )

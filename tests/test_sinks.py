@@ -373,3 +373,35 @@ def test_cdx_index_matches_segment_bytes(spark, tmp_store_dir):
         spark.createDataFrame(rows, schema).coalesce(1), n_segments=4
     ).collect()
     assert sorted(map(tuple, idx)) == sorted(map(tuple, idx2))
+
+
+def test_warc_revisit_records_dedup_and_framing(spark):
+    from pholcus_spark import sinks
+
+    rows = [
+        ("http://a/1", b"same bytes", "2024-01-01 00:00:00"),
+        ("http://a/2", b"same bytes", "2024-01-02 00:00:00"),
+        ("http://b/1", b"unique", "2024-01-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(
+        [(u, bytearray(b), t) for u, b, t in rows],
+        "url string, bytes binary, download_time string",
+    )
+    got = {r["url"]: r for r in
+           sinks.warc_revisit_records(df).collect()}
+    assert got["http://a/1"]["record_type"] == "resource"
+    assert got["http://a/1"]["refers_to"] is None
+    rev = got["http://a/2"]
+    assert rev["record_type"] == "revisit"
+    assert rev["refers_to"] == "http://a/1"
+    assert rev["digest"] == got["http://a/1"]["digest"]
+    assert got["http://b/1"]["record_type"] == "resource"
+    # revisit records carry NO payload body
+    raw = bytes(rev["record"]).decode()
+    assert "WARC-Type: revisit" in raw
+    assert "Content-Length: 0" in raw and "same bytes" not in raw
+    assert "WARC-Refers-To: <urn:pholcus:" in raw
+    full = bytes(got["http://a/1"]["record"])
+    assert b"same bytes" in full
+    assert len(full) == got["http://a/1"]["record_len"]
+    assert len(bytes(rev["record"])) == rev["record_len"]
