@@ -1685,6 +1685,68 @@ FROM documents
 """
 
 
+def q_recrawl_cache_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9111 freshness parsing (recrawl.cache_policy_schedule):
+    nine header classes per doc_id%9 — plain max-age, a below-floor
+    max-age (clamps up), no-cache overriding a max-age, s-maxage
+    beating max-age, no-store, an absurd max-age (clamps down),
+    Expires fallback, a PAST Expires (clamps to floor), and nothing
+    declared (default). The oracle replays directive precedence,
+    both clamps, and the next-fetch arithmetic."""
+    from . import recrawl
+
+    now = 1_700_000_000
+    d = F.col("doc_id")
+    m = F.pmod(d, F.lit(9))
+    cc = (
+        F.when(m == 0, F.lit("max-age=3600"))
+        .when(m == 1, F.lit("public, max-age=60"))
+        .when(m == 2, F.lit("no-cache, max-age=7200"))
+        .when(m == 3, F.lit("s-maxage=1800, max-age=60"))
+        .when(m == 4, F.lit("no-store"))
+        .when(m == 5, F.lit("private, max-age=99999999"))
+    )
+    expires = (
+        F.when(m == 6, F.lit(now + 5000))
+        .when(m == 7, F.lit(now - 100))
+        .cast("long")
+    )
+    fetched = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("http://c.test/p"), d.cast("string")).alias("url"),
+        cc.alias("cache_control"),
+        expires.alias("expires_epoch"),
+    )
+    return recrawl.cache_policy_schedule(fetched, now_epoch=now)
+
+
+SQL_RECRAWL_CACHE_POLICY = """
+WITH p AS (
+  SELECT doc_id, doc_id % 9 AS m,
+         'http://c.test/p' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents),
+t AS (
+  SELECT url,
+    CASE m WHEN 0 THEN 3600       -- max-age
+           WHEN 1 THEN 300        -- 60 clamps up to the floor
+           WHEN 2 THEN 300        -- no-cache wins over max-age
+           WHEN 3 THEN 1800       -- s-maxage beats max-age
+           WHEN 4 THEN 300        -- no-store -> floor poll
+           WHEN 5 THEN 2592000    -- absurd max-age clamps down
+           WHEN 6 THEN 5000       -- Expires fallback
+           WHEN 7 THEN 300        -- past Expires clamps to floor
+           ELSE 86400 END AS ttl_s,
+    CASE m WHEN 0 THEN 'max-age' WHEN 1 THEN 'max-age'
+           WHEN 2 THEN 'no-cache' WHEN 3 THEN 's-maxage'
+           WHEN 4 THEN 'no-cache' WHEN 5 THEN 'max-age'
+           WHEN 6 THEN 'expires' WHEN 7 THEN 'expires'
+           ELSE 'default' END AS source
+  FROM p)
+SELECT url, CAST(ttl_s AS BIGINT) AS ttl_s, source,
+       CAST(1700000000 + ttl_s AS BIGINT) AS next_fetch_epoch
+FROM t
+"""
+
+
 def q_sink_warc_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC payload-digest dedup (sinks.warc_revisit_records):
     payloads keyed doc_id%40 plant ~12-copy duplicate groups; the
@@ -8122,6 +8184,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "feed_ingest": q_feed_ingest,
     "embed_truncated_rerank": q_embed_truncated_rerank,
     "sink_warc_revisit": q_sink_warc_revisit,
+    "recrawl_cache_policy": q_recrawl_cache_policy,
     "images_srcset_harvest": q_images_srcset_harvest,
     "training_split_assign": q_split_assign,
     "politeness_adapt": q_politeness_adapt,
@@ -8271,6 +8334,7 @@ ORACLE_SQL: dict[str, str] = {
     "feed_ingest": SQL_FEED_INGEST,
     "embed_truncated_rerank": SQL_EMBED_TRUNCATED_RERANK,
     "sink_warc_revisit": SQL_SINK_WARC_REVISIT,
+    "recrawl_cache_policy": SQL_RECRAWL_CACHE_POLICY,
     "images_srcset_harvest": SQL_IMAGES_SRCSET_HARVEST,
     "training_split_assign": SQL_SPLIT_ASSIGN,
     "politeness_adapt": SQL_POLITENESS_ADAPT,

@@ -115,3 +115,61 @@ def snapshot_diff(
         F.col("_old_fp").alias("old_fp"),
         F.col("_new_fp").alias("new_fp"),
     )
+
+
+def cache_policy_schedule(
+    fetched: DataFrame,
+    now_epoch: int,
+    default_ttl_s: int = 86_400,
+    min_ttl_s: int = 300,
+    max_ttl_s: int = 2_592_000,
+) -> DataFrame:
+    """Server-declared freshness → next-fetch time: parse each
+    response's ``Cache-Control`` (and ``Expires`` fallback) into the
+    revisit schedule — the direct-signal complement to
+    ``revisit_schedule``'s OBSERVED change rates (RFC 9111 semantics;
+    a server that says ``max-age=3600`` has told the crawler its
+    regeneration cadence for free).
+
+    Directive precedence, all codegen regex/CASE over the header
+    string: ``no-store`` / ``no-cache`` → recrawl at ``min_ttl_s``
+    (the content is always-stale by declaration — poll at the floor,
+    not never); ``s-maxage=N`` beats ``max-age=N`` (shared-cache
+    directive, and a crawler is a shared cache); bare ``Expires``
+    epoch is a fallback TTL of ``expires − now``; nothing declared →
+    ``default_ttl_s``. TTLs clamp to [min, max] — servers declare
+    garbage (max-age=0 spam, year-long immutables on volatile pages)
+    and the clamp is the crawler's defense.
+
+    Output: (url, ttl_s, source, next_fetch_epoch). Zero shuffle —
+    a per-row projection the recrawl scheduler unions with its
+    rate-based schedule."""
+    cc = F.lower(F.coalesce(F.col("cache_control"), F.lit("")))
+    no_cache = cc.rlike(r"no-store|no-cache")
+    s_maxage = F.regexp_extract(cc, r"s-maxage=(\d+)", 1).try_cast("long")
+    # ('s-maxage' has no 'max-age' substring — no guard needed)
+    maxage = F.regexp_extract(cc, r"max-age=(\d+)", 1).try_cast("long")
+    exp_ttl = (F.col("expires_epoch") - F.lit(now_epoch)).cast("long")
+    ttl_raw = (
+        F.when(no_cache, F.lit(min_ttl_s))
+        .when(s_maxage.isNotNull(), s_maxage)
+        .when(maxage.isNotNull(), maxage)
+        .when(F.col("expires_epoch").isNotNull(), exp_ttl)
+        .otherwise(F.lit(default_ttl_s))
+    )
+    source = (
+        F.when(no_cache, F.lit("no-cache"))
+        .when(s_maxage.isNotNull(), F.lit("s-maxage"))
+        .when(maxage.isNotNull(), F.lit("max-age"))
+        .when(F.col("expires_epoch").isNotNull(), F.lit("expires"))
+        .otherwise(F.lit("default"))
+    )
+    ttl = F.greatest(
+        F.lit(min_ttl_s), F.least(F.lit(max_ttl_s), ttl_raw)
+    ).cast("long")
+    return fetched.select(
+        "url",
+        ttl.alias("ttl_s"),
+        source.alias("source"),
+        (F.lit(now_epoch) + ttl).cast("long").alias("next_fetch_epoch"),
+    )

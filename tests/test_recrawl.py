@@ -85,3 +85,32 @@ def test_due_now_filters(spark):
     cutoff = int(_ts("2024-06-01T00:00:00").timestamp() * 1_000_000)
     due = recrawl.due_now(sched, cutoff).collect()
     assert [r["url"] for r in due] == ["u1"]
+
+
+def test_cache_policy_directive_precedence_and_clamps(spark):
+    from pholcus_spark import recrawl
+
+    now = 1_000_000
+    rows = [
+        ("a", "max-age=3600", None),
+        ("b", "No-Cache, max-age=9999", None),       # case-insensitive
+        ("c", "s-maxage=1800, max-age=60", None),
+        ("d", None, now + 5000),
+        ("e", None, now - 1),                         # past Expires
+        ("f", None, None),
+        ("g", "immutable, max-age=100000000", None),  # clamps down
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, cache_control string, expires_epoch long"
+    )
+    out = {r["url"]: r for r in recrawl.cache_policy_schedule(
+        df, now_epoch=now).collect()}
+    assert out["a"]["ttl_s"] == 3600 and out["a"]["source"] == "max-age"
+    assert out["b"]["ttl_s"] == 300 and out["b"]["source"] == "no-cache"
+    assert out["c"]["ttl_s"] == 1800 and out["c"]["source"] == "s-maxage"
+    assert out["d"]["ttl_s"] == 5000 and out["d"]["source"] == "expires"
+    assert out["e"]["ttl_s"] == 300      # past Expires floors, not negative
+    assert out["f"]["ttl_s"] == 86400 and out["f"]["source"] == "default"
+    assert out["g"]["ttl_s"] == 2_592_000
+    assert all(r["next_fetch_epoch"] == now + r["ttl_s"]
+               for r in out.values())
