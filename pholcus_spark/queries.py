@@ -1685,6 +1685,104 @@ FROM documents
 """
 
 
+_LANG_NEXT = {"en": "de", "de": "fr", "fr": "es", "es": "zh", "zh": "en"}
+
+
+def _lang_rep(lang: str, n: int) -> str:
+    return " ".join([" ".join(textops.LANG_PROFILES[lang])] * n)
+
+
+def q_text_lang_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-language ID (textops.lang_id_multi) with MEASURED
+    accuracy: every doc's word-soup text gets 4+d%3 repetitions of
+    its labeled language's function-word profile planted, and every
+    13th doc additionally gets 8 repetitions of the NEXT language's
+    profile — a stronger conflicting signal the classifier must
+    (correctly, by its own argmax rule) mispredict, so is_correct is
+    exercised both ways and the en-bias of the base soup ('the'/'a'
+    occur naturally) is tested against real planted counts. The
+    oracle rebuilds the identical planted text and replays the
+    profile counting and the struct-max tie rule in DuckDB."""
+    d = F.col("doc_id")
+    langs = list(textops.LANG_PROFILES)
+    plant = F.coalesce(
+        *[
+            F.when(
+                (F.col("lang") == lang) & (d % 3 == i),
+                F.lit(_lang_rep(lang, 4 + i)),
+            )
+            for lang in langs
+            for i in range(3)
+        ]
+    )
+    conflict = F.when(
+        d % 13 == 0,
+        F.coalesce(
+            *[
+                F.when(
+                    F.col("lang") == lang,
+                    F.lit(_lang_rep(_LANG_NEXT[lang], 8)),
+                )
+                for lang in langs
+            ]
+        ),
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.concat_ws(" ", "text", plant, conflict).alias("text"),
+    )
+    pred = textops.lang_id_multi(F.col("text"))
+    return docs.select(
+        "doc_id",
+        "lang",
+        pred.alias("pred_lang"),
+        (pred == F.col("lang")).alias("is_correct"),
+    )
+
+
+@lru_cache(maxsize=1)
+def _sql_text_lang_multi() -> str:
+    langs = list(textops.LANG_PROFILES)
+    plant_arms = " ".join(
+        f"WHEN lang = '{lang}' AND doc_id % 3 = {i} "
+        f"THEN '{_lang_rep(lang, 4 + i)}'"
+        for lang in langs
+        for i in range(3)
+    )
+    conflict_arms = " ".join(
+        f"WHEN lang = '{lang}' THEN '{_lang_rep(_LANG_NEXT[lang], 8)}'"
+        for lang in langs
+    )
+    hit_cols = ", ".join(
+        "len(list_filter(ws, w -> w IN ("
+        + ", ".join(f"'{m}'" for m in textops.LANG_PROFILES[lang])
+        + f"))) AS h_{lang}"
+        for lang in langs
+    )
+    structs = ", ".join(
+        f"struct_pack(hits := CAST(h_{lang} AS BIGINT), lang := '{lang}')"
+        for lang in langs
+    )
+    return f"""
+WITH p AS (
+  SELECT doc_id, lang,
+    concat_ws(' ', text,
+      CASE {plant_arms} END,
+      CASE WHEN doc_id % 13 = 0 THEN
+        CASE {conflict_arms} END END) AS text
+  FROM documents),
+w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM p),
+h AS (SELECT doc_id, lang, {hit_cols} FROM w),
+b AS (SELECT doc_id, lang, list_max([{structs}]) AS best FROM h)
+SELECT doc_id, lang,
+       CASE WHEN best.hits > 0 THEN best.lang ELSE 'unk' END AS pred_lang,
+       CASE WHEN best.hits > 0 THEN best.lang ELSE 'unk' END = lang
+         AS is_correct
+FROM b
+"""
+
+
 def q_recrawl_cache_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFC 9111 freshness parsing (recrawl.cache_policy_schedule):
     nine header classes per doc_id%9 — plain max-age, a below-floor
@@ -8185,6 +8283,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_truncated_rerank": q_embed_truncated_rerank,
     "sink_warc_revisit": q_sink_warc_revisit,
     "recrawl_cache_policy": q_recrawl_cache_policy,
+    "text_lang_multi": q_text_lang_multi,
     "images_srcset_harvest": q_images_srcset_harvest,
     "training_split_assign": q_split_assign,
     "politeness_adapt": q_politeness_adapt,
@@ -8380,6 +8479,7 @@ FROM v JOIN c USING (rphash)
 
 LAZY_ORACLE_SQL: dict[str, Callable[[], str]] = {
     "images_dihedral_dedup": _sql_images_dihedral_dedup,
+    "text_lang_multi": _sql_text_lang_multi,
     "images_phash_neardup": _sql_images_phash_neardup,
     "images_phash_recall": _sql_images_phash_recall,
     "images_orientation": _sql_images_orientation,

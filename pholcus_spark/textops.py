@@ -598,3 +598,41 @@ def fit_linear_head(
         F.round(w2, 6).alias("w2"),
         F.round(mse, 6).alias("mse"),
     )
+
+
+# Function-word profiles for the multi-language classifier — the
+# fastText-lite approach: tiny, high-frequency, mutually disjoint
+# marker sets per language (zh markers are the space-tokenized
+# particles the corpus planting emits).
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "in"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "dans"),
+    "es": ("el", "los", "y", "por", "con"),
+    "zh": ("的", "是", "在", "了", "和"),
+}
+
+
+def lang_id_multi(text: Column) -> Column:
+    """Multi-language ID by function-word profile argmax — the
+    upgrade over the binary en/unk heuristic (`lang_pred`): count
+    hits against each language's marker set, predict the max, break
+    exact ties toward the alphabetically-greatest language (struct
+    comparison order — deterministic, documented), and return 'unk'
+    when NO profile hits (the honest answer for markerless text).
+
+    One pass over the token array per profile (higher-order filters,
+    JVM-side, zero shuffle); the struct array_max is the same
+    associative argmax trick the caption election uses."""
+    ws = words(text)
+    entries = [
+        F.struct(
+            F.size(F.filter(ws, lambda w: w.isin(*m)))
+            .cast("long")
+            .alias("hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, m in LANG_PROFILES.items()
+    ]
+    best = F.array_max(F.array(*entries))
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("unk"))

@@ -98,3 +98,27 @@ def test_fit_linear_head_noise_shrinks_with_signal(spark):
     r = textops.fit_linear_head(df).collect()[0]
     assert abs(r["w1"] - 3) < 0.1 and abs(r["w2"] + 2) < 0.1
     assert 0 < r["mse"] < 4  # noise in [-2,2] → variance ≈ 2
+
+
+def test_lang_id_multi_profiles_ties_and_unk(spark):
+    from pyspark.sql import functions as F
+
+    from pholcus_spark import textops
+
+    rows = [
+        ("de", "der die und das ist der die"),
+        ("fr", "le la et buffer les dans le"),
+        ("zh", "的 是 在 了 和 的"),
+        # en base words beat a single foreign marker
+        ("en", "the and of is in the and der"),
+        # no profile hits anywhere -> unk
+        ("unk", "buffer socket kernel"),
+        # exact tie (one hit each) breaks to the greater lang string
+        ("fr", "der le"),
+    ]
+    df = spark.createDataFrame(rows, "want string, text string")
+    got = df.select(
+        "want", textops.lang_id_multi(F.col("text")).alias("pred")
+    ).collect()
+    for r in got:
+        assert r["pred"] == r["want"], r
