@@ -147,6 +147,10 @@ BENCH_QUERIES = [
     "training_epoch_mix",
     "harvest_tables",
     "feed_ingest",
+    "embed_truncated_rerank",
+    "sink_warc_revisit",
+    "recrawl_cache_policy",
+    "text_lang_multi",
 ]
 
 
