@@ -1685,6 +1685,63 @@ FROM documents
 """
 
 
+BPE_MERGES = 4
+
+
+def q_training_bpe_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge learning (textops.bpe_fit): the first 4
+    merge rules of the corpus tokenizer, learned from the once-
+    aggregated word-frequency table with per-round pair counting and
+    a deterministic (count desc, pair asc) winner. The oracle unrolls
+    all four rounds as chained CTEs — pair explosion, the argmax, and
+    the doubled-space merge application each replayed with DuckDB's
+    own replace() — so ANY drift in counting, tie order, or merge
+    semantics changes a later round's winner and breaks the hash."""
+    return textops.bpe_fit(
+        _t(spark, sf_dir, "documents"), n_merges=BPE_MERGES
+    )
+
+
+@lru_cache(maxsize=1)
+def _sql_training_bpe_fit() -> str:
+    parts = [
+        """
+WITH v AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE length(w) > 0 GROUP BY w),
+w0 AS (SELECT freq, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s
+       FROM v)"""
+    ]
+    for r in range(1, BPE_MERGES + 1):
+        parts.append(f""",
+p{r} AS (
+  SELECT pair, SUM(freq) AS cnt FROM (
+    SELECT freq,
+           unnest(list_transform(range(len(ws) - 1),
+                  i -> ws[i+1] || '|' || ws[i+2])) AS pair
+    FROM (SELECT freq, string_split(trim(s), ' ') AS ws FROM w{r - 1}))
+  GROUP BY pair),
+m{r} AS (
+  SELECT string_split(pair, '|')[1] AS a,
+         string_split(pair, '|')[2] AS b,
+         CAST(cnt AS BIGINT) AS cnt
+  FROM p{r} ORDER BY cnt DESC, pair LIMIT 1),
+w{r} AS (
+  SELECT freq,
+    replace(replace(replace(s, ' ', '  '),
+      ' ' || (SELECT a FROM m{r}) || '  ' || (SELECT b FROM m{r}) || ' ',
+      ' ' || (SELECT a FROM m{r}) || (SELECT b FROM m{r}) || ' '),
+      '  ', ' ') AS s
+  FROM w{r - 1})""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {r} AS rank, a AS \"left\", b AS \"right\","
+        f" a || b AS merged, cnt AS pair_count FROM m{r}"
+        for r in range(1, BPE_MERGES + 1)
+    )
+    return "".join(parts) + "\n" + sel
+
+
 _LANG_NEXT = {"en": "de", "de": "fr", "fr": "es", "es": "zh", "zh": "en"}
 
 
@@ -8284,6 +8341,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sink_warc_revisit": q_sink_warc_revisit,
     "recrawl_cache_policy": q_recrawl_cache_policy,
     "text_lang_multi": q_text_lang_multi,
+    "training_bpe_fit": q_training_bpe_fit,
     "images_srcset_harvest": q_images_srcset_harvest,
     "training_split_assign": q_split_assign,
     "politeness_adapt": q_politeness_adapt,
@@ -8480,6 +8538,7 @@ FROM v JOIN c USING (rphash)
 LAZY_ORACLE_SQL: dict[str, Callable[[], str]] = {
     "images_dihedral_dedup": _sql_images_dihedral_dedup,
     "text_lang_multi": _sql_text_lang_multi,
+    "training_bpe_fit": _sql_training_bpe_fit,
     "images_phash_neardup": _sql_images_phash_neardup,
     "images_phash_recall": _sql_images_phash_recall,
     "images_orientation": _sql_images_orientation,

@@ -636,3 +636,92 @@ def lang_id_multi(text: Column) -> Column:
     ]
     best = F.array_max(F.array(*entries))
     return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("unk"))
+
+
+def bpe_fit(
+    docs: DataFrame,
+    n_merges: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich et al. 2016) —
+    learn the first ``n_merges`` merge rules from the corpus, the
+    cluster-side computation behind every tokenizer's merges.txt.
+
+    The 10^10 shape: the CORPUS aggregates exactly once (word → freq,
+    one hash agg); every merge iteration then runs on the VOCAB table
+    (≤ a few million rows at web scale, thousands here) — explode
+    adjacent symbol pairs weighted by word frequency, one tiny
+    count agg, TakeOrdered(1) for the best pair (count desc, pair
+    asc — the deterministic tie), apply the merge, repeat. Only the
+    single winning pair row ever reaches the driver per round.
+
+    Symbols live as a single-space-joined string (`' c a t '`), and
+    the merge applies via the doubled-space replace trick (double
+    every separator, replace ``' a  b '`` with ``' ab '``, collapse) —
+    one non-overlapping left-to-right pass whose semantics the DuckDB
+    oracle reproduces with its own replace(), so both engines merge
+    adjacent-overlapping runs identically. No end-of-word marker (a
+    production run appends '</w>' per word first; the plan is
+    unchanged).
+
+    Returns (rank, left, right, merged, pair_count) — the ordered
+    merge table."""
+    w = F.explode(words(F.col(text_col))).alias("w")
+    vocab = (
+        docs.select(w)
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    syms = vocab.select(
+        "freq",
+        F.concat(
+            F.lit(" "), F.regexp_replace(F.col("w"), "(.)", "$1 ")
+        ).alias("s"),
+    )
+    # vocab-sized and re-read every round
+    syms = syms.persist()
+    out: list[tuple] = []
+    for rank in range(1, n_merges + 1):
+        ws = F.split(F.trim(F.col("s")), " ")
+        n = F.size(ws)
+        pairs = F.when(
+            n < 2, F.array().cast("array<string>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), n - 2),
+                lambda i: F.concat(
+                    F.element_at(ws, (i + 1).cast("int")),
+                    F.lit("|"),
+                    F.element_at(ws, (i + 2).cast("int")),
+                ),
+            )
+        )
+        best = (
+            syms.select("freq", F.explode(pairs).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b = best[0]["pair"].split("|", 1)
+        out.append((rank, a, b, a + b, int(best[0]["cnt"])))
+        doubled = F.replace(F.col("s"), F.lit(" "), F.lit("  "))
+        merged = F.replace(
+            doubled, F.lit(f" {a}  {b} "), F.lit(f" {a + b} ")
+        )
+        nxt = syms.select(
+            "freq", F.replace(merged, F.lit("  "), F.lit(" ")).alias("s")
+        ).persist()
+        syms.unpersist()
+        syms = nxt
+    syms.unpersist()
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        out,
+        "rank int, left string, right string, merged string,"
+        " pair_count long",
+    )

@@ -122,3 +122,25 @@ def test_lang_id_multi_profiles_ties_and_unk(spark):
     ).collect()
     for r in got:
         assert r["pred"] == r["want"], r
+
+
+def test_bpe_fit_classic_example_and_overlap_runs(spark):
+    from pholcus_spark import textops
+
+    df = spark.createDataFrame(
+        [(1, "low low low lower lower newest newest newest newest widest")],
+        "doc_id long, text string",
+    )
+    out = textops.bpe_fit(df, n_merges=3).collect()
+    got = [(r["rank"], r["left"], r["right"], r["pair_count"])
+           for r in out]
+    # Sennrich's example: 'w e' (newest x4 + lower x2) wins round 1;
+    # 'l o' and 's t' tie at 5 and the pair-string order breaks it
+    assert got == [(1, "w", "e", 6), (2, "l", "o", 5), (3, "s", "t", 5)]
+
+    # adjacent-overlapping runs merge left-to-right non-overlapping:
+    # 'aaaa' under merge (a,a) yields 'aa aa', so round 2 pairs 'aa|aa'
+    df2 = spark.createDataFrame([(1, "aaaa aaaa")], "doc_id long, text string")
+    out2 = textops.bpe_fit(df2, n_merges=2).collect()
+    got2 = [(r["rank"], r["merged"], r["pair_count"]) for r in out2]
+    assert got2 == [(1, "aa", 6), (2, "aaaa", 2)]
