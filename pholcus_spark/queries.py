@@ -1742,6 +1742,55 @@ w{r} AS (
     return "".join(parts) + "\n" + sel
 
 
+def q_training_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenization with the corpus-learned merges (textops.
+    bpe_apply_counts after bpe_fit): every document's token count
+    under the real merge table — the denominator token budgets
+    should use. The oracle extends the unrolled fit CTEs with four
+    apply stages over whole sentinel-delimited documents, so fit
+    drift, apply-order drift, or sentinel leakage all break the
+    hash."""
+    docs = _t(spark, sf_dir, "documents")
+    fit = textops.bpe_fit(docs, n_merges=BPE_MERGES).collect()
+    merges = [
+        (r["left"], r["right"]) for r in sorted(fit, key=lambda r: r["rank"])
+    ]
+    return textops.bpe_apply_counts(docs, merges)
+
+
+@lru_cache(maxsize=1)
+def _sql_training_bpe_apply() -> str:
+    fit_sql = _sql_training_bpe_fit()
+    # reuse the fit CTE chain (everything before the final UNION ALL
+    # select), then chain the apply stages over whole documents
+    cte_end = fit_sql.index("\nSELECT 1 AS rank")
+    ctes = fit_sql[:cte_end]
+    parts = [
+        ctes,
+        """,
+d0 AS (SELECT doc_id, length(text) AS n_chars,
+              ' ' || regexp_replace(replace(text, ' ', '§'),
+                                    '(.)', '\\1 ', 'g') AS s
+       FROM documents)""",
+    ]
+    for r in range(1, BPE_MERGES + 1):
+        parts.append(f""",
+d{r} AS (
+  SELECT doc_id, n_chars,
+    replace(replace(replace(s, ' ', '  '),
+      ' ' || (SELECT a FROM m{r}) || '  ' || (SELECT b FROM m{r}) || ' ',
+      ' ' || (SELECT a FROM m{r}) || (SELECT b FROM m{r}) || ' '),
+      '  ', ' ') AS s
+  FROM d{r - 1})""")
+    parts.append(f"""
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(len(list_filter(string_split(trim(s), ' '),
+                            w -> w != '§')) AS BIGINT) AS n_tokens_bpe
+FROM d{BPE_MERGES}
+""")
+    return "".join(parts)
+
+
 _LANG_NEXT = {"en": "de", "de": "fr", "fr": "es", "es": "zh", "zh": "en"}
 
 
@@ -8342,6 +8391,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "recrawl_cache_policy": q_recrawl_cache_policy,
     "text_lang_multi": q_text_lang_multi,
     "training_bpe_fit": q_training_bpe_fit,
+    "training_bpe_apply": q_training_bpe_apply,
     "images_srcset_harvest": q_images_srcset_harvest,
     "training_split_assign": q_split_assign,
     "politeness_adapt": q_politeness_adapt,
@@ -8539,6 +8589,7 @@ LAZY_ORACLE_SQL: dict[str, Callable[[], str]] = {
     "images_dihedral_dedup": _sql_images_dihedral_dedup,
     "text_lang_multi": _sql_text_lang_multi,
     "training_bpe_fit": _sql_training_bpe_fit,
+    "training_bpe_apply": _sql_training_bpe_apply,
     "images_phash_neardup": _sql_images_phash_neardup,
     "images_phash_recall": _sql_images_phash_recall,
     "images_orientation": _sql_images_orientation,

@@ -725,3 +725,48 @@ def bpe_fit(
         "rank int, left string, right string, merged string,"
         " pair_count long",
     )
+
+
+def bpe_apply_counts(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize with a learned BPE merge table and count the result —
+    the apply half of ``bpe_fit`` and the real-tokenizer upgrade of
+    ``n_tokens_re``'s BPE-ish stand-in (token BUDGETS — packing,
+    patch/token selection, epoch planning — should be denominated in
+    the tokenizer that will actually train).
+
+    Whole documents are symbolized with an unmergeable word-boundary
+    sentinel ('§' — never in any learned pair, because fit explodes
+    pairs per word), then each merge applies in rank order via the
+    same doubled-separator replace chain as fit. The entire chain is
+    a per-row codegen projection — zero shuffle, linear in merges —
+    and the sentinel tokens are excluded from the count."""
+    s = F.concat(
+        F.lit(" "),
+        F.regexp_replace(
+            F.replace(F.col(text_col), F.lit(" "), F.lit("§")),
+            "(.)",
+            "$1 ",
+        ),
+    )
+    for a, b in merges:
+        s = F.replace(
+            F.replace(
+                F.replace(s, F.lit(" "), F.lit("  ")),
+                F.lit(f" {a}  {b} "),
+                F.lit(f" {a + b} "),
+            ),
+            F.lit("  "),
+            F.lit(" "),
+        )
+    ws = F.split(F.trim(s), " ")
+    n_bpe = F.size(F.filter(ws, lambda w: w != "§")).cast("long")
+    return docs.select(
+        id_col,
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        n_bpe.alias("n_tokens_bpe"),
+    )

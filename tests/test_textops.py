@@ -144,3 +144,23 @@ def test_bpe_fit_classic_example_and_overlap_runs(spark):
     out2 = textops.bpe_fit(df2, n_merges=2).collect()
     got2 = [(r["rank"], r["merged"], r["pair_count"]) for r in out2]
     assert got2 == [(1, "aa", 6), (2, "aaaa", 2)]
+
+
+def test_bpe_apply_counts_shrink_and_respect_boundaries(spark):
+    from pholcus_spark import textops
+
+    df = spark.createDataFrame(
+        [(1, "low low"), (2, "lo w")], "doc_id long, text string"
+    )
+    # merges learned elsewhere: l+o, lo+w
+    out = {r["doc_id"]: r for r in textops.bpe_apply_counts(
+        df, [("l", "o"), ("lo", "w")]).collect()}
+    # 'low low' -> two 'low' tokens (6 chars before merging)
+    assert out[1]["n_tokens_bpe"] == 2
+    # word boundary blocks lo+w across 'lo w': stays lo, w
+    assert out[2]["n_tokens_bpe"] == 2
+    assert out[1]["n_chars"] == 7
+    # no merges at all -> pure character count (spaces excluded)
+    raw = {r["doc_id"]: r["n_tokens_bpe"] for r in
+           textops.bpe_apply_counts(df, []).collect()}
+    assert raw[1] == 6 and raw[2] == 3
