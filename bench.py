@@ -151,6 +151,8 @@ BENCH_QUERIES = [
     "sink_warc_revisit",
     "recrawl_cache_policy",
     "text_lang_multi",
+    "training_bpe_fit",
+    "training_bpe_apply",
 ]
 
 
