@@ -341,3 +341,33 @@ def dihedral_phash64(arr: np.ndarray) -> int:
     return min(
         phash64(apply_exif_orientation(arr, o)) for o in range(1, 9)
     )
+
+
+def detect_borders(
+    arr: np.ndarray, tol: int = 2, dark: int = 8
+) -> tuple[int, int, int, int]:
+    """Letterbox/pillarbox bar widths (top, bottom, left, right): the
+    count of consecutive near-uniform DARK rows/columns from each
+    edge (per-line peak-to-peak ≤ ``tol`` and mean ≤ ``dark``) — the
+    video-thumbnail black bars an image-curation pipeline crops
+    before aspect bucketing (bars poison aspect ratios and waste
+    patch tokens). Pure numpy; shared by the engine UDF and the
+    oracle's driver-side recompute."""
+
+    def _run(lines: np.ndarray) -> int:
+        n = 0
+        for line in lines:
+            if int(line.max()) - int(line.min()) <= tol and float(
+                line.mean()
+            ) <= dark:
+                n += 1
+            else:
+                break
+        return n
+
+    top = _run(arr.reshape(arr.shape[0], -1))
+    bottom = _run(arr[::-1].reshape(arr.shape[0], -1))
+    cols = np.transpose(arr, (1, 0, 2)).reshape(arr.shape[1], -1)
+    left = _run(cols)
+    right = _run(cols[::-1])
+    return top, bottom, left, right

@@ -1345,3 +1345,48 @@ def dihedral_hashes(images: DataFrame) -> DataFrame:
     return images.select("image_id", "bytes", "fmt").mapInPandas(
         _hash, "image_id string, rphash long"
     )
+
+
+def detect_letterbox(images: DataFrame) -> DataFrame:
+    """Per-image letterbox bars + crop plan (imaging.detect_borders):
+    (image_id, top, bottom, left, right, crop_w, crop_h). Bars that
+    consume the whole image (solid frames) report a degenerate 0×0
+    crop the quality gate then drops. Arrow-batched decode map, zero
+    shuffle — runs beside the other decode-stage columns."""
+
+    def _detect(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .imaging import decode_image, detect_borders
+
+        for pdf in pdf_iter:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    arr = decode_image(bytes(r.bytes), r.fmt)
+                except (ValueError, NotImplementedError):
+                    continue
+                t, b, le, ri = detect_borders(arr)
+                h, w = arr.shape[0], arr.shape[1]
+                rows.append(
+                    {
+                        "image_id": r.image_id,
+                        "top": t,
+                        "bottom": b,
+                        "left": le,
+                        "right": ri,
+                        "crop_w": max(0, w - le - ri),
+                        "crop_h": max(0, h - t - b),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "top", "bottom", "left", "right",
+                    "crop_w", "crop_h",
+                ],
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        _detect,
+        "image_id string, top int, bottom int, left int, right int,"
+        " crop_w int, crop_h int",
+    )

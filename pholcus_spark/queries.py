@@ -8241,6 +8241,50 @@ def q_images_dihedral_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_images_letterbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Letterbox detection (multimodal.detect_letterbox): every
+    synthetic image is re-framed inside planted black bars (top d%5,
+    bottom 3d%4, left d%3, right 7d%5 — zero-width cases included)
+    and the detector must recover the bar widths and the crop plan
+    from PIXELS. The oracle replays pad→encode→decode→detect driver-
+    side through the identical numpy path (lazy VALUES), so a drift
+    in the uniform-run rule or the crop arithmetic breaks the
+    hash."""
+    import numpy as np
+    import pandas as pd
+
+    from .imaging import decode_image, encode_image
+
+    imgs = _synthetic_images(spark, sf_dir, max_docs=PHASH_ORACLE_DOCS)
+
+    def _pad(pdf_iter):
+        for pdf in pdf_iter:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                d = int(r.image_id.split("-")[1])
+                t, b, le, ri = _letterbox_pads(d)
+                arr = decode_image(bytes(r.bytes), r.fmt)
+                framed = np.zeros(
+                    (arr.shape[0] + t + b, arr.shape[1] + le + ri, 3),
+                    dtype=arr.dtype,
+                )
+                framed[t:t + arr.shape[0], le:le + arr.shape[1]] = arr
+                rows.append(
+                    {
+                        "image_id": r.image_id,
+                        "bytes": encode_image(framed, "png"),
+                        "fmt": "png",
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["image_id", "bytes", "fmt"])
+
+    framed = imgs.mapInPandas(
+        _pad, "image_id string, bytes binary, fmt string"
+    )
+    return multimodal.detect_letterbox(framed)
+
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # frontier / scheduling semantics
     "frontier_enqueue_dedup": q_frontier_enqueue_dedup,
@@ -8392,6 +8436,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_lang_multi": q_text_lang_multi,
     "training_bpe_fit": q_training_bpe_fit,
     "training_bpe_apply": q_training_bpe_apply,
+    "images_letterbox": q_images_letterbox,
     "images_srcset_harvest": q_images_srcset_harvest,
     "training_split_assign": q_split_assign,
     "politeness_adapt": q_politeness_adapt,
@@ -8585,7 +8630,49 @@ FROM v JOIN c USING (rphash)
 """
 
 
+def _letterbox_pads(doc_id: int) -> tuple[int, int, int, int]:
+    """Planted bar widths per doc — shared by the engine fixture and
+    the oracle replay."""
+    return doc_id % 5, (doc_id * 3) % 4, doc_id % 3, (doc_id * 7) % 5
+
+
+@lru_cache(maxsize=1)
+def _sql_images_letterbox() -> str:
+    import numpy as np
+
+    from . import synthetic
+    from .imaging import (
+        decode_image,
+        detect_borders,
+        encode_image,
+    )
+
+    vals = []
+    for doc_id in range(PHASH_ORACLE_DOCS):
+        arr, fmt = synthetic.image_for_doc(doc_id)
+        arr = decode_image(encode_image(arr, fmt), fmt)
+        t, b, le, ri = _letterbox_pads(doc_id)
+        framed = np.zeros(
+            (arr.shape[0] + t + b, arr.shape[1] + le + ri, 3),
+            dtype=arr.dtype,
+        )
+        framed[t:t + arr.shape[0], le:le + arr.shape[1]] = arr
+        dec = decode_image(encode_image(framed, "png"), "png")
+        dt, db, dl, dr = detect_borders(dec)
+        h, w = dec.shape[0], dec.shape[1]
+        vals.append(
+            f"('doc-{doc_id}', {dt}, {db}, {dl}, {dr},"
+            f" {max(0, w - dl - dr)}, {max(0, h - dt - db)})"
+        )
+    return (
+        "SELECT * FROM (VALUES " + ", ".join(vals)
+        + ") AS v(image_id, top, bottom, \"left\", \"right\","
+        " crop_w, crop_h)"
+    )
+
+
 LAZY_ORACLE_SQL: dict[str, Callable[[], str]] = {
+    "images_letterbox": _sql_images_letterbox,
     "images_dihedral_dedup": _sql_images_dihedral_dedup,
     "text_lang_multi": _sql_text_lang_multi,
     "training_bpe_fit": _sql_training_bpe_fit,

@@ -545,3 +545,23 @@ def test_dihedral_phash_invariant_under_all_orientations():
     # ...while the plain phash moves for most orientations (else the
     # invariant would be vacuous on this image)
     assert changed_plain >= 5
+
+
+def test_detect_borders_bars_tolerance_and_solid():
+    from pholcus_spark.imaging import detect_borders
+
+    inner = np.full((10, 12, 3), 200, dtype=np.uint8)
+    framed = np.zeros((10 + 3 + 1, 12 + 2 + 4, 3), dtype=np.uint8)
+    framed[3:13, 2:14] = inner
+    assert detect_borders(framed) == (3, 1, 2, 4)
+    # near-black bars within tolerance still count
+    noisy = framed.copy()
+    noisy[0] = 2
+    assert detect_borders(noisy)[0] == 3
+    # a bright uniform edge is NOT a letterbox bar
+    bright = np.full((8, 8, 3), 255, dtype=np.uint8)
+    assert detect_borders(bright) == (0, 0, 0, 0)
+    # solid black frame: bars consume everything
+    solid = np.zeros((6, 6, 3), dtype=np.uint8)
+    t, b, le, ri = detect_borders(solid)
+    assert t == 6 and le == 6
