@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "text_lang_multi",
     "training_bpe_fit",
     "training_bpe_apply",
+    "images_letterbox",
 ]
 
 
