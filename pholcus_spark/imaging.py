@@ -371,3 +371,18 @@ def detect_borders(
     left = _run(cols)
     right = _run(cols[::-1])
     return top, bottom, left, right
+
+
+def pixel_entropy(arr: np.ndarray) -> float:
+    """Shannon entropy (bits) of the 256-bin grayscale histogram —
+    the flat-image detector: solid colors and near-solid gradients
+    score ≈ 0–2 bits, photographic content ≥ 5. Curation drops the
+    low end (LAION-style junk: tracking pixels scaled up, template
+    placeholders, failed renders). Rounded to 4 decimals so any
+    engine recomputing through this same kernel hashes identically."""
+    gray = (
+        arr.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    ).astype(np.uint8)
+    counts = np.bincount(gray.ravel(), minlength=256)
+    p = counts[counts > 0] / gray.size
+    return round(float(-(p * np.log2(p)).sum()), 4)

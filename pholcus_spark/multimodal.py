@@ -1390,3 +1390,37 @@ def detect_letterbox(images: DataFrame) -> DataFrame:
         "image_id string, top int, bottom int, left int, right int,"
         " crop_w int, crop_h int",
     )
+
+
+def entropy_gate(images: DataFrame, min_bits: float = 3.0) -> DataFrame:
+    """Per-image grayscale-histogram entropy + keep flag
+    (imaging.pixel_entropy): the solid/flat-image junk gate that
+    dimension checks can't catch (a 1024×1024 solid white JPEG has
+    perfect geometry). Arrow-batched decode map, zero shuffle;
+    composes with image_quality_gate before dedup."""
+
+    def _ent(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .imaging import decode_image, pixel_entropy
+
+        for pdf in pdf_iter:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    arr = decode_image(bytes(r.bytes), r.fmt)
+                except (ValueError, NotImplementedError):
+                    continue
+                e = pixel_entropy(arr)
+                rows.append(
+                    {
+                        "image_id": r.image_id,
+                        "entropy_bits": e,
+                        "keep": e >= min_bits,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "entropy_bits", "keep"]
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        _ent, "image_id string, entropy_bits double, keep boolean"
+    )

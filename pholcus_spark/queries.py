@@ -8241,6 +8241,78 @@ def q_images_dihedral_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _entropy_plant(doc_id: int, arr):
+    """Flat-image planting shared by fixture and oracle: every 11th
+    image becomes a solid color (entropy 0), every 11th+5 a two-tone
+    checkerboard (≈1 bit); both must fall below the 3-bit gate."""
+    import numpy as np
+
+    if doc_id % 11 == 0:
+        return np.full_like(arr, doc_id % 256)
+    if doc_id % 11 == 5:
+        out = np.full_like(arr, 40)
+        out[::2, ::2] = 200
+        return out
+    return arr
+
+
+def q_images_entropy_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat-image entropy gate (multimodal.entropy_gate): planted
+    solid-color and checkerboard payloads must score ≈0/≈1 bits and
+    drop below the 3-bit gate while real synthetic content keeps.
+    The oracle recomputes every histogram entropy driver-side through
+    the identical decode path (lazy VALUES)."""
+    import pandas as pd
+
+    from .imaging import decode_image, encode_image
+
+    imgs = _synthetic_images(spark, sf_dir, max_docs=PHASH_ORACLE_DOCS)
+
+    def _plant(pdf_iter):
+        for pdf in pdf_iter:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                d = int(r.image_id.split("-")[1])
+                arr = decode_image(bytes(r.bytes), r.fmt)
+                arr = _entropy_plant(d, arr)
+                rows.append(
+                    {
+                        "image_id": r.image_id,
+                        "bytes": encode_image(arr, "png"),
+                        "fmt": "png",
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["image_id", "bytes", "fmt"])
+
+    planted = imgs.mapInPandas(
+        _plant, "image_id string, bytes binary, fmt string"
+    )
+    return multimodal.entropy_gate(planted)
+
+
+@lru_cache(maxsize=1)
+def _sql_images_entropy_gate() -> str:
+    from . import synthetic
+    from .imaging import (
+        decode_image,
+        encode_image,
+        pixel_entropy,
+    )
+
+    vals = []
+    for doc_id in range(PHASH_ORACLE_DOCS):
+        arr, fmt = synthetic.image_for_doc(doc_id)
+        arr = decode_image(encode_image(arr, fmt), fmt)
+        arr = _entropy_plant(doc_id, arr)
+        dec = decode_image(encode_image(arr, "png"), "png")
+        e = pixel_entropy(dec)
+        vals.append(f"('doc-{doc_id}', {e}, {str(e >= 3.0).upper()})")
+    return (
+        "SELECT * FROM (VALUES " + ", ".join(vals)
+        + ") AS v(image_id, entropy_bits, keep)"
+    )
+
+
 def q_images_letterbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Letterbox detection (multimodal.detect_letterbox): every
     synthetic image is re-framed inside planted black bars (top d%5,
@@ -8437,6 +8509,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "training_bpe_fit": q_training_bpe_fit,
     "training_bpe_apply": q_training_bpe_apply,
     "images_letterbox": q_images_letterbox,
+    "images_entropy_gate": q_images_entropy_gate,
     "images_srcset_harvest": q_images_srcset_harvest,
     "training_split_assign": q_split_assign,
     "politeness_adapt": q_politeness_adapt,
@@ -8673,6 +8746,7 @@ def _sql_images_letterbox() -> str:
 
 LAZY_ORACLE_SQL: dict[str, Callable[[], str]] = {
     "images_letterbox": _sql_images_letterbox,
+    "images_entropy_gate": _sql_images_entropy_gate,
     "images_dihedral_dedup": _sql_images_dihedral_dedup,
     "text_lang_multi": _sql_text_lang_multi,
     "training_bpe_fit": _sql_training_bpe_fit,

@@ -565,3 +565,17 @@ def test_detect_borders_bars_tolerance_and_solid():
     solid = np.zeros((6, 6, 3), dtype=np.uint8)
     t, b, le, ri = detect_borders(solid)
     assert t == 6 and le == 6
+
+
+def test_pixel_entropy_solid_checker_and_noise():
+    from pholcus_spark.imaging import pixel_entropy
+    from pholcus_spark.synthetic import image_for_doc
+
+    solid = np.full((32, 32, 3), 77, dtype=np.uint8)
+    assert pixel_entropy(solid) == 0.0
+    checker = np.full((32, 32, 3), 40, dtype=np.uint8)
+    checker[::2, ::2] = 200
+    # two gray levels at 1/4 and 3/4 -> H(0.25) ≈ 0.8113 bits
+    assert abs(pixel_entropy(checker) - 0.8113) < 0.001
+    real, _ = image_for_doc(3)
+    assert pixel_entropy(real) > 4.0
