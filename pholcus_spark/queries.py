@@ -1685,6 +1685,41 @@ FROM documents
 """
 
 
+def q_sink_wet_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET conversion-record framing (sinks.wet_records): record ids
+    are fixed-width, so the length is a pure function of url and
+    extracted text — 231 framing bytes + url + Content-Length digits
+    + the text payload. The oracle predicts it exactly; byte-level
+    structure is covered by the unit test."""
+    from . import sinks
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("http://corpus.test/doc-"), F.col("doc_id").cast("string")
+        ).alias("url"),
+        F.concat(F.lit("extracted "), F.substring("text", 1, 100)).alias(
+            "main_text"
+        ),
+        F.lit("2024-01-01 00:00:00").alias("download_time"),
+    )
+    return sinks.wet_records(docs).select(
+        "url", "text_bytes", "record_len"
+    )
+
+
+SQL_SINK_WET_SHAPE = """
+WITH t AS (
+  SELECT 'http://corpus.test/doc-' || CAST(doc_id AS VARCHAR) AS url,
+         octet_length(encode('extracted ' || substr(text, 1, 100)))
+           AS tb
+  FROM documents)
+SELECT url, CAST(tb AS BIGINT) AS text_bytes,
+       CAST(231 + length(url) + length(CAST(tb AS VARCHAR)) + tb
+            AS BIGINT) AS record_len
+FROM t
+"""
+
+
 BPE_MERGES = 4
 
 
@@ -8510,6 +8545,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "training_bpe_apply": q_training_bpe_apply,
     "images_letterbox": q_images_letterbox,
     "images_entropy_gate": q_images_entropy_gate,
+    "sink_wet_shape": q_sink_wet_shape,
     "images_srcset_harvest": q_images_srcset_harvest,
     "training_split_assign": q_split_assign,
     "politeness_adapt": q_politeness_adapt,
@@ -8660,6 +8696,7 @@ ORACLE_SQL: dict[str, str] = {
     "embed_truncated_rerank": SQL_EMBED_TRUNCATED_RERANK,
     "sink_warc_revisit": SQL_SINK_WARC_REVISIT,
     "recrawl_cache_policy": SQL_RECRAWL_CACHE_POLICY,
+    "sink_wet_shape": SQL_SINK_WET_SHAPE,
     "images_srcset_harvest": SQL_IMAGES_SRCSET_HARVEST,
     "training_split_assign": SQL_SPLIT_ASSIGN,
     "politeness_adapt": SQL_POLITENESS_ADAPT,

@@ -693,3 +693,51 @@ def warc_revisit_records(
         F.length(record).alias("record_len"),
         record.alias("record"),
     )
+
+
+def wet_records(
+    texts: DataFrame,
+    url_col: str = "url",
+    text_col: str = "main_text",
+    time_col: str = "download_time",
+) -> DataFrame:
+    """WET extracted-text records — the Common Crawl *.warc.wet.gz
+    artifact: one WARC ``conversion`` record per page whose payload
+    is the EXTRACTED plain text (harvest.main_text upstream), with
+    WARC-Refers-To pointing at the page's capture record. Most
+    text-corpus consumers never touch the raw WARC; shipping WET
+    beside it is what makes the crawl a text dataset. Same codegen
+    framing as warc_records (fixed-width ids keep lengths
+    oracle-checkable); completes the archive family: WARC capture +
+    revisit dedup + CDX index + WET conversion."""
+    payload = F.encode(F.coalesce(F.col(text_col), F.lit("")), "UTF-8")
+    crlf = F.lit("\r\n")
+    rid = F.lpad(
+        F.lower(F.hex(F.xxhash64(F.concat(F.lit("wet:"), F.col(url_col))))),
+        16, "0",
+    )
+    ref = F.lpad(F.lower(F.hex(F.xxhash64(F.col(url_col)))), 16, "0")
+    header = F.concat(
+        F.lit("WARC/1.0"), crlf,
+        F.lit("WARC-Type: conversion"), crlf,
+        F.lit("WARC-Record-ID: <urn:pholcus:"), rid, F.lit(">"), crlf,
+        F.lit("WARC-Refers-To: <urn:pholcus:"), ref, F.lit(">"), crlf,
+        F.lit("WARC-Date: "),
+        F.date_format(
+            F.to_timestamp(F.col(time_col)), "yyyy-MM-dd'T'HH:mm:ss'Z'"
+        ), crlf,
+        F.lit("WARC-Target-URI: "), F.col(url_col), crlf,
+        F.lit("Content-Type: text/plain"), crlf,
+        F.lit("Content-Length: "),
+        F.length(payload).cast("string"), crlf, crlf,
+    )
+    record = F.concat(
+        F.encode(header, "UTF-8"), payload,
+        F.encode(F.concat(crlf, crlf), "UTF-8"),
+    )
+    return texts.select(
+        F.col(url_col).alias("url"),
+        F.length(payload).cast("long").alias("text_bytes"),
+        F.length(record).cast("long").alias("record_len"),
+        record.alias("record"),
+    )

@@ -405,3 +405,28 @@ def test_warc_revisit_records_dedup_and_framing(spark):
     assert b"same bytes" in full
     assert len(full) == got["http://a/1"]["record_len"]
     assert len(bytes(rev["record"])) == rev["record_len"]
+
+
+def test_wet_records_structure(spark):
+    from pholcus_spark import sinks
+
+    df = spark.createDataFrame(
+        [("http://x/page", "Extracted body text.", "2024-06-01 12:00:00")],
+        "url string, main_text string, download_time string",
+    )
+    r = sinks.wet_records(df).collect()[0]
+    raw = bytes(r["record"]).decode()
+    assert raw.startswith("WARC/1.0\r\n")
+    assert "WARC-Type: conversion" in raw
+    assert "WARC-Refers-To: <urn:pholcus:" in raw
+    assert "WARC-Target-URI: http://x/page" in raw
+    assert "Content-Type: text/plain" in raw
+    assert "WARC-Date: 2024-06-01T12:00:00Z" in raw
+    assert raw.endswith("Extracted body text.\r\n\r\n")
+    assert r["text_bytes"] == len("Extracted body text.")
+    assert r["record_len"] == len(bytes(r["record"]))
+    # the conversion record's own id differs from the capture id it
+    # refers to (same url, different namespace salt)
+    rid = raw.split("WARC-Record-ID: <urn:pholcus:")[1][:16]
+    ref = raw.split("WARC-Refers-To: <urn:pholcus:")[1][:16]
+    assert rid != ref
