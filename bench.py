@@ -154,6 +154,8 @@ BENCH_QUERIES = [
     "training_bpe_fit",
     "training_bpe_apply",
     "images_letterbox",
+    "images_entropy_gate",
+    "sink_wet_shape",
 ]
 
 
