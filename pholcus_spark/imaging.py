@@ -138,7 +138,18 @@ def encode_image(arr: np.ndarray, fmt: str) -> bytes:
 
 def decode_image(data: bytes, fmt: str) -> np.ndarray:
     """Decode payload bytes -> HxWx3 uint8. Real-JPEG path would go via
-    PIL here; absent in this container, ``jpeg`` is the PHLJ stand-in."""
+    PIL here; absent in this container, ``jpeg`` is the PHLJ stand-in.
+
+    Truncated/corrupt payloads surface as ``ValueError`` — the decode
+    boundary's one failure type — not as struct/zlib internals (a
+    crawl sees torn downloads constantly; callers catch ValueError)."""
+    try:
+        return _decode_image_inner(data, fmt)
+    except (struct.error, zlib.error, IndexError) as e:
+        raise ValueError(f"corrupt {fmt} payload: {e}") from e
+
+
+def _decode_image_inner(data: bytes, fmt: str) -> np.ndarray:
     if fmt == "png":
         return decode_png(data)
     if fmt == "jpeg":

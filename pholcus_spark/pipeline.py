@@ -982,3 +982,114 @@ def epoch_mix(
             "long"
         ),
     )
+
+
+def ingest_images(images: DataFrame, min_entropy_bits: float = 3.0) -> DataFrame:
+    """The composed image-INGEST chain a crawl runs between fetch and
+    the corpus stages, one decision row per payload:
+
+      sniff (magic bytes, JVM) → decode with the SNIFFED codec →
+      entropy junk gate → dihedral-orbit exact dedup (keep min id)
+
+    Statuses: ``drop_sniff`` (non-image payload), ``drop_decode``
+    (sniffed codec still can't parse it), ``drop_entropy`` (flat
+    junk), ``drop_dup`` (a rotated/mirrored copy of a kept image),
+    ``kept``. Decoding with the sniffed format — not the declared
+    label — is the point of sniffing first: a PNG served as .jpg
+    decodes fine, and an error page never reaches Python at all.
+
+    Plan: one codegen sniff projection; ONE Arrow decode pass
+    computing entropy and the orbit hash together (the payload is
+    decoded once for both gates); a hash agg on the 8-byte orbit
+    hash + a broadcast-size join back for the dup election. The
+    binary column never shuffles."""
+    from . import multimodal
+
+    sniffed = multimodal.sniff_mismatch(images)
+
+    def _decode(pdf_iter):
+        import pandas as pd
+
+        from .imaging import decode_image, dihedral_phash64, pixel_entropy
+
+        for pdf in pdf_iter:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.action == "drop":
+                    rows.append(
+                        {
+                            "image_id": r.image_id,
+                            "sniffed_fmt": r.sniffed_fmt,
+                            "stage": "drop_sniff",
+                            "entropy_bits": None,
+                            "rphash": None,
+                        }
+                    )
+                    continue
+                try:
+                    arr = decode_image(bytes(r.bytes), r.sniffed_fmt)
+                except (ValueError, NotImplementedError):
+                    rows.append(
+                        {
+                            "image_id": r.image_id,
+                            "sniffed_fmt": r.sniffed_fmt,
+                            "stage": "drop_decode",
+                            "entropy_bits": None,
+                            "rphash": None,
+                        }
+                    )
+                    continue
+                e = pixel_entropy(arr)
+                if e < min_entropy_bits:
+                    rows.append(
+                        {
+                            "image_id": r.image_id,
+                            "sniffed_fmt": r.sniffed_fmt,
+                            "stage": "drop_entropy",
+                            "entropy_bits": e,
+                            "rphash": None,
+                        }
+                    )
+                    continue
+                rows.append(
+                    {
+                        "image_id": r.image_id,
+                        "sniffed_fmt": r.sniffed_fmt,
+                        "stage": "pass",
+                        "entropy_bits": e,
+                        "rphash": dihedral_phash64(arr),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "sniffed_fmt", "stage", "entropy_bits",
+                    "rphash",
+                ],
+            )
+
+    staged = sniffed.select(
+        "image_id", "bytes", "sniffed_fmt", "action"
+    ).mapInPandas(
+        _decode,
+        "image_id string, sniffed_fmt string, stage string,"
+        " entropy_bits double, rphash long",
+    )
+    keep = (
+        staged.filter(F.col("stage") == "pass")
+        .groupBy("rphash")
+        .agg(F.min("image_id").alias("keep_id"))
+    )
+    out = staged.join(keep, "rphash", "left")
+    status = (
+        F.when(F.col("stage") != "pass", F.col("stage"))
+        .when(F.col("image_id") == F.col("keep_id"), F.lit("kept"))
+        .otherwise(F.lit("drop_dup"))
+    )
+    return out.select(
+        "image_id",
+        "sniffed_fmt",
+        status.alias("status"),
+        F.round("entropy_bits", 4).alias("entropy_bits"),
+        F.when(status == "drop_dup", F.col("keep_id")).alias("dup_of"),
+    )

@@ -8348,6 +8348,137 @@ def _sql_images_entropy_gate() -> str:
     )
 
 
+def _ingest_rows(d: int, data: bytes, fmt: str) -> list[tuple]:
+    """Planted ingest-chain inputs per doc — shared verbatim by the
+    engine fixture and the oracle replay. Classes: error-page payload
+    (d%13==0), truncated payload (d%13==5 — sniffs as its real format
+    but can't decode), solid flat image (d%11==0), flipped declared
+    label (d%9==0), plus a rotated twin row for every sixth PNG."""
+    import numpy as np
+
+    from .imaging import apply_exif_orientation, decode_image, encode_image
+
+    iid = f"doc-{d}"
+    if d % 13 == 0:
+        return [(iid, b"<html><title>404</title></html>", fmt)]
+    if d % 13 == 5:
+        return [(iid, data[:20], fmt)]
+    if d % 11 == 0:
+        arr = decode_image(data, fmt)
+        return [(iid, encode_image(np.full_like(arr, d % 256), "png"),
+                 "png")]
+    declared = (
+        ("jpeg" if fmt == "png" else "png") if d % 9 == 0 else fmt
+    )
+    rows = [(iid, data, declared)]
+    if d % 6 == 0 and fmt == "png":
+        arr = decode_image(data, fmt)
+        rot = apply_exif_orientation(arr, 2 + (d % 7))
+        rows.append((f"rot-{d}", encode_image(rot, "png"), "png"))
+    return rows
+
+
+def _sniff_py(data: bytes) -> str:
+    """Driver-side twin of multimodal.sniff_format (the oracle checks
+    the JVM hex-prefix sniff against this independent reading)."""
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if data[:3] == b"\xff\xd8\xff" or data[:4] == b"PHLJ":
+        return "jpeg"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        return "webp"
+    if data[:2] == b"BM":
+        return "bmp"
+    if data.lstrip(b" \t\r\n\x0c")[:1] == b"<":
+        return "html"
+    return "unknown"
+
+
+def q_images_ingest_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed ingest chain (pipeline.ingest_images): sniff →
+    decode with the SNIFFED codec → entropy gate → dihedral-orbit
+    dedup, every stage deciding real planted rows — error pages die
+    at sniff, truncated payloads at decode, solids at entropy,
+    rotated twins at dedup (pointing at their kept original), and
+    label-flipped rows survive BECAUSE decode trusts the sniff. The
+    oracle replays the whole chain driver-side with an independent
+    python sniffer, so any stage's drift (or mis-ordering) changes a
+    status and breaks the hash."""
+    import pandas as pd
+
+    imgs = _synthetic_images(spark, sf_dir, max_docs=PHASH_ORACLE_DOCS)
+
+    def _plant(pdf_iter):
+        for pdf in pdf_iter:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                d = int(r.image_id.split("-")[1])
+                for iid, data, fmt in _ingest_rows(
+                    d, bytes(r.bytes), r.fmt
+                ):
+                    rows.append(
+                        {"image_id": iid, "bytes": data, "fmt": fmt}
+                    )
+            yield pd.DataFrame(rows, columns=["image_id", "bytes", "fmt"])
+
+    planted = imgs.mapInPandas(
+        _plant, "image_id string, bytes binary, fmt string"
+    )
+    from . import pipeline
+
+    return pipeline.ingest_images(planted)
+
+
+@lru_cache(maxsize=1)
+def _sql_images_ingest_chain() -> str:
+    from . import synthetic
+    from .imaging import (
+        decode_image,
+        dihedral_phash64,
+        encode_image,
+        pixel_entropy,
+    )
+
+    staged = []
+    for doc_id in range(PHASH_ORACLE_DOCS):
+        arr, fmt = synthetic.image_for_doc(doc_id)
+        data = encode_image(arr, fmt)
+        for iid, payload, _declared in _ingest_rows(doc_id, data, fmt):
+            sn = _sniff_py(payload)
+            if sn in ("html", "unknown"):
+                staged.append((iid, sn, "drop_sniff", None, None))
+                continue
+            try:
+                dec = decode_image(payload, sn)
+            except (ValueError, NotImplementedError):
+                staged.append((iid, sn, "drop_decode", None, None))
+                continue
+            e = pixel_entropy(dec)
+            if e < 3.0:
+                staged.append((iid, sn, "drop_entropy", e, None))
+                continue
+            staged.append((iid, sn, "pass", e, dihedral_phash64(dec)))
+    keep: dict[int, str] = {}
+    for iid, _sn, st, _e, ph in staged:
+        if st == "pass" and (ph not in keep or iid < keep[ph]):
+            keep[ph] = iid
+    vals = []
+    for iid, sn, st, e, ph in staged:
+        if st == "pass":
+            st2 = "kept" if keep[ph] == iid else "drop_dup"
+            dup = "NULL" if st2 == "kept" else f"'{keep[ph]}'"
+        else:
+            st2, dup = st, "NULL"
+        es = "NULL" if e is None else str(e)
+        vals.append(f"('{iid}', '{sn}', '{st2}', {es}, {dup})")
+    return (
+        "SELECT * FROM (VALUES " + ", ".join(vals)
+        + ") AS v(image_id, sniffed_fmt, status, entropy_bits, dup_of)"
+    )
+
+
 def q_images_letterbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Letterbox detection (multimodal.detect_letterbox): every
     synthetic image is re-framed inside planted black bars (top d%5,
@@ -8546,6 +8677,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "images_letterbox": q_images_letterbox,
     "images_entropy_gate": q_images_entropy_gate,
     "sink_wet_shape": q_sink_wet_shape,
+    "images_ingest_chain": q_images_ingest_chain,
     "images_srcset_harvest": q_images_srcset_harvest,
     "training_split_assign": q_split_assign,
     "politeness_adapt": q_politeness_adapt,
@@ -8783,6 +8915,7 @@ def _sql_images_letterbox() -> str:
 
 LAZY_ORACLE_SQL: dict[str, Callable[[], str]] = {
     "images_letterbox": _sql_images_letterbox,
+    "images_ingest_chain": _sql_images_ingest_chain,
     "images_entropy_gate": _sql_images_entropy_gate,
     "images_dihedral_dedup": _sql_images_dihedral_dedup,
     "text_lang_multi": _sql_text_lang_multi,

@@ -486,3 +486,42 @@ def test_epoch_mix_cap_and_exact_arithmetic(spark):
     assert code["shortfall_tokens"] == 3600     # the cap records the gap
     books = out["books"]
     assert books["epochs_milli"] == 2000 and books["shortfall_tokens"] == 0
+
+
+def test_ingest_images_chain_statuses(spark):
+    import numpy as np
+
+    from pholcus_spark import pipeline
+    from pholcus_spark.imaging import (
+        apply_exif_orientation,
+        encode_image,
+    )
+    from pholcus_spark.synthetic import image_for_doc
+
+    arr, _ = image_for_doc(12)
+    png = encode_image(arr, "png")
+    rot = encode_image(apply_exif_orientation(arr, 6), "png")
+    solid = encode_image(np.full_like(arr, 9), "png")
+    phlj = encode_image(arr, "jpeg")
+    rows = [
+        ("a-real", png, "png"),
+        ("b-rotcopy", rot, "png"),            # dup of a-real's orbit
+        ("c-err", b"<html>404</html>", "png"),
+        ("d-trunc", png[:20], "png"),
+        ("e-flat", solid, "png"),
+        ("f-mislabeled", phlj, "png"),        # PHLJ served as png
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(b), f) for i, b, f in rows],
+        "image_id string, bytes binary, fmt string",
+    )
+    got = {r["image_id"]: r for r in pipeline.ingest_images(df).collect()}
+    assert got["a-real"]["status"] == "kept"
+    assert got["b-rotcopy"]["status"] == "drop_dup"
+    assert got["b-rotcopy"]["dup_of"] == "a-real"
+    assert got["c-err"]["status"] == "drop_sniff"
+    assert got["d-trunc"]["status"] == "drop_decode"
+    assert got["e-flat"]["status"] == "drop_entropy"
+    # sniff relabels the PHLJ payload so decode succeeds -> kept
+    assert got["f-mislabeled"]["sniffed_fmt"] == "jpeg"
+    assert got["f-mislabeled"]["status"] in ("kept", "drop_dup")
