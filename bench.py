@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     "images_letterbox",
     "images_entropy_gate",
     "sink_wet_shape",
+    "images_ingest_chain",
 ]
 
 
