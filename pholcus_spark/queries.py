@@ -1685,6 +1685,92 @@ FROM documents
 """
 
 
+def q_sitemap_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Google image-sitemap extension (sitemaps.parse_image_
+    sitemaps): each doc's sitemap declares d%4 image blocks (zero-
+    image pages produce no rows) with captions omitted on a residue
+    class, titles on another, a loc-less image block planted on
+    d%17==8 that must drop, and malformed XML on d%17==0 dropping the
+    whole document. The oracle predicts every declared pair from the
+    residue arithmetic."""
+    from . import sitemaps
+
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    host = F.concat(F.lit("s"), (d % 20).cast("string"),
+                    F.lit(".example.org"))
+
+    def img_block(i: int):
+        cap = F.when(
+            (d + i) % 3 != 0,
+            F.concat(
+                F.lit("<image:caption>Declared caption "), ds,
+                F.lit(f"-{i}</image:caption>"),
+            ),
+        )
+        title = F.when(
+            (d + i) % 5 == 0,
+            F.concat(F.lit("<image:title>T"), ds,
+                     F.lit("</image:title>")),
+        )
+        return F.when(
+            F.lit(i) < d % 4,
+            F.concat_ws(
+                "",
+                F.lit("<image:image><image:loc>http://img"),
+                (d % 20).cast("string"),
+                F.lit(".example.org/i/"), ds, F.lit(f"/{i}"),
+                F.lit("</image:loc>"),
+                cap, title,
+                F.lit("</image:image>"),
+            ),
+        )
+
+    noloc = F.when(
+        d % 17 == 8,
+        F.lit("<image:image><image:caption>orphan</image:caption>"
+              "</image:image>"),
+    )
+    body = F.when(d % 17 == 0, F.lit("<urlset><url><loc>")).otherwise(
+        F.concat_ws(
+            "",
+            F.lit(
+                '<urlset xmlns="http://www.sitemaps.org/schemas/'
+                'sitemap/0.9" xmlns:image="http://www.google.com/'
+                'schemas/sitemap-image/1.1"><url><loc>http://'
+            ),
+            host, F.lit("/page/"), ds, F.lit("</loc>"),
+            noloc,
+            *[img_block(i) for i in range(3)],
+            F.lit("</url></urlset>"),
+        )
+    )
+    fetched = _t(spark, sf_dir, "documents").select(
+        host.alias("host"), body.alias("body")
+    )
+    return sitemaps.parse_image_sitemaps(fetched)
+
+
+SQL_SITEMAP_IMAGES = """
+WITH p AS (
+  SELECT doc_id, doc_id % 4 AS nimg,
+         's' || CAST(doc_id % 20 AS VARCHAR) || '.example.org' AS host
+  FROM documents WHERE doc_id % 17 != 0)
+SELECT host,
+       'http://' || host || '/page/' || CAST(doc_id AS VARCHAR)
+         AS page_url,
+       'http://img' || CAST(doc_id % 20 AS VARCHAR)
+         || '.example.org/i/' || CAST(doc_id AS VARCHAR) || '/'
+         || CAST(t.i AS VARCHAR) AS img_url,
+       CASE WHEN (doc_id + t.i) % 3 != 0
+            THEN 'Declared caption ' || CAST(doc_id AS VARCHAR)
+                 || '-' || CAST(t.i AS VARCHAR) END AS caption,
+       CASE WHEN (doc_id + t.i) % 5 = 0
+            THEN 'T' || CAST(doc_id AS VARCHAR) END AS title
+FROM p, UNNEST(range(p.nimg)) AS t(i)
+"""
+
+
 def q_sink_wet_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WET conversion-record framing (sinks.wet_records): record ids
     are fixed-width, so the length is a pure function of url and
@@ -8678,6 +8764,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "images_entropy_gate": q_images_entropy_gate,
     "sink_wet_shape": q_sink_wet_shape,
     "images_ingest_chain": q_images_ingest_chain,
+    "sitemap_images": q_sitemap_images,
     "images_srcset_harvest": q_images_srcset_harvest,
     "training_split_assign": q_split_assign,
     "politeness_adapt": q_politeness_adapt,
@@ -8829,6 +8916,7 @@ ORACLE_SQL: dict[str, str] = {
     "sink_warc_revisit": SQL_SINK_WARC_REVISIT,
     "recrawl_cache_policy": SQL_RECRAWL_CACHE_POLICY,
     "sink_wet_shape": SQL_SINK_WET_SHAPE,
+    "sitemap_images": SQL_SITEMAP_IMAGES,
     "images_srcset_harvest": SQL_IMAGES_SRCSET_HARVEST,
     "training_split_assign": SQL_SPLIT_ASSIGN,
     "politeness_adapt": SQL_POLITENESS_ADAPT,

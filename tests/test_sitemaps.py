@@ -140,3 +140,31 @@ def test_parse_feeds_rss_atom_and_malformed(spark):
     # no-rel link counts as alternate; rel=self must not win
     assert x["fmt"] == "atom" and x["entry_url"] == "http://s/x"
     assert x["published_raw"] == "2024-01-01T00:00:00Z"
+
+
+def test_parse_image_sitemaps_blocks_and_drops(spark):
+    from pholcus_spark import sitemaps
+
+    body = """<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"
+      xmlns:image="http://www.google.com/schemas/sitemap-image/1.1">
+      <url><loc>http://s/a</loc>
+        <image:image><image:loc>http://s/i1.jpg</image:loc>
+          <image:caption>cap one</image:caption>
+          <image:title>t1</image:title></image:image>
+        <image:image><image:loc>http://s/i2.jpg</image:loc></image:image>
+        <image:image><image:caption>no loc drops</image:caption>
+          </image:image>
+      </url>
+      <url><loc>http://s/noimages</loc></url>
+      <url><image:image><image:loc>http://s/orphan.jpg</image:loc>
+        </image:image></url>
+    </urlset>"""
+    df = spark.createDataFrame([("s", body), ("bad", "<urlset><url>")],
+                               "host string, body string")
+    got = sitemaps.parse_image_sitemaps(df).collect()
+    by = {r["img_url"]: r for r in got}
+    assert len(got) == 2
+    assert by["http://s/i1.jpg"]["caption"] == "cap one"
+    assert by["http://s/i1.jpg"]["title"] == "t1"
+    assert by["http://s/i1.jpg"]["page_url"] == "http://s/a"
+    assert by["http://s/i2.jpg"]["caption"] is None
