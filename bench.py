@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     "images_entropy_gate",
     "sink_wet_shape",
     "images_ingest_chain",
+    "sitemap_images",
 ]
 
 
