@@ -242,10 +242,19 @@ def bench_crawl(spark) -> dict:
         batch_size=CRAWL_BATCH,
         limit=CRAWL_LIMIT,
         round_duration_ms=4000,
+        # politeness-bound rounds move ~10²-row batches; 8 reduce
+        # tasks is the honest width (measured: 94s -> 86s over the 28
+        # rounds, identical visit set — the fixed cost was task
+        # scheduling, not data)
+        shuffle_partitions=8,
     )
+    prev_width = spark.conf.get("spark.sql.shuffle.partitions")
     polite = _run_crawl(
         spark, polite_cfg, synthetic.seed_urls(CRAWL_SEEDS, polite_cfg.n_hosts)
     )
+    # the engine sets the session width for its own run; the registry
+    # timings below want the session default back
+    spark.conf.set("spark.sql.shuffle.partitions", prev_width)
     return {"capacity": capacity, "polite": polite}
 
 

@@ -940,6 +940,15 @@ class CrawlEngine:
         if seeds is not None:
             self.bootstrap(seeds)
         cfg = self.cfg
+        if cfg.shuffle_partitions is not None:
+            # right-size reduce width to this crawl's batch volume
+            # (see CrawlConfig.shuffle_partitions); session-level —
+            # the last-set crawl wins, which is the deployment model
+            # (one engine per session)
+            self.spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(int(cfg.shuffle_partitions)),
+            )
         limit = max_rounds if max_rounds is not None else cfg.max_rounds
         rounds_run = 0
         while rounds_run < limit:

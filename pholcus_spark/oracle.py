@@ -128,6 +128,13 @@ class CrawlConfig:
     # dispatch pacing over time, so the Matrix fidelity oracle only
     # applies when this is None (visit SET is unchanged — only order).
     adaptive_politeness: dict | None = None
+    # Shuffle width for this crawl's frontier/commit plans (None =
+    # leave the session setting). A politeness-bound crawl moves a few
+    # hundred rows per round; scheduling 32 reduce tasks for that is
+    # pure fixed cost, so deployments size this to batch volume (the
+    # engine-visible twin of AQE's advisory coalescing, which can't
+    # shrink the configured width before the first shuffle runs).
+    shuffle_partitions: int | None = None
 
 
 def spider_instances(cfg: "CrawlConfig") -> list[str]:

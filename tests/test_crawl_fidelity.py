@@ -524,3 +524,34 @@ def test_downloader_dispatch_fidelity(spark, tmp_path):
             child["url"], 1, 10**6, cfg.n_hosts, 0, downloader="chrome"
         )
         assert surf.image_id != chrome.image_id
+
+
+def test_shuffle_width_does_not_change_the_crawl(spark, tmp_path):
+    """cfg.shuffle_partitions is a pure performance knob: the visit
+    set, items, and round count must be IDENTICAL at any reduce
+    width (the same bit-determinism the scaling campaigns rely on)."""
+    from pholcus_spark import synthetic
+    from pholcus_spark.crawler import CrawlEngine
+    from pholcus_spark.oracle import CrawlConfig
+    from pholcus_spark.tables import SnapshotStore
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    outs = []
+    try:
+        for i, width in enumerate([None, 4]):
+            cfg = CrawlConfig(
+                n_hosts=8, batch_size=16, limit=50,
+                shuffle_partitions=width,
+            )
+            eng = CrawlEngine(
+                spark, SnapshotStore(str(tmp_path / f"w{i}")), cfg
+            )
+            rounds = eng.run(synthetic.seed_urls(6, cfg.n_hosts))
+            visits = sorted(
+                r["url"] for r in eng.fetched_df().select("url").collect()
+            )
+            outs.append((rounds, visits))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert outs[0] == outs[1]
+    assert len(outs[0][1]) > 0
