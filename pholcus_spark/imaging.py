@@ -389,11 +389,16 @@ def pixel_entropy(arr: np.ndarray) -> float:
     the flat-image detector: solid colors and near-solid gradients
     score ≈ 0–2 bits, photographic content ≥ 5. Curation drops the
     low end (LAION-style junk: tracking pixels scaled up, template
-    placeholders, failed renders). Rounded to 4 decimals so any
-    engine recomputing through this same kernel hashes identically."""
+    placeholders, failed renders). Integer luminance + round-4 keep
+    the value bit-reproducible on any engine/BLAS."""
+    # INTEGER luminance: the float dot product is BLAS-lane-dependent
+    # (the same solid color can land in two adjacent bins on one
+    # machine), so the histogram key must be exact arithmetic
+    a = arr.astype(np.int64)
     gray = (
-        arr.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+        (299 * a[..., 0] + 587 * a[..., 1] + 114 * a[..., 2]) // 1000
     ).astype(np.uint8)
     counts = np.bincount(gray.ravel(), minlength=256)
     p = counts[counts > 0] / gray.size
-    return round(float(-(p * np.log2(p)).sum()), 4)
+    # + 0.0 normalizes the single-bin case's -0.0
+    return round(float(-(p * np.log2(p)).sum()) + 0.0, 4)

@@ -111,3 +111,82 @@ def test_alarm_duration_properties(now, h, m, s, tol):
         assert fire == bell_today + (tol - 1) * 86400
     else:
         assert fire == bell_today + tol * 86400
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    o=st.integers(min_value=1, max_value=8),
+)
+def test_dihedral_phash_orbit_invariant(seed, o):
+    from pholcus_spark.imaging import (
+        apply_exif_orientation,
+        dihedral_phash64,
+    )
+
+    rng = np.random.RandomState(seed)
+    arr = rng.randint(0, 256, (12, 17, 3), dtype=np.uint8)
+    assert dihedral_phash64(apply_exif_orientation(arr, o)) == (
+        dihedral_phash64(arr)
+    )
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    t=st.integers(min_value=0, max_value=4),
+    b=st.integers(min_value=0, max_value=4),
+    le=st.integers(min_value=0, max_value=4),
+    ri=st.integers(min_value=0, max_value=4),
+)
+def test_detect_borders_recovers_planted_bars(seed, t, b, le, ri):
+    from pholcus_spark.imaging import detect_borders
+
+    rng = np.random.RandomState(seed)
+    # inner content with bright edge lines so the scan stops exactly
+    inner = rng.randint(0, 256, (6, 7, 3), dtype=np.uint8)
+    inner[0] = inner[-1] = 255
+    inner[:, 0] = inner[:, -1] = 255
+    framed = np.zeros((6 + t + b, 7 + le + ri, 3), dtype=np.uint8)
+    framed[t:t + 6, le:le + 7] = inner
+    assert detect_borders(framed) == (t, b, le, ri)
+
+
+@settings(max_examples=100, deadline=None)
+@given(seed=st.integers(min_value=0, max_value=10_000))
+def test_pixel_entropy_bounds(seed):
+    from pholcus_spark.imaging import pixel_entropy
+
+    rng = np.random.RandomState(seed)
+    arr = rng.randint(0, 256, (9, 11, 3), dtype=np.uint8)
+    h = pixel_entropy(arr)
+    assert 0.0 <= h <= 8.0
+    assert pixel_entropy(np.full((5, 5, 3), seed % 256, np.uint8)) == 0.0
+
+
+def _merge_fold(symbols: list[str], a: str, b: str) -> list[str]:
+    """Reference left-to-right BPE merge (the semantics the doubled-
+    space replace trick must reproduce exactly)."""
+    out: list[str] = []
+    for x in symbols:
+        if out and out[-1] == a and x == b:
+            out[-1] = a + b
+        else:
+            out.append(x)
+    return out
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    syms=st.lists(st.sampled_from(["a", "b", "c", "ab"]), min_size=1,
+                  max_size=10),
+    pair=st.sampled_from([("a", "b"), ("a", "a"), ("b", "c"),
+                          ("ab", "c")]),
+)
+def test_bpe_replace_trick_equals_fold(syms, pair):
+    a, b = pair
+    s = " " + " ".join(syms) + " "
+    doubled = s.replace(" ", "  ")
+    merged = doubled.replace(f" {a}  {b} ", f" {a + b} ")
+    collapsed = merged.replace("  ", " ")
+    assert collapsed.strip().split(" ") == _merge_fold(syms, a, b)
