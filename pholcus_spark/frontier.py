@@ -904,3 +904,32 @@ def fetch_health(results: DataFrame) -> DataFrame:
         .otherwise(1)
         .cast("int"),
     )
+
+
+def retry_after_epoch(header, now_epoch: int, cap_s: int = 3600):
+    """RFC 9110 §10.2.3 ``Retry-After`` → resume epoch. Servers send
+    either delta-seconds (``120``) or an HTTP-date (``Wed, 21 Oct
+    2015 07:28:00 GMT``); 429/503 responses carrying it tell the
+    crawler EXACTLY when to come back, which beats any backoff
+    heuristic (fetch_health's throttle ladder is the fallback when
+    the header is absent). Garbage and past dates clamp to now;
+    deltas clamp to ``cap_s`` (a server asking for a week gets an
+    hour — the crawler's own ceiling). Pure codegen CASE/regex —
+    composes as a column over the fetch-results scan."""
+    h = F.trim(header)
+    delta = F.when(h.rlike("^[0-9]+$"), h.cast("long"))
+    # drop the day name before parsing (servers send wrong ones, and
+    # Spark's strict formatter would reject the whole date for it);
+    # session timezone is UTC so the GMT date parses as-is
+    bare = F.regexp_replace(h, r"^[A-Za-z]{3},\s*", "")
+    bare = F.regexp_replace(bare, r"\s*GMT$", "")
+    date_epoch = F.unix_timestamp(
+        F.try_to_timestamp(bare, F.lit("dd MMM yyyy HH:mm:ss"))
+    )
+    resume = (
+        F.when(delta.isNotNull(), F.lit(now_epoch) + delta)
+        .when(date_epoch.isNotNull(), date_epoch)
+        .otherwise(F.lit(now_epoch))
+    )
+    lo = F.greatest(resume, F.lit(now_epoch))
+    return F.least(lo, F.lit(now_epoch + cap_s)).cast("long")

@@ -3271,6 +3271,61 @@ FROM s
 """
 
 
+def q_fetch_retry_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retry-After parsing (frontier.retry_after_epoch): seven header
+    classes — small delta, an HTTP-date inside the window (must parse
+    to its exact epoch), an HTTP-date beyond the cap, garbage, an
+    over-cap delta, a past date, and a whitespace-padded delta. The
+    oracle pins each class's resume epoch as a constant, so the
+    engine's REAL date parse must land on the known timestamp."""
+    from . import frontier
+
+    now = 1_700_000_000
+    d = F.col("doc_id")
+    m = F.pmod(d, F.lit(7))
+    ra = (
+        F.when(m == 0, (d % 50).cast("string"))
+        .when(m == 1, F.lit("Wed, 15 Nov 2023 22:13:20 GMT"))
+        .when(m == 2, F.lit("Tue, 14 Nov 2023 22:50:00 GMT"))
+        .when(m == 3, F.lit("garbage retry"))
+        .when(m == 4, F.lit("99999"))
+        .when(m == 5, F.lit("Mon, 01 Jan 2001 00:00:00 GMT"))
+        .otherwise(F.lit("  30  "))
+    )
+    rows = _t(spark, sf_dir, "documents").select(
+        "doc_id", ra.alias("retry_after")
+    )
+    return rows.select(
+        "doc_id",
+        "retry_after",
+        frontier.retry_after_epoch(
+            F.col("retry_after"), now_epoch=now
+        ).alias("resume_epoch"),
+    )
+
+
+SQL_FETCH_RETRY_AFTER = """
+SELECT doc_id,
+  CASE doc_id % 7
+    WHEN 0 THEN CAST(doc_id % 50 AS VARCHAR)
+    WHEN 1 THEN 'Wed, 15 Nov 2023 22:13:20 GMT'
+    WHEN 2 THEN 'Tue, 14 Nov 2023 22:50:00 GMT'
+    WHEN 3 THEN 'garbage retry'
+    WHEN 4 THEN '99999'
+    WHEN 5 THEN 'Mon, 01 Jan 2001 00:00:00 GMT'
+    ELSE '  30  ' END AS retry_after,
+  CAST(CASE doc_id % 7
+    WHEN 0 THEN 1700000000 + doc_id % 50
+    WHEN 1 THEN 1700003600        -- 1700086400 clamps to the cap
+    WHEN 2 THEN 1700002200        -- exact parsed epoch, in window
+    WHEN 3 THEN 1700000000        -- garbage -> now
+    WHEN 4 THEN 1700003600        -- over-cap delta
+    WHEN 5 THEN 1700000000        -- past date -> now
+    ELSE 1700000030 END AS BIGINT) AS resume_epoch
+FROM documents
+"""
+
+
 def q_fetch_error_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fetch-error taxonomy + host health (frontier.fetch_health):
     30 hosts see a class mix cycling doc_id%17 over transport errors
@@ -8751,6 +8806,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_containment": q_dedup_containment,
     "images_dihedral_dedup": q_images_dihedral_dedup,
     "fetch_error_taxonomy": q_fetch_error_taxonomy,
+    "fetch_retry_after": q_fetch_retry_after,
     "training_epoch_mix": q_training_epoch_mix,
     "harvest_tables": q_harvest_tables,
     "feed_ingest": q_feed_ingest,
@@ -8909,6 +8965,7 @@ ORACLE_SQL: dict[str, str] = {
     "dns_cache_resolve": SQL_DNS_CACHE_RESOLVE,
     "dedup_containment": SQL_DEDUP_CONTAINMENT,
     "fetch_error_taxonomy": SQL_FETCH_ERROR_TAXONOMY,
+    "fetch_retry_after": SQL_FETCH_RETRY_AFTER,
     "training_epoch_mix": SQL_TRAINING_EPOCH_MIX,
     "harvest_tables": SQL_HARVEST_TABLES,
     "feed_ingest": SQL_FEED_INGEST,

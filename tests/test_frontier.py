@@ -544,3 +544,28 @@ def test_fetch_health_classes_and_ladder(spark):
     assert out["thr"]["backoff_mult"] == 8
     assert out["dead"]["health"] == "dead" and out["dead"]["backoff_mult"] == 16
     assert out["young"]["health"] == "degraded"  # err 1000 but n<5
+
+
+def test_retry_after_epoch_forms_and_clamps(spark):
+    from pyspark.sql import functions as F
+
+    from pholcus_spark import frontier
+
+    now = 1_700_000_000
+    rows = [("delta", "90"), ("padded", " 45 "),
+            ("date", "Tue, 14 Nov 2023 22:50:00 GMT"),
+            ("wrong-dayname", "Xxx, 14 Nov 2023 22:50:00 GMT"),
+            ("past", "Mon, 01 Jan 2001 00:00:00 GMT"),
+            ("overcap", "7200"), ("junk", "soon"), ("empty", "")]
+    df = spark.createDataFrame(rows, "k string, ra string")
+    got = {r["k"]: r["e"] for r in df.select(
+        "k", frontier.retry_after_epoch(F.col("ra"), now, cap_s=3600)
+        .alias("e")).collect()}
+    assert got["delta"] == now + 90
+    assert got["padded"] == now + 45
+    assert got["date"] == 1700002200
+    # servers send wrong day names; the day name is ignored entirely
+    assert got["wrong-dayname"] == 1700002200
+    assert got["past"] == now
+    assert got["overcap"] == now + 3600
+    assert got["junk"] == now and got["empty"] == now
