@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "sink_wet_shape",
     "images_ingest_chain",
     "sitemap_images",
+    "fetch_retry_after",
 ]
 
 
