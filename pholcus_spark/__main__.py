@@ -77,6 +77,10 @@ def main(argv: list[str] | None = None) -> int:
                          "path (sheet per rule; human-sized exports — "
                          "the row tripwire aborts crawl-sized tables)")
     ap.add_argument("--export-files", help="export payload files to this dir")
+    ap.add_argument("--export-warc",
+                    help="export the crawl as a WARC archive to this "
+                         "dir: deterministic segments + a cdx.parquet "
+                         "URL index + WET extracted-text records")
     ap.add_argument("--snapshot-keep", type=int, default=0,
                     help="retain only the newest N snapshots, expiring "
                          "older manifests + dead files after each round "
@@ -201,6 +205,38 @@ def main(argv: list[str] | None = None) -> int:
         from pholcus_spark import sinks
 
         sinks.export_files(eng.items_df(), args.export_files)
+    if args.export_warc:
+        import os as _os
+
+        from pyspark.sql import functions as _F
+
+        from pholcus_spark import harvest, sinks
+
+        captures = eng.fetched_df().select(
+            "url",
+            _F.coalesce(_F.col("bytes"), _F.lit(b"")).alias("bytes"),
+            "download_time",
+        )
+        sinks.write_warc_segments(
+            captures, _os.path.join(args.export_warc, "segments")
+        )
+        sinks.cdx_index(captures).write.mode("overwrite").parquet(
+            _os.path.join(args.export_warc, "cdx.parquet")
+        )
+        # WET: extracted main text for the html captures
+        pages = eng.fetched_df().select(
+            "url",
+            _F.col("bytes").cast("string").alias("html"),
+            "download_time",
+        )
+        wet = sinks.wet_records(
+            harvest.main_text(pages).join(
+                pages.select("url", "download_time"), "url"
+            )
+        )
+        wet.select("url", "record").write.mode("overwrite").parquet(
+            _os.path.join(args.export_warc, "wet.parquet")
+        )
 
     print(
         json.dumps(
