@@ -206,36 +206,11 @@ def main(argv: list[str] | None = None) -> int:
 
         sinks.export_files(eng.items_df(), args.export_files)
     if args.export_warc:
-        import os as _os
+        from pholcus_spark import sinks
 
-        from pyspark.sql import functions as _F
-
-        from pholcus_spark import harvest, sinks
-
-        captures = eng.fetched_df().select(
-            "url",
-            _F.coalesce(_F.col("bytes"), _F.lit(b"")).alias("bytes"),
-            "download_time",
-        )
-        sinks.write_warc_segments(
-            captures, _os.path.join(args.export_warc, "segments")
-        )
-        sinks.cdx_index(captures).write.mode("overwrite").parquet(
-            _os.path.join(args.export_warc, "cdx.parquet")
-        )
-        # WET: extracted main text for the html captures
-        pages = eng.fetched_df().select(
-            "url",
-            _F.col("bytes").cast("string").alias("html"),
-            "download_time",
-        )
-        wet = sinks.wet_records(
-            harvest.main_text(pages).join(
-                pages.select("url", "download_time"), "url"
-            )
-        )
-        wet.select("url", "record").write.mode("overwrite").parquet(
-            _os.path.join(args.export_warc, "wet.parquet")
+        sinks.export_warc_bundle(
+            eng.fetched_df().select("url", "bytes", "download_time"),
+            args.export_warc,
         )
 
     print(

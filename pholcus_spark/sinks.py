@@ -741,3 +741,36 @@ def wet_records(
         F.length(record).cast("long").alias("record_len"),
         record.alias("record"),
     )
+
+
+def export_warc_bundle(captures: DataFrame, out_dir: str) -> None:
+    """One-call archive export: deterministic WARC segments +
+    ``cdx.parquet`` ranged-read URL index over that exact layout +
+    ``wet.parquet`` extracted-text conversion records — the Common
+    Crawl artifact set for a crawl's fetched log. ``captures`` needs
+    (url, bytes, download_time); html payloads feed the WET pass
+    through ``harvest.main_text``. Backs the CLI's ``--export-warc``."""
+    from . import harvest
+
+    caps = captures.select(
+        "url",
+        F.coalesce(F.col("bytes"), F.lit(b"")).alias("bytes"),
+        "download_time",
+    )
+    write_warc_segments(caps, os.path.join(out_dir, "segments"))
+    cdx_index(caps).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "cdx.parquet")
+    )
+    pages = captures.select(
+        "url",
+        F.col("bytes").cast("string").alias("html"),
+        "download_time",
+    )
+    wet = wet_records(
+        harvest.main_text(pages).join(
+            pages.select("url", "download_time"), "url"
+        )
+    )
+    wet.select("url", "record").write.mode("overwrite").parquet(
+        os.path.join(out_dir, "wet.parquet")
+    )

@@ -430,3 +430,39 @@ def test_wet_records_structure(spark):
     rid = raw.split("WARC-Record-ID: <urn:pholcus:")[1][:16]
     ref = raw.split("WARC-Refers-To: <urn:pholcus:")[1][:16]
     assert rid != ref
+
+
+def test_export_warc_bundle_artifacts(spark, tmp_path):
+    from pholcus_spark import sinks
+
+    rows = [
+        ("http://a/1", b"<html><body><p>" + b"content one " * 20
+         + b"</p></body></html>", "2024-01-01 00:00:00"),
+        ("http://b/2", b"<html><body><p>" + b"content two " * 20
+         + b"</p></body></html>", "2024-01-01 00:00:01"),
+    ]
+    df = spark.createDataFrame(
+        [(u, bytearray(b), t) for u, b, t in rows],
+        "url string, bytes binary, download_time string",
+    )
+    out = str(tmp_path / "bundle")
+    sinks.export_warc_bundle(df, out)
+    import glob
+    import os
+
+    segs = glob.glob(os.path.join(out, "segments", "*.warc"))
+    assert segs
+    blob = b"".join(open(f, "rb").read() for f in segs)
+    assert blob.count(b"WARC/1.0") == 2 and b"content one" in blob
+    cdx = spark.read.parquet(os.path.join(out, "cdx.parquet"))
+    assert cdx.count() == 2
+    # every CDX row's (offset, len) seek re-parses to a WARC header
+    for r in cdx.collect():
+        seg = open(os.path.join(out, "segments", r["segment"]), "rb").read()
+        rec = seg[r["offset"]:r["offset"] + r["record_len"]]
+        assert rec.startswith(b"WARC/1.0")
+        assert r["url"].encode() in rec
+    wet = spark.read.parquet(os.path.join(out, "wet.parquet"))
+    assert wet.count() == 2
+    raw = bytes(wet.collect()[0]["record"])
+    assert b"WARC-Type: conversion" in raw and b"<html" not in raw
