@@ -3129,6 +3129,62 @@ WHERE rank <= 5
 """
 
 
+def q_embed_bq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BQ-then-rescore retrieval (ann.bq_rerank_topk): sign-bit codes
+    in two 32-bit halves, hamming candidate ranking, exact full-float
+    rerank. The oracle repacks every code with power-of-two sums,
+    recomputes both bit_count(xor) terms, and replays both windows —
+    a packing-order or tie-rule drift reorders a rank and breaks the
+    hash."""
+    return ann.bq_rerank_topk(_t(spark, sf_dir, "embeddings"))
+
+
+SQL_EMBED_BQ_RERANK = """
+WITH c AS (
+  SELECT vec_id, embedding,
+    list_sum(list_transform(range(32),
+      i -> CASE WHEN embedding[i+1] > 0
+                THEN CAST(power(2, 31 - i) AS BIGINT) ELSE 0 END))
+      AS bq_hi,
+    list_sum(list_transform(range(32),
+      i -> CASE WHEN embedding[i+33] > 0
+                THEN CAST(power(2, 31 - i) AS BIGINT) ELSE 0 END))
+      AS bq_lo
+  FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qvec,
+             bq_hi AS q_hi, bq_lo AS q_lo
+      FROM c WHERE vec_id < 10),
+s1 AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, q.qvec,
+         c.embedding AS nvec,
+         CAST(bit_count(xor(c.bq_hi, q.q_hi))
+              + bit_count(xor(c.bq_lo, q.q_lo)) AS INTEGER) AS hamming
+  FROM c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+cand AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY hamming, neighbor_id) AS hrank
+    FROM s1) t
+  WHERE hrank <= 20),
+rer AS (
+  SELECT query_id, neighbor_id, hamming,
+         round(
+           list_sum(list_transform(range(0, len(qvec)),
+             i -> CAST(qvec[i+1] AS DOUBLE) * CAST(nvec[i+1] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(qvec,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(nvec,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4)
+           AS cos_sim
+  FROM cand)
+SELECT query_id, neighbor_id, rank, cos_sim, hamming
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM rer) t
+WHERE rank <= 5
+"""
+
+
 def q_feed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RSS/Atom feed discovery (sitemaps.parse_feeds): even doc_ids
     carry RSS 2.0 channels, odd ones Atom feeds (each with 1+d%3
@@ -8811,6 +8867,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "harvest_tables": q_harvest_tables,
     "feed_ingest": q_feed_ingest,
     "embed_truncated_rerank": q_embed_truncated_rerank,
+    "embed_bq_rerank": q_embed_bq_rerank,
     "sink_warc_revisit": q_sink_warc_revisit,
     "recrawl_cache_policy": q_recrawl_cache_policy,
     "text_lang_multi": q_text_lang_multi,
@@ -8970,6 +9027,7 @@ ORACLE_SQL: dict[str, str] = {
     "harvest_tables": SQL_HARVEST_TABLES,
     "feed_ingest": SQL_FEED_INGEST,
     "embed_truncated_rerank": SQL_EMBED_TRUNCATED_RERANK,
+    "embed_bq_rerank": SQL_EMBED_BQ_RERANK,
     "sink_warc_revisit": SQL_SINK_WARC_REVISIT,
     "recrawl_cache_policy": SQL_RECRAWL_CACHE_POLICY,
     "sink_wet_shape": SQL_SINK_WET_SHAPE,

@@ -397,3 +397,28 @@ def test_truncated_rerank_cos_is_full_dim(spark):
         rs.sort(key=lambda r: r["rank"])
         sims = [r["cos_sim"] for r in rs]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_bq_codes_pack_sign_bits(spark):
+    from pholcus_spark import ann
+
+    vec = [1.0 if i % 3 == 0 else -1.0 for i in range(64)]
+    df = spark.createDataFrame([(0, vec)],
+                               "vec_id long, embedding array<double>")
+    r = ann.bq_codes(df).collect()[0]
+    hi = sum(1 << (31 - i) for i in range(32) if i % 3 == 0)
+    lo = sum(1 << (31 - i) for i in range(32) if (i + 32) % 3 == 0)
+    assert r["bq_hi"] == hi and r["bq_lo"] == lo
+
+
+def test_bq_rerank_full_overfetch_equals_exact(spark):
+    from pholcus_spark import ann
+
+    embeds = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = embeds.count()
+    exact = ann.brute_force_topk(embeds, n_queries=5, k=3).collect()
+    bq = ann.bq_rerank_topk(
+        embeds, n_queries=5, k=3, overfetch=(n // 3) + 1
+    ).collect()
+    key = lambda r: (r["query_id"], r["rank"], r["neighbor_id"])  # noqa: E731
+    assert sorted(key(r) for r in exact) == sorted(key(r) for r in bq)
