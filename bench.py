@@ -159,6 +159,7 @@ BENCH_QUERIES = [
     "images_ingest_chain",
     "sitemap_images",
     "fetch_retry_after",
+    "embed_bq_rerank",
 ]
 
 
