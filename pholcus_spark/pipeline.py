@@ -937,10 +937,14 @@ def epoch_mix(
     repeating a small source degrades models faster than under-
     filling the mix — the cap records the shortfall instead).
 
-    All arithmetic is exact int64: planned tokens = budget·share/1000
-    (floor), epochs_milli = planned·1000/available (floor, capped),
-    scheduled = available·epochs_milli/1000 (floor), shortfall =
-    planned − scheduled. One hash aggregation keyed by source (map-
+    Arithmetic: planned tokens = budget·share/1000 (floor),
+    epochs_milli = planned·1000/available (floor, capped), scheduled =
+    available·epochs_milli/1000 (floor), shortfall = planned −
+    scheduled. Sums are exact int64; the floors pass through double
+    division, exact while the products stay inside double's 2^53
+    integer window — budgets/source-token counts up to ~9·10^12.
+    Beyond that (frontier-scale token budgets), swap the floors for
+    SQL ``DIV`` integer division; the plan is unchanged. One hash aggregation keyed by source (map-
     side combined), then scalar arithmetic on the dimension-sized
     rollup; the corpus never shuffles."""
     g = (
