@@ -8676,6 +8676,99 @@ def _sql_images_ingest_chain() -> str:
     )
 
 
+def q_images_orbit_elect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Richest-member election inside dihedral duplicate groups: when
+    rotated/mirrored copies collapse to one orbit hash, the corpus
+    keeps the member with the LARGEST payload (most bits survived —
+    re-hosts recompress; the rotated PNG twins here genuinely differ
+    in byte length because transposition changes filter behavior),
+    ids breaking exact ties. One max_by hash agg per orbit + a join
+    back — the keep-best upgrade over keep-min-id. The oracle
+    recomputes every orbit hash AND every payload length through the
+    identical encode path."""
+    import pandas as pd
+
+    from .imaging import apply_exif_orientation, decode_image, encode_image
+
+    imgs = _synthetic_images(spark, sf_dir, max_docs=PHASH_ORACLE_DOCS)
+
+    def _rot(pdf_iter):
+        for pdf in pdf_iter:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                d = int(r.image_id.split("-")[1])
+                if d % 9 != 0 or r.fmt != "png":
+                    continue
+                arr = decode_image(bytes(r.bytes), r.fmt)
+                rot = apply_exif_orientation(arr, 2 + (d % 7))
+                rows.append(
+                    {
+                        "image_id": f"rot-{d}",
+                        "bytes": encode_image(rot, r.fmt),
+                        "fmt": r.fmt,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["image_id", "bytes", "fmt"])
+
+    twins = imgs.mapInPandas(
+        _rot, "image_id string, bytes binary, fmt string"
+    )
+    both = imgs.unionByName(twins).withColumn(
+        "n_bytes", F.length("bytes").cast("long")
+    )
+    h = multimodal.dihedral_hashes(both).join(
+        both.select("image_id", "n_bytes"), "image_id"
+    )
+    best = h.groupBy("rphash").agg(
+        F.max(F.struct("n_bytes", "image_id")).alias("_b")
+    )
+    return h.join(best, "rphash").select(
+        "image_id",
+        "rphash",
+        "n_bytes",
+        F.col("_b.image_id").alias("keep_id"),
+        (F.col("image_id") == F.col("_b.image_id")).alias("is_kept"),
+    )
+
+
+@lru_cache(maxsize=1)
+def _sql_images_orbit_elect() -> str:
+    from . import synthetic
+    from .imaging import (
+        apply_exif_orientation,
+        decode_image,
+        dihedral_phash64,
+        encode_image,
+    )
+
+    rows = []
+    for doc_id in range(PHASH_ORACLE_DOCS):
+        arr, fmt = synthetic.image_for_doc(doc_id)
+        data = encode_image(arr, fmt)
+        decoded = decode_image(data, fmt)
+        rows.append((f"doc-{doc_id}", dihedral_phash64(decoded), len(data)))
+        if doc_id % 9 == 0 and fmt == "png":
+            rot = apply_exif_orientation(decoded, 2 + (doc_id % 7))
+            rdata = encode_image(rot, fmt)
+            rdec = decode_image(rdata, fmt)
+            rows.append(
+                (f"rot-{doc_id}", dihedral_phash64(rdec), len(rdata))
+            )
+    body = ", ".join(f"('{i}', {h}, {n})" for i, h, n in rows)
+    return f"""
+WITH v(image_id, rphash, n_bytes) AS (VALUES {body}),
+b AS (
+  SELECT rphash,
+         max(struct_pack(n_bytes := CAST(n_bytes AS BIGINT),
+                         image_id := image_id)) AS bb
+  FROM v GROUP BY rphash)
+SELECT v.image_id, v.rphash, CAST(v.n_bytes AS BIGINT) AS n_bytes,
+       b.bb.image_id AS keep_id,
+       v.image_id = b.bb.image_id AS is_kept
+FROM v JOIN b USING (rphash)
+"""
+
+
 def q_images_letterbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Letterbox detection (multimodal.detect_letterbox): every
     synthetic image is re-framed inside planted black bars (top d%5,
@@ -8868,6 +8961,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "feed_ingest": q_feed_ingest,
     "embed_truncated_rerank": q_embed_truncated_rerank,
     "embed_bq_rerank": q_embed_bq_rerank,
+    "images_orbit_elect": q_images_orbit_elect,
     "sink_warc_revisit": q_sink_warc_revisit,
     "recrawl_cache_policy": q_recrawl_cache_policy,
     "text_lang_multi": q_text_lang_multi,
@@ -9118,6 +9212,7 @@ def _sql_images_letterbox() -> str:
 
 LAZY_ORACLE_SQL: dict[str, Callable[[], str]] = {
     "images_letterbox": _sql_images_letterbox,
+    "images_orbit_elect": _sql_images_orbit_elect,
     "images_ingest_chain": _sql_images_ingest_chain,
     "images_entropy_gate": _sql_images_entropy_gate,
     "images_dihedral_dedup": _sql_images_dihedral_dedup,

@@ -579,3 +579,22 @@ def test_pixel_entropy_solid_checker_and_noise():
     assert abs(pixel_entropy(checker) - 0.8113) < 0.001
     real, _ = image_for_doc(3)
     assert pixel_entropy(real) > 4.0
+
+
+def test_orbit_elect_keeps_largest_payload(spark):
+    from pholcus_spark.queries import q_images_orbit_elect
+
+    df = q_images_orbit_elect(spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    by_orbit = {}
+    for r in rows:
+        by_orbit.setdefault(r["rphash"], []).append(r)
+    multi = [g for g in by_orbit.values() if len(g) > 1]
+    assert multi  # the planted rotated twins exist at sf0.001 too
+    for g in multi:
+        kept = [r for r in g if r["is_kept"]]
+        assert len(kept) == 1
+        # the kept member has the max (n_bytes, image_id)
+        best = max(g, key=lambda r: (r["n_bytes"], r["image_id"]))
+        assert kept[0]["image_id"] == best["image_id"]
+        assert all(r["keep_id"] == best["image_id"] for r in g)
