@@ -933,3 +933,26 @@ def retry_after_epoch(header, now_epoch: int, cap_s: int = 3600):
     )
     lo = F.greatest(resume, F.lit(now_epoch))
     return F.least(lo, F.lit(now_epoch + cap_s)).cast("long")
+
+
+def apply_health_backoff(
+    politeness: DataFrame, health: DataFrame
+) -> DataFrame:
+    """Fold ``fetch_health``'s backoff ladder into the politeness
+    dims for the next round: ``max_per_round' = max(1,
+    max_per_round // backoff_mult)`` — throttled/degraded/dead hosts
+    get 8×/4×/16× smaller budgets but never zero (one probe per
+    round is how a dead host proves recovery; cutting to zero would
+    quarantine it forever). Hosts without a health row (not fetched
+    yet) keep their configured budget. Dim-sized left join, no
+    windows; the output drops the health columns so it slots
+    straight back into ``select_batch``."""
+    j = politeness.join(
+        health.select("host", "backoff_mult"), "host", "left"
+    )
+    mult = F.coalesce(F.col("backoff_mult"), F.lit(1))
+    adjusted = F.greatest(
+        F.lit(1),
+        F.floor(F.col("max_per_round") / mult).cast("int"),
+    )
+    return j.withColumn("max_per_round", adjusted).drop("backoff_mult")

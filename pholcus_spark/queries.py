@@ -3327,6 +3327,100 @@ FROM s
 """
 
 
+def q_politeness_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Health-adjusted budgets (frontier.apply_health_backoff over
+    fetch_health): the taxonomy fixture's 30 hosts (k%10==9 dead,
+    429s sprinkled by the %17 cycle) meet politeness dims with
+    budgets 1+k%9 plus five extra hosts with NO health row that must
+    keep their configured budget; dead hosts divide by 16 but floor
+    at 1. The oracle rebuilds the ladder and replays the floor-divide
+    and the fail-open join."""
+    from . import frontier
+
+    d = F.col("doc_id")
+    k = F.pmod(d, F.lit(30))
+    host = F.concat(F.lit("h"), k.cast("string"))
+    m = F.pmod(d, F.lit(17))
+    err = (
+        F.when(k % 10 == 9, F.lit("conn reset by peer"))
+        .when(m == 0, F.lit("dns lookup failed"))
+        .when(m == 1, F.lit("timeout after 30000ms"))
+        .when(m == 2, F.lit("tls handshake failed"))
+        .when(m == 3, F.lit("conn refused"))
+    )
+    status = (
+        F.when(err.isNotNull(), F.lit(None))
+        .when(m == 4, F.lit(500))
+        .when(m == 5, F.lit(503))
+        .when(m == 6, F.lit(404))
+        .when(m == 7, F.lit(429))
+        .when(m == 8, F.lit(301))
+        .otherwise(F.lit(200))
+    )
+    results = _t(spark, sf_dir, "documents").select(
+        host.alias("host"),
+        status.cast("int").alias("status"),
+        err.alias("err"),
+    )
+    health = frontier.fetch_health(results)
+    kk = (
+        _t(spark, sf_dir, "documents")
+        .select(F.pmod(F.col("doc_id"), F.lit(35)).alias("k"))
+        .distinct()
+    )
+    dims = kk.select(
+        F.concat(F.lit("h"), F.col("k").cast("string")).alias("host"),
+        (100 + F.col("k") * 10).cast("long").alias("crawl_delay_ms"),
+        F.array(F.lit("/private")).alias("robots_disallow"),
+        (1 + F.pmod(F.col("k"), F.lit(9))).cast("int").alias(
+            "max_per_round"
+        ),
+    )
+    out = frontier.apply_health_backoff(dims, health)
+    return out.select("host", "crawl_delay_ms", "max_per_round")
+
+
+SQL_POLITENESS_BACKOFF = """
+WITH r AS (
+  SELECT 'h' || CAST(doc_id % 30 AS VARCHAR) AS host,
+    CASE WHEN (doc_id % 30) % 10 = 9 THEN 'tcp'
+         WHEN doc_id % 17 = 0 THEN 'dns'
+         WHEN doc_id % 17 = 1 THEN 'timeout'
+         WHEN doc_id % 17 = 2 THEN 'tls'
+         WHEN doc_id % 17 = 3 THEN 'tcp'
+         WHEN doc_id % 17 IN (4, 5) THEN 'http_5xx'
+         WHEN doc_id % 17 = 6 THEN 'http_4xx'
+         WHEN doc_id % 17 = 7 THEN 'throttled'
+         ELSE 'ok' END AS cls
+  FROM documents),
+g AS (
+  SELECT host,
+    COUNT(*) AS n_total,
+    SUM(CASE WHEN cls = 'ok' THEN 1 ELSE 0 END) AS n_ok,
+    SUM(CASE WHEN cls = 'throttled' THEN 1 ELSE 0 END) AS n_throttled
+  FROM r GROUP BY host),
+h AS (
+  SELECT host,
+    CASE WHEN n_ok = 0 AND n_total >= 5 THEN 16
+         WHEN n_throttled > 0 THEN 8
+         WHEN CAST(floor((n_total - n_ok) * 1000.0 / n_total) AS BIGINT)
+              >= 500 THEN 4
+         ELSE 1 END AS mult
+  FROM g),
+dims AS (
+  SELECT DISTINCT doc_id % 35 AS k FROM documents),
+d2 AS (
+  SELECT 'h' || CAST(k AS VARCHAR) AS host,
+         CAST(100 + k * 10 AS BIGINT) AS crawl_delay_ms,
+         1 + k % 9 AS mpr
+  FROM dims)
+SELECT d2.host, d2.crawl_delay_ms,
+       CAST(greatest(1, CAST(floor(d2.mpr / CAST(coalesce(h.mult, 1)
+            AS DOUBLE)) AS INTEGER)) AS INTEGER) AS max_per_round
+FROM d2 LEFT JOIN h USING (host)
+"""
+
+
 def q_fetch_retry_after(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retry-After parsing (frontier.retry_after_epoch): seven header
     classes — small delta, an HTTP-date inside the window (must parse
@@ -8956,6 +9050,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "images_dihedral_dedup": q_images_dihedral_dedup,
     "fetch_error_taxonomy": q_fetch_error_taxonomy,
     "fetch_retry_after": q_fetch_retry_after,
+    "politeness_backoff": q_politeness_backoff,
     "training_epoch_mix": q_training_epoch_mix,
     "harvest_tables": q_harvest_tables,
     "feed_ingest": q_feed_ingest,
@@ -9117,6 +9212,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_containment": SQL_DEDUP_CONTAINMENT,
     "fetch_error_taxonomy": SQL_FETCH_ERROR_TAXONOMY,
     "fetch_retry_after": SQL_FETCH_RETRY_AFTER,
+    "politeness_backoff": SQL_POLITENESS_BACKOFF,
     "training_epoch_mix": SQL_TRAINING_EPOCH_MIX,
     "harvest_tables": SQL_HARVEST_TABLES,
     "feed_ingest": SQL_FEED_INGEST,

@@ -569,3 +569,24 @@ def test_retry_after_epoch_forms_and_clamps(spark):
     assert got["past"] == now
     assert got["overcap"] == now + 3600
     assert got["junk"] == now and got["empty"] == now
+
+
+def test_apply_health_backoff_floor_and_fail_open(spark):
+    from pholcus_spark import frontier
+
+    dims = spark.createDataFrame(
+        [("a", 100, ["/p"], 8), ("b", 100, ["/p"], 8),
+         ("c", 100, ["/p"], 2), ("unseen", 100, ["/p"], 5)],
+        "host string, crawl_delay_ms long,"
+        " robots_disallow array<string>, max_per_round int",
+    )
+    health = spark.createDataFrame(
+        [("a", 1), ("b", 4), ("c", 16)],
+        "host string, backoff_mult int",
+    )
+    out = {r["host"]: r["max_per_round"] for r in
+           frontier.apply_health_backoff(dims, health).collect()}
+    assert out["a"] == 8          # healthy: unchanged
+    assert out["b"] == 2          # 8 // 4
+    assert out["c"] == 1          # 2 // 16 floors at 1, never 0
+    assert out["unseen"] == 5     # no health row: fail open
