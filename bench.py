@@ -160,6 +160,8 @@ BENCH_QUERIES = [
     "sitemap_images",
     "fetch_retry_after",
     "embed_bq_rerank",
+    "images_orbit_elect",
+    "politeness_backoff",
 ]
 
 
