@@ -461,24 +461,21 @@ def main() -> int:
         ("canonical_harvest (array-filter + try_element_at: zero "
          "Exchange, zero explode, pure codegen)", p, probs)
     )
-    # min(page_url)'s string agg buffer is not HashAggregate-mutable,
-    # so Spark plans the (correct) partial+final SortAggregate pair —
-    # still map-side combined, still exactly one Exchange of
-    # (canonical_url, page_url) pairs
+    # round-5 fix (VERDICT r4 #2): fixed-width election buffers
+    # (count / max-int / min-md5-prefix-long) → partial+final
+    # HashAggregate, winner-string recovery via one shuffle-HASH join
+    # on a group-sized build side — zero Sort, zero SortAggregate
     q = QUERIES["canonical_collapse"](spark, sf_dir)
     p, probs = audit(
         "canonical_collapse", q,
-        expect=["SortAggregate"],
-        forbid=["EvalPython", "Generate", "Join", "Expand"],
+        expect=["HashAggregate", "ShuffledHashJoin"],
+        forbid=["SortAggregate", "Sort (", "SortMergeJoin",
+                "EvalPython", "Generate", "Expand", "CartesianProduct"],
     )
-    n_exch = p.count("Exchange (")
-    if n_exch != 1:
-        probs.append(
-            f"EXPECTED one Exchange for the alias grouping, saw {n_exch}")
     sections.append(
-        ("canonical_collapse (partial+final SortAggregate on "
-         "canonical_url — string min buffers can't hash-agg — single "
-         "Exchange of (canonical_url, page_url) pairs)", p, probs)
+        ("canonical_collapse (fixed-width md5-prefix election: "
+         "partial+final HashAggregate on canonical_url, winner "
+         "recovered by one sort-free shuffle-hash join)", p, probs)
     )
 
     # 24. webdataset tar framing: the whole ustar record (header +
@@ -753,15 +750,21 @@ def main() -> int:
         "PLANS.md",
     )
     # carry over hand-audited sections (regenerating must not clobber
-    # the narrative plan audits added per-round outside this tool)
-    own_titles = [t for t, _p, _pr in sections]
+    # the narrative plan audits added per-round outside this tool) —
+    # matched on the BASE query name (heading text before any " ("),
+    # not the full title, so a retitled tool section does not leave
+    # its stale predecessor behind (round-4's two "MISSING" ghosts)
+    own_names = {
+        t.split(" (")[0].strip() for t, _p, _pr in sections
+    }
     hand: list[str] = []
     if os.path.exists(plans_path):
         keep = False
         for line in open(plans_path):
             if line.startswith("## "):
-                head = line[3:].strip()
-                keep = not any(head.startswith(t) for t in own_titles)
+                head = line[3:].strip().split(" (")[0].strip()
+                head = head.split(" — ")[0].strip()
+                keep = head not in own_names
             elif line.startswith("# "):
                 keep = False
             if keep:
