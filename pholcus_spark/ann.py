@@ -303,6 +303,22 @@ def _codebook_lit(centroids: list[tuple[int, list]]) -> Column:
     return F.expr("array(" + ",".join(parts) + ")")
 
 
+def _list_ids_expr(vec: Column, cbk: Column, n_probe: int) -> Column:
+    """``ivf_list_ids`` over an ALREADY-COLUMN codebook (folded
+    literal or broadcast column): one transform loop builds
+    struct(cos, -id) entries, array_sort ranks, slice probes."""
+    entries = F.transform(
+        cbk,
+        lambda c: F.struct(
+            cosine(vec, c["v"]).alias("c"), c["nid"].alias("nid")
+        ),
+    )
+    ranked = F.reverse(F.array_sort(entries))
+    return F.transform(
+        F.slice(ranked, 1, n_probe), lambda e: (-e["nid"]).cast("int")
+    )
+
+
 def ivf_list_ids(
     vec: Column, centroids: list[tuple[int, list]], n_probe: int
 ) -> Column:
@@ -316,16 +332,7 @@ def ivf_list_ids(
     expansion built a ~4k-literal tree whose analysis + codegen compile
     dominated the query (measured ~6 s one-shot at 16×64 — flat across
     scale factors, i.e. pure compile tax)."""
-    entries = F.transform(
-        _codebook_lit(centroids),
-        lambda c: F.struct(
-            cosine(vec, c["v"]).alias("c"), c["nid"].alias("nid")
-        ),
-    )
-    ranked = F.reverse(F.array_sort(entries))
-    return F.transform(
-        F.slice(ranked, 1, n_probe), lambda e: (-e["nid"]).cast("int")
-    )
+    return _list_ids_expr(vec, _codebook_lit(centroids), n_probe)
 
 
 def ivf_topk(
@@ -763,56 +770,139 @@ def ivfadc_topk(
     Residual PQ codebooks come from the md5-ranked sample's residuals
     (the same seeded-sample convention; k-means-trained codebooks drop
     in). The only shuffle is the final per-query top-k window, with
-    map-side WindowGroupLimit pruning first."""
-    coarse = ivf_centroids(embeds, n_lists)
+    map-side WindowGroupLimit pruning first.
+
+    Plan-build cost (VERDICT r4 #4): round 4 folded the coarse + PQ
+    codebooks into giant generated-SQL literals at EVERY use site —
+    m·ks·sub + n_lists·dim literal doubles expanded four times into
+    the Catalyst tree, so each invocation paid seconds of analysis +
+    Janino compile, and ran TWO ``ivf_centroids`` collect jobs. This
+    version collects the md5-ranked sample ONCE (both codebooks are
+    prefixes of the same ordering) and ships the codebooks as ONE-ROW
+    broadcast relations cross-joined onto the corpus and probe sides:
+    the plan tree holds column references instead of thousands of
+    literals, executors read the same arrays out of the broadcast,
+    and the math (fold order, tie-breaks) is expression-identical —
+    the oracle stays bit-exact.
+
+    Runtime shape: Spark does NOT eliminate common subexpressions
+    across lambda bodies, so an encode written as one projection
+    re-evaluates the residual (and inside it the whole coarse
+    assignment) once per PQ codeword — m·ks× per corpus row, the
+    dominant measured cost. The coarse codebook and the PQ codebook
+    therefore ride SEPARATE one-row broadcasts: (list_id, resid) is
+    materialized as real columns in the projection after the first
+    join, and the PQ encode in the projection after the second join
+    reads ``resid`` as an attribute (one array lookup per reference)
+    — the join between the two projections blocks CollapseProject
+    from re-inlining the expensive subtree."""
+    sample = ivf_centroids(embeds, max(n_lists, ks))
+    coarse = sample[:n_lists]
     cvecs = [v for _cid, v in coarse]
-    cvecs_lit = _vecs_lit(cvecs)
     dim = len(cvecs[0])
     sub = dim // m
     # residual PQ codebooks: md5-ranked sample rows minus their own
     # coarse centroid, sliced per subspace
     res_sample = []
-    for _cid, v in ivf_centroids(embeds, ks):
+    for _cid, v in sample[:ks]:
         j = _assign_py(v, cvecs)
         res_sample.append([float(x) - c for x, c in zip(v, cvecs[j])])
     cbs = [
         [res[mm * sub : (mm + 1) * sub] for res in res_sample]
         for mm in range(m)
     ]
-    cb = _pq_codebook_lit(cbs)
 
-    lid = ivf_list_ids(F.col("embedding"), coarse, 1)[0]
+    from pyspark.sql import types as T
+
+    coarse_schema = T.StructType(
+        [
+            T.StructField(
+                "_cbk",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("nid", T.IntegerType()),
+                            T.StructField(
+                                "v", T.ArrayType(T.DoubleType())
+                            ),
+                        ]
+                    )
+                ),
+            ),
+            T.StructField(
+                "_cvecs", T.ArrayType(T.ArrayType(T.DoubleType()))
+            ),
+        ]
+    )
+    pq_schema = T.StructType(
+        [
+            T.StructField(
+                "_pqcb",
+                T.ArrayType(T.ArrayType(T.ArrayType(T.DoubleType()))),
+            )
+        ]
+    )
+    spark = embeds.sparkSession
+    dims_coarse = spark.createDataFrame(
+        [
+            (
+                [(-cid, [float(x) for x in v]) for cid, v in coarse],
+                [[float(x) for x in v] for v in cvecs],
+            )
+        ],
+        coarse_schema,
+    )
+    dims_pq = spark.createDataFrame([(cbs,)], pq_schema)
+    cbk, cvecs_col, cb = F.col("_cbk"), F.col("_cvecs"), F.col("_pqcb")
+
+    lid = _list_ids_expr(F.col("embedding"), cbk, 1)[0]
     resid = F.zip_with(
         F.col("embedding"),
-        F.element_at(cvecs_lit, lid + 1),
+        F.element_at(cvecs_col, lid + 1),
         lambda x, c: x.cast("double") - c,
     )
-    coded = embeds.select(
+    assigned = embeds.crossJoin(F.broadcast(dims_coarse)).select(
         "vec_id",
         lid.alias("list_id"),
-        pq_codes(resid, cb, sub).alias("codes"),
+        resid.alias("_resid"),
+    )
+    coded = assigned.crossJoin(F.broadcast(dims_pq)).select(
+        "vec_id",
+        "list_id",
+        pq_codes(F.col("_resid"), cb, sub).alias("codes"),
     )
 
-    probes = embeds.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.explode(
-            ivf_list_ids(F.col("embedding"), coarse, n_probe)
-        ).alias("list_id"),
-        "embedding",
+    probes = (
+        embeds.filter(F.col("vec_id") < n_queries)
+        .crossJoin(F.broadcast(dims_coarse))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(
+                _list_ids_expr(F.col("embedding"), cbk, n_probe)
+            ).alias("list_id"),
+            "embedding",
+            "_cvecs",
+        )
+        .select(
+            "query_id",
+            "list_id",
+            F.zip_with(
+                F.col("embedding"),
+                F.element_at(cvecs_col, F.col("list_id") + 1),
+                lambda x, c: x.cast("double") - c,
+            ).alias("_qres"),
+        )
     )
-    qres = F.zip_with(
-        F.col("embedding"),
-        F.element_at(cvecs_lit, F.col("list_id") + 1),
-        lambda x, c: x.cast("double") - c,
-    )
-    q = probes.select(
+    q = probes.crossJoin(F.broadcast(dims_pq)).select(
         "query_id",
         "list_id",
         F.transform(
             cb,
             lambda sub_cb, mm: F.transform(
                 sub_cb,
-                lambda cw: _l2sq(F.slice(qres, mm * sub + 1, sub), cw),
+                lambda cw: _l2sq(
+                    F.slice(F.col("_qres"), mm * sub + 1, sub), cw
+                ),
             ),
         ).alias("dtab"),
     )
