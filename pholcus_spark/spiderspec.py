@@ -181,7 +181,21 @@ def _parse_rule(spider: str, rule_el: ET.Element) -> tuple[tuple[str, str], dict
             )
     downloader = rule_el.findtext("Downloader")
     if downloader:
-        rc["downloader"] = downloader.strip()
+        # the three reference routes (surfer/request.go:83-87):
+        # 0=surf, 1=phantomjs, 2=chrome — accepted by name or id;
+        # anything else is a loud load-time error, not a silent surf
+        dl = downloader.strip().lower()
+        names = {
+            "surf": "surf", "0": "surf",
+            "phantom": "phantom", "phantomjs": "phantom", "1": "phantom",
+            "chrome": "chrome", "2": "chrome",
+        }
+        if dl not in names:
+            raise ValueError(
+                f"Rule {rname!r}: unknown <Downloader> {downloader!r} "
+                "(want surf/phantom/chrome or 0/1/2)"
+            )
+        rc["downloader"] = names[dl]
     timer = rule_el.find("Timer")
     if timer is not None:
         rc["timer"] = timer.get("id")

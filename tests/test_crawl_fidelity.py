@@ -488,20 +488,24 @@ def test_proxy_assignment_engine_fidelity(spark, tmp_path):
 
 
 def test_downloader_dispatch_fidelity(spark, tmp_path):
-    """D2 downloader dispatch (downloader_surfer.go:35-74 + Chrome
-    surfer/chrome.go:26-80): rules marked downloader='chrome' route
-    through the JS renderer, whose response for the SAME URL differs
-    from the raw surf response. Visit order + items must match the
-    oracle; the two downloaders must observably produce different
-    content."""
+    """D2 downloader dispatch across ALL THREE reference routes
+    (downloader_surfer.go:35-74, surfer/request.go:83-87: 0=surf,
+    1=phantomjs, 2=chrome): one crawl mixes rules pinned to each
+    downloader; visit order + items must match the oracle, and the
+    three renderers must observably produce pairwise-DIFFERENT content
+    for the same URL (phantom.go and chrome.go are different browser
+    engines — a rendered page differs per engine and from the raw
+    surf response)."""
     rules = {
-        ("spA", "root"): {"child_rule": "page", "max_depth": 1,
+        ("spA", "root"): {"child_rule": "page", "max_depth": 2,
                           "child_priority": 0},
-        ("spA", "page"): {"child_rule": None, "max_depth": 0,
-                          "downloader": "chrome"},
+        ("spA", "page"): {"child_rule": "deep", "max_depth": 2,
+                          "child_priority": 0, "downloader": "chrome"},
+        ("spA", "deep"): {"child_rule": None, "max_depth": 0,
+                          "downloader": "phantom"},
     }
     cfg = CrawlConfig(spiders=("spA",), rules=rules, n_hosts=8,
-                      batch_size=10, limit=50)
+                      batch_size=24, limit=150)
     seeds = synthetic.seed_urls(6, cfg.n_hosts)
     orc = run_oracle(seeds, cfg)
     eng = CrawlEngine(spark, SnapshotStore(str(tmp_path / "dl")), cfg)
@@ -511,19 +515,65 @@ def test_downloader_dispatch_fidelity(spark, tmp_path):
     caps = {r["image_id"]: r["caption"] for r in eng.items_df().collect()}
     assert caps == {v["image_id"]: v["caption"] for v in orc.items.values()}
 
-    # dispatch observability: a chrome-rendered page of URL u differs
-    # from the surf response of the same u
+    # every route actually fetched pages in this crawl
     from pyspark.sql import functions as F
 
+    fetched_rules = {
+        r["rule"]
+        for r in eng.fetched_df().filter(F.col("ok"))
+        .select("rule").distinct().collect()
+    }
+    assert {"root", "page", "deep"} <= fetched_rules
+
+    # dispatch observability: surf / phantom / chrome responses for
+    # the SAME URL are pairwise distinct
     child = eng.fetched_df().filter(
         (F.col("rule") == "page") & F.col("ok")
     ).select("url").first()
-    if child is not None:
-        surf = synthetic.fetch_one(child["url"], 1, 10**6, cfg.n_hosts, 0)
-        chrome = synthetic.fetch_one(
-            child["url"], 1, 10**6, cfg.n_hosts, 0, downloader="chrome"
+    assert child is not None
+    by_dl = {
+        dl: synthetic.fetch_one(
+            child["url"], 1, 10**6, cfg.n_hosts, 0, downloader=dl
+        ).image_id
+        for dl in ("surf", "phantom", "chrome")
+    }
+    assert len(set(by_dl.values())) == 3, by_dl
+
+
+def test_downloader_xml_and_request_routing(tmp_path):
+    """The spec surface of the three routes: <Downloader> accepts
+    names and reference numeric ids (surfer/request.go:83-87) and
+    rejects unknowns loudly; JsAddQueue's DownloaderID coerces
+    non-1/2 ids to surf (request.go:125-126) with an explicit id
+    beating the rule default."""
+    import pytest
+
+    from pholcus_spark.jsrules import _norm_queue_req
+    from pholcus_spark.spiderspec import load_spider_xml
+
+    def spec(dl):
+        return (
+            "<Spider><Name>s</Name>"
+            "<Rule name=\"root\"><Links rule=\"child\" maxDepth=\"1\"/>"
+            "</Rule>"
+            f"<Rule name=\"child\"><Downloader>{dl}</Downloader></Rule>"
+            "</Spider>"
         )
-        assert surf.image_id != chrome.image_id
+
+    for raw, want in [("surf", "surf"), ("0", "surf"),
+                      ("phantom", "phantom"), ("PhantomJS", "phantom"),
+                      ("1", "phantom"), ("chrome", "chrome"),
+                      ("2", "chrome")]:
+        sp = load_spider_xml(spec(raw))
+        assert sp.rules[("s", "child")]["downloader"] == want, raw
+    with pytest.raises(ValueError):
+        load_spider_xml(spec("firefox"))
+
+    for did, want in [(0, "surf"), (1, "phantom"), (2, "chrome"),
+                      (7, "surf"), (-1, "surf")]:
+        req = _norm_queue_req({"URL": "http://x/", "DownloaderID": did})
+        assert req["downloader"] == want, did
+    assert _norm_queue_req({"URL": "http://x/"})["downloader"] is None
 
 
 def test_shuffle_width_does_not_change_the_crawl(spark, tmp_path):
