@@ -200,6 +200,36 @@ def write_mongo_shaped(items: DataFrame, out_dir: str, namespace: str) -> None:
     mongo_frame(items, namespace).write.mode("overwrite").json(out_dir)
 
 
+def mongo_reader(
+    spark,
+    path: str,
+    collection: str | None = None,
+    doc_schema=None,
+) -> DataFrame:
+    """S5 READ path — the Mongo half of the reference's history
+    inherit (history.go:161-264: ``mgo Find(nil).All`` over the
+    success/failure collection, un-serializing each document and
+    skipping the ones that fail). Reads the mongo-shaped frames
+    ``write_mongo_shaped`` flushes (JSON lines of
+    (collection, _id, doc) — the sandbox stand-in); on a cluster,
+    swap the load for ``spark.read.format("mongodb")`` with the same
+    downstream shape — the collection filter and document parse are
+    source-agnostic. ``doc_schema`` (DDL string or StructType) parses
+    each document body into a ``fields`` struct; a malformed document
+    parses to NULL fields, mirroring the reference's
+    skip-on-unserialize-error (history.go:185-189) once the caller
+    drops the nulls. Pair with ``CrawlEngine.import_seen`` to inherit
+    a foreign seen set, like ``jdbc_reader``."""
+    df = spark.read.schema("collection string, _id string, doc string").json(
+        path
+    )
+    if collection is not None:
+        df = df.filter(F.col("collection") == collection)
+    if doc_schema is not None:
+        df = df.withColumn("fields", F.from_json("doc", doc_schema))
+    return df
+
+
 def beanstalk_frame(
     items: DataFrame,
     namespace: str,

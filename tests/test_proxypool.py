@@ -151,3 +151,102 @@ def test_assign_proxies_accepts_probed_ranking(spark):
         0: "http://p-a:1", 1: "http://p-b:1", 2: "http://p-a:1",
         3: "http://p-b:1", 4: "http://p-a:1", 5: "http://p-b:1",
     }
+
+
+def test_fetcher_prober_measures_through_injected_transport():
+    """fetcher_prober (VERDICT r4 #7): the probe rides HttpFetcher's
+    injectable transport — dial the PROXY's resolved address, send the
+    absolute-form HEAD — and returns per-proxy latency from the
+    injected clock; non-200 and OSError paths behave like the
+    reference's findUsable (drop / retry)."""
+    from pholcus_spark.httpfetch import HttpFetcher, HttpResponse
+    from pholcus_spark.proxypool import fetcher_prober
+
+    # fake wire: per proxy-ip latency; one proxy 503s, one refuses
+    lat_by_ip = {"10.0.0.1:8080": 0.120, "10.0.0.2:3128": 0.030,
+                 "10.0.0.3:8000": 0.075}
+    calls = []
+    now = [0.0]
+
+    def clock():
+        return now[0]
+
+    def transport(method, url, ip_port, headers, body, dial_t, conn_t):
+        calls.append((method, url, ip_port))
+        if ip_port == "10.0.0.9:9999":
+            raise OSError("connection refused")
+        if ip_port == "10.0.0.8:8888":
+            return HttpResponse(status=503, headers={}, body=b"")
+        now[0] += lat_by_ip[ip_port]
+        return HttpResponse(status=200, headers={}, body=b"")
+
+    def resolver(host, port):
+        return {
+            "p1.example.net": "10.0.0.1:8080",
+            "p2.example.net": "10.0.0.2:3128",
+            "p3.example.net": "10.0.0.3:8000",
+            "dead.example.net": "10.0.0.9:9999",
+            "busy.example.net": "10.0.0.8:8888",
+        }[host] if port else None
+
+    fetcher = HttpFetcher(transport=transport, resolver=lambda h, p: resolver(h, p))
+    probe = fetcher_prober(fetcher, clock=clock)
+
+    assert probe("http://p1.example.net:8080", "http://t.example.com") == pytest.approx(120.0)
+    assert probe("http://p2.example.net:3128", "http://t.example.com") == pytest.approx(30.0)
+    assert probe("http://busy.example.net:8888", "t.example.com") is None
+    assert probe("http://dead.example.net:9999", "t.example.com") is None
+    # absolute-form request line + HEAD, dialed at the PROXY address
+    m, url, ip = calls[0]
+    assert m == "HEAD" and url.startswith("http://t.example.com") \
+        and ip == "10.0.0.1:8080"
+
+
+def test_probed_ranking_feeds_assign_proxies(spark):
+    """End-to-end twin of the reference's probe→sort→rotate loop
+    (proxy.go:141-197 + 235-255): a fake transport feeds measured
+    latencies through fetcher_prober into ProxyPool.ranking, whose
+    latency-sorted list drives frontier.assign_proxies — assignment
+    rotates over the SURVIVING proxies in measured-speed order, and
+    the too-slow proxy is speed-filtered out."""
+    from pyspark.sql import functions as F
+
+    from pholcus_spark.frontier import assign_proxies
+    from pholcus_spark.httpfetch import HttpFetcher, HttpResponse
+    from pholcus_spark.proxypool import ProxyPool, fetcher_prober
+
+    pool_file = """
+    http://1.2.3.4:8080
+    http://5.6.7.8:3128
+    http://9.9.9.9:9999
+    """
+    lat_by_ip = {"1.2.3.4:8080": 0.090, "5.6.7.8:3128": 0.040,
+                 "9.9.9.9:9999": 0.900}  # too slow: filtered at 300ms
+    now = [0.0]
+
+    def transport(method, url, ip_port, headers, body, dial_t, conn_t):
+        now[0] += lat_by_ip[ip_port]
+        return HttpResponse(status=200, headers={}, body=b"")
+
+    fetcher = HttpFetcher(transport=transport,
+                          resolver=lambda h, p: f"{h}:{p}")
+    pool = ProxyPool(pool_file, pinger=lambda h: True,
+                     prober=fetcher_prober(fetcher, clock=lambda: now[0]))
+    live = pool.ranking("http://t.example.com", max_latency_ms=300)
+    assert [p for p, _ in live] == ["http://5.6.7.8:3128",
+                                    "http://1.2.3.4:8080"]
+    assert [d for _, d in live] == [40, 90]
+
+    batch = spark.range(100).select(
+        F.xxhash64(F.col("id").cast("string")).alias("url_key"),
+        F.format_string("http://h%02d.example.com/%d",
+                        F.pmod("id", F.lit(10)), "id").alias("url"),
+    )
+    out = assign_proxies(batch, [p for p, _ in live], live=live)
+    got = {r["proxy"] for r in out.select("proxy").distinct().collect()}
+    assert got == {"http://5.6.7.8:3128", "http://1.2.3.4:8080"}
+    # rotation is url_key-determined, reproducible
+    a = out.orderBy("url_key").select("proxy").collect()
+    b = assign_proxies(batch, [p for p, _ in live], live=live) \
+        .orderBy("url_key").select("proxy").collect()
+    assert a == b

@@ -466,3 +466,76 @@ def test_export_warc_bundle_artifacts(spark, tmp_path):
     assert wet.count() == 2
     raw = bytes(wet.collect()[0]["record"])
     assert b"WARC-Type: conversion" in raw and b"<html" not in raw
+
+
+def test_mongo_history_inherit_roundtrip(spark, tmp_store_dir):
+    """S5 history READ path (history.go:161-264, the mgo inherit
+    branch): a finished crawl's seen set exported as mongo-shaped
+    success documents, read back with mongo_reader (collection filter
+    + doc parse), imported into a FRESH store via import_seen — the
+    inherit matrix must behave exactly like the Derby/JDBC twin: the
+    new run admits nothing it inherited, and success_inherit=False
+    re-admits everything. A malformed document is skipped, not fatal
+    (history.go:185-189)."""
+    import os
+
+    from pholcus_spark import synthetic
+    from pholcus_spark.crawler import CrawlEngine
+    from pholcus_spark.oracle import CrawlConfig
+    from pholcus_spark.schemas import URL_SEEN_SCHEMA
+    from pholcus_spark.tables import SnapshotStore
+    from tests.helpers import url_seen_set
+
+    cfg = CrawlConfig(n_hosts=8, batch_size=12, limit=60)
+    seeds = synthetic.seed_urls(6, cfg.n_hosts)
+
+    eng_a = CrawlEngine(
+        spark, SnapshotStore(os.path.join(tmp_store_dir, "a")), cfg
+    )
+    eng_a.run(seeds)
+    seen_a = url_seen_set(eng_a)
+    assert seen_a
+
+    mongo_dir = os.path.join(tmp_store_dir, "mongo_success")
+    sinks.write_mongo_shaped(
+        eng_a.load("url_seen", URL_SEEN_SCHEMA)
+        .withColumn("rule", F.lit("success")),
+        mongo_dir,
+        "pholcus",
+    )
+    # plant one malformed document — the reader must skip it like the
+    # reference's UnSerialize-error continue
+    with open(os.path.join(mongo_dir, "malformed.json"), "w") as f:
+        f.write(
+            '{"collection": "pholcus__success", "_id": "bad",'
+            ' "doc": "{not json"}\n'
+        )
+
+    hist = sinks.mongo_reader(
+        spark, mongo_dir, collection="pholcus__success",
+        doc_schema="url_key long",
+    )
+    keys = hist.select(F.col("fields.url_key").alias("url_key")).where(
+        F.col("url_key").isNotNull()
+    )
+    assert {r["url_key"] for r in keys.collect()} == seen_a
+    # the other-collection filter actually filters
+    assert sinks.mongo_reader(
+        spark, mongo_dir, collection="pholcus__other"
+    ).count() == 0
+
+    eng_c = CrawlEngine(
+        spark, SnapshotStore(os.path.join(tmp_store_dir, "c")), cfg
+    )
+    eng_c.bootstrap([])
+    eng_c.import_seen(keys)
+    eng_c.start_new_run(seeds)
+    eng_c.run()
+    visited_c = {
+        r["url_key"] for r in eng_c.fetched_df().select("url_key").collect()
+    }
+    assert not (visited_c & seen_a)
+    # dropping the inherited history re-admits everything
+    eng_c.start_new_run(seeds, success_inherit=False)
+    eng_c.run()
+    assert url_seen_set(eng_c) >= seen_a
