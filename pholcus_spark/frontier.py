@@ -264,6 +264,7 @@ def enqueue(
     remaining_by_spider: dict[str, int] | None = None,
     default_remaining: int | None = None,
     scope: CacheScope | None = None,
+    pin: str = "cache",
 ) -> tuple[DataFrame, int]:
     """Full Matrix.Push pipeline for one round's candidate links.
 
@@ -286,12 +287,25 @@ def enqueue(
         cands = anti_join_seen_bloom(cands, url_seen, sketch)
     else:
         cands = anti_join_seen(cands, url_seen)
-    # Cache the admitted set: downstream needs several passes (the
+    # Pin the admitted set: downstream needs several passes (the
     # range-partitioner's sampling scan, the offsets count, the final
     # write) and the upstream chain includes shuffles + Python UDF
-    # stages that must not be re-evaluated per pass. Released via the
-    # caller's CacheScope after the commit.
-    cands = _cache(cands, scope)
+    # stages that must not be re-evaluated per pass.
+    #
+    # pin="checkpoint" (the per-round engine paths) materializes with
+    # an EAGER localCheckpoint instead of a cache: the lineage is
+    # TRUNCATED at the admitted set, so everything derived from it
+    # (new frontier rows, the still-pending union, the bucketed seen
+    # append) stays valid even after the append refreshes the seen
+    # table the anti-join above read — the caller no longer needs its
+    # own second checkpoint job — and the budget counts below become
+    # ~free scans of materialized partitions. pin="cache" (bootstrap,
+    # unit tests) keeps the evictable cache, released via the caller's
+    # CacheScope after the commit.
+    if pin == "checkpoint":
+        cands = cands.localCheckpoint(eager=True)
+    else:
+        cands = _cache(cands, scope)
     # exact admitted count when a budget branch pays for one anyway —
     # lets assign_seq skip its range-partitioner on small rounds
     n_final: int | None = None
