@@ -950,6 +950,18 @@ class CrawlEngine:
         limit = max_rounds if max_rounds is not None else cfg.max_rounds
         rounds_run = 0
         while rounds_run < limit:
+            # run controls (reference stop/pauseRecover,
+            # web/websocket_controller.go:196-218): polled at round
+            # boundaries — a round is the atomic unit, so 'stop' here
+            # is a graceful, resumable exit (call run() again after
+            # write_control('run') and the crawl continues), and
+            # 'pause' holds BETWEEN committed rounds.
+            cmd = self.store.read_control()
+            while cmd == "pause":
+                time.sleep(self.cfg.control_poll_s)
+                cmd = self.store.read_control()
+            if cmd == "stop":
+                break
             dispatched = self.run_round()
             if cfg.snapshot_keep:
                 self.store.expire_snapshots(cfg.snapshot_keep)

@@ -21,15 +21,27 @@ Endpoints:
   one round (the ROUNDS_SCHEMA grain).
 - ``GET /spiders`` — per-spider resolved/failed counts.
 
+Mutating run controls (round-5 close of the reference's in-browser
+Stop/Pause buttons, ``web/websocket_controller.go:196-218``):
+
+- ``POST /stop`` — graceful, RESUMABLE stop at the next round
+  boundary (a round commits atomically, so this is exactly the
+  kill+resume path F5 already guarantees).
+- ``POST /pauseRecover`` — toggle pause↔run (the reference's
+  semantics); a paused engine holds between committed rounds.
+- ``POST /run`` — explicit resume.
+
+The channel is the store's ``control.json`` (SnapshotStore
+read_control/write_control), so an operator shell with store access
+works exactly like the endpoints; mutation is POST-only so health
+checks can never flip a crawl.
+
 Scale notes: every answer is computed from the *committed* rounds
 table — one row per (round, partition), i.e. KBs even for month-long
 crawls — never from the fetch log, so a poll costs a tiny driver-side
 job over a small parquet file. Responses are cached per snapshot id:
 polling between commits does zero Spark work. The server binds
-127.0.0.1 by default (operators tunnel in, as with the Spark UI) and
-exposes no mutating route — pause/stop remain signals to the driver
-process, matching spark-submit's lifecycle rather than the reference's
-in-browser Stop button.
+127.0.0.1 by default (operators tunnel in, as with the Spark UI).
 """
 
 from __future__ import annotations
@@ -187,6 +199,39 @@ class CrawlMonitor:
                 except Exception as exc:  # noqa: BLE001 — a failed
                     # poll (e.g. a transient Spark error) must answer
                     # with a status line, not a dropped connection
+                    self.send_error(500, type(exc).__name__)
+                    return
+                data = json.dumps(body).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def do_POST(self):
+                # run controls (reference stop / pauseRecover,
+                # web/websocket_controller.go:196-218): write the
+                # store-level control command; the engine's run() loop
+                # applies it at the next round boundary. POST-only so
+                # a health-check GET can never mutate the crawl.
+                url = urlparse(self.path)
+                store = monitor.engine.store
+                try:
+                    if url.path == "/stop":
+                        store.write_control("stop")
+                        body = {"operate": "stop"}
+                    elif url.path == "/pauseRecover":
+                        now = store.read_control()
+                        nxt = "run" if now == "pause" else "pause"
+                        store.write_control(nxt)
+                        body = {"operate": "pauseRecover", "command": nxt}
+                    elif url.path == "/run":
+                        store.write_control("run")
+                        body = {"operate": "run"}
+                    else:
+                        self.send_error(404)
+                        return
+                except Exception as exc:  # noqa: BLE001
                     self.send_error(500, type(exc).__name__)
                     return
                 data = json.dumps(body).encode()

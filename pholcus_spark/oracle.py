@@ -96,6 +96,10 @@ class CrawlConfig:
     # size; the 4x-cluster-width wave floor still applies). Engine
     # knob only — visit order/content unaffected.
     fetch_part_rows: int = 512
+    # run-control poll cadence (store control.json — the reference
+    # web UI's stop/pauseRecover as a store-level channel); engine
+    # knob only, no semantic effect on the visit set
+    control_poll_s: float = 0.25
     # F15 timer gating (app/spider/timer.go): named clocks, id →
     # {"tol_s": seconds} (countdown) or {"bell": (h, m, s),
     # "tol_days": n} (alarm). A rule with "timer": <id> pauses each

@@ -46,6 +46,36 @@ class SnapshotStore:
     def _manifest_path(self, snapshot_id: int) -> str:
         return os.path.join(self.root, "snapshots", f"snap-{snapshot_id:08d}.json")
 
+    # --- run controls (the reference web UI's stop / pauseRecover,
+    # web/websocket_controller.go:196-218, as a store-level control
+    # channel: any process with store access — the monitor's mutating
+    # endpoints, an operator shell — flips the command; the engine
+    # polls it at round boundaries, where a pause/stop is safe by
+    # construction (every round commits atomically, so a stop here is
+    # indistinguishable from a kill+resume, which F5 already covers).
+
+    def _control_path(self) -> str:
+        return os.path.join(self.root, "control.json")
+
+    def read_control(self) -> str:
+        """Current run command: 'run' (default), 'pause', or 'stop'."""
+        try:
+            with open(self._control_path()) as f:
+                cmd = json.load(f).get("command", "run")
+        except (FileNotFoundError, json.JSONDecodeError):
+            return "run"
+        return cmd if cmd in ("run", "pause", "stop") else "run"
+
+    def write_control(self, command: str) -> None:
+        if command not in ("run", "pause", "stop"):
+            raise ValueError(f"bad control command {command!r}")
+        tmp = self._control_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"command": command, "ts_ms": int(time.time() * 1000)}, f
+            )
+        os.replace(tmp, self._control_path())
+
     def read_manifest(self, snapshot_id: int | None = None) -> dict:
         if snapshot_id is None:
             snapshot_id = self.current_snapshot_id()

@@ -92,3 +92,76 @@ def test_monitor_errors(crawled_engine):
             with pytest.raises(urllib.error.HTTPError) as exc:
                 _get(mon.port, path)
             assert exc.value.code == code
+
+
+def _post(port: int, path: str):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}", method="POST", data=b""
+    )
+    with urllib.request.urlopen(req, timeout=10) as resp:
+        return json.loads(resp.read())
+
+
+def test_run_controls_stop_is_graceful_and_resumable(spark, tmp_store_dir):
+    """POST /stop (web/websocket_controller.go:196-218): the engine
+    exits at the next round boundary with a committed snapshot; after
+    /run the SAME store continues to the identical final state an
+    uninterrupted run reaches (stop == kill+resume, which F5 pins)."""
+    from tests.helpers import url_seen_set, visits_log
+
+    cfg = CrawlConfig(n_hosts=6, batch_size=10, limit=40)
+    seeds = synthetic.seed_urls(6, cfg.n_hosts)
+
+    full = CrawlEngine(
+        spark, SnapshotStore(tmp_store_dir + "/full"), cfg
+    )
+    full.run(seeds)
+
+    eng = CrawlEngine(spark, SnapshotStore(tmp_store_dir + "/ctl"), cfg)
+    eng.bootstrap(seeds)
+    eng.run(max_rounds=2)  # part-way in
+    with CrawlMonitor(eng) as mon:
+        assert _post(mon.port, "/stop") == {"operate": "stop"}
+    assert eng.store.read_control() == "stop"
+    assert eng.run() == 0  # graceful no-op exit, state intact
+
+    with CrawlMonitor(eng) as mon:
+        assert _post(mon.port, "/run") == {"operate": "run"}
+    eng.run()
+    assert visits_log(eng) == visits_log(full)
+    assert url_seen_set(eng) == url_seen_set(full)
+
+
+def test_run_controls_pause_recover_toggle(spark, tmp_store_dir):
+    """POST /pauseRecover toggles pause<->run (reference semantics): a
+    paused engine makes no progress between rounds; recovering lets
+    the crawl finish."""
+    import threading
+    import time as _time
+
+    cfg = CrawlConfig(n_hosts=6, batch_size=10, limit=30,
+                      control_poll_s=0.05)
+    seeds = synthetic.seed_urls(5, cfg.n_hosts)
+    eng = CrawlEngine(spark, SnapshotStore(tmp_store_dir), cfg)
+    eng.bootstrap(seeds)
+
+    with CrawlMonitor(eng) as mon:
+        r = _post(mon.port, "/pauseRecover")
+        assert r == {"operate": "pauseRecover", "command": "pause"}
+
+        done = {}
+        t = threading.Thread(
+            target=lambda: done.setdefault("rounds", eng.run())
+        )
+        t.start()
+        _time.sleep(1.0)
+        assert "rounds" not in done  # held at the pause gate
+        snap_paused = eng.store.current_snapshot_id()
+
+        r = _post(mon.port, "/pauseRecover")
+        assert r == {"operate": "pauseRecover", "command": "run"}
+        t.join(timeout=300)
+        assert not t.is_alive()
+    assert done["rounds"] > 0
+    assert eng.store.current_snapshot_id() > snap_paused
+    assert eng.items_df().count() == cfg.limit
