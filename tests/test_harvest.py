@@ -134,14 +134,27 @@ def test_canonical_collapse_groups_and_representative(spark):
         harvest.harvest_canonicals(df)).collect()}
     g = rows["http://h.example.com/a"]
     assert g["n_aliases"] == 3
-    # no alias IS the canonical page -> lexicographically-first alias
-    assert g["representative"] == "http://h.example.com/a?utm=x"
+    # no alias IS the canonical page -> the alias with the minimal
+    # 60-bit md5-prefix key (round-5 hash election: fixed-width agg
+    # buffers -> HashAggregate; deterministic and engine/oracle
+    # identical, replacing the round-4 string-min SortAggregate)
+    import hashlib
+
+    aliases = [  # the three pages whose canonical resolves to /a
+        "http://h.example.com/a?utm=x",
+        "http://h.example.com/dir/b.html",
+        "http://m.example.com/c",
+    ]
+    expect = min(
+        aliases, key=lambda u: int(hashlib.md5(u.encode()).hexdigest()[:15], 16)
+    )
+    assert g["representative"] == expect
     assert not g["has_canonical_page"]
     s = rows["http://h.example.com/self"]
     assert (s["n_aliases"], s["representative"], s["has_canonical_page"]) \
         == (1, "http://h.example.com/self", True)
     # when the canonical page itself was crawled it beats the
-    # lexicographic order
+    # hash election
     df2 = spark.createDataFrame(
         CANON_PAGES + [("http://h.example.com/a",
                         '<link rel="canonical" href="/a">')],
